@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A named bundle of driver-checkable queries.
+  *
+  * Each entry in `queries` is a function (spark, sfDir) => DataFrame over the
+  * driver's parquet fixtures; `oracles` holds the equivalent DuckDB SQL for
+  * hash-comparison. Queries with no SQL-expressible oracle are simply absent
+  * from `oracles` (the driver then records a rows-only check).
+  */
+trait QuerySet {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}
+
+/** Shared helpers keeping Spark results bit-identical to the DuckDB oracle. */
+object Q {
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Order-independent money sum: cast to decimal (exact, associative), sum,
+    * cast back to double. Double summation order differs between engines
+    * (and between Spark partitions); decimal does not.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Sum of a derived value with more fractional digits (e.g. price*(1-disc)). */
+  def dsum4(c: Column): Column = sum(c.cast(DecimalType(22, 4))).cast("double")
+
+  /** Deterministic average built on the decimal sum. */
+  def davg(c: Column): Column =
+    round(sum(c.cast(DecimalType(18, 2))).cast("double") / count(c), 6)
+}
