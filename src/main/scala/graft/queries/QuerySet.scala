@@ -18,8 +18,16 @@ trait QuerySet {
 
 /** Shared helpers keeping Spark results bit-identical to the DuckDB oracle. */
 object Q {
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
+    // long; convert to a micros timestamp (integer division = DuckDB's own
+    // ns→us truncation, so both engines see identical values).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
 
   /** Order-independent money sum: cast to decimal (exact, associative), sum,
     * cast back to double. Double summation order differs between engines

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: tokenization, quality scoring, language-ID heuristic, document
+  * fingerprinting, plus the string/array scalar families from SURVEY.md
+  * §2.9 (X1-X9, X22-X23).
+  *
+  * Everything is a narrow per-row projection (no shuffle): at 100 TB these
+  * run as a single map stage fused into whole-stage codegen, bounded by scan
+  * throughput.
+  */
+object TextOps extends QuerySet {
+
+  private def tokens: Column = split(col("text"), " ")
+
+  /** X1-X9, X23 — string scalar family (ref: silver_x12_parsing.py:81-86
+    * split; bronze_x12_ingestion.py:86-192 startswith/substr/len/ascii).
+    */
+  def q20(s: SparkSession, dir: String): DataFrame =
+    Q.t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(tokens).as("n_tokens"),
+        element_at(tokens, 1).as("first_token"),
+        substring(col("text"), 1, 10).as("prefix10"),
+        upper(col("lang")).as("up_lang"),
+        concat_ws("-", col("lang"), col("source")).as("lang_source"),
+        rpad(col("lang"), 8, "_").as("padded"),
+        col("text").contains("spark").as("has_spark"),
+        col("text").startsWith("the").as("starts_the"),
+        length(col("text")).as("n_chars_calc"),
+        regexp_like(col("text"), lit("^[\\x00-\\x7F]*$")).as("ascii_ok"))
+
+  /** X22/A19 — higher-order array functions (ref: gold_x12_analytics.py
+    * nested-array reductions → aggregate/filter/exists/transform).
+    */
+  def q25(s: SparkSession, dir: String): DataFrame =
+    Q.t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        aggregate(tokens, lit(0), (acc, x) => acc + length(x)).as("total_len"),
+        size(filter(tokens, x => length(x) > 4)).as("n_long_tokens"),
+        exists(tokens, x => x === "query").as("has_query"),
+        size(array_distinct(tokens)).as("n_distinct_tokens"),
+        array_max(transform(tokens, x => length(x))).as("max_token_len"))
+
+  /** Token counting — whitespace tokens + char stats (training-data op). */
+  def q26(s: SparkSession, dir: String): DataFrame =
+    Q.t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(tokens).as("n_tokens"),
+        length(col("text")).as("n_chars_calc"),
+        round(aggregate(tokens, lit(0), (a, x) => a + length(x)).cast("double")
+          / size(tokens), 4).as("avg_token_len"))
+
+  /** Quality scoring — length / stopword-ratio heuristics (training-data op;
+    * shape mirrors the reference's 0-100 quality score,
+    * silver_x12_parsing.py:1068-1073).
+    */
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    Q.t(s, dir, "documents")
+      .withColumn("n_tokens", size(tokens))
+      .withColumn("n_stop",
+        size(filter(tokens, x => x.isin(stop.map(lit(_)): _*))))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_tokens"), 6))
+      .withColumn("quality_score",
+        greatest(lit(0.0), least(lit(100.0), round(
+          lit(100.0)
+            - abs(col("stop_ratio") - 0.08) * 200.0
+            - when(col("n_tokens") < 20, 30.0).otherwise(0.0), 4))))
+      .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "quality_score")
+  }
+
+  /** Language-ID — marker-token voting with deterministic tie order
+    * (training-data op; n-gram-heuristic class).
+    */
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    def markers(ws: Seq[String]): Column =
+      size(filter(tokens, x => x.isin(ws.map(lit(_)): _*)))
+    Q.t(s, dir, "documents")
+      .withColumn("c_en", markers(Seq("the", "a", "of")))
+      .withColumn("c_fr", markers(Seq("le", "la", "et")))
+      .withColumn("c_es", markers(Seq("el", "los", "y")))
+      .withColumn("lang_guess",
+        when(col("c_en") >= col("c_fr") && col("c_en") >= col("c_es"), "en")
+          .when(col("c_fr") >= col("c_es"), "fr")
+          .otherwise("es"))
+      .select("doc_id", "c_en", "c_fr", "c_es", "lang_guess")
+  }
+
+  /** Document fingerprinting — md5 content hash + order-independent token
+    * min-hash (training-data op; the md5-based min over token hashes is the
+    * same primitive MinHash builds on).
+    */
+  def q29(s: SparkSession, dir: String): DataFrame =
+    Q.t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(lower(col("text"))).as("content_fp"),
+        array_min(transform(tokens, x => md5(x))).as("token_min_hash"),
+        md5(concat_ws("|", slice(tokens, 1, 5))).as("head_fp"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_string_functions" -> (q20 _),
+    "q25_array_hof" -> (q25 _),
+    "td26_token_stats" -> (q26 _),
+    "td27_quality_score" -> (q27 _),
+    "td28_lang_id" -> (q28 _),
+    "td29_fingerprint" -> (q29 _))
+
+  val oracles: Map[String, String] = Map(
+    "q20_string_functions" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        | string_split(text, ' ')[1] AS first_token,
+        | substring(text, 1, 10) AS prefix10,
+        | upper(lang) AS up_lang,
+        | lang || '-' || source AS lang_source,
+        | rpad(lang, 8, '_') AS padded,
+        | contains(text, 'spark') AS has_spark,
+        | starts_with(text, 'the') AS starts_the,
+        | CAST(length(text) AS INTEGER) AS n_chars_calc,
+        | regexp_matches(text, '^[\x00-\x7F]*$') AS ascii_ok
+        |FROM documents""".stripMargin,
+    "q25_array_hof" ->
+      """SELECT doc_id,
+        | CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS INTEGER) AS total_len,
+        | CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS INTEGER) AS n_long_tokens,
+        | len(list_filter(string_split(text, ' '), x -> x = 'query')) > 0 AS has_query,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+        | CAST(list_max(list_transform(string_split(text, ' '), x -> length(x))) AS INTEGER) AS max_token_len
+        |FROM documents""".stripMargin,
+    "td26_token_stats" ->
+      """SELECT doc_id, lang,
+        | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        | CAST(length(text) AS INTEGER) AS n_chars_calc,
+        | round(CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+        |       / len(string_split(text, ' ')), 4) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "td27_quality_score" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |       x -> x IN ('the','a','of','and','to'))) AS INTEGER) AS n_stop
+        | FROM documents)
+        |SELECT doc_id, n_tokens, n_stop,
+        | round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+        | greatest(0.0, least(100.0, round(
+        |   100.0 - abs(round(CAST(n_stop AS DOUBLE) / n_tokens, 6) - 0.08) * 200.0
+        |         - CASE WHEN n_tokens < 20 THEN 30.0 ELSE 0.0 END, 4))) AS quality_score
+        |FROM t""".stripMargin,
+    "td28_lang_id" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of'))) AS INTEGER) AS c_en,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','la','et'))) AS INTEGER) AS c_fr,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','los','y'))) AS INTEGER) AS c_es
+        | FROM documents)
+        |SELECT doc_id, c_en, c_fr, c_es,
+        | CASE WHEN c_en >= c_fr AND c_en >= c_es THEN 'en'
+        |      WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS lang_guess
+        |FROM t""".stripMargin,
+    "td29_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(text)) AS content_fp,
+        | list_min(list_transform(string_split(text, ' '), x -> md5(x))) AS token_min_hash,
+        | md5(array_to_string(string_split(text, ' ')[1:5], '|')) AS head_fp
+        |FROM documents""".stripMargin)
+}
