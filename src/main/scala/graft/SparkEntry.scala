@@ -11,7 +11,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val sets: Seq[QuerySet] = Seq(Relational, EventsAnalytics, TextOps)
+  private val sets: Seq[QuerySet] =
+    Seq(Relational, EventsAnalytics, TextOps, Dedup, Similarity)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

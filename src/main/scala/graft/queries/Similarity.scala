@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two paths:
+  *  - brute-force cosine top-k for a small query set: broadcast the query
+  *    vectors, one scan over candidates, per-partition top-k heap
+  *    (row_number over a bounded group) — at 100 TB this is
+  *    scan-bound and embarrassingly parallel;
+  *  - random-hyperplane LSH bucketing: 8 md5-derived ±1 hyperplanes map each
+  *    vector to a 8-bit bucket; search compares only within-bucket, so the
+  *    pair space shrinks ~256× and the bucket groupBy is the only shuffle.
+  *
+  * All arithmetic is folded in double with the same association order as the
+  * DuckDB oracle, and hyperplane signs are md5-derived, so both engines
+  * compute identical buckets/scores.
+  */
+object Similarity extends QuerySet {
+
+  private def embD(name: String): Column =
+    transform(col(name), x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-k: queries = vec_id < 10, k = 5. */
+  def sim36(s: SparkSession, dir: String): DataFrame = {
+    val e = Q.t(s, dir, "embeddings")
+      .select(col("vec_id"), embD("embedding").as("emb"))
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_full").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_full",
+        dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos_full"), 4).as("cos"))
+  }
+
+  /** Hyperplane-LSH bucketing: vec → 8-bit bucket + bucket population.
+    * Plane j's i-th component is ±1 from md5("j-i") — reproducible in SQL.
+    */
+  def sim37(s: SparkSession, dir: String): DataFrame = {
+    def planeDot(j: Int): Column =
+      aggregate(
+        transform(sequence(lit(1), lit(64)), i =>
+          element_at(col("emb"), i) *
+            when(substring(md5(concat(lit(s"$j-"), i.cast("string"))), 1, 1) < "8",
+              lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+    val bucket = (0 until 8)
+      .map(j => when(planeDot(j) > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val e = Q.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), embD("embedding").as("emb"))
+      .withColumn("bucket", bucket.cast("int"))
+    val sizes = e.groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
+    e.join(sizes, "bucket").select("vec_id", "label", "bucket", "bucket_size")
+  }
+
+  /** LSH-accelerated near-neighbor pairs: within-bucket cosine >= 0.25.
+    * The quadratic work is confined to each bucket.
+    */
+  def sim38(s: SparkSession, dir: String): DataFrame = {
+    val e = sim37Base(s, dir)
+    val cosine = dot(col("x.emb"), col("y.emb")) / (col("x.norm") * col("y.norm"))
+    e.as("x").join(e.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos", round(cosine, 4))
+      .filter(col("cos") >= 0.25)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.bucket").as("bucket"), col("cos"))
+  }
+
+  private def sim37Base(s: SparkSession, dir: String): DataFrame = {
+    def planeDot(j: Int): Column =
+      aggregate(
+        transform(sequence(lit(1), lit(64)), i =>
+          element_at(col("emb"), i) *
+            when(substring(md5(concat(lit(s"$j-"), i.cast("string"))), 1, 1) < "8",
+              lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+    val bucket = (0 until 8)
+      .map(j => when(planeDot(j) > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    Q.t(s, dir, "embeddings")
+      .select(col("vec_id"), embD("embedding").as("emb"))
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+      .withColumn("bucket", bucket.cast("int"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim36_cosine_topk" -> (sim36 _),
+    "sim37_lsh_buckets" -> (sim37 _),
+    "sim38_lsh_neardup_pairs" -> (sim38 _))
+
+  private def planeDotSql(j: Int): String =
+    s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
+       | THEN 1.0 ELSE -1.0 END) for i in range(1, 65)])""".stripMargin.replace("\n", " ")
+
+  private val bucketSql = (0 until 8)
+    .map(j => s"(CASE WHEN ${planeDotSql(j)} > 0 THEN ${1 << j} ELSE 0 END)")
+    .mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "sim36_cosine_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+        |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm FROM w WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, w.vec_id,
+        |  list_sum([w.emb[i] * q.q_emb[i] for i in range(1, 65)]) / (w.norm * q.q_norm) AS cos_full
+        | FROM w, q WHERE w.vec_id <> q.query_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+        | round(cos_full, 4) AS cos
+        |FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos_full DESC, vec_id ASC) AS rank FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    "sim37_lsh_buckets" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+         |b AS (SELECT vec_id, label, CAST($bucketSql AS INTEGER) AS bucket FROM e)
+         |SELECT vec_id, label, bucket,
+         | count(*) OVER (PARTITION BY bucket) AS bucket_size
+         |FROM b""".stripMargin,
+    "sim38_lsh_neardup_pairs" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm,
+         |  CAST($bucketSql AS INTEGER) AS bucket FROM e)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket AS bucket,
+         | round(list_sum([x.emb[i] * y.emb[i] for i in range(1, 65)]) / (x.norm * y.norm), 4) AS cos
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE round(list_sum([x.emb[i] * y.emb[i] for i in range(1, 65)]) / (x.norm * y.norm), 4) >= 0.25""".stripMargin)
+}
