@@ -1,0 +1,67 @@
+package graft.queries
+
+import java.sql.{Date, Timestamp}
+import java.time.LocalDateTime
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.x12._
+
+/** Driver-visible X12 medallion queries. The corpus is generated
+  * deterministically (seed 42) under the system temp dir on first use; the
+  * driver's rows>0 check then exercises the full engine: wholetext scan →
+  * distributed parse → typed silver → native-expression gold marts → 997
+  * generation. No DuckDB oracle exists for X12 parsing, so these are
+  * rows-only entries; ScalaTest (X12ParserSpec/X12PipelineSpec) carries the
+  * semantic assertions.
+  */
+object X12Queries extends QuerySet {
+
+  private val corpusDir =
+    s"${System.getProperty("java.io.tmpdir")}/graft_x12_corpus_v1"
+
+  private val date = Date.valueOf("2025-09-01")
+  private val ts = Timestamp.valueOf("2025-09-01 12:00:00")
+  private val now = LocalDateTime.of(2025, 9, 1, 12, 0, 0)
+
+  private def silverDs(s: SparkSession): org.apache.spark.sql.Dataset[SilverRecord] = {
+    X12TestDataGen.writeCorpus(corpusDir, 45, seed = 42L)
+    import s.implicits._
+    val bronze = X12Bronze.ingest(s, corpusDir, "BATCH_Q", date)
+    val valid = bronze.filter(org.apache.spark.sql.functions.col("file_is_valid"))
+      .select("file_name", "content").as[(String, String)]
+    X12Silver.parse(valid, "BATCH_Q", date, ts)
+  }
+
+  private def silver(s: SparkSession): DataFrame = silverDs(s).toDF()
+
+  def x12Silver(s: SparkSession, dir: String): DataFrame =
+    X12Silver.referenceView(silverDs(s))
+
+  def x12Bronze(s: SparkSession, dir: String): DataFrame = {
+    X12TestDataGen.writeCorpus(corpusDir, 45, seed = 42L)
+    X12Bronze.ingest(s, corpusDir, "BATCH_Q", date)
+      .drop("content")
+  }
+
+  def x12ClaimMart(s: SparkSession, dir: String): DataFrame =
+    X12Gold.claimAnalytics(silver(s))
+
+  def x12PartnerMart(s: SparkSession, dir: String): DataFrame =
+    X12Gold.tradingPartnerAnalytics(silver(s))
+
+  def x12QualityMart(s: SparkSession, dir: String): DataFrame =
+    X12Gold.dataQualityMetrics(silver(s))
+
+  def x12Acks(s: SparkSession, dir: String): DataFrame =
+    Ack997.validate997(Ack997.acknowledgments(silver(s), "BATCH_Q", now))
+      .drop("processed_files")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x12_60_bronze_validate" -> (x12Bronze _),
+    "x12_61_silver_parse" -> (x12Silver _),
+    "x12_62_gold_claims" -> (x12ClaimMart _),
+    "x12_63_gold_partners" -> (x12PartnerMart _),
+    "x12_64_gold_quality" -> (x12QualityMart _),
+    "x12_65_ack997" -> (x12Acks _))
+
+  val oracles: Map[String, String] = Map.empty
+}

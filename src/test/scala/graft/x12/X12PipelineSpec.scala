@@ -1,0 +1,211 @@
+package graft.x12
+
+import java.nio.file.{Files, Paths}
+import java.sql.{Date, Timestamp}
+import java.time.LocalDateTime
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** End-to-end medallion test: generated X12 corpus → bronze → silver →
+  * gold marts → 997 acks, all on local Spark with real parquet/text writes.
+  */
+class X12PipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  private val corpusDir = Files.createTempDirectory("x12corpus").toString
+  private val outDir = Files.createTempDirectory("x12out").toString
+  private val nFiles = 45
+
+  private lazy val result: X12Pipeline.Result = {
+    X12TestDataGen.writeCorpus(corpusDir, nFiles, seed = 42L)
+    X12Pipeline.run(spark, corpusDir, outDir, "BATCH_T1",
+      Date.valueOf("2025-09-01"), Timestamp.valueOf("2025-09-01 12:00:00"),
+      LocalDateTime.of(2025, 9, 1, 12, 0, 0))
+  }
+
+  test("bronze: all files land, garbage file flagged invalid") {
+    val bronze = result.bronze
+    assert(bronze.count() == nFiles + 2)
+    val bad = bronze.filter(!col("file_is_valid"))
+      .select("file_name").collect().map(_.getString(0))
+    assert(bad.contains("test_x12_garbage.x12"))
+    val errs = bronze.filter(col("file_name") === "test_x12_garbage.x12")
+      .select("validation_errors").head().getSeq[String](0)
+    assert(errs.contains("File does not start with ISA segment"))
+    // metadata sniffing on a valid file
+    val meta = bronze.filter(col("file_name").startsWith("test_x12_837"))
+      .select("metadata.element_separator", "metadata.interchange_control_header.sender_id")
+      .head()
+    assert(meta.getString(0) == "*")
+    assert(meta.getString(1).trim.nonEmpty)
+  }
+
+  test("silver: every valid file parses; garbage contributes nothing") {
+    val silver = result.silver.toDF()
+    assert(silver.count() > nFiles) // 1-3 transactions per file
+    assert(silver.filter(col("file_name") === "test_x12_garbage.x12").count() == 0)
+    // transaction types spread across all nine
+    val types = silver.select("transaction_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(Seq("837", "835", "834", "270", "271", "276", "277", "278", "279")
+      .forall(types.contains))
+    // control numbers populated from the envelope
+    assert(silver.filter(length(col("interchange_control_number")) === 0).count() == 0)
+    // sender ids keep reference 15-wide padding
+    val s = silver.select("sender_id").head().getString(0)
+    assert(s.length == 15)
+  }
+
+  test("silver: unterminated trailing transaction is dropped") {
+    val silver = result.silver.toDF()
+    val fromUnterminated =
+      silver.filter(col("file_name") === "test_x12_unterminated.x12")
+    // the file holds one complete 837 + one dangling ST group → several
+    // complete transactions possible, but none carrying the dangling control
+    assert(fromUnterminated.count() >= 1)
+  }
+
+  test("silver: quality scores are 0-100 and defect files score lower") {
+    val silver = result.silver.toDF()
+    val range = silver.agg(min("quality_score"), max("quality_score")).head()
+    assert(range.getInt(0) >= 0 && range.getInt(1) == 100)
+    assert(silver.filter(col("quality_score") === 100).count() > 0)
+    assert(silver.filter(col("quality_score") < 100).count() > 0)
+  }
+
+  test("silver reference view serializes payload JSON with reference keys") {
+    val view = X12Silver.referenceView(result.silver)
+    assert(view.columns.toSeq == Seq("batch_id", "file_name",
+      "processing_timestamp", "interchange_control_number",
+      "functional_group_number", "transaction_set_control_number",
+      "transaction_type", "sender_id", "receiver_id", "transaction_date",
+      "parsed_data", "validation_results", "quality_score", "is_valid",
+      "processing_date"))
+    val js = view.filter(col("transaction_type") === "837")
+      .select("parsed_data").head().getString(0)
+    assert(js.contains("\"service_lines\""))
+    assert(js.contains("\"monetary_amount\""))
+    val vr = view.select("validation_results").head().getString(0)
+    assert(vr.contains("\"quality_score\""))
+  }
+
+  test("gold claim mart: calculated_total equals the sum of service lines") {
+    val claims = result.marts("gold_healthcare_claim_analytics")
+    assert(claims.count() > 0)
+    // re-derive from typed silver and compare per transaction
+    val typed = result.silver.toDF().filter(col("transaction_type") === "837" && col("is_valid"))
+      .select(col("transaction_set_control_number").as("tcn"),
+        aggregate(col("payload.claim837.service_lines"), lit(0.0),
+          (acc, x) => acc + x.getField("monetary_amount")).as("expected"))
+    val joined = claims.join(typed,
+      claims("transaction_set_control_number") === typed("tcn"))
+    assert(joined.filter(abs(col("calculated_total") - col("expected")) > 1e-9).count() == 0)
+    // variance = |claim amount - calculated|
+    assert(joined.filter(
+      abs(col("amount_variance") - abs(col("total_claim_amount") - col("calculated_total"))) > 1e-9
+    ).count() == 0)
+  }
+
+  test("gold payment mart: charge/patient-responsibility sums and ratios") {
+    val pay = result.marts("gold_healthcare_payment_analytics")
+    assert(pay.count() > 0)
+    assert(pay.filter(col("total_claims") <= 0).count() == 0)
+    val bad = pay.filter(col("total_charge_amount") > 0 &&
+      abs(col("payment_ratio") -
+        col("total_payment_amount") / col("total_charge_amount") * 100) > 1e-9)
+    assert(bad.count() == 0)
+  }
+
+  test("gold enrollment mart: maintenance buckets partition the members") {
+    val en = result.marts("gold_healthcare_enrollment_analytics")
+    assert(en.count() > 0)
+    // generator only emits 021/024/001, so buckets must sum to total
+    assert(en.filter(col("new_enrollments") + col("terminations") + col("changes")
+      =!= col("total_members")).count() == 0)
+  }
+
+  test("gold trading partner mart: type counts sum to total") {
+    val tp = result.marts("gold_trading_partner_analytics")
+    val typeSum = Seq("healthcare_claims", "payment_advices", "enrollments",
+      "eligibility_inquiries", "eligibility_responses", "claim_status_requests",
+      "claim_status_responses", "preauth_requests", "preauth_responses")
+      .map(col).reduce(_ + _)
+    assert(tp.filter(typeSum =!= col("total_transactions")).count() == 0)
+    assert(tp.filter(!col("trading_partner_id").contains("-")).count() == 0)
+  }
+
+  test("gold preauth response mart: approval categorization") {
+    val pr = result.marts("gold_healthcare_preauth_response_analytics")
+    assert(pr.count() > 0)
+    assert(pr.filter(col("approved_services") + col("denied_services") +
+      col("pending_services") > col("total_review_results")).count() == 0)
+    val statuses = pr.select("authorization_status").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("APPROVED", "DENIED", "PENDING", null)))
+  }
+
+  test("gold quality metrics: bucket percentages consistent") {
+    val q = result.marts("gold_data_quality_metrics")
+    assert(q.count() > 0)
+    assert(q.filter(col("high_quality_count") + col("medium_quality_count") +
+      col("low_quality_count") =!= col("total_transactions")).count() == 0)
+  }
+
+  test("gold business KPIs: one global row with fixed partner-pair count") {
+    val kpi = result.marts("gold_business_kpis")
+    val row = kpi.head()
+    assert(kpi.count() == 1)
+    assert(row.getAs[Long]("total_transactions") > 0)
+    assert(row.getAs[Long]("unique_trading_pairs") >= 1)
+    // approx twin agrees within HLL tolerance
+    val approx = X12Gold.businessKpisApprox(
+      result.silver.toDF().filter(col("is_valid")))
+    val a = approx.head()
+    assert(math.abs(a.getAs[Long]("unique_senders") -
+      row.getAs[Long]("unique_senders")) <= 1)
+  }
+
+  test("eligibility + claim-status marts materialize") {
+    assert(result.marts("gold_eligibility_analytics").count() > 0)
+    assert(result.marts("gold_claim_status_analytics").count() > 0)
+    val cs = result.marts("gold_claim_status_analytics")
+    // 276 rows have no claim_status payload → zero statuses, zero sums
+    assert(cs.filter(col("transaction_type") === "276" &&
+      col("total_claim_statuses") =!= 0).count() == 0)
+  }
+
+  test("997 acks: one per partner pair, structurally valid, round-trip parses") {
+    val acks = result.acks
+    val partners = result.silver.toDF()
+      .select("sender_id", "receiver_id").distinct().count()
+    assert(acks.count() == partners)
+    assert(acks.filter(!col("ack_is_valid")).count() == 0)
+    val content = acks.select("acknowledgment_content").head().getString(0)
+    val (isa, _, txs) = X12Parser.parseFile(content)
+    assert(isa.isDefined && txs.length == 1)
+    assert(txs.head.transactionType == "997")
+    // ack files written per partner directory without a driver collect;
+    // the directory key is the sender, so pairs sharing a sender share a dir
+    val senders = result.silver.toDF()
+      .select(trim(col("sender_id"))).distinct().count()
+    val ackRoot = Paths.get(outDir, "acknowledgments")
+    assert(Files.list(ackRoot).filter(p => p.getFileName.toString.startsWith("partner=")).count() == senders)
+  }
+
+  test("written silver parquet reads back partitioned by date and type") {
+    val back = spark.read.parquet(s"$outDir/silver")
+    assert(back.count() == result.silver.count())
+    assert(back.select("processing_date").distinct().count() == 1)
+    // partition pruning: filter on partition col reads a subset
+    val one = back.filter(col("transaction_type") === "837")
+    assert(one.count() > 0 && one.count() < back.count())
+  }
+
+  test("pipeline summaries: silver counts reconcile") {
+    val sm = X12Silver.summary(result.silver).head()
+    assert(sm.getAs[Long]("transactions_processed") == result.silver.count())
+    assert(sm.getAs[Long]("transactions_valid") +
+      sm.getAs[Long]("transactions_invalid") ==
+      sm.getAs[Long]("transactions_processed"))
+  }
+}
