@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private val sets: Seq[QuerySet] =
-    Seq(Relational, EventsAnalytics, TextOps, Dedup, Similarity, X12Queries)
+    Seq(Relational, EventsAnalytics, TextOps, Dedup, Similarity, X12Queries,
+      MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

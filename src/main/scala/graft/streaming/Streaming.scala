@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.x12.{SilverRecord, X12Parser, X12Silver}
+
+/** Streaming surface (SURVEY.md §2.10).
+  *
+  * The reference is scheduler-driven micro-batch: an Airflow DAG polls a
+  * landing directory every 15 minutes and moves files to an archive after
+  * processing (x12_processing_dag.py:28,250-270). Structured Streaming's
+  * file source replaces the move-to-archive idiom with checkpointed
+  * exactly-once new-file tracking; `Trigger.AvailableNow` reproduces the
+  * "drain everything then stop" semantics of one scheduled run, and
+  * `maxFilesPerTrigger` reproduces the 100-files-per-batch admission cap
+  * (config/development.json processing.batch_size).
+  */
+object X12Streaming {
+
+  /** T1: streaming silver ingest. Same parse as batch silver — one code
+    * path, two execution modes.
+    */
+  def silverStream(
+      spark: SparkSession,
+      landingDir: String,
+      batchId: String,
+      processingDate: java.sql.Date,
+      processingTs: java.sql.Timestamp,
+      maxFilesPerTrigger: Int = 100): Dataset[SilverRecord] = {
+    import spark.implicits._
+    val files = spark.readStream
+      .format("text")
+      .option("wholetext", "true")
+      .option("pathGlobFilter", "*.x12")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(landingDir)
+      .select(col("_metadata.file_name").as("file_name"), col("value"))
+      .as[(String, String)]
+    X12Silver.parse(files, batchId, processingDate, processingTs)
+  }
+
+  /** Start the ingest with AvailableNow (one scheduled drain), writing
+    * partitioned parquet exactly like batch silver (S5).
+    */
+  def startIngest(
+      silver: Dataset[SilverRecord],
+      outPath: String,
+      checkpoint: String): StreamingQuery =
+    silver.writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("processing_date", "transaction_type")
+      .trigger(Trigger.AvailableNow())
+      .start(outPath)
+
+  /** T2: event-driven push — foreachBatch gives per-micro-batch custom
+    * sinks (the reference's Service-Bus-per-file push,
+    * functions/sftp-operations/push_files/__init__.py:139).
+    */
+  def startForeachBatch(
+      silver: Dataset[SilverRecord],
+      checkpoint: String)(handle: (DataFrame, Long) => Unit): StreamingQuery =
+    silver.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[SilverRecord], id: Long) =>
+        handle(batch.toDF(), id)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
+
+/** Windowed monitoring streams (A10/A16/W2/W4, T4): tumbling windows with a
+  * watermark. The reference's KQL dashboards re-scan logs on every query
+  * (recompute-on-query); the streaming mapping keeps running state and
+  * drops data later than the watermark — the late-data policy the reference
+  * never declares (SURVEY.md §2.10 T4).
+  */
+object EventStreaming {
+
+  /** A16/W4: failure-burst alerting — errors per 15-minute tumbling window,
+    * emit windows whose count crosses the threshold
+    * (monitoring/sftp-monitoring-queries.md:152-159).
+    *
+    * The error predicate is a conditional aggregate (KQL `countif` shape),
+    * NOT a row filter: an `event_type === "error"` filter would be pushed by
+    * Catalyst below the EventTimeWatermark node (the column is a plain
+    * grouping key), so non-error traffic would stop advancing the watermark
+    * and alert windows would only close when another error arrived —
+    * unbounded alert latency on a healthy stream. The conditional sum keeps
+    * every event driving the clock.
+    */
+  def failureBursts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      threshold: Long = 3): DataFrame =
+    events
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(window(col(tsCol), "15 minutes"))
+      .agg(sum(when(col(typeCol) === "error", 1).otherwise(0)).as("n_events"))
+      .filter(col("n_events") > threshold)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_events"))
+
+  /** A10/W2: hourly health rollup with success-rate percentage
+    * (monitoring/sftp-monitoring-queries.md:16-23) — same expression tree
+    * as the batch q11, applied to a stream.
+    */
+  def hourlyHealth(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, "2 hours")
+      .groupBy(window(col(tsCol), "1 hour"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"))
+      .select(
+        col("window.start").as("hour"),
+        col("cnt"), col("n_errors"),
+        round((col("cnt") - col("n_errors")).cast("double") / col("cnt") * 100, 4)
+          .as("success_rate"))
+}
