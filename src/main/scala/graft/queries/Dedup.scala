@@ -75,17 +75,30 @@ object Dedup extends QuerySet {
   }
 
   /** MinHash LSH candidate pairs: 2 bands × 2 rows; docs sharing either
-    * band bucket become a candidate pair (dedup'd). The band-bucket groupBy
-    * is the scale path — no all-pairs comparison ever happens.
+    * band bucket become a candidate pair (dedup'd).
+    *
+    * Shape matters at scale: signatures are computed ONCE, exploded into
+    * (band, bucket) rows, and pairs expand locally inside each bucket group
+    * after a single shuffle. A self-join on the signature frame would
+    * recompute the whole minhash subtree per join side (4× here — Catalyst
+    * has no common-subtree reuse across self-joins) and shuffle the
+    * signatures twice; bucket sizes are bounded by construction, so the
+    * within-bucket quadratic expansion is local and cheap.
     */
   def dd33(s: SparkSession, dir: String): DataFrame = {
     val sigs = dd32(s, dir)
       .withColumn("b1", md5(concat(col("mh1"), col("mh2"))))
       .withColumn("b2", md5(concat(col("mh3"), col("mh4"))))
-    def cand(b: String) = sigs.as("x").join(sigs.as("y"),
-        col(s"x.$b") === col(s"y.$b") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    cand("b1").unionByName(cand("b2")).distinct()
+    val bands = sigs.select(col("doc_id"),
+      explode(array(concat(lit("1:"), col("b1")), concat(lit("2:"), col("b2"))))
+        .as("bucket"))
+    val pairs = bands.groupBy("bucket")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+    pairs.select(col("p.doc_a"), col("p.doc_b")).distinct()
   }
 
   /** SimHash (16-bit): per-token md5-derived 16-bit hash; each bit votes

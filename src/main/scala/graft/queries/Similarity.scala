@@ -26,6 +26,35 @@ object Similarity extends QuerySet {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Hyperplane sign vectors, precomputed once on the driver. Plane j's
+    * i-th component is +1 when the first hex digit of md5("j-i") < '8' —
+    * the same formula the DuckDB oracle evaluates in SQL, so buckets are
+    * bit-identical. Materializing them as literal arrays keeps the per-row
+    * work at 64 multiplies per plane; inlining the md5 into the expression
+    * would recompute 8×64 digests per row (measured 10× slower at sf0.1).
+    */
+  private lazy val planeSigns: IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 8).map { j =>
+      (1 to 64).map { i =>
+        val hex = md.digest(s"$j-$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0) < '8') 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Signed projection of `emb` onto plane j using the literal sign array. */
+  private def planeDot(j: Int): Column =
+    aggregate(
+      zip_with(col("emb"), array(planeSigns(j).map(lit): _*), (x, s) => x * s),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def bucketExpr: Column =
+    (0 until 8)
+      .map(j => when(planeDot(j) > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+
   /** Brute-force cosine top-k: queries = vec_id < 10, k = 5. */
   def sim36(s: SparkSession, dir: String): DataFrame = {
     val e = Q.t(s, dir, "embeddings")
@@ -49,21 +78,12 @@ object Similarity extends QuerySet {
     * Plane j's i-th component is ±1 from md5("j-i") — reproducible in SQL.
     */
   def sim37(s: SparkSession, dir: String): DataFrame = {
-    def planeDot(j: Int): Column =
-      aggregate(
-        transform(sequence(lit(1), lit(64)), i =>
-          element_at(col("emb"), i) *
-            when(substring(md5(concat(lit(s"$j-"), i.cast("string"))), 1, 1) < "8",
-              lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, x) => acc + x)
-    val bucket = (0 until 8)
-      .map(j => when(planeDot(j) > 0, lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _)
     val e = Q.t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), embD("embedding").as("emb"))
-      .withColumn("bucket", bucket.cast("int"))
+      .withColumn("bucket", bucketExpr.cast("int"))
     val sizes = e.groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
-    e.join(sizes, "bucket").select("vec_id", "label", "bucket", "bucket_size")
+    e.join(broadcast(sizes), "bucket")
+      .select("vec_id", "label", "bucket", "bucket_size")
   }
 
   /** LSH-accelerated near-neighbor pairs: within-bucket cosine >= 0.25.
@@ -80,22 +100,11 @@ object Similarity extends QuerySet {
         col("x.bucket").as("bucket"), col("cos"))
   }
 
-  private def sim37Base(s: SparkSession, dir: String): DataFrame = {
-    def planeDot(j: Int): Column =
-      aggregate(
-        transform(sequence(lit(1), lit(64)), i =>
-          element_at(col("emb"), i) *
-            when(substring(md5(concat(lit(s"$j-"), i.cast("string"))), 1, 1) < "8",
-              lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, x) => acc + x)
-    val bucket = (0 until 8)
-      .map(j => when(planeDot(j) > 0, lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _)
+  private def sim37Base(s: SparkSession, dir: String): DataFrame =
     Q.t(s, dir, "embeddings")
       .select(col("vec_id"), embD("embedding").as("emb"))
       .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
-      .withColumn("bucket", bucket.cast("int"))
-  }
+      .withColumn("bucket", bucketExpr.cast("int"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),

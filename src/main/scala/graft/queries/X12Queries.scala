@@ -22,14 +22,25 @@ object X12Queries extends QuerySet {
   private val ts = Timestamp.valueOf("2025-09-01 12:00:00")
   private val now = LocalDateTime.of(2025, 9, 1, 12, 0, 0)
 
-  private def silverDs(s: SparkSession): org.apache.spark.sql.Dataset[SilverRecord] = {
-    X12TestDataGen.writeCorpus(corpusDir, 45, seed = 42L)
-    import s.implicits._
-    val bronze = X12Bronze.ingest(s, corpusDir, "BATCH_Q", date)
-    val valid = bronze.filter(org.apache.spark.sql.functions.col("file_is_valid"))
-      .select("file_name", "content").as[(String, String)]
-    X12Silver.parse(valid, "BATCH_Q", date, ts)
-  }
+  // silver is parsed once per session and cached — the six x12_* queries
+  // fan out from one shared scan (the same cache-once pattern Pipeline uses)
+  @transient private var cachedSilver: Option[(SparkSession, org.apache.spark.sql.Dataset[SilverRecord])] = None
+
+  private def silverDs(s: SparkSession): org.apache.spark.sql.Dataset[SilverRecord] =
+    synchronized {
+      cachedSilver match {
+        case Some((sess, ds)) if sess eq s => ds
+        case _ =>
+          X12TestDataGen.writeCorpus(corpusDir, 45, seed = 42L)
+          import s.implicits._
+          val bronze = X12Bronze.ingest(s, corpusDir, "BATCH_Q", date)
+          val valid = bronze.filter(org.apache.spark.sql.functions.col("file_is_valid"))
+            .select("file_name", "content").as[(String, String)]
+          val ds = X12Silver.parse(valid, "BATCH_Q", date, ts).cache()
+          cachedSilver = Some((s, ds))
+          ds
+      }
+    }
 
   private def silver(s: SparkSession): DataFrame = silverDs(s).toDF()
 
