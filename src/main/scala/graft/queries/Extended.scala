@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Closes the remaining SURVEY.md §2 operator rows not covered by the core
+  * sets: A9 (incremental re-aggregation), A11 (`max_by` as the direct
+  * arg_max primitive), A17's scale twin (`percentile_approx`), X10
+  * (`regexp_extract`).
+  */
+object Extended extends QuerySet {
+
+  /** A9 (ref: process_test_data.py:112-148 upsert-accumulate) — declared
+    * semantics are group-total recompute, expressed as mergeable partial
+    * aggregates: two batch-level partials union and re-aggregate (count →
+    * sum, sum → sum, max → max). This is the idiom for incrementally
+    * maintaining a gold mart without the reference's order-dependent
+    * running average.
+    */
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    val o = Q.t(s, dir, "orders")
+    def partial(filter: org.apache.spark.sql.Column): DataFrame =
+      o.filter(filter).groupBy("o_orderpriority").agg(
+        count(lit(1)).as("cnt"),
+        Q.dsum(col("o_totalprice")).as("sum_price"),
+        max(col("o_orderdate")).as("max_date"))
+    partial(col("o_orderkey") % 2 === 0)
+      .unionByName(partial(col("o_orderkey") % 2 === 1))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(col("cnt")).cast("long").as("cnt"),
+        sum(col("sum_price")).as("sum_price"),
+        max(col("max_date")).as("max_date"))
+  }
+
+  /** A11 (ref: monitoring/sftp-monitoring-queries.md:34 `arg_max`) — the
+    * direct aggregate form of latest-per-key (q10 is the window form): one
+    * shuffle, no row_number state. Max timestamps are unique per user in
+    * the fixtures, so the result is deterministic.
+    */
+  def q27(s: SparkSession, dir: String): DataFrame =
+    Q.t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        expr("max_by(event_id, ts)").as("latest_event_id"),
+        expr("max_by(event_type, ts)").as("latest_event_type"),
+        max(col("ts")).as("latest_ts"))
+
+  /** A17 scale twin (ref: portal-backend-spec.md:208) — percentile_approx
+    * sketches merge across partitions without holding the values, the
+    * 100 TB replacement for q13's exact percentiles. Sketch outputs differ
+    * between engines, so this is a rows-only entry.
+    */
+  def q28(s: SparkSession, dir: String): DataFrame =
+    Q.t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_approx"))
+
+  /** X10 (ref: monitoring/sftp-monitoring-queries.md:31-32 KQL `extract`)
+    * — typed column extraction from semi-structured text via regex.
+    */
+  def q29(s: SparkSession, dir: String): DataFrame =
+    Q.t(s, dir, "events")
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("n_users"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_incremental_reagg" -> (q26 _),
+    "q27_arg_max" -> (q27 _),
+    "q28_percentile_approx" -> (q28 _),
+    "q29_regexp_extract" -> (q29 _))
+
+  val oracles: Map[String, String] = Map(
+    "q26_incremental_reagg" ->
+      """WITH p AS (
+        | SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  max(o_orderdate) AS max_date
+        | FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+        | UNION ALL
+        | SELECT o_orderpriority, count(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |  max(o_orderdate)
+        | FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1)
+        |SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS cnt,
+        | SUM(sum_price) AS sum_price, max(max_date) AS max_date
+        |FROM p GROUP BY 1""".stripMargin,
+    "q27_arg_max" ->
+      """SELECT user_id, arg_max(event_id, ts) AS latest_event_id,
+        | arg_max(event_type, ts) AS latest_event_type, max(ts) AS latest_ts
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q29_regexp_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k,
+        | count(*) AS cnt, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin)
+}

@@ -66,13 +66,35 @@ object X12Queries extends QuerySet {
     Ack997.validate997(Ack997.acknowledgments(silver(s), "BATCH_Q", now))
       .drop("processed_files")
 
+  /** J3: request/response trace correlation over the generated pairs. */
+  def x12Pairs(s: SparkSession, dir: String): DataFrame =
+    X12Gold.requestResponsePairs(silver(s))
+
+  /** S13 (ref: src/sftp/manager.py:217-231): remote-file eligibility —
+    * age/size predicates over file metadata, no content read (the scan
+    * projects only `_metadata`).
+    */
+  def x12FileEligibility(s: SparkSession, dir: String): DataFrame = {
+    X12TestDataGen.writeCorpus(corpusDir, 45, seed = 42L)
+    import org.apache.spark.sql.functions._
+    s.read.format("text").option("wholetext", "true")
+      .option("pathGlobFilter", "*.x12").load(corpusDir)
+      .select(col("_metadata.file_name").as("file_name"),
+        col("_metadata.file_size").as("file_size"),
+        col("_metadata.file_modification_time").as("mtime"))
+      .filter(col("file_size") <= 100L * 1024 * 1024 &&
+        col("mtime") >= lit("2020-01-01").cast("timestamp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x12_60_bronze_validate" -> (x12Bronze _),
     "x12_61_silver_parse" -> (x12Silver _),
     "x12_62_gold_claims" -> (x12ClaimMart _),
     "x12_63_gold_partners" -> (x12PartnerMart _),
     "x12_64_gold_quality" -> (x12QualityMart _),
-    "x12_65_ack997" -> (x12Acks _))
+    "x12_65_ack997" -> (x12Acks _),
+    "x12_66_request_response_pairs" -> (x12Pairs _),
+    "x12_67_file_eligibility" -> (x12FileEligibility _))
 
   val oracles: Map[String, String] = Map.empty
 }

@@ -335,6 +335,50 @@ object X12Gold {
       .withColumn("created_at", current_timestamp())
   }
 
+  /** Mart 12 — J3 request/response correlation (SURVEY.md §2.4: declared by
+    * the data model via TRN trace references,
+    * schemas/x12_transaction_schemas.json:437-443, never materialized in the
+    * reference). 276 requests join 277 responses on the trace reference
+    * (TRN02 → 277 BHT03); 270 inquiries join 271 responses on the shared
+    * BHT reference. Inner equi-join — hash-shuffled on the reference key,
+    * broadcastable when one side is a bounded working set.
+    */
+  def requestResponsePairs(silver: DataFrame): DataFrame = {
+    def side(t: String, refCol: Column, extra: Column): DataFrame =
+      silver.filter(col("transaction_type") === t).select(
+        refCol.as("corr_ref"),
+        col("processing_date"),
+        col("sender_id"), col("receiver_id"),
+        col("transaction_set_control_number"),
+        col("quality_score"), extra.as("detail_count"))
+    def pair(reqT: String, reqRef: Column, reqN: Column,
+        respT: String, respRef: Column, respN: Column): DataFrame = {
+      val req = side(reqT, reqRef, reqN)
+        .withColumnRenamed("transaction_set_control_number", "request_control_number")
+        .withColumnRenamed("quality_score", "request_quality")
+        .withColumnRenamed("detail_count", "request_details")
+      val resp = side(respT, respRef, respN)
+        .withColumnRenamed("transaction_set_control_number", "response_control_number")
+        .withColumnRenamed("quality_score", "response_quality")
+        .withColumnRenamed("detail_count", "response_details")
+        .drop("sender_id", "receiver_id", "processing_date")
+      req.join(resp, "corr_ref").withColumn("pair_type", lit(s"$reqT-$respT"))
+    }
+    val c276 = col("payload.status276")
+    val c277 = col("payload.status277")
+    val c270 = col("payload.eligibility270")
+    val c271 = col("payload.eligibility271")
+    pair("276", c276.getField("trace").getField("reference_identification"),
+        lit(0),
+        "277", c277.getField("header").getField("reference_identification"),
+        size(c277.getField("claim_status")))
+      .unionByName(
+        pair("270", c270.getField("header").getField("reference_identification"),
+          size(c270.getField("inquiries")),
+          "271", c271.getField("header").getField("reference_identification"),
+          size(c271.getField("benefits"))))
+  }
+
   /** All marts keyed by their reference table name
     * (gold_x12_analytics.py:812-822 + the two declared-only families).
     */
@@ -349,5 +393,6 @@ object X12Gold {
     "gold_data_quality_metrics" -> dataQualityMetrics(silver),
     "gold_business_kpis" -> businessKpis(silver, processingDate),
     "gold_eligibility_analytics" -> eligibilityAnalytics(silver),
-    "gold_claim_status_analytics" -> claimStatusAnalytics(silver))
+    "gold_claim_status_analytics" -> claimStatusAnalytics(silver),
+    "gold_request_response_pairs" -> requestResponsePairs(silver))
 }

@@ -159,18 +159,75 @@ object X12TestDataGen {
     }
   }
 
+  /** One correlated request/response file pair (J3, SURVEY.md §2.4): the
+    * response carries the request's correlation key — 276→277 via the TRN
+    * trace reference surfacing as the 277 BHT reference, 270→271 via a
+    * shared BHT reference (schemas/x12_transaction_schemas.json TRN
+    * declaration; silver trace fields silver_x12_parsing.py:573-578).
+    */
+  def generateCorrelatedPair(rnd: Random, reqType: String, sender: String,
+      receiver: String, corrRef: String): (String, String) = {
+    val respType = reqType match { case "276" => "277"; case _ => "271" }
+    def file(ttype: String, body: Seq[String]): String = {
+      val icn = ctl(rnd); val gcn = ctl(rnd); val tcn = ctl(rnd)
+      val d = date(rnd); val t = time(rnd)
+      val isa = s"ISA*00*          *00*          *ZZ*${pad15(sender)}*ZZ*${pad15(receiver)}*$d*$t*^*00501*$icn*0*T*:~"
+      val gs = s"GS*HC*$sender*$receiver*$d*$t*$gcn*X*005010~"
+      val st = s"ST*$ttype*$tcn"
+      val se = s"SE*${body.length + 2}*$tcn"
+      isa + gs + (st +: body :+ se).mkString("", "~", "~") + s"GE*1*$gcn~IEA*1*$icn~"
+    }
+    val d = date(rnd); val t = time(rnd)
+    val (reqBody, respBody) = reqType match {
+      case "276" => (
+        Seq(s"BHT*0010*13*REQ$corrRef*$d*$t",
+          s"TRN*1*$corrRef*${ctl(rnd)}",
+          s"NM1*PR*2*BIG PAYER INC****PI*${ctl(rnd)}",
+          s"NM1*1P*2*NORTH CLINIC****XX*${ctl(rnd)}",
+          s"NM1*IL*1*DOE*JOHN****MI*${ctl(rnd)}"),
+        Seq(s"BHT*0010*08*$corrRef*$d*$t",
+          s"NM1*PR*2*BIG PAYER INC****PI*${ctl(rnd)}",
+          s"NM1*1P*2*NORTH CLINIC****XX*${ctl(rnd)}",
+          s"STC*A1*$d*WQ*${money(rnd)}*${money(rnd)}*****F2*$d"))
+      case _ => (
+        Seq(s"BHT*0022*13*$corrRef*$d*$t",
+          s"NM1*1P*2*NORTH CLINIC****XX*${ctl(rnd)}",
+          s"NM1*IL*1*DOE*JOHN****MI*${ctl(rnd)}",
+          s"EQ*30**CHD"),
+        Seq(s"BHT*0022*11*$corrRef*$d*$t",
+          s"NM1*PR*2*BIG PAYER INC****PI*${ctl(rnd)}",
+          s"NM1*1P*2*NORTH CLINIC****XX*${ctl(rnd)}",
+          s"NM1*IL*1*DOE*JOHN****MI*${ctl(rnd)}",
+          s"EB*1*IND*30**GOLD PLAN*23*${money(rnd)}*80"))
+    }
+    (file(reqType, reqBody), file(respType, respBody))
+  }
+
+  /** Files written beyond `n`: garbage + unterminated + 2 files per
+    * correlated pair (3 pairs of 276/277, 3 of 270/271).
+    */
+  val extraFiles: Int = 2 + 12
+
   /** Write a corpus of n files (round-robin over types/partners, ~15%
-    * defective, one garbage file, one unterminated-transaction file).
-    * Idempotent per (dir, seed): skips generation if the directory already
-    * holds the expected count.
+    * defective, one garbage file, one unterminated-transaction file, plus
+    * correlated request/response pairs). Idempotent per (dir, seed): skips
+    * generation if the directory already holds the expected count.
     */
   def writeCorpus(dir: String, n: Int, seed: Long = 42L): Seq[String] = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
-    val expected = n + 2
+    val expected = n + extraFiles
     val existing = listX12(root)
     if (existing.length == expected) return existing.map(_.toString)
     val rnd = new Random(seed)
+    for (i <- 0 until 3; reqType <- Seq("276", "270")) {
+      val (sender, receiver) = partners(rnd.nextInt(partners.length))
+      val (req, resp) = generateCorrelatedPair(rnd, reqType, sender, receiver,
+        s"CORR$reqType$i")
+      Files.writeString(root.resolve(s"test_x12_${reqType}_pair$i.x12"), req)
+      val respType = if (reqType == "276") "277" else "271"
+      Files.writeString(root.resolve(s"test_x12_${respType}_pair$i.x12"), resp)
+    }
     val files = (0 until n).map { i =>
       val ttype = allTypes(i % allTypes.length)
       val (sender, receiver) = partners(rnd.nextInt(partners.length))

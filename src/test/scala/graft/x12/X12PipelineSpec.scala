@@ -15,6 +15,7 @@ class X12PipelineSpec extends AnyFunSuite with SparkTestBase {
   private val corpusDir = Files.createTempDirectory("x12corpus").toString
   private val outDir = Files.createTempDirectory("x12out").toString
   private val nFiles = 45
+  private val totalFiles = nFiles + X12TestDataGen.extraFiles
 
   private lazy val result: X12Pipeline.Result = {
     X12TestDataGen.writeCorpus(corpusDir, nFiles, seed = 42L)
@@ -25,7 +26,7 @@ class X12PipelineSpec extends AnyFunSuite with SparkTestBase {
 
   test("bronze: all files land, garbage file flagged invalid") {
     val bronze = result.bronze
-    assert(bronze.count() == nFiles + 2)
+    assert(bronze.count() == totalFiles)
     val bad = bronze.filter(!col("file_is_valid"))
       .select("file_name").collect().map(_.getString(0))
     assert(bad.contains("test_x12_garbage.x12"))
@@ -163,6 +164,17 @@ class X12PipelineSpec extends AnyFunSuite with SparkTestBase {
     val a = approx.head()
     assert(math.abs(a.getAs[Long]("unique_senders") -
       row.getAs[Long]("unique_senders")) <= 1)
+  }
+
+  test("request/response correlation joins requests to their responses") {
+    val pairs = result.marts("gold_request_response_pairs")
+    // the corpus carries 3 correlated 276-277 pairs and 3 of 270-271
+    assert(pairs.filter(col("pair_type") === "276-277").count() >= 3)
+    assert(pairs.filter(col("pair_type") === "270-271").count() >= 3)
+    assert(pairs.filter(col("corr_ref").startsWith("CORR")).count() >= 6)
+    // every correlated response reported at least one detail record
+    assert(pairs.filter(col("corr_ref").startsWith("CORR") &&
+      col("response_details") < 1).count() == 0)
   }
 
   test("eligibility + claim-status marts materialize") {
