@@ -24,7 +24,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // X12 parse throughput vs the reference's 1,000 tx/hour baseline
+    // (docs/performance-tuning-guide.md:22 — driver-bound Python parse):
+    // distributed wholetext parse of a generated corpus, transactions/sec.
+    val txPerSec = try {
+      val corpus = s"${System.getProperty("java.io.tmpdir")}/graft_x12_bench_corpus"
+      graft.x12.X12TestDataGen.writeCorpus(corpus, 600, seed = 7L)
+      import spark.implicits._
+      val files = graft.x12.X12Silver.readFiles(spark, corpus)
+      val t0 = System.nanoTime()
+      val n = graft.x12.X12Silver.parse(files, "BENCH",
+        java.sql.Date.valueOf("2025-09-01"),
+        java.sql.Timestamp.valueOf("2025-09-01 12:00:00")).count()
+      n / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"x12_parse_tx_per_sec":$txPerSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
