@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities (SURVEY.md §7.4.4: partner-heavy distributions —
+  * one payer owning most rows — hit the groupBy(sender, receiver)
+  * aggregations).
+  *
+  * AQE's skew-join splitting covers joins; for aggregations over a skewed
+  * key the pattern is two-phase salting: spread each hot key across
+  * `salts` sub-groups for the partial aggregate (so no single task owns a
+  * hot key's full row set), then merge the partials in a second, tiny
+  * aggregate. Only works for algebraic aggregates (sum/count/min/max);
+  * countDistinct needs the expand or an HLL sketch instead.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation. `saltBy` should be any column (or
+    * combination) with high cardinality inside hot groups — it only decides
+    * how rows spread over partial groups, never the result.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      saltBy: Column,
+      salts: Int,
+      aggs: Seq[(String, String)]): DataFrame = {
+    require(salts > 0)
+    def partialExpr(fn: String, c: String): Column = fn match {
+      case "sum" => sum(col(c))
+      case "count" => count(col(c))
+      case "min" => min(col(c))
+      case "max" => max(col(c))
+      case other => throw new IllegalArgumentException(
+        s"non-algebraic aggregate '$other' cannot be salted")
+    }
+    def mergeExpr(fn: String, c: String): Column = fn match {
+      case "sum" | "count" => sum(col(s"__p_$fn$c"))
+      case "min" => min(col(s"__p_$fn$c"))
+      case "max" => max(col(s"__p_$fn$c"))
+      case _ => throw new IllegalArgumentException(fn)
+    }
+    val partial = df
+      .withColumn("__salt", pmod(hash(saltBy), lit(salts)))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(aggs.head match { case (fn, c) => partialExpr(fn, c).as(s"__p_$fn$c") },
+        aggs.tail.map { case (fn, c) => partialExpr(fn, c).as(s"__p_$fn$c") }: _*)
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head match { case (fn, c) => mergeExpr(fn, c).as(s"${fn}_$c") },
+        aggs.tail.map { case (fn, c) => mergeExpr(fn, c).as(s"${fn}_$c") }: _*)
+  }
+}

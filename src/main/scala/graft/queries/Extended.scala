@@ -68,11 +68,36 @@ object Extended extends QuerySet {
       .groupBy("k")
       .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("n_users"))
 
+  /** Skew pattern (SURVEY §7.4.4): two-phase salted aggregation — results
+    * identical to the direct groupBy (the oracle computes the plain form),
+    * but no single task ever owns a hot key's full row set. sum is cast
+    * through decimal (Q.dsum semantics) at the partial stage so the
+    * two-level double merge stays deterministic.
+    */
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val li = Q.t(s, dir, "lineitem")
+      .withColumn("qty_dec", col("l_quantity").cast("decimal(18,2)"))
+    graft.operators.Skew.saltedAgg(
+      li,
+      keys = Seq("l_returnflag"),
+      saltBy = concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+      salts = 16,
+      aggs = Seq(("sum", "qty_dec"), ("count", "l_orderkey"),
+        ("min", "l_shipdate"), ("max", "l_shipdate")))
+      .select(
+        col("l_returnflag"),
+        col("sum_qty_dec").cast("double").as("sum_qty"),
+        col("count_l_orderkey").as("cnt"),
+        col("min_l_shipdate").as("min_ship"),
+        col("max_l_shipdate").as("max_ship"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
     "q28_percentile_approx" -> (q28 _),
-    "q29_regexp_extract" -> (q29 _))
+    "q29_regexp_extract" -> (q29 _),
+    "q30_salted_agg" -> (q30 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -96,5 +121,11 @@ object Extended extends QuerySet {
     "q29_regexp_extract" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k,
         | count(*) AS cnt, count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin,
+    "q30_salted_agg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(l_orderkey) AS cnt,
+        | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY 1""".stripMargin)
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Co-located joins via bucketing (SURVEY.md §4 partitioning story): two
+  * tables bucketed on the join key join WITHOUT a shuffle — the plan the
+  * 100 TB fact-fact path needs, verified by asserting on the physical plan.
+  */
+class BucketingSpec extends AnyFunSuite with SparkTestBase {
+
+  test("bucketed fact-fact join plans without a shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    // a fresh in-memory catalog doesn't know about orphaned managed-table
+    // dirs from earlier JVMs — clear the locations too
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(d)
+      }
+    }
+    spark.read.parquet(s"$dir/orders.parquet")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_b")
+
+    // disable broadcast so the sort-merge path (what a fact-fact join takes
+    // at scale, where neither side fits in memory) is planned
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+
+      // and it computes the same rows as the shuffled join over raw parquet
+      val raw = spark.read.parquet(s"$dir/lineitem.parquet")
+        .join(spark.read.parquet(s"$dir/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(joined.count() == raw.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted aggregation equals the direct aggregate") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .withColumn("qty_dec", col("l_quantity").cast("decimal(18,2)"))
+    val salted = Skew.saltedAgg(li, Seq("l_returnflag"),
+      concat_ws("-", col("l_orderkey"), col("l_linenumber")), 16,
+      Seq(("sum", "qty_dec"), ("count", "l_orderkey"), ("max", "l_shipdate")))
+    val direct = li.groupBy("l_returnflag").agg(
+      sum("qty_dec").as("sum_qty_dec"),
+      count(col("l_orderkey")).as("count_l_orderkey"),
+      max("l_shipdate").as("max_l_shipdate"))
+    assert(salted.orderBy("l_returnflag").collect().toSeq ==
+      direct.orderBy("l_returnflag").collect().toSeq)
+    // the partial stage actually fans each key out across salt groups
+    val partialGroups = li
+      .withColumn("__salt", pmod(hash(concat_ws("-", col("l_orderkey"), col("l_linenumber"))), lit(16)))
+      .groupBy("l_returnflag", "__salt").count().count()
+    assert(partialGroups > 3) // 3 flags × up to 16 salts
+  }
+
+  test("non-algebraic aggregates are rejected") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    intercept[IllegalArgumentException] {
+      Skew.saltedAgg(li, Seq("l_returnflag"), col("l_orderkey"), 4,
+        Seq(("avg", "l_quantity"))).collect()
+    }
+  }
+}
