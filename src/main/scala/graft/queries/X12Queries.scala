@@ -86,6 +86,19 @@ object X12Queries extends QuerySet {
         col("mtime") >= lit("2020-01-01").cast("timestamp"))
   }
 
+  /** A7/F8: the reference's v_daily_processing_summary via spark.sql. */
+  def x12DailySummary(s: SparkSession, dir: String): DataFrame =
+    X12Views.dailyProcessingSummary(s, silver(s), date)
+
+  /** A8/O1: v_transaction_type_breakdown via spark.sql. */
+  def x12TypeBreakdown(s: SparkSession, dir: String): DataFrame =
+    X12Views.transactionTypeBreakdown(s, silver(s))
+
+  /** J1/X19: v_recent_processing_activity — bronze↔silver left join. */
+  def x12RecentActivity(s: SparkSession, dir: String): DataFrame =
+    X12Views.recentProcessingActivity(x12Bronze(s, dir), silver(s),
+      Timestamp.valueOf("2025-08-25 00:00:00"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x12_60_bronze_validate" -> (x12Bronze _),
     "x12_61_silver_parse" -> (x12Silver _),
@@ -94,7 +107,10 @@ object X12Queries extends QuerySet {
     "x12_64_gold_quality" -> (x12QualityMart _),
     "x12_65_ack997" -> (x12Acks _),
     "x12_66_request_response_pairs" -> (x12Pairs _),
-    "x12_67_file_eligibility" -> (x12FileEligibility _))
+    "x12_67_file_eligibility" -> (x12FileEligibility _),
+    "x12_68_daily_summary_view" -> (x12DailySummary _),
+    "x12_69_type_breakdown_view" -> (x12TypeBreakdown _),
+    "x12_70_recent_activity_view" -> (x12RecentActivity _))
 
   val oracles: Map[String, String] = Map.empty
 }
