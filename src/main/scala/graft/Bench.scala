@@ -11,11 +11,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet-footer paths so query 1 isn't charged
-    // for session startup
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1))).collect()
-    catch { case _: Throwable => }
+    // for session startup; pre-write the x12 corpus so driver-side file
+    // generation isn't billed to the first x12_* query
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).collect()
+      graft.x12.X12TestDataGen.writeCorpus(
+        s"${System.getProperty("java.io.tmpdir")}/graft_x12_corpus_v1", 45, seed = 42L)
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -58,6 +58,27 @@ class X12ParserSpec extends AnyFunSuite {
     assert(!env.transactions.exists(_.st.transaction_set_control_number == "999"))
   }
 
+  test("multi-group file: all transactions take the LAST ISA/GS values (reference :1453-1469)") {
+    val twoGroups =
+      "ISA*00*          *00*          *ZZ*S1             *ZZ*R1             *20250101*1200*^*00501*ICN1*0*T*:~" +
+        "GS*HC*S1*R1*20250101*1200*GCN1*X*005010~" +
+        "ST*270*T1~BHT*0022*13*REFA*20250101*1200~SE*3*T1~" +
+        "GE*1*GCN1~" +
+        "GS*HC*S1*R1*20250202*1300*GCN2*X*005010~" +
+        "ST*270*T2~BHT*0022*13*REFB*20250202*1300~SE*3*T2~" +
+        "GE*1*GCN2~IEA*2*ICN1~"
+    val (isa, gs, txs) = X12Parser.parseFile(twoGroups)
+    // the reference assembles records after the scan, so the LAST GS wins
+    // for every transaction in the file — replicated faithfully
+    assert(gs.exists(_.group_control_number == "GCN2"))
+    assert(gs.exists(_.date == "20250202"))
+    assert(isa.exists(_.interchange_control_number == "ICN1"))
+    // the stray GE between groups flushes as a spurious group under the
+    // stale ST header (carrying T1's header again) — reference quirk; the
+    // real transactions are the SE-terminated groups
+    assert(txs.map(_.st.transaction_set_control_number) == Seq("T1", "T1", "T2"))
+  }
+
   test("837 parse: claim, parties, service lines with DTP attachment") {
     val env = X12Parser.groupTransactions(X12Parser.parseSegments(sample837))
     val c = X12Parser.parse837(env.transactions.head.segments)
