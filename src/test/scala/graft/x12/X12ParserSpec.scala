@@ -225,6 +225,18 @@ class X12ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("property: lexer round-trip re-emits the original wire content") {
+    val types = Seq("837", "835", "834", "270", "271", "276", "277", "278", "279")
+    for (seed <- 0L until 40L; ttype <- types) {
+      val rnd = new scala.util.Random(seed)
+      val (content, _, _, _) =
+        X12TestDataGen.generateFile(rnd, ttype, "SENDERX", "RECVY")
+      val reEmitted = X12Parser.parseSegments(content)
+        .map(_.raw_segment).mkString("", "~", "~")
+      assert(reEmitted == content, s"type $ttype seed $seed")
+    }
+  }
+
   test("property: defect-free generated transactions validate at full score") {
     for (seed <- 0L until 100L) {
       val rnd = new scala.util.Random(seed)
