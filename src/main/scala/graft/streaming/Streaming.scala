@@ -54,6 +54,34 @@ object X12Streaming {
       .trigger(Trigger.AvailableNow())
       .start(outPath)
 
+  /** Stateful exactly-once transaction dedup across micro-batches: the
+    * reference gets at-most-once by MOVING files to an archive after
+    * processing (x12_processing_dag.py:250-270), which re-delivers
+    * duplicates when a partner re-uploads under a new name. Keyed state on
+    * the envelope identity (interchange, group, transaction control
+    * numbers) suppresses replays regardless of file name — the
+    * `flatMapGroupsWithState` custom-state path SURVEY.md §2.10 maps the
+    * scale design to. State grows one boolean per transaction identity;
+    * production bounds it with a timeout keyed to the partner replay
+    * window.
+    */
+  def dedupStream(silver: Dataset[SilverRecord]): Dataset[SilverRecord] = {
+    import silver.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    silver
+      .groupByKey(r => (r.interchange_control_number,
+        r.functional_group_number, r.transaction_set_control_number))
+      .flatMapGroupsWithState[Boolean, SilverRecord](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1) // first sighting wins; same-batch duplicates collapse too
+          }
+      }
+  }
+
   /** T2: event-driven push — foreachBatch gives per-micro-batch custom
     * sinks (the reference's Service-Bus-per-file push,
     * functions/sftp-operations/push_files/__init__.py:139).

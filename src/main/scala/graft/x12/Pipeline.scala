@@ -42,6 +42,11 @@ object X12Pipeline {
       X12Bronze.writeLanding(bronze, s"$outDir/bronze")
       X12Bronze.writeMetadataJson(bronze, s"$outDir/bronze_metadata")
       X12Bronze.summary(bronze).write.mode("overwrite").json(s"$outDir/bronze_summary")
+      // dead-letter: invalid files quarantined with their errors, never
+      // silently dropped (the reference only logs them)
+      bronze.filter(!col("file_is_valid"))
+        .select("file_name", "batch_id", "validation_errors", "content")
+        .write.mode("overwrite").json(s"$outDir/bronze_quarantine")
     }
 
     // Silver: parse only bronze-valid files (F-gate before the flatMap)

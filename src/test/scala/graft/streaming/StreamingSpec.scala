@@ -66,6 +66,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(seen.get() > 0)
   }
 
+  test("stateful dedup suppresses replayed transactions across micro-batches") {
+    val landing = Files.createTempDirectory("x12dedup").toString
+    val ckpt = Files.createTempDirectory("x12dedupckpt").toString
+    val out = Files.createTempDirectory("x12dedupout").toString
+    // same interchange content landed twice under different file names —
+    // the reference's archive-move idiom would process it twice
+    val rnd = new scala.util.Random(3)
+    val (content, _, _, _) = X12TestDataGen.generateFile(rnd, "835", "DUP1", "RCV1")
+    Files.writeString(java.nio.file.Paths.get(landing, "original.x12"), content)
+    Files.writeString(java.nio.file.Paths.get(landing, "replayed_copy.x12"), content)
+
+    val silver = X12Streaming.silverStream(spark, landing, "B1",
+      Date.valueOf("2025-09-01"), Timestamp.valueOf("2025-09-01 12:00:00"))
+    val deduped = X12Streaming.dedupStream(silver)
+    val q = deduped.writeStream.format("parquet")
+      .option("checkpointLocation", s"$ckpt/c")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(s"$out/silver")
+    q.awaitTermination()
+    val first = spark.read.parquet(s"$out/silver")
+    val nTx = first.count()
+    assert(nTx > 0)
+    // both copies parse to the same envelope identities → exactly one survives
+    assert(first.select("interchange_control_number",
+      "functional_group_number", "transaction_set_control_number")
+      .distinct().count() == nTx)
+
+    // a THIRD copy landed later (new file → new micro-batch) is also suppressed
+    Files.writeString(java.nio.file.Paths.get(landing, "late_replay.x12"), content)
+    val q2 = X12Streaming.dedupStream(
+      X12Streaming.silverStream(spark, landing, "B2",
+        Date.valueOf("2025-09-02"), Timestamp.valueOf("2025-09-02 12:00:00")))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$ckpt/c")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(s"$out/silver")
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$out/silver").count() == nTx)
+  }
+
   test("T4: watermarked failure-burst windows fire above threshold only") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

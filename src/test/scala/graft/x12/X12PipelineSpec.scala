@@ -204,6 +204,13 @@ class X12PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(Files.list(ackRoot).filter(p => p.getFileName.toString.startsWith("partner=")).count() == senders)
   }
 
+  test("invalid files are quarantined with their errors, not dropped") {
+    result // force the pipeline run
+    val q = spark.read.json(s"$outDir/bronze_quarantine")
+    assert(q.filter(col("file_name") === "test_x12_garbage.x12").count() == 1)
+    assert(q.columns.contains("validation_errors"))
+  }
+
   test("written silver parquet reads back partitioned by date and type") {
     val back = spark.read.parquet(s"$outDir/silver")
     assert(back.count() == result.silver.count())
