@@ -379,6 +379,42 @@ object X12Gold {
           size(c271.getField("benefits"))))
   }
 
+  /** Mart 13 — daily analytics (init.sql:41-50 `gold_daily_analytics`,
+    * maintained by process_test_data.py:112-148): one row per batch date
+    * with file-level quality buckets (>80 / 50-80 / <50 — the local-dev
+    * mirror's thresholds, init.sql:154-156) and the two JSON payloads:
+    * per-type transaction counts and corpus-wide segment frequencies. The
+    * segment analysis is a native explode over bronze content —
+    * `substring_index(trim(seg), "*", 1)` is the segment id — so the whole
+    * mart stays in codegen. JSON maps are sorted by key for determinism.
+    */
+  def dailyAnalytics(bronze: DataFrame, silver: DataFrame,
+      analyticsDate: java.sql.Date): DataFrame = {
+    def jsonMap(k: Column, v: Column): Column =
+      to_json(map_from_entries(sort_array(collect_list(struct(k, v)))))
+    val fileBuckets = silver.groupBy("file_name")
+      .agg(avg("quality_score").as("fq"))
+      .agg(
+        count(lit(1)).as("total_files_processed"),
+        sum(when(col("fq") > 80, 1).otherwise(0)).as("high_quality_files"),
+        sum(when(col("fq").between(50, 80), 1).otherwise(0)).as("medium_quality_files"),
+        sum(when(col("fq") < 50, 1).otherwise(0)).as("low_quality_files"))
+    val typeJson = silver.groupBy("transaction_type")
+      .agg(count(lit(1)).as("n"))
+      .agg(jsonMap(col("transaction_type"), col("n")))
+      .toDF("transaction_types_json")
+    val segJson = bronze.filter(col("file_is_valid"))
+      .select(explode(split(col("content"), "~")).as("seg"))
+      .select(substring_index(trim(col("seg")), "*", 1).as("segment_id"))
+      .filter(length(col("segment_id")) > 0)
+      .groupBy("segment_id").agg(count(lit(1)).as("n"))
+      .agg(jsonMap(col("segment_id"), col("n")))
+      .toDF("segment_analysis_json")
+    fileBuckets.crossJoin(typeJson).crossJoin(segJson)
+      .withColumn("analytics_date", lit(analyticsDate))
+      .withColumn("created_at", current_timestamp())
+  }
+
   /** All marts keyed by their reference table name
     * (gold_x12_analytics.py:812-822 + the two declared-only families).
     */

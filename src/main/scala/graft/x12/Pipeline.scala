@@ -62,12 +62,15 @@ object X12Pipeline {
     // Gold: valid transactions only (gold_x12_analytics.py:74), one shared
     // cached scan fanned out to all marts
     val silverValid = silver.toDF().filter(col("is_valid"))
-    val marts = X12Gold.allMarts(silverValid, processingDate)
+    val marts = X12Gold.allMarts(silverValid, processingDate) +
+      ("gold_daily_analytics" ->
+        X12Gold.dailyAnalytics(bronze, silver.toDF(), processingDate))
+    val unpartitioned = Set("gold_business_kpis", "gold_daily_analytics")
     if (write) marts.foreach { case (name, df) =>
       val w = df.write.mode("overwrite")
       // summary marts keyed by processing_date partition like the reference
-      // (gold_x12_analytics.py:500 etc.); the global KPI mart is unpartitioned
-      if (name != "gold_business_kpis")
+      // (gold_x12_analytics.py:500 etc.); single-row globals unpartitioned
+      if (!unpartitioned(name))
         w.partitionBy("processing_date").parquet(s"$outDir/$name")
       else w.parquet(s"$outDir/$name")
     }

@@ -204,6 +204,21 @@ class X12PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(Files.list(ackRoot).filter(p => p.getFileName.toString.startsWith("partner=")).count() == senders)
   }
 
+  test("daily analytics mart: buckets, type counts, segment frequencies") {
+    val d = result.marts("gold_daily_analytics")
+    val r = d.head()
+    assert(d.count() == 1)
+    val total = r.getAs[Long]("total_files_processed")
+    assert(total == result.silver.toDF().select("file_name").distinct().count())
+    assert(r.getAs[Long]("high_quality_files") +
+      r.getAs[Long]("medium_quality_files") +
+      r.getAs[Long]("low_quality_files") == total)
+    val types = r.getAs[String]("transaction_types_json")
+    assert(types.contains("\"837\":"))
+    val segs = r.getAs[String]("segment_analysis_json")
+    assert(segs.contains("\"ISA\":") && segs.contains("\"SE\":"))
+  }
+
   test("invalid files are quarantined with their errors, not dropped") {
     result // force the pipeline run
     val q = spark.read.json(s"$outDir/bronze_quarantine")
