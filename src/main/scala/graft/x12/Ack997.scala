@@ -56,12 +56,25 @@ object Ack997 {
   /** A5 + P19: per-partner envelope aggregation then 997 generation
     * (generate_x12_acknowledgments.py:155-186). Control-number lists are
     * sorted so the output is independent of partition order.
+    *
+    * The reference hardcodes ack code "A" and leaves error detection as a
+    * declared enhancement (the `lit("A")  # Accept all for now — could be
+    * enhanced with error detection` comment at :179).
+    * `qualityDrivenAckCode=true` implements that declaration: a partner
+    * whose batch contains any invalid transaction gets "E" (accepted with
+    * errors); all-valid batches get "A". Default stays reference parity.
     */
-  def acknowledgments(silver: DataFrame, batchId: String, now: LocalDateTime): DataFrame = {
-    val gen = udf { (sender: String, receiver: String, gcn: String, tcns: Seq[String]) =>
+  def acknowledgments(silver: DataFrame, batchId: String, now: LocalDateTime,
+      qualityDrivenAckCode: Boolean = false): DataFrame = {
+    val gen = udf { (sender: String, receiver: String, gcn: String,
+        tcns: Seq[String], code: String) =>
       generate997(sender.trim, receiver.trim, Option(gcn).getOrElse(""),
-        tcns, "A", now)
+        tcns, code, now)
     }
+    val ackCode =
+      if (qualityDrivenAckCode)
+        when(col("n_invalid") > 0, lit("E")).otherwise(lit("A"))
+      else lit("A")
     silver
       .groupBy("sender_id", "receiver_id")
       .agg(
@@ -69,11 +82,14 @@ object Ack997 {
         sort_array(collect_list("functional_group_number")).as("group_numbers"),
         sort_array(collect_list("transaction_set_control_number")).as("transaction_numbers"),
         count(lit(1)).as("file_count"),
+        sum(when(!col("is_valid"), 1).otherwise(0)).as("n_invalid"),
         max("processing_timestamp").as("last_processed"),
         sort_array(collect_list("file_name")).as("processed_files"))
+      .withColumn("ack_code", ackCode)
       .withColumn("acknowledgment_content",
         gen(col("sender_id"), col("receiver_id"),
-          element_at(col("group_numbers"), 1), col("transaction_numbers")))
+          element_at(col("group_numbers"), 1), col("transaction_numbers"),
+          col("ack_code")))
       .withColumn("ack_filename",
         concat(trim(col("sender_id")), lit("_997_"), lit(batchId), lit(".x12")))
       .withColumn("generation_timestamp", current_timestamp())

@@ -226,6 +226,22 @@ class X12PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(q.columns.contains("validation_errors"))
   }
 
+  test("quality-driven ack codes: partners with invalid transactions get E") {
+    import java.time.LocalDateTime
+    val acks = Ack997.acknowledgments(result.silver.toDF(), "B_Q",
+      LocalDateTime.of(2025, 9, 1, 12, 0, 0), qualityDrivenAckCode = true)
+    val badPairs = result.silver.toDF().filter(!col("is_valid"))
+      .select("sender_id", "receiver_id").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    acks.select(col("sender_id"), col("receiver_id"), col("ack_code"),
+        col("acknowledgment_content")).collect().foreach { r =>
+      val expected =
+        if (badPairs.contains((r.getString(0), r.getString(1)))) "E" else "A"
+      assert(r.getString(2) == expected, s"pair ${r.getString(0)}")
+      assert(r.getString(3).contains(s"AK5*$expected~"))
+    }
+  }
+
   test("written silver parquet reads back partitioned by date and type") {
     val back = spark.read.parquet(s"$outDir/silver")
     assert(back.count() == result.silver.count())
