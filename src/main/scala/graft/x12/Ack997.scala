@@ -28,6 +28,26 @@ object Ack997 {
       functionalGroupControlNumber: String,
       transactionSetControlNumbers: Seq[String],
       ackCode: String,
+      now: LocalDateTime): String =
+    generate997PerSet(senderId, receiverId, functionalGroupControlNumber,
+      transactionSetControlNumbers.map(t => (t, ackCode)),
+      ackCode,
+      if (ackCode == "A") transactionSetControlNumbers.length else 0, now)
+
+  /** Per-transaction-set variant: AK5 carries each set's own code, AK9
+    * carries the group code plus the true accepted count (AK904). The
+    * reference's formula (`accepted = n if code=='A' else 0`,
+    * generate_x12_acknowledgments.py:125) is preserved by the parity
+    * overload above; quality-driven acks pass the real per-set codes and
+    * valid count here.
+    */
+  def generate997PerSet(
+      senderId: String,
+      receiverId: String,
+      functionalGroupControlNumber: String,
+      transactionSets: Seq[(String, String)],
+      groupAckCode: String,
+      acceptedCount: Int,
       now: LocalDateTime): String = {
     val time = now.format(DateTimeFormatter.ofPattern("HHmm"))
     val dateShort = now.format(DateTimeFormatter.ofPattern("yyMMdd"))
@@ -40,12 +60,11 @@ object Ack997 {
     val gs = s"GS*FA*$receiverId*$senderId*$dateLong*$time*$gcn*X*005010~"
     val st = s"ST*997*$tcn~"
     val ak1 = s"AK1*${functionalGroupControlNumber.take(2)}*$functionalGroupControlNumber~"
-    val akPairs = transactionSetControlNumbers.flatMap { ts =>
-      Seq(s"AK2*${ts.take(3)}*$ts~", s"AK5*$ackCode~")
+    val akPairs = transactionSets.flatMap { case (ts, code) =>
+      Seq(s"AK2*${ts.take(3)}*$ts~", s"AK5*$code~")
     }
-    val n = transactionSetControlNumbers.length
-    val accepted = if (ackCode == "A") n else 0
-    val ak9 = s"AK9*$ackCode*$n*$n*$accepted~"
+    val n = transactionSets.length
+    val ak9 = s"AK9*$groupAckCode*$n*$n*$acceptedCount~"
     val segmentCount = 4 + akPairs.length + 1 // ST+AK1+pairs+AK9+SE
     val se = s"SE*$segmentCount*$tcn~"
     val ge = s"GE*1*$gcn~"
@@ -60,36 +79,57 @@ object Ack997 {
     * The reference hardcodes ack code "A" and leaves error detection as a
     * declared enhancement (the `lit("A")  # Accept all for now — could be
     * enhanced with error detection` comment at :179).
-    * `qualityDrivenAckCode=true` implements that declaration: a partner
-    * whose batch contains any invalid transaction gets "E" (accepted with
-    * errors); all-valid batches get "A". Default stays reference parity.
+    * `qualityDrivenAckCode=true` implements that declaration at the correct
+    * grain: each AK5 carries ITS transaction set's code (A for valid, E for
+    * invalid), the group-level AK9 is E when any set failed, and AK904
+    * reports the true accepted count. With the default false, output is
+    * schema- and byte-identical to reference parity (all-A, AK904 = n).
     */
   def acknowledgments(silver: DataFrame, batchId: String, now: LocalDateTime,
       qualityDrivenAckCode: Boolean = false): DataFrame = {
-    val gen = udf { (sender: String, receiver: String, gcn: String,
-        tcns: Seq[String], code: String) =>
-      generate997(sender.trim, receiver.trim, Option(gcn).getOrElse(""),
-        tcns, code, now)
-    }
-    val ackCode =
-      if (qualityDrivenAckCode)
-        when(col("n_invalid") > 0, lit("E")).otherwise(lit("A"))
-      else lit("A")
-    silver
+    val base = silver
       .groupBy("sender_id", "receiver_id")
       .agg(
         sort_array(collect_list("interchange_control_number")).as("interchange_numbers"),
         sort_array(collect_list("functional_group_number")).as("group_numbers"),
-        sort_array(collect_list("transaction_set_control_number")).as("transaction_numbers"),
+        sort_array(collect_list(struct(
+          col("transaction_set_control_number").as("tcn"),
+          col("is_valid")))).as("tx_sets"),
         count(lit(1)).as("file_count"),
-        sum(when(!col("is_valid"), 1).otherwise(0)).as("n_invalid"),
         max("processing_timestamp").as("last_processed"),
         sort_array(collect_list("file_name")).as("processed_files"))
-      .withColumn("ack_code", ackCode)
-      .withColumn("acknowledgment_content",
-        gen(col("sender_id"), col("receiver_id"),
-          element_at(col("group_numbers"), 1), col("transaction_numbers"),
-          col("ack_code")))
+      .withColumn("transaction_numbers",
+        transform(col("tx_sets"), x => x.getField("tcn")))
+    val withContent =
+      if (qualityDrivenAckCode) {
+        val gen = udf { (sender: String, receiver: String, gcn: String,
+            sets: Seq[org.apache.spark.sql.Row]) =>
+          val perSet = sets.map(r =>
+            (r.getString(0), if (r.getBoolean(1)) "A" else "E"))
+          val accepted = perSet.count(_._2 == "A")
+          val groupCode = if (accepted == perSet.length) "A" else "E"
+          generate997PerSet(sender.trim, receiver.trim,
+            Option(gcn).getOrElse(""), perSet, groupCode, accepted, now)
+        }
+        base
+          .withColumn("ack_code",
+            when(exists(col("tx_sets"), x => !x.getField("is_valid")), lit("E"))
+              .otherwise(lit("A")))
+          .withColumn("acknowledgment_content",
+            gen(col("sender_id"), col("receiver_id"),
+              element_at(col("group_numbers"), 1), col("tx_sets")))
+      } else {
+        val gen = udf { (sender: String, receiver: String, gcn: String,
+            tcns: Seq[String]) =>
+          generate997(sender.trim, receiver.trim, Option(gcn).getOrElse(""),
+            tcns, "A", now)
+        }
+        base.withColumn("acknowledgment_content",
+          gen(col("sender_id"), col("receiver_id"),
+            element_at(col("group_numbers"), 1), col("transaction_numbers")))
+      }
+    withContent
+      .drop("tx_sets")
       .withColumn("ack_filename",
         concat(trim(col("sender_id")), lit("_997_"), lit(batchId), lit(".x12")))
       .withColumn("generation_timestamp", current_timestamp())

@@ -32,7 +32,8 @@ object X12Pipeline {
       processingDate: java.sql.Date,
       processingTs: java.sql.Timestamp,
       now: LocalDateTime,
-      write: Boolean = true): Result = {
+      write: Boolean = true,
+      qualityDrivenAckCode: Boolean = false): Result = {
     import spark.implicits._
 
     // Bronze: validate + metadata; landing write partitioned by y/m/d
@@ -76,7 +77,8 @@ object X12Pipeline {
     }
 
     // 997 acknowledgments per trading partner
-    val acks = Ack997.validate997(Ack997.acknowledgments(silver.toDF(), batchId, now))
+    val acks = Ack997.validate997(
+      Ack997.acknowledgments(silver.toDF(), batchId, now, qualityDrivenAckCode))
     if (write) {
       Ack997.writeAckFiles(acks, s"$outDir/acknowledgments")
       Ack997.metadata(acks).write.mode("overwrite").json(s"$outDir/acknowledgment_metadata")

@@ -29,7 +29,9 @@ object RunPipeline {
     try {
       val result = X12Pipeline.run(spark, landingDir, outDir, batchId,
         java.sql.Date.valueOf(now.toLocalDate),
-        java.sql.Timestamp.valueOf(now), now)
+        java.sql.Timestamp.valueOf(now), now,
+        qualityDrivenAckCode =
+          sys.env.get("SPARK_GRAFT_ACK_QUALITY").contains("1"))
       val files = result.bronze.count()
       val txs = result.silver.count()
       val acks = result.acks.count()

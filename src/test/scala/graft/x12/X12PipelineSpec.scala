@@ -233,13 +233,35 @@ class X12PipelineSpec extends AnyFunSuite with SparkTestBase {
     val badPairs = result.silver.toDF().filter(!col("is_valid"))
       .select("sender_id", "receiver_id").distinct()
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(badPairs.nonEmpty, "corpus must contain invalid transactions")
+    // per-transaction validity, for checking each AK2/AK5 pair
+    val validity = result.silver.toDF()
+      .select("transaction_set_control_number", "is_valid")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    var sawE = false
     acks.select(col("sender_id"), col("receiver_id"), col("ack_code"),
         col("acknowledgment_content")).collect().foreach { r =>
-      val expected =
-        if (badPairs.contains((r.getString(0), r.getString(1)))) "E" else "A"
-      assert(r.getString(2) == expected, s"pair ${r.getString(0)}")
-      assert(r.getString(3).contains(s"AK5*$expected~"))
+      val isBad = badPairs.contains((r.getString(0), r.getString(1)))
+      assert(r.getString(2) == (if (isBad) "E" else "A"), s"pair ${r.getString(0)}")
+      // every AK2's AK5 reflects that transaction set's own validity, and
+      // AK9 reports group code + true accepted count
+      val segs = X12Parser.parseSegments(r.getString(3))
+      val ak25 = segs.filter(s => s.segment_id == "AK2" || s.segment_id == "AK5")
+      ak25.grouped(2).foreach { case Seq(ak2, ak5) =>
+        val expected = if (validity(ak2.elements(1))) "A" else "E"
+        if (expected == "E") sawE = true
+        assert(ak5.elements.head == expected, s"tcn ${ak2.elements(1)}")
+      }
+      val ak9 = segs.find(_.segment_id == "AK9").get
+      val nValid = ak25.grouped(2).count { case Seq(ak2, _) => validity(ak2.elements(1)) }
+      assert(ak9.elements.head == (if (isBad) "E" else "A"))
+      assert(ak9.elements(3).toInt == nValid, "AK904 must be the accepted count")
     }
+    assert(sawE, "at least one per-set E code must be exercised")
+    // default path stays reference parity: no ack_code column, all-A content
+    assert(!result.acks.columns.contains("ack_code"))
+    assert(!result.acks.select("acknowledgment_content").collect()
+      .exists(_.getString(0).contains("AK5*E~")))
   }
 
   test("written silver parquet reads back partitioned by date and type") {
