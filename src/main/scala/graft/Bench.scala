@@ -20,14 +20,18 @@ object Bench {
       graft.x12.X12TestDataGen.writeCorpus(
         s"${System.getProperty("java.io.tmpdir")}/graft_x12_corpus_v1", 45, seed = 42L)
     } catch { case _: Throwable => }
+    // a failed query reports -1 (never a fake fast timing) and is excluded
+    // from the total
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     // X12 parse throughput vs the reference's 1,000 tx/hour baseline
     // (docs/performance-tuning-guide.md:22 — driver-bound Python parse):
     // distributed wholetext parse of a generated corpus, transactions/sec.

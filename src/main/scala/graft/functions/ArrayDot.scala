@@ -41,13 +41,25 @@ case class ArrayDot(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_dot"
 
+  override def nullable: Boolean = true
+
+  /** Matches `aggregate(zip_with(a, b, _*_), 0.0, _+_)` exactly: a null
+    * element poisons the product and the fold (null result), and zip_with
+    * pads length-mismatched arrays with nulls, so a mismatch is null too —
+    * never a silent zero or partial sum.
+    */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -57,10 +69,14 @@ case class ArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $x.getDouble($i) * $y.getDouble($i);
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $x.getDouble($i) * $y.getDouble($i);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -30,7 +30,11 @@ object X12Queries extends QuerySet {
     synchronized {
       cachedSilver match {
         case Some((sess, ds)) if sess eq s => ds
-        case _ =>
+        case other =>
+          // release blocks cached under a previous session before replacing
+          other.foreach { case (_, old) =>
+            try old.unpersist() catch { case _: Throwable => }
+          }
           X12TestDataGen.writeCorpus(corpusDir, 45, seed = 42L)
           import s.implicits._
           val bronze = X12Bronze.ingest(s, corpusDir, "BATCH_Q", date)
@@ -44,6 +48,12 @@ object X12Queries extends QuerySet {
 
   private def silver(s: SparkSession): DataFrame = silverDs(s).toDF()
 
+  /** Gold marts consume only valid transactions, like the reference
+    * (gold_x12_analytics.py:74) and X12Pipeline.run.
+    */
+  private def silverValid(s: SparkSession): DataFrame =
+    silver(s).filter(org.apache.spark.sql.functions.col("is_valid"))
+
   def x12Silver(s: SparkSession, dir: String): DataFrame =
     X12Silver.referenceView(silverDs(s))
 
@@ -54,13 +64,13 @@ object X12Queries extends QuerySet {
   }
 
   def x12ClaimMart(s: SparkSession, dir: String): DataFrame =
-    X12Gold.claimAnalytics(silver(s))
+    X12Gold.claimAnalytics(silverValid(s))
 
   def x12PartnerMart(s: SparkSession, dir: String): DataFrame =
-    X12Gold.tradingPartnerAnalytics(silver(s))
+    X12Gold.tradingPartnerAnalytics(silverValid(s))
 
   def x12QualityMart(s: SparkSession, dir: String): DataFrame =
-    X12Gold.dataQualityMetrics(silver(s))
+    X12Gold.dataQualityMetrics(silverValid(s))
 
   def x12Acks(s: SparkSession, dir: String): DataFrame =
     Ack997.validate997(Ack997.acknowledgments(silver(s), "BATCH_Q", now))
@@ -68,7 +78,7 @@ object X12Queries extends QuerySet {
 
   /** J3: request/response trace correlation over the generated pairs. */
   def x12Pairs(s: SparkSession, dir: String): DataFrame =
-    X12Gold.requestResponsePairs(silver(s))
+    X12Gold.requestResponsePairs(silverValid(s))
 
   /** S13 (ref: src/sftp/manager.py:217-231): remote-file eligibility —
     * age/size predicates over file metadata, no content read (the scan

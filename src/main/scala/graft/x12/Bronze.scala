@@ -71,12 +71,17 @@ object X12Bronze {
   def extractMetadata(content: String): BronzeMetadata = {
     def opt(parts: Array[String], i: Int): Option[String] =
       if (i < parts.length) Some(parts(i)) else None
+    // separator/terminator sniffing happens ONLY for ISA-led files, like
+    // the reference (bronze_x12_ingestion.py:86-98 sits inside the
+    // startswith('ISA') branch) — a non-X12 multiline file must not have a
+    // newline-adjacent character mistaken for a terminator
+    val isIsa = content.startsWith("ISA")
     val sep: Option[String] =
-      if (content.startsWith("ISA") && content.length > 3) Some(content.charAt(3).toString)
+      if (isIsa && content.length > 3) Some(content.charAt(3).toString)
       else None
     val nl = content.indexOf('\n')
     val term: Option[String] =
-      if (nl > 0 && content.charAt(nl - 1) != '\r' && content.charAt(nl - 1) != '\n')
+      if (isIsa && nl > 0 && content.charAt(nl - 1) != '\r' && content.charAt(nl - 1) != '\n')
         Some(content.charAt(nl - 1).toString)
       else None
     val segCount = term.map(t => content.count(_ == t.head).toLong).getOrElse(0L)

@@ -65,8 +65,11 @@ object X12Gold {
         uniqNonEmpty(transform(lines, x => x.getField("product_service_id")))
           .as("unique_service_count"),
         orEmpty(c.getField("provider").getField("entity_identifier_code")).as("provider_type"),
-        orEmpty(c.getField("claim").getField("claim_filing_indicator_code")).as("filing_indicator"))
-      .filter(col("total_claim_amount").isNotNull)
+        orEmpty(c.getField("claim").getField("claim_filing_indicator_code")).as("filing_indicator"),
+        c.isNotNull.as("__parsed"))
+      // the reference drops rows whose metrics UDF returned {} (parse
+      // errors, gold_x12_analytics.py:491); typed equivalent: null payload
+      .filter(col("__parsed")).drop("__parsed")
       .withColumn("variance_percentage", pct(col("amount_variance"), col("total_claim_amount")))
       .withColumn("created_at", current_timestamp())
   }
@@ -90,8 +93,9 @@ object X12Gold {
         charges.as("total_charge_amount"),
         patResp.as("total_patient_responsibility"),
         abs(payAmt - (charges - patResp)).as("payment_variance"),
-        orEmpty(p.getField("payer").getField("identification_code")).as("payer_id"))
-      .filter(col("total_payment_amount").isNotNull)
+        orEmpty(p.getField("payer").getField("identification_code")).as("payer_id"),
+        p.isNotNull.as("__parsed"))
+      .filter(col("__parsed")).drop("__parsed")
       .withColumn("variance_percentage", pct(col("payment_variance"), col("total_charge_amount")))
       .withColumn("payment_ratio", pct(col("total_payment_amount"), col("total_charge_amount")))
       .withColumn("created_at", current_timestamp())

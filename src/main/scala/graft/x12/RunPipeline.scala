@@ -16,8 +16,11 @@ object RunPipeline {
     val landingDir = args(0)
     val outDir = args(1)
     val now = LocalDateTime.now()
-    val batchId = if (args.length > 2) args(2)
-      else "BATCH_" + now.format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+    // sanitized so the summary line below stays valid JSON and the id is
+    // safe inside generated file names
+    val batchId = (if (args.length > 2) args(2)
+      else "BATCH_" + now.format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")))
+      .replaceAll("[^A-Za-z0-9_-]", "_")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))

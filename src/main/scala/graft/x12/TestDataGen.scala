@@ -220,14 +220,17 @@ object X12TestDataGen {
     val existing = listX12(root)
     if (existing.length == expected) return existing.map(_.toString)
     val rnd = new Random(seed)
-    for (i <- 0 until 3; reqType <- Seq("276", "270")) {
+    val pairFiles = (for (i <- 0 until 3; reqType <- Seq("276", "270")) yield {
       val (sender, receiver) = partners(rnd.nextInt(partners.length))
       val (req, resp) = generateCorrelatedPair(rnd, reqType, sender, receiver,
         s"CORR$reqType$i")
-      Files.writeString(root.resolve(s"test_x12_${reqType}_pair$i.x12"), req)
+      val reqPath = root.resolve(s"test_x12_${reqType}_pair$i.x12")
+      Files.writeString(reqPath, req)
       val respType = if (reqType == "276") "277" else "271"
-      Files.writeString(root.resolve(s"test_x12_${respType}_pair$i.x12"), resp)
-    }
+      val respPath = root.resolve(s"test_x12_${respType}_pair$i.x12")
+      Files.writeString(respPath, resp)
+      Seq(reqPath, respPath)
+    }).flatten
     val files = (0 until n).map { i =>
       val ttype = allTypes(i % allTypes.length)
       val (sender, receiver) = partners(rnd.nextInt(partners.length))
@@ -247,7 +250,7 @@ object X12TestDataGen {
     Files.writeString(unterminated,
       okContent.stripSuffix("~").split('~').dropRight(3).mkString("", "~", "~") +
         s"ST*837*${ctl(rnd)}~BHT*0019*00*REFX*20250101*1200*CH~")
-    (files :+ garbage :+ unterminated).map(_.toString)
+    (files ++ pairFiles :+ garbage :+ unterminated).map(_.toString)
   }
 
   private def listX12(root: Path): Seq[Path] = {

@@ -18,18 +18,23 @@ class ArrayDotSpec extends AnyFunSuite with SparkTestBase {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
-  test("graft_dot handles nulls, empty and length-mismatched arrays") {
+  test("graft_dot matches zip_with semantics on nulls and length mismatches") {
     GraftFunctions.register(spark)
     import spark.implicits._
     val df = Seq(
-      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),   // 11.0
-      (Some(Seq(1.0, 2.0, 9.0)), Some(Seq(3.0, 4.0))), // min-length → 11.0
-      (Some(Seq.empty[Double]), Some(Seq(1.0))),    // 0.0
-      (None, Some(Seq(1.0)))                        // null
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),      // 11.0
+      (Some(Seq(1.0, 2.0, 9.0)), Some(Seq(3.0, 4.0))), // zip_with pads → null
+      (Some(Seq.empty[Double]), Some(Seq.empty[Double])), // 0.0
+      (None, Some(Seq(1.0)))                           // null input → null
     ).toDF("a", "b")
-    val out = df.select(GraftFunctions.dot(col("a"), col("b")).as("d"))
+    val native = df.select(GraftFunctions.dot(col("a"), col("b")).as("d"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
-    assert(out.toSeq == Seq(Some(11.0), Some(11.0), Some(0.0), None))
+    assert(native.toSeq == Seq(Some(11.0), None, Some(0.0), None))
+    // agreement with the higher-order form on every case
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(native.toSeq == hof.toSeq)
   }
 
   test("extensions class injects the function into a fresh session") {
