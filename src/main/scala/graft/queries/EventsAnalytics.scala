@@ -75,7 +75,11 @@ object EventsAnalytics extends QuerySet {
       .agg(
         Q.dsum(col("value")).as("sum_value"),
         count(lit(1)).as("cnt"))
-      .withColumn("avg_value", round(col("sum_value") / col("cnt"), 4))
+      // unrounded: both operands are bit-identical across engines (decimal
+      // sum, exact count), so the IEEE division is too; rounding would
+      // DIVERGE on ties (e.g. 1512.12/32 = 47.25375 — Spark rounds the
+      // shortest-decimal repr half-up, DuckDB rounds the binary double)
+      .withColumn("avg_value", col("sum_value") / col("cnt"))
 
   /** A16/W4 (ref: monitoring/sftp-monitoring-queries.md:152-159) — failure
     * bursts: 15-min buckets (epoch arithmetic, timezone-free) having
@@ -224,7 +228,7 @@ object EventsAnalytics extends QuerySet {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | count(*) AS cnt,
-        | round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q15_alert_windows" ->
       """SELECT CAST(floor(epoch(ts)/900) AS BIGINT) AS bucket_15m,
