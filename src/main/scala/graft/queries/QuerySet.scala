@@ -38,7 +38,16 @@ object Q {
   /** Sum of a derived value with more fractional digits (e.g. price*(1-disc)). */
   def dsum4(c: Column): Column = sum(c.cast(DecimalType(22, 4))).cast("double")
 
-  /** Deterministic average built on the decimal sum. */
+  /** Deterministic average built on the decimal sum.
+    *
+    * Rounding caveat (learned at sf0.1): `round(x, n)` can DIVERGE between
+    * engines even on bit-identical x when x sits exactly on a rounding tie
+    * (Spark rounds the shortest-decimal repr half-up, DuckDB rounds the
+    * binary double — e.g. 1512.12/32 = 47.25375 → 47.2538 vs 47.2537).
+    * Prefer UNROUNDED division when both operands are already
+    * deterministic; keep round() only where it cannot tie (and mirror it
+    * in the oracle SQL).
+    */
   def davg(c: Column): Column =
     round(sum(c.cast(DecimalType(18, 2))).cast("double") / count(c), 6)
 }
