@@ -68,10 +68,15 @@ object X12Silver {
   }
 
   /** S5: partitioned append — same layout as the reference
-    * (silver_x12_parsing.py:1506-1510) so date+type filters prune partitions.
+    * (silver_x12_parsing.py:1506-1510) so date+type filters prune
+    * partitions. zstd instead of the snappy default: the silver table is
+    * the 100 TB body of the lake and text-heavy payloads compress ~2×
+    * better under zstd (the reference's 3:1 storage target,
+    * docs/performance-tuning-guide.md:26).
     */
   def write(ds: Dataset[SilverRecord], path: String): Unit =
     ds.write.mode("append")
+      .option("compression", "zstd")
       .partitionBy("processing_date", "transaction_type")
       .parquet(path)
 
