@@ -273,6 +273,21 @@ class X12PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(one.count() > 0 && one.count() < back.count())
   }
 
+  test("nested-schema pruning: claim mart scans only the claim837 payload branch") {
+    result // silver parquet written by the pipeline run
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    val back = spark.read.parquet(s"$outDir/silver")
+    val mart = X12Gold.claimAnalytics(back.filter(col("is_valid")))
+    val scan = mart.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString
+    val schema = scan.substring(scan.indexOf("ReadSchema"))
+    assert(schema.contains("claim837"), schema)
+    // the other nine union branches must NOT be deserialized by this mart
+    Seq("payment835", "enrollment834", "eligibility270", "eligibility271",
+      "status276", "status277", "preauth278", "preauth279", "generic")
+      .foreach(b => assert(!schema.contains(b), s"branch $b not pruned: $schema"))
+  }
+
   test("pipeline summaries: silver counts reconcile") {
     val sm = X12Silver.summary(result.silver).head()
     assert(sm.getAs[Long]("transactions_processed") == result.silver.count())
