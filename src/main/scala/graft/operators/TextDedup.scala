@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable document-deduplication operators (library form of the dd30-dd35
+  * query surface; see graft.queries.Dedup for the oracle-checked
+  * instantiations over the fixture tables).
+  *
+  * Scale contract shared by every operator here:
+  *  - exact dedup shuffles a 32-byte digest, never the document body;
+  *  - every near-dup candidate generator is BLOCKED (caller-chosen blocking
+  *    column, LSH band bucket) so no all-pairs join exists;
+  *  - hashes are md5-based, reproducible in any engine.
+  */
+object TextDedup {
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** Distinct word-bigram shingles — the MinHash/Jaccard unit. */
+  def bigramShingles(text: Column): Column = {
+    val t = toks(text)
+    array_distinct(zip_with(
+      slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1),
+      (x, y) => concat(x, lit(" "), y)))
+  }
+
+  /** Exact content dedup: groups by md5(text); canonical row = min id. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("canonical_id"))
+
+  /** N-gram Jaccard near-dup pairs via a blocked inverted index:
+    * |A∩B| / |A∪B| >= threshold, candidates restricted to equal blockCol.
+    * `maxDocFreq` (0 = off) drops shingles appearing in more than that many
+    * documents — the 100 TB knob: ultra-frequent shingles create quadratic
+    * posting-list blowups while contributing no discrimination.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
+    val sh0 = docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+      explode(bigramShingles(col(textCol))).as("shingle"))
+    val sh =
+      if (maxDocFreq > 0) {
+        val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("shingle")
+        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      } else sh0
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.block") === col("b.block") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(n.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(n.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard", round(
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "common", "jaccard")
+  }
+
+  /** k seeded-md5 MinHash signature columns mh1..mhk. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val sigs = (1 to k).map(i =>
+      array_min(transform(bigramShingles(col(textCol)),
+        x => md5(concat(lit(i.toString), x)))).as(s"mh$i"))
+    docs.select(col(idCol).as("doc_id") +: sigs: _*)
+  }
+
+  /** LSH candidate pairs from banded minhash signatures: signatures are
+    * computed once, exploded to (band, bucket) rows, and pairs expand
+    * LOCALLY inside each bucket group after one shuffle (no self-join — see
+    * graft.queries.Dedup.dd33 scaladoc for why that shape matters).
+    * `rowsPerBand` consecutive signature columns hash into one band bucket.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = minhashSignatures(docs, idCol, textCol, k)
+    val bandCols = (0 until bands).map { b =>
+      val parts = (1 to rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      concat(lit(s"${b + 1}:"), md5(concat(parts: _*)))
+    }
+    val bandsDf = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+    bandsDf.groupBy("bucket")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+  }
+
+  /** SimHash fingerprint: per-token md5-derived `bits`-bit hash, each bit
+    * votes ±1 weighted by token frequency.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
+      .withColumn("th", conv(substring(md5(col("t")), 1, 4), 16, 10).cast("int"))
+    val sums = (0 until bits).map(j =>
+      sum(when(shiftright(col("th"), j).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
+        .as(s"s$j"))
+    val fingerprint = (0 until bits)
+      .map(j => when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    tok.groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fingerprint.cast("int").as("simhash"))
+  }
+}

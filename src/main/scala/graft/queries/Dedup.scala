@@ -30,94 +30,32 @@ object Dedup extends QuerySet {
   private val bigramsSql =
     "list_distinct([sp[i] || ' ' || sp[i+1] for i in range(1, len(sp))])"
 
-  /** Exact dedup: content-hash groupBy; canonical row = min doc_id.
-    * At scale this shuffles only (digest, doc_id), not the text.
-    */
+  // dd30-dd34 are the oracle-checked instantiations of the reusable
+  // operators in graft.operators.TextDedup (see that object's scaladoc for
+  // the scale contracts); parameters here pin the fixture schema.
+  import graft.operators.TextDedup
+
+  /** Exact dedup: content-hash groupBy; canonical row = min doc_id. */
   def dd30(s: SparkSession, dir: String): DataFrame =
-    Q.t(s, dir, "documents")
-      .groupBy(md5(col("text")).as("fp"))
-      .agg(
-        count(lit(1)).as("cnt"),
-        min(col("doc_id")).as("canonical_id"))
+    TextDedup.exactDedup(Q.t(s, dir, "documents"), "doc_id", "text")
 
-  /** N-gram Jaccard near-dup: distinct-bigram inverted index self-join,
-    * blocked by `source`, then |A∩B| / |A∪B| >= 0.5.
-    */
-  def dd31(s: SparkSession, dir: String): DataFrame = {
-    val sh = Q.t(s, dir, "documents")
-      .select(col("doc_id"), col("source"), explode(bigrams).as("shingle"))
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(n.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(n.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard", round(
-        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "common", "jaccard")
-  }
+  /** N-gram Jaccard near-dup: blocked inverted index, threshold 0.5. */
+  def dd31(s: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramJaccardPairs(Q.t(s, dir, "documents"),
+      "doc_id", "text", blockCol = "source", threshold = 0.5)
 
-  /** MinHash signature per document: k=4 permutations simulated by seeded
-    * md5; signature element i = min over shingles of md5(i || shingle).
-    */
-  def dd32(s: SparkSession, dir: String): DataFrame = {
-    def mh(i: Int): Column =
-      array_min(transform(bigrams, x => md5(concat(lit(i.toString), x))))
-        .as(s"mh$i")
-    Q.t(s, dir, "documents")
-      .select(col("doc_id"), mh(1), mh(2), mh(3), mh(4))
-  }
+  /** MinHash signature per document: k=4 seeded-md5 permutations. */
+  def dd32(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashSignatures(Q.t(s, dir, "documents"), "doc_id", "text", k = 4)
 
-  /** MinHash LSH candidate pairs: 2 bands × 2 rows; docs sharing either
-    * band bucket become a candidate pair (dedup'd).
-    *
-    * Shape matters at scale: signatures are computed ONCE, exploded into
-    * (band, bucket) rows, and pairs expand locally inside each bucket group
-    * after a single shuffle. A self-join on the signature frame would
-    * recompute the whole minhash subtree per join side (4× here — Catalyst
-    * has no common-subtree reuse across self-joins) and shuffle the
-    * signatures twice; bucket sizes are bounded by construction, so the
-    * within-bucket quadratic expansion is local and cheap.
-    */
-  def dd33(s: SparkSession, dir: String): DataFrame = {
-    val sigs = dd32(s, dir)
-      .withColumn("b1", md5(concat(col("mh1"), col("mh2"))))
-      .withColumn("b2", md5(concat(col("mh3"), col("mh4"))))
-    val bands = sigs.select(col("doc_id"),
-      explode(array(concat(lit("1:"), col("b1")), concat(lit("2:"), col("b2"))))
-        .as("bucket"))
-    val pairs = bands.groupBy("bucket")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-    pairs.select(col("p.doc_a"), col("p.doc_b")).distinct()
-  }
+  /** MinHash LSH candidate pairs: 2 bands × 2 rows per band. */
+  def dd33(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashLshPairs(Q.t(s, dir, "documents"),
+      "doc_id", "text", bands = 2, rowsPerBand = 2)
 
-  /** SimHash (16-bit): per-token md5-derived 16-bit hash; each bit votes
-    * ±1 weighted by token frequency; simhash bit j = sign of the vote sum.
-    */
-  def dd34(s: SparkSession, dir: String): DataFrame = {
-    val tok = Q.t(s, dir, "documents")
-      .select(col("doc_id"), explode(toks).as("t"))
-      .withColumn("th", conv(substring(md5(col("t")), 1, 4), 16, 10).cast("int"))
-    val sums = (0 until 16).map(j =>
-      sum(when(shiftright(col("th"), j).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
-        .as(s"s$j"))
-    val simhash = (0 until 16)
-      .map(j => when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _)
-    tok.groupBy("doc_id")
-      .agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), simhash.cast("int").as("simhash"))
-  }
+  /** SimHash (16-bit) fingerprints. */
+  def dd34(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhash(Q.t(s, dir, "documents"), "doc_id", "text", bits = 16)
 
   /** Embedding-cosine near-dup: label-blocked pairs above a cosine
     * threshold. Dot/norm use the native codegen'd graft_dot expression —

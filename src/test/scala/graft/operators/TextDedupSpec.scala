@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class TextDedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("df-capped Jaccard pairs are a subset of the uncapped pairs") {
+    val full = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 0.3)
+      .select("doc_a", "doc_b").cache()
+    val capped = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 0.3,
+      maxDocFreq = 3)
+      .select("doc_a", "doc_b").cache()
+    // dropping hot shingles can only remove candidates/overlap, never add
+    assert(capped.join(full, Seq("doc_a", "doc_b"), "left_anti").count() == 0)
+    assert(capped.count() <= full.count())
+    // the fixture corpus has shingles above the cap, so the knob engages
+    val hotShingles = docs
+      .select(col("doc_id"), explode(TextDedup.bigramShingles(col("text"))).as("s"))
+      .groupBy("s").count().filter(col("count") > 3)
+    assert(hotShingles.count() > 0)
+  }
+
+  test("minhash banding generalizes: 4 bands x 1 row recalls at least as much as 2x2") {
+    val b22 = TextDedup.minhashLshPairs(docs, "doc_id", "text", 2, 2).cache()
+    val b41 = TextDedup.minhashLshPairs(docs, "doc_id", "text", 4, 1).cache()
+    // fewer rows per band = looser buckets = recall can only grow for the
+    // same signature family (bands 4x1 bucket on single minhashes)
+    assert(b41.count() >= b22.count())
+    // exact duplicates (identical text) are always candidates in both
+    val exactDups = TextDedup.exactDedup(docs, "doc_id", "text")
+      .filter(col("cnt") > 1)
+    if (exactDups.count() > 0) {
+      assert(b22.count() > 0 && b41.count() > 0)
+    }
+  }
+
+  test("simhash of identical texts is identical") {
+    val sh = TextDedup.simhash(docs, "doc_id", "text", 16)
+    val joined = docs.select(col("doc_id").as("id_a"), md5(col("text")).as("fp"))
+      .join(docs.select(col("doc_id").as("id_b"), md5(col("text")).as("fp")), "fp")
+      .filter(col("id_a") < col("id_b"))
+    val withHashes = joined
+      .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("simhash", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("simhash", "sh_b"), "id_b")
+    assert(withHashes.filter(col("sh_a") =!= col("sh_b")).count() == 0)
+  }
+}
