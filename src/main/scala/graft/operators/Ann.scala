@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Reusable approximate-nearest-neighbor operators over an embedding column
+  * (library form of the sim36-sim40 query surface; see
+  * graft.queries.Similarity for the oracle-checked instantiations).
+  *
+  * Inputs are frames with an id column and an `array<double>` embedding
+  * column (cast upstream); all dot products run through the codegen'd
+  * `graft_dot` expression — callers must have run
+  * `GraftFunctions.register(spark)` once per session (every public method
+  * here assumes it; the query layer does it via `withDot`).
+  *
+  * Scale contracts:
+  *  - brute-force top-k broadcasts the query set and runs one scan with a
+  *    per-group heap (row_number window) — embarrassingly parallel;
+  *  - LSH buckets/pairs and IVF cells confine quadratic work to bounded
+  *    groups after a single shuffle; the bucket/cell id is the layout key a
+  *    100 TB table is partitioned or bucketed by.
+  */
+object Ann {
+
+  private def dot(a: Column, b: Column): Column = GraftFunctions.dot(a, b)
+
+  private def withNorm(emb: DataFrame, embCol: String): DataFrame =
+    emb.withColumn("norm", sqrt(dot(col(embCol), col(embCol))))
+
+  /** Brute-force cosine top-k of `k` neighbors for each row matching
+    * `queryPred`, deterministic tiebreak on id.
+    */
+  def cosineTopK(emb: DataFrame, idCol: String, embCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val e = withNorm(emb.select(col(idCol).as("vec_id"), col(embCol).as("emb")), "emb")
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_full").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_full",
+        dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos_full"), 4).as("cos"))
+  }
+
+  /** md5-seeded ±1 hyperplane sign vectors (reproducible in SQL engines):
+    * plane j's i-th component is +1 iff the first hex digit of
+    * md5("j-i") < '8'. Precomputed once — inlining the digests into the row
+    * expression costs planes×dim md5 calls per row.
+    */
+  def hyperplaneSigns(planes: Int, dim: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { j =>
+      (1 to dim).map { i =>
+        val hex = md.digest(s"$j-$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0) < '8') 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Random-hyperplane LSH bucket id (0 until 2^planes) for `embCol`. */
+  def lshBucket(embCol: String, planes: Int, dim: Int): Column = {
+    val signs = hyperplaneSigns(planes, dim)
+    (0 until planes)
+      .map(j => when(dot(col(embCol), array(signs(j).map(lit): _*)) > 0,
+        lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
+
+  /** Vectors with their LSH bucket and bucket population. */
+  def lshBuckets(emb: DataFrame, idCol: String, embCol: String,
+      planes: Int, dim: Int, extraCols: Seq[String] = Seq.empty): DataFrame = {
+    val e = emb.select((Seq(col(idCol).as("vec_id"), col(embCol).as("emb")) ++
+        extraCols.map(col)): _*)
+      .withColumn("bucket", lshBucket("emb", planes, dim).cast("int"))
+    val sizes = e.groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
+    e.join(broadcast(sizes), "bucket")
+      .select((Seq("vec_id") ++ extraCols ++ Seq("bucket", "bucket_size")).map(col): _*)
+  }
+
+  /** Within-bucket near-neighbor pairs above a cosine threshold. */
+  def lshNearPairs(emb: DataFrame, idCol: String, embCol: String,
+      planes: Int, dim: Int, threshold: Double): DataFrame = {
+    val e = withNorm(emb.select(col(idCol).as("vec_id"), col(embCol).as("emb")), "emb")
+      .withColumn("bucket", lshBucket("emb", planes, dim).cast("int"))
+    val cosine = dot(col("x.emb"), col("y.emb")) / (col("x.norm") * col("y.norm"))
+    e.as("x").join(e.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos", round(cosine, 4))
+      .filter(col("cos") >= threshold)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.bucket").as("bucket"), col("cos"))
+  }
+
+  /** IVF coarse assignment against a broadcast centroid frame
+    * (centroid_id, c_emb, c_norm); nearest-by-cosine with deterministic
+    * tiebreak. Keeps emb/norm columns for downstream probing.
+    */
+  def ivfAssign(emb: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame): DataFrame = {
+    val e = withNorm(emb.select(col(idCol).as("vec_id"), col(embCol).as("emb")), "emb")
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_full").desc, col("centroid_id").asc)
+    e.crossJoin(broadcast(centroids))
+      .withColumn("cos_full",
+        dot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("emb"), col("norm"),
+        round(col("cos_full"), 4).as("cos"))
+  }
+
+  /** IVF probe with nprobe=1: top-k neighbors searched only inside each
+    * query's own centroid cell.
+    */
+  def ivfProbe(assigned: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = assigned.filter(queryPred).select(
+      col("vec_id").as("query_id"), col("centroid_id").as("q_cell"),
+      col("emb").as("q_emb"), col("norm").as("q_norm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cand_cos").desc, col("vec_id").asc)
+    assigned.join(broadcast(q),
+        col("centroid_id") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cand_cos",
+        dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("centroid_id").as("cell"), round(col("cand_cos"), 4).as("cos"))
+  }
+}

@@ -20,160 +20,59 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QuerySet {
 
-  private def embD(name: String): Column =
-    transform(col(name), x => x.cast("double"))
-
-  /** Native codegen'd dot product (graft.functions.ArrayDot) — same
-    * left-fold as `aggregate(zip_with(...))`, ~3× faster on the pair paths.
-    * Sessions are registered lazily by [[Similarity.withDot]].
-    */
-  private def dot(a: Column, b: Column): Column =
-    graft.functions.GraftFunctions.dot(a, b)
+  // sim36-sim40 are the oracle-checked instantiations of the reusable ANN
+  // operators in graft.operators.Ann (see that object's scaladoc for scale
+  // contracts); parameters here pin the fixture schema: 64-dim float
+  // embeddings cast to double, 8 hyperplanes / 8 fixed centroids.
+  import graft.operators.Ann
 
   private def withDot(s: SparkSession): SparkSession = {
     graft.functions.GraftFunctions.register(s); s
   }
 
-  /** Hyperplane sign vectors, precomputed once on the driver. Plane j's
-    * i-th component is +1 when the first hex digit of md5("j-i") < '8' —
-    * the same formula the DuckDB oracle evaluates in SQL, so buckets are
-    * bit-identical. Materializing them as literal arrays keeps the per-row
-    * work at 64 multiplies per plane; inlining the md5 into the expression
-    * would recompute 8×64 digests per row (measured 10× slower at sf0.1).
-    */
-  private lazy val planeSigns: IndexedSeq[IndexedSeq[Double]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until 8).map { j =>
-      (1 to 64).map { i =>
-        val hex = md.digest(s"$j-$i".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        if (hex.charAt(0) < '8') 1.0 else -1.0
-      }
-    }
-  }
-
-  /** Signed projection of `emb` onto plane j using the literal sign array. */
-  private def planeDot(j: Int): Column =
-    dot(col("emb"), array(planeSigns(j).map(lit): _*))
-
-  private def bucketExpr: Column =
-    (0 until 8)
-      .map(j => when(planeDot(j) > 0, lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _)
+  private def embD(s: SparkSession, dir: String): DataFrame =
+    Q.t(s, dir, "embeddings").select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
 
   /** Brute-force cosine top-k: queries = vec_id < 10, k = 5. */
-  def sim36(s0: SparkSession, dir: String): DataFrame = {
-    val s = withDot(s0)
-    val e = Q.t(s, dir, "embeddings")
-      .select(col("vec_id"), embD("embedding").as("emb"))
-      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        col("norm").as("q_norm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos_full").desc, col("vec_id").asc)
-    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos_full",
-        dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos_full"), 4).as("cos"))
+  def sim36(s0: SparkSession, dir: String): DataFrame =
+    Ann.cosineTopK(embD(withDot(s0), dir), "vec_id", "emb",
+      queryPred = col("vec_id") < 10, k = 5)
+
+  /** Hyperplane-LSH bucketing: vec -> 8-bit bucket + bucket population. */
+  def sim37(s0: SparkSession, dir: String): DataFrame =
+    Ann.lshBuckets(embD(withDot(s0), dir), "vec_id", "emb",
+      planes = 8, dim = 64, extraCols = Seq("label"))
+
+  /** LSH-accelerated near-neighbor pairs: within-bucket cosine >= 0.25. */
+  def sim38(s0: SparkSession, dir: String): DataFrame =
+    Ann.lshNearPairs(embD(withDot(s0), dir), "vec_id", "emb",
+      planes = 8, dim = 64, threshold = 0.25)
+
+  /** Fixed centroids = the vec_id<8 embeddings (deterministic and
+    * SQL-joinable; production trains k-means offline).
+    */
+  private def centroids(s: SparkSession, dir: String): DataFrame = {
+    val e = embD(s, dir)
+    e.filter(col("vec_id") < 8).select(
+      col("vec_id").as("centroid_id"), col("emb").as("c_emb"),
+      sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb"))).as("c_norm"))
   }
 
-  /** Hyperplane-LSH bucketing: vec → 8-bit bucket + bucket population.
-    * Plane j's i-th component is ±1 from md5("j-i") — reproducible in SQL.
-    */
-  def sim37(s0: SparkSession, dir: String): DataFrame = {
-    val s = withDot(s0)
-    val e = Q.t(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), embD("embedding").as("emb"))
-      .withColumn("bucket", bucketExpr.cast("int"))
-    val sizes = e.groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
-    e.join(broadcast(sizes), "bucket")
-      .select("vec_id", "label", "bucket", "bucket_size")
-  }
-
-  /** LSH-accelerated near-neighbor pairs: within-bucket cosine >= 0.25.
-    * The quadratic work is confined to each bucket.
-    */
-  def sim38(s0: SparkSession, dir: String): DataFrame = {
-    val s = withDot(s0)
-    val e = sim37Base(s, dir)
-    val cosine = dot(col("x.emb"), col("y.emb")) / (col("x.norm") * col("y.norm"))
-    e.as("x").join(e.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos", round(cosine, 4))
-      .filter(col("cos") >= 0.25)
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        col("x.bucket").as("bucket"), col("cos"))
-  }
-
-  private def sim37Base(s: SparkSession, dir: String): DataFrame =
-    Q.t(s, dir, "embeddings")
-      .select(col("vec_id"), embD("embedding").as("emb"))
-      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
-      .withColumn("bucket", bucketExpr.cast("int"))
-
-  /** Embeddings with norms, shared by the IVF queries. */
-  private def normed(s: SparkSession, dir: String): DataFrame =
-    Q.t(s, dir, "embeddings")
-      .select(col("vec_id"), embD("embedding").as("emb"))
-      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
-
-  /** IVF coarse quantization: assign each vector to its nearest of 8 fixed
-    * centroids (the vec_id<8 embeddings — deterministic and SQL-joinable;
-    * production would train k-means offline). Centroids broadcast; the scan
-    * is one pass with 8 codegen'd dot products per row; the argmax is a
-    * per-vector window with a deterministic tiebreak. The centroid id is
-    * the IVF partition key — at 100 TB the table is written partitioned/
-    * bucketed by it, so probes touch one cell.
-    */
+  /** IVF coarse assignment to the nearest of 8 fixed centroids. */
   def sim39(s0: SparkSession, dir: String): DataFrame = {
     val s = withDot(s0)
-    val e = normed(s, dir)
-    val cents = e.filter(col("vec_id") < 8).select(
-      col("vec_id").as("centroid_id"), col("emb").as("c_emb"), col("norm").as("c_norm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cos_full").desc, col("centroid_id").asc)
-    e.crossJoin(broadcast(cents))
-      .withColumn("cos_full",
-        dot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), round(col("cos_full"), 4).as("cos"))
+    Ann.ivfAssign(embD(s, dir), "vec_id", "emb", centroids(s, dir))
+      .select("vec_id", "centroid_id", "cos")
   }
 
-  /** IVF probe (nprobe=1): each query (vec_id<5) searches ONLY its own
-    * centroid cell — the inverted-list scan that replaces the full-table
-    * brute force of sim36. Top-3 per query, deterministic tiebreak.
-    */
+  /** IVF probe (nprobe=1): queries vec_id<5 search only their own cell. */
   def sim40(s0: SparkSession, dir: String): DataFrame = {
     val s = withDot(s0)
-    val e = normed(s, dir)
-    val cents = e.filter(col("vec_id") < 8).select(
-      col("vec_id").as("centroid_id"), col("emb").as("c_emb"), col("norm").as("c_norm"))
-    val aw = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cos_full").desc, col("centroid_id").asc)
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cos_full",
-        dot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
-      .withColumn("rn", row_number().over(aw))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("emb"), col("norm"))
-    val q = assigned.filter(col("vec_id") < 5).select(
-      col("vec_id").as("query_id"), col("centroid_id").as("q_cell"),
-      col("emb").as("q_emb"), col("norm").as("q_norm"))
-    val pw = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cand_cos").desc, col("vec_id").asc)
-    assigned.join(broadcast(q),
-        col("centroid_id") === col("q_cell") && col("vec_id") =!= col("query_id"))
-      .withColumn("cand_cos",
-        dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")))
-      .withColumn("rank", row_number().over(pw))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("centroid_id").as("cell"), round(col("cand_cos"), 4).as("cos"))
+    Ann.ivfProbe(
+      Ann.ivfAssign(embD(s, dir), "vec_id", "emb", centroids(s, dir)),
+      queryPred = col("vec_id") < 5, k = 3)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
