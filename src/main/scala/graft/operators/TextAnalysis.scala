@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable text-analysis operators for training-data curation (library
+  * form of the td26-td29 query surface; graft.queries.TextOps holds the
+  * oracle-checked instantiations). All narrow per-row projections — no
+  * shuffle, scan-bound, fully inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** Token/character statistics. */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String,
+      extraCols: Seq[String] = Seq.empty): DataFrame = {
+    val t = toks(col(textCol))
+    docs.select((Seq(col(idCol)) ++ extraCols.map(col) ++ Seq(
+      size(t).as("n_tokens"),
+      length(col(textCol)).as("n_chars_calc"),
+      round(aggregate(t, lit(0), (a, x) => a + length(x)).cast("double")
+        / size(t), 4).as("avg_token_len"))): _*)
+  }
+
+  /** Heuristic 0-100 quality score from length and stopword-ratio distance
+    * (shape mirrors the reference's deduction scoring,
+    * silver_x12_parsing.py:1068-1073).
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], targetStopRatio: Double = 0.08,
+      minTokens: Int = 20): DataFrame = {
+    val t = toks(col(textCol))
+    docs
+      .withColumn("n_tokens", size(t))
+      .withColumn("n_stop",
+        size(filter(t, x => x.isin(stopwords.map(lit(_)): _*))))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_tokens"), 6))
+      .withColumn("quality_score",
+        greatest(lit(0.0), least(lit(100.0), round(
+          lit(100.0)
+            - abs(col("stop_ratio") - targetStopRatio) * 200.0
+            - when(col("n_tokens") < minTokens, 30.0).otherwise(0.0), 4))))
+      .select(idCol, "n_tokens", "n_stop", "stop_ratio", "quality_score")
+  }
+
+  /** Marker-token language voting; `markers` order defines the
+    * deterministic tie-break (earlier wins ties).
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+      markers: Seq[(String, Seq[String])]): DataFrame = {
+    val t = toks(col(textCol))
+    val counted = markers.foldLeft(docs) { case (df, (lang, words)) =>
+      df.withColumn(s"c_$lang",
+        size(filter(t, x => x.isin(words.map(lit(_)): _*))))
+    }
+    // lang i wins when its count >= every later lang's count (ties go to
+    // the earliest entry)
+    val guess = markers.indices.init.foldRight(
+      lit(markers.last._1): Column) { case (i, rest) =>
+      val (lang, _) = markers(i)
+      val beatsLater = markers.drop(i + 1)
+        .map { case (other, _) => col(s"c_$lang") >= col(s"c_$other") }
+        .reduce(_ && _)
+      when(beatsLater, lang).otherwise(rest)
+    }
+    counted.withColumn("lang_guess", guess)
+      .select((Seq(idCol) ++ markers.map(m => s"c_${m._1}") ++ Seq("lang_guess")).map(col): _*)
+  }
+
+  /** Content fingerprints: normalized md5, token min-hash, head shingle. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+      headTokens: Int = 5): DataFrame = {
+    val t = toks(col(textCol))
+    docs.select(
+      col(idCol),
+      md5(lower(col(textCol))).as("content_fp"),
+      array_min(transform(t, x => md5(x))).as("token_min_hash"),
+      md5(concat_ws("|", slice(t, 1, headTokens))).as("head_fp"))
+  }
+}

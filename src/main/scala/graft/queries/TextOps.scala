@@ -47,65 +47,38 @@ object TextOps extends QuerySet {
         size(array_distinct(tokens)).as("n_distinct_tokens"),
         array_max(transform(tokens, x => length(x))).as("max_token_len"))
 
+  // td26-td29 are the oracle-checked instantiations of the reusable
+  // operators in graft.operators.TextAnalysis.
+  import graft.operators.TextAnalysis
+
   /** Token counting — whitespace tokens + char stats (training-data op). */
   def q26(s: SparkSession, dir: String): DataFrame =
-    Q.t(s, dir, "documents")
-      .select(
-        col("doc_id"),
-        col("lang"),
-        size(tokens).as("n_tokens"),
-        length(col("text")).as("n_chars_calc"),
-        round(aggregate(tokens, lit(0), (a, x) => a + length(x)).cast("double")
-          / size(tokens), 4).as("avg_token_len"))
+    TextAnalysis.tokenStats(Q.t(s, dir, "documents"), "doc_id", "text",
+      extraCols = Seq("lang"))
 
   /** Quality scoring — length / stopword-ratio heuristics (training-data op;
     * shape mirrors the reference's 0-100 quality score,
     * silver_x12_parsing.py:1068-1073).
     */
-  def q27(s: SparkSession, dir: String): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "to")
-    Q.t(s, dir, "documents")
-      .withColumn("n_tokens", size(tokens))
-      .withColumn("n_stop",
-        size(filter(tokens, x => x.isin(stop.map(lit(_)): _*))))
-      .withColumn("stop_ratio",
-        round(col("n_stop").cast("double") / col("n_tokens"), 6))
-      .withColumn("quality_score",
-        greatest(lit(0.0), least(lit(100.0), round(
-          lit(100.0)
-            - abs(col("stop_ratio") - 0.08) * 200.0
-            - when(col("n_tokens") < 20, 30.0).otherwise(0.0), 4))))
-      .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "quality_score")
-  }
+  def q27(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(Q.t(s, dir, "documents"), "doc_id", "text",
+      stopwords = Seq("the", "a", "of", "and", "to"))
 
   /** Language-ID — marker-token voting with deterministic tie order
     * (training-data op; n-gram-heuristic class).
     */
-  def q28(s: SparkSession, dir: String): DataFrame = {
-    def markers(ws: Seq[String]): Column =
-      size(filter(tokens, x => x.isin(ws.map(lit(_)): _*)))
-    Q.t(s, dir, "documents")
-      .withColumn("c_en", markers(Seq("the", "a", "of")))
-      .withColumn("c_fr", markers(Seq("le", "la", "et")))
-      .withColumn("c_es", markers(Seq("el", "los", "y")))
-      .withColumn("lang_guess",
-        when(col("c_en") >= col("c_fr") && col("c_en") >= col("c_es"), "en")
-          .when(col("c_fr") >= col("c_es"), "fr")
-          .otherwise("es"))
-      .select("doc_id", "c_en", "c_fr", "c_es", "lang_guess")
-  }
+  def q28(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Q.t(s, dir, "documents"), "doc_id", "text", Seq(
+      "en" -> Seq("the", "a", "of"),
+      "fr" -> Seq("le", "la", "et"),
+      "es" -> Seq("el", "los", "y")))
 
   /** Document fingerprinting — md5 content hash + order-independent token
     * min-hash (training-data op; the md5-based min over token hashes is the
     * same primitive MinHash builds on).
     */
   def q29(s: SparkSession, dir: String): DataFrame =
-    Q.t(s, dir, "documents")
-      .select(
-        col("doc_id"),
-        md5(lower(col("text"))).as("content_fp"),
-        array_min(transform(tokens, x => md5(x))).as("token_min_hash"),
-        md5(concat_ws("|", slice(tokens, 1, 5))).as("head_fp"))
+    TextAnalysis.fingerprints(Q.t(s, dir, "documents"), "doc_id", "text")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
