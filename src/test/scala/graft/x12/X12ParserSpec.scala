@@ -237,6 +237,31 @@ class X12ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("property: parseFile never throws on arbitrary garbage input") {
+    val rnd = new scala.util.Random(123)
+    val charsets = Seq(
+      "*~ISAGSSTSE0123456789", // envelope-ish soup
+      "abcdefghij*~\n\r\t",    // separators + noise
+      " ÿሴ*~")  // non-ASCII + control chars
+    for (i <- 0 until 300) {
+      val cs = charsets(i % charsets.length)
+      val len = rnd.nextInt(500)
+      val garbage = (0 until len).map(_ => cs(rnd.nextInt(cs.length))).mkString
+      val (isa, gs, txs) = X12Parser.parseFile(garbage) // must not throw
+      // whatever comes back is structurally sane
+      txs.foreach { tx =>
+        assert(tx.validation.quality_score >= 0 && tx.validation.quality_score <= 100)
+      }
+      assert(isa != null && gs != null)
+    }
+    // truncated real files parse without throwing too
+    val (full, _, _, _) = X12TestDataGen.generateFile(
+      new scala.util.Random(1), "837", "S1", "R1")
+    for (cut <- 0 until full.length by 37) {
+      X12Parser.parseFile(full.take(cut))
+    }
+  }
+
   test("property: defect-free generated transactions validate at full score") {
     for (seed <- 0L until 100L) {
       val rnd = new scala.util.Random(seed)
