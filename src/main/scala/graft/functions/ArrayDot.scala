@@ -92,10 +92,21 @@ case class ArrayDot(left: Expression, right: Expression)
   * `spark.sql.extensions=graft.functions.GraftExtensions`).
   */
 object GraftFunctions {
+  /** Shared builder with an explicit arity check — analysis reports a clear
+    * wrong-number-of-arguments error instead of IndexOutOfBoundsException.
+    */
+  private[functions] val buildDot: Seq[Expression] => Expression = children => {
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_dot: expected 2 " +
+          s"(graft_dot(array<double>, array<double>)), got ${children.length}")
+    ArrayDot(children(0), children(1))
+  }
+
   private val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
-      (children: Seq[Expression]) => ArrayDot(children(0), children(1))))
+      buildDot))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>
@@ -115,5 +126,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
-        (children: Seq[Expression]) => ArrayDot(children(0), children(1))))
+        GraftFunctions.buildDot))
 }

@@ -27,6 +27,9 @@ object Skew {
       salts: Int,
       aggs: Seq[(String, String)]): DataFrame = {
     require(salts > 0)
+    require(aggs.nonEmpty, "saltedAgg needs at least one (fn, column) aggregate")
+    require(aggs.distinct.length == aggs.length,
+      s"duplicate (fn, column) aggregates would collide on output names: $aggs")
     def partialExpr(fn: String, c: String): Column = fn match {
       case "sum" => sum(col(c))
       case "count" => count(col(c))

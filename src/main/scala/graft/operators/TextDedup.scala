@@ -101,6 +101,9 @@ object TextDedup {
     * votes ±1 weighted by token frequency.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    // token hashes are 16 bits (4 hex chars of md5); higher bit positions
+    // would read shifted-out zeros and vote a constant -1
+    require(bits >= 1 && bits <= 16, s"simhash supports 1..16 bits, got $bits")
     val tok = docs.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
       .withColumn("th", conv(substring(md5(col("t")), 1, 4), 16, 10).cast("int"))
     val sums = (0 until bits).map(j =>

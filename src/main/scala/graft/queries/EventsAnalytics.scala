@@ -110,14 +110,16 @@ object EventsAnalytics extends QuerySet {
   }
 
   /** A14 (ref: make_set + array_length) — distinct-set per group, sorted
-    * for cross-engine determinism.
+    * for cross-engine determinism. The set is emitted ","-joined: the
+    * driver's pandas canonicalizer cannot sort raw array columns
+    * (TypeError: unhashable ndarray), and a flat string compares identically.
     */
   def q17(s: SparkSession, dir: String): DataFrame =
     Q.t(s, dir, "events")
       .filter(col("value") > 190)
       .groupBy("event_type")
       .agg(
-        sort_array(collect_set(col("user_id"))).as("users"),
+        concat_ws(",", sort_array(collect_set(col("user_id")))).as("users"),
         countDistinct(col("user_id")).as("n_users"))
 
   /** O4 (ref: portal-backend-spec.md:251 top-N large files) — global top-k
@@ -244,7 +246,8 @@ object EventsAnalytics extends QuerySet {
         | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         |FROM events GROUP BY 1""".stripMargin,
     "q17_distinct_sets" ->
-      """SELECT event_type, list_sort(list(DISTINCT user_id)) AS users,
+      """SELECT event_type,
+        | array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
         | count(DISTINCT user_id) AS n_users
         |FROM events WHERE value > 190 GROUP BY event_type""".stripMargin,
     "q18_topk_global" ->

@@ -48,16 +48,26 @@ object Extended extends QuerySet {
 
   /** A17 scale twin (ref: portal-backend-spec.md:208) — percentile_approx
     * sketches merge across partitions without holding the values, the
-    * 100 TB replacement for q13's exact percentiles. Sketch outputs differ
-    * between engines, so this is a rows-only entry.
+    * 100 TB replacement for q13's exact percentiles. Raw sketch outputs
+    * differ between engines, so the oracle-checkable contract is the
+    * accuracy claim itself: the sketch must land within 1% of the exact
+    * percentile (at accuracy 10000 it is near-exact). The booleans hash
+    * against DuckDB `TRUE` literals, so a drifting sketch fails the gate.
     */
   def q28(s: SparkSession, dir: String): DataFrame =
     Q.t(s, dir, "events")
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("cnt"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
-        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_approx"))
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95a"),
+        expr("percentile(value, 0.5)").as("p50x"),
+        expr("percentile(value, 0.95)").as("p95x"))
+      .select(col("event_type"), col("cnt"),
+        (abs(col("p50a") - col("p50x")) <= abs(col("p50x")) * 0.01 + 1e-9)
+          .as("p50_within_1pct"),
+        (abs(col("p95a") - col("p95x")) <= abs(col("p95x")) * 0.01 + 1e-9)
+          .as("p95_within_1pct"))
 
   /** X10 (ref: monitoring/sftp-monitoring-queries.md:31-32 KQL `extract`)
     * — typed column extraction from semi-structured text via regex.
@@ -118,6 +128,10 @@ object Extended extends QuerySet {
       """SELECT user_id, arg_max(event_id, ts) AS latest_event_id,
         | arg_max(event_type, ts) AS latest_event_type, max(ts) AS latest_ts
         |FROM events GROUP BY user_id""".stripMargin,
+    "q28_percentile_approx" ->
+      """SELECT event_type, count(*) AS cnt,
+        | TRUE AS p50_within_1pct, TRUE AS p95_within_1pct
+        |FROM events GROUP BY event_type""".stripMargin,
     "q29_regexp_extract" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k,
         | count(*) AS cnt, count(DISTINCT user_id) AS n_users

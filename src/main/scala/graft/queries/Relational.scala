@@ -135,14 +135,18 @@ object Relational extends QuerySet {
         round(col("n_returned").cast("double") / col("cnt") * 100, 4))
 
   /** A5 (ref: generate_x12_acknowledgments.py:155-163) — collect_list per
-    * group; sorted for determinism (collect order is partition-dependent).
+    * group; sorted for determinism (collect order is partition-dependent)
+    * and ","-joined because the driver's pandas canonicalizer cannot sort
+    * raw array columns (TypeError: unhashable ndarray).
     */
   def q09(s: SparkSession, dir: String): DataFrame =
     Q.t(s, dir, "orders")
       .filter(col("o_totalprice") > 400000)
       .groupBy("o_custkey")
       .agg(
-        sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("o_orderkey"))), _.cast("string")))
+          .as("order_keys"),
         count(lit(1)).as("cnt"),
         max(col("o_totalprice")).as("max_price"))
 
@@ -229,7 +233,8 @@ object Relational extends QuerySet {
         | round(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 100, 4) AS pct_returned
         |FROM lineitem""".stripMargin,
     "q09_collect_list" ->
-      """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+      """SELECT o_custkey,
+        | array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
         | count(*) AS cnt, max(o_totalprice) AS max_price
         |FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey""".stripMargin,
     "q19_union_by_name" ->

@@ -213,12 +213,26 @@ object X12TestDataGen {
     * correlated request/response pairs). Idempotent per (dir, seed): skips
     * generation if the directory already holds the expected count.
     */
+  /** Generator version: bump on any change to the generated content so
+    * stale temp-dir corpora regenerate instead of silently serving old data.
+    */
+  private val generatorVersion = 2
+
   def writeCorpus(dir: String, n: Int, seed: Long = 42L): Seq[String] = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
     val expected = n + extraFiles
+    // idempotence is keyed on a manifest (seed, n, generator version), not
+    // just the file count — a same-sized corpus from a different seed or
+    // generator version must regenerate, or golden pins would silently run
+    // against the wrong data
+    val manifestPath = root.resolve("_corpus_manifest.txt")
+    val manifest = s"seed=$seed n=$n version=$generatorVersion"
     val existing = listX12(root)
-    if (existing.length == expected) return existing.map(_.toString)
+    if (existing.length == expected && Files.exists(manifestPath) &&
+        Files.readString(manifestPath) == manifest)
+      return existing.map(_.toString)
+    existing.foreach(Files.deleteIfExists)
     val rnd = new Random(seed)
     val pairFiles = (for (i <- 0 until 3; reqType <- Seq("276", "270")) yield {
       val (sender, receiver) = partners(rnd.nextInt(partners.length))
@@ -250,6 +264,7 @@ object X12TestDataGen {
     Files.writeString(unterminated,
       okContent.stripSuffix("~").split('~').dropRight(3).mkString("", "~", "~") +
         s"ST*837*${ctl(rnd)}~BHT*0019*00*REFX*20250101*1200*CH~")
+    Files.writeString(manifestPath, manifest)
     (files ++ pairFiles :+ garbage :+ unterminated).map(_.toString)
   }
 
