@@ -49,10 +49,13 @@ object Extended extends QuerySet {
   /** A17 scale twin (ref: portal-backend-spec.md:208) — percentile_approx
     * sketches merge across partitions without holding the values, the
     * 100 TB replacement for q13's exact percentiles. Raw sketch outputs
-    * differ between engines, so the oracle-checkable contract is the
-    * accuracy claim itself: the sketch must land within 1% of the exact
-    * percentile (at accuracy 10000 it is near-exact). The booleans hash
-    * against DuckDB `TRUE` literals, so a drifting sketch fails the gate.
+    * differ between engines, so the oracle-checkable contract is the sketch
+    * guarantee itself — a RANK bound, not a value bound (the sketch returns
+    * an order statistic; the exact percentile interpolates, and at small
+    * group sizes the two legitimately differ in value): the sketch result
+    * must land between the exact (p-0.02) and (p+0.02) percentiles. The
+    * booleans hash against DuckDB `TRUE` literals, so a drifting sketch
+    * fails the gate.
     */
   def q28(s: SparkSession, dir: String): DataFrame =
     Q.t(s, dir, "events")
@@ -61,13 +64,13 @@ object Extended extends QuerySet {
         count(lit(1)).as("cnt"),
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
         percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95a"),
-        expr("percentile(value, 0.5)").as("p50x"),
-        expr("percentile(value, 0.95)").as("p95x"))
+        expr("percentile(value, 0.48)").as("p50lo"),
+        expr("percentile(value, 0.52)").as("p50hi"),
+        expr("percentile(value, 0.93)").as("p95lo"),
+        expr("percentile(value, 0.97)").as("p95hi"))
       .select(col("event_type"), col("cnt"),
-        (abs(col("p50a") - col("p50x")) <= abs(col("p50x")) * 0.01 + 1e-9)
-          .as("p50_within_1pct"),
-        (abs(col("p95a") - col("p95x")) <= abs(col("p95x")) * 0.01 + 1e-9)
-          .as("p95_within_1pct"))
+        col("p50a").between(col("p50lo"), col("p50hi")).as("p50_in_rank_band"),
+        col("p95a").between(col("p95lo"), col("p95hi")).as("p95_in_rank_band"))
 
   /** X10 (ref: monitoring/sftp-monitoring-queries.md:31-32 KQL `extract`)
     * — typed column extraction from semi-structured text via regex.
@@ -130,7 +133,7 @@ object Extended extends QuerySet {
         |FROM events GROUP BY user_id""".stripMargin,
     "q28_percentile_approx" ->
       """SELECT event_type, count(*) AS cnt,
-        | TRUE AS p50_within_1pct, TRUE AS p95_within_1pct
+        | TRUE AS p50_in_rank_band, TRUE AS p95_in_rank_band
         |FROM events GROUP BY event_type""".stripMargin,
     "q29_regexp_extract" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k,
