@@ -85,11 +85,24 @@ object Ann {
       .select((Seq("vec_id") ++ extraCols ++ Seq("bucket", "bucket_size")).map(col): _*)
   }
 
-  /** Within-bucket near-neighbor pairs above a cosine threshold. */
+  /** Within-bucket near-neighbor pairs above a cosine threshold.
+    *
+    * `maxBucketSize` (0 = off) caps the quadratic within-bucket self-join —
+    * the 100 TB guard against a degenerate bucket (all-similar embeddings
+    * hashing to one cell) turning into a single straggler task. Oversize
+    * buckets are anti-joined away (the oversize set is tiny → broadcast)
+    * before the self-join; audit them via [[lshBuckets]]' bucket_size.
+    */
   def lshNearPairs(emb: DataFrame, idCol: String, embCol: String,
-      planes: Int, dim: Int, threshold: Double): DataFrame = {
-    val e = withNorm(emb.select(col(idCol).as("vec_id"), col(embCol).as("emb")), "emb")
+      planes: Int, dim: Int, threshold: Double, maxBucketSize: Long = 0L): DataFrame = {
+    val e0 = withNorm(emb.select(col(idCol).as("vec_id"), col(embCol).as("emb")), "emb")
       .withColumn("bucket", lshBucket("emb", planes, dim).cast("int"))
+    val e =
+      if (maxBucketSize > 0) {
+        val oversize = e0.groupBy("bucket").agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucketSize).select("bucket")
+        e0.join(broadcast(oversize), Seq("bucket"), "left_anti")
+      } else e0
     val cosine = dot(col("x.emb"), col("y.emb")) / (col("x.norm") * col("y.norm"))
     e.as("x").join(e.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
@@ -127,6 +140,41 @@ object Ann {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cand_cos").desc, col("vec_id").asc)
     assigned.join(broadcast(q),
+        col("centroid_id") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cand_cos",
+        dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("centroid_id").as("cell"), round(col("cand_cos"), 4).as("cos"))
+  }
+
+  /** IVF probe with configurable nprobe: each query searches its `nprobe`
+    * nearest centroid cells (ranked against the broadcast centroid frame,
+    * deterministic tiebreak), unioned before the per-query top-k heap. The
+    * production recall knob — nprobe=1 misses neighbors that sit just across
+    * a cell boundary; candidates stay bounded at nprobe × mean cell size.
+    * The probe-cell expansion is still one broadcast join: probe rows =
+    * queries × nprobe, tiny next to the candidate table.
+    */
+  def ivfProbe(assigned: DataFrame, centroids: DataFrame, queryPred: Column,
+      k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val q = assigned.filter(queryPred).select(
+      col("vec_id").as("query_id"), col("emb").as("q_emb"),
+      col("norm").as("q_norm"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("c_cos").desc, col("centroid_id").asc)
+    val probeCells = q.crossJoin(broadcast(centroids))
+      .withColumn("c_cos",
+        dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("cell_rank", row_number().over(wc))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        col("centroid_id").as("q_cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cand_cos").desc, col("vec_id").asc)
+    assigned.join(broadcast(probeCells),
         col("centroid_id") === col("q_cell") && col("vec_id") =!= col("query_id"))
       .withColumn("cand_cos",
         dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")))

@@ -73,13 +73,8 @@ object TextDedup {
     docs.select(col(idCol).as("doc_id") +: sigs: _*)
   }
 
-  /** LSH candidate pairs from banded minhash signatures: signatures are
-    * computed once, exploded to (band, bucket) rows, and pairs expand
-    * LOCALLY inside each bucket group after one shuffle (no self-join — see
-    * graft.queries.Dedup.dd33 scaladoc for why that shape matters).
-    * `rowsPerBand` consecutive signature columns hash into one band bucket.
-    */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+  /** (doc_id, bucket) rows: one banded-minhash bucket id per band per doc. */
+  private def lshBandBuckets(docs: DataFrame, idCol: String, textCol: String,
       bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
     val sigs = minhashSignatures(docs, idCol, textCol, k)
@@ -87,8 +82,35 @@ object TextDedup {
       val parts = (1 to rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       concat(lit(s"${b + 1}:"), md5(concat(parts: _*)))
     }
-    val bandsDf = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
-    bandsDf.groupBy("bucket")
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+  }
+
+  /** LSH candidate pairs from banded minhash signatures: signatures are
+    * computed once, exploded to (band, bucket) rows, and pairs expand
+    * LOCALLY inside each bucket group after one shuffle (no self-join — see
+    * graft.queries.Dedup.dd33 scaladoc for why that shape matters).
+    * `rowsPerBand` consecutive signature columns hash into one band bucket.
+    *
+    * `maxBucketSize` (0 = off) is the 100 TB safety knob, mirroring
+    * ngramJaccardPairs' `maxDocFreq`: a degenerate bucket (boilerplate-heavy
+    * corpus collapsing to one signature) would otherwise accumulate an
+    * unbounded id list in one task and expand quadratically. Oversize
+    * buckets are dropped BEFORE the collect (anti-join against the tiny
+    * oversize-bucket set, broadcast), never materialized; audit them with
+    * [[minhashLshBucketStats]]. Near-dups inside a dropped bucket are by
+    * construction near-identical boilerplate — at scale those route to
+    * exact dedup on the band hash instead of pairwise scoring.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, maxBucketSize: Long = 0L): DataFrame = {
+    val bandsDf = lshBandBuckets(docs, idCol, textCol, bands, rowsPerBand)
+    val capped =
+      if (maxBucketSize > 0) {
+        val oversize = bandsDf.groupBy("bucket").agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucketSize).select("bucket")
+        bandsDf.join(broadcast(oversize), Seq("bucket"), "left_anti")
+      } else bandsDf
+    capped.groupBy("bucket")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
@@ -96,6 +118,17 @@ object TextDedup {
           struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
   }
+
+  /** Audit companion to [[minhashLshPairs]]: per-bucket population and
+    * whether the cap would drop it — the "dropped bucket" metric a 100 TB
+    * run monitors (dropped buckets ⇒ candidate recall loss on boilerplate).
+    */
+  def minhashLshBucketStats(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, maxBucketSize: Long): DataFrame =
+    lshBandBuckets(docs, idCol, textCol, bands, rowsPerBand)
+      .groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
+      .withColumn("dropped",
+        lit(maxBucketSize > 0) && col("bucket_size") > maxBucketSize)
 
   /** SimHash fingerprint: per-token md5-derived `bits`-bit hash, each bit
     * votes ±1 weighted by token frequency.

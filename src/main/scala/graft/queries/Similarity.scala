@@ -75,12 +75,25 @@ object Similarity extends QuerySet {
       queryPred = col("vec_id") < 5, k = 3)
   }
 
+  /** IVF probe with nprobe=2: each query searches its two nearest cells —
+    * the recall knob a production IVF index actually runs with (nprobe=1
+    * misses neighbors just across a cell boundary).
+    */
+  def sim41(s0: SparkSession, dir: String): DataFrame = {
+    val s = withDot(s0)
+    Ann.ivfProbe(
+      Ann.ivfAssign(embD(s, dir), "vec_id", "emb", centroids(s, dir)),
+      centroids(s, dir),
+      queryPred = col("vec_id") < 5, k = 3, nprobe = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
     "sim37_lsh_buckets" -> (sim37 _),
     "sim38_lsh_neardup_pairs" -> (sim38 _),
     "sim39_ivf_assign" -> (sim39 _),
-    "sim40_ivf_probe" -> (sim40 _))
+    "sim40_ivf_probe" -> (sim40 _),
+    "sim41_ivf_probe_nprobe2" -> (sim41 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -148,6 +161,34 @@ object Similarity extends QuerySet {
         |cand AS (SELECT q.query_id, a.vec_id, a.centroid_id,
         |  list_sum([a.emb[i] * q.q_emb[i] for i in range(1, 65)]) / (a.norm * q.q_norm) AS cand_cos
         | FROM a JOIN q ON a.centroid_id = q.q_cell AND a.vec_id <> q.query_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+        | centroid_id AS cell, round(cand_cos, 4) AS cos
+        |FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cand_cos DESC, vec_id ASC) AS rank FROM cand)
+        |WHERE rank <= 3""".stripMargin,
+    "sim41_ivf_probe_nprobe2" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+        |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
+        |c AS (SELECT vec_id AS centroid_id, emb AS c_emb, norm AS c_norm FROM w WHERE vec_id < 8),
+        |scored AS (SELECT w.vec_id, c.centroid_id, w.emb, w.norm,
+        |  list_sum([w.emb[i] * c.c_emb[i] for i in range(1, 65)]) / (w.norm * c.c_norm) AS cos_full
+        | FROM w, c),
+        |a AS (SELECT vec_id, centroid_id, emb, norm FROM (
+        |  SELECT *, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY cos_full DESC, centroid_id ASC) AS rn FROM scored)
+        | WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
+        | FROM a WHERE vec_id < 5),
+        |p AS (SELECT query_id, q_emb, q_norm, centroid_id AS q_cell FROM (
+        |  SELECT q.query_id, q.q_emb, q.q_norm, c.centroid_id,
+        |   row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |    list_sum([q.q_emb[i] * c.c_emb[i] for i in range(1, 65)]) / (q.q_norm * c.c_norm) DESC,
+        |    c.centroid_id ASC) AS cell_rank
+        |  FROM q, c) WHERE cell_rank <= 2),
+        |cand AS (SELECT p.query_id, a.vec_id, a.centroid_id,
+        |  list_sum([a.emb[i] * p.q_emb[i] for i in range(1, 65)]) / (a.norm * p.q_norm) AS cand_cos
+        | FROM a JOIN p ON a.centroid_id = p.q_cell AND a.vec_id <> p.query_id)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
         | centroid_id AS cell, round(cand_cos, 4) AS cos
         |FROM (SELECT *, row_number() OVER

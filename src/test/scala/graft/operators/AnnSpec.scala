@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class AnnSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val emb = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+  }
+
+  private lazy val centroids = emb.filter(col("vec_id") < 8).select(
+    col("vec_id").as("centroid_id"), col("emb").as("c_emb"),
+    sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb"))).as("c_norm"))
+
+  test("lshNearPairs bucket cap: degenerate all-identical corpus completes and yields no pairs") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 500 identical vectors all hash to one bucket — uncapped this is a
+    // 500^2/2 self-join in a single task; the cap drops the bucket up front
+    val v = (1 to 64).map(_.toDouble)
+    val degenerate = (1 to 500).map(i => (i.toLong, v)).toDF("vec_id", "emb")
+    val capped = Ann.lshNearPairs(degenerate, "vec_id", "emb",
+      planes = 8, dim = 64, threshold = 0.0, maxBucketSize = 50)
+    assert(capped.count() == 0)
+  }
+
+  test("lshNearPairs with cap above every bucket equals the uncapped result") {
+    val base = Ann.lshNearPairs(emb, "vec_id", "emb", 8, 64, 0.25)
+    val capped = Ann.lshNearPairs(emb, "vec_id", "emb", 8, 64, 0.25,
+      maxBucketSize = 1000000)
+    assert(base.collect().toSet == capped.collect().toSet)
+  }
+
+  test("ivfProbe nprobe=2 is a superset search: top-k cosines never worse than nprobe=1") {
+    val assigned = Ann.ivfAssign(emb, "vec_id", "emb", centroids).cache()
+    val p1 = Ann.ivfProbe(assigned, col("vec_id") < 5, k = 3)
+    val p2 = Ann.ivfProbe(assigned, centroids, col("vec_id") < 5, k = 3, nprobe = 2)
+    // per (query, rank) the 2-cell candidate pool contains the 1-cell pool,
+    // so the rank-r cosine can only improve
+    val j = p1.select(col("query_id"), col("rank"), col("cos").as("cos1"))
+      .join(p2.select(col("query_id"), col("rank"), col("cos").as("cos2")),
+        Seq("query_id", "rank"))
+    assert(j.filter(col("cos2") < col("cos1")).count() == 0)
+    // nprobe=1 must equal the dedicated single-cell implementation
+    val p1viaMulti = Ann.ivfProbe(assigned, centroids, col("vec_id") < 5, k = 3,
+      nprobe = 1)
+    assert(p1.collect().toSet == p1viaMulti.collect().toSet)
+  }
+}

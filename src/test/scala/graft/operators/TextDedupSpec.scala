@@ -39,6 +39,31 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("LSH bucket cap: degenerate all-identical corpus completes and yields no pairs") {
+    import spark.implicits._
+    // 500 identical docs collapse to one bucket per band — uncapped that is
+    // a 500-id collect_list plus ~125k expanded pairs in one task; the cap
+    // anti-joins the oversize buckets away before any list materializes
+    val degenerate = (1 to 500)
+      .map(i => (i.toLong, "the same boilerplate text repeated for every document in this corpus"))
+      .toDF("doc_id", "text")
+    val capped = TextDedup.minhashLshPairs(degenerate, "doc_id", "text",
+      bands = 2, rowsPerBand = 2, maxBucketSize = 50)
+    assert(capped.count() == 0)
+    // the audit stats surface exactly what was dropped
+    val stats = TextDedup.minhashLshBucketStats(degenerate, "doc_id", "text",
+      2, 2, maxBucketSize = 50)
+    assert(stats.filter(col("dropped")).count() > 0)
+    assert(stats.filter(col("dropped")).agg(max("bucket_size")).head.getLong(0) == 500L)
+  }
+
+  test("LSH bucket cap above every bucket equals the uncapped result") {
+    val base = TextDedup.minhashLshPairs(docs, "doc_id", "text", 2, 2)
+    val capped = TextDedup.minhashLshPairs(docs, "doc_id", "text", 2, 2,
+      maxBucketSize = 1000000)
+    assert(base.collect().toSet == capped.collect().toSet)
+  }
+
   test("simhash of identical texts is identical") {
     val sh = TextDedup.simhash(docs, "doc_id", "text", 16)
     val joined = docs.select(col("doc_id").as("id_a"), md5(col("text")).as("fp"))
