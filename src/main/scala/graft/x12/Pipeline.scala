@@ -14,7 +14,16 @@ import org.apache.spark.sql.functions._
   *    the reference re-reads and re-`count()`s the silver table per mart
   *    (SURVEY.md §3.1 step 4);
   *  - only files bronze marked valid reach the parser;
-  *  - acknowledgments never collect() to the driver.
+  *  - acknowledgments never collect() to the driver;
+  *  - a processed-file ledger replaces the reference's archive-move
+  *    (x12_processing_dag.py:250-270): the DAG physically moves files to
+  *    `archive/` after each run so a re-run sees an empty landing dir. A
+  *    distributed engine cannot assume it owns the landing dir (SFTP
+  *    contract: the fetcher may land new files mid-run), so the batch
+  *    runner writes `_processed_files` parquet under outDir and anti-joins
+  *    it on the next run — re-running over the same landing dir appends no
+  *    duplicate silver rows. The streaming path gets the same guarantee
+  *    from checkpointed file tracking (Streaming.scala).
   */
 object X12Pipeline {
 
@@ -23,6 +32,20 @@ object X12Pipeline {
       silver: Dataset[SilverRecord],
       marts: Map[String, DataFrame],
       acks: DataFrame)
+
+  private def ledgerPath(outDir: String): String = s"$outDir/_processed_files"
+
+  /** File names already processed into `outDir` by previous runs (empty
+    * frame when no ledger exists yet).
+    */
+  def processedFiles(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val path = ledgerPath(outDir)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) spark.read.parquet(path).select("file_name")
+    else Seq.empty[String].toDF("file_name")
+  }
 
   def run(
       spark: SparkSession,
@@ -36,10 +59,27 @@ object X12Pipeline {
       qualityDrivenAckCode: Boolean = false): Result = {
     import spark.implicits._
 
-    // Bronze: validate + metadata; landing write partitioned by y/m/d
-    val bronze = X12Bronze.ingest(spark, landingDir, batchId, processingDate)
+    // Bronze: validate + metadata; landing write partitioned by y/m/d.
+    // Already-ledgered files are dropped up front (broadcast anti-join on
+    // the small file-name ledger), so a re-run is incremental, not a dup.
+    // The ledger is SNAPSHOTTED into a local relation before the run: the
+    // run itself appends to the ledger at the end, and a plan that read the
+    // ledger path directly would be re-cached against the grown ledger
+    // (Spark refreshes caches on writes to a source path), anti-joining
+    // this run's own files away from the returned frames.
+    val ingested = X12Bronze.ingest(spark, landingDir, batchId, processingDate)
+    val bronze =
+      if (write) {
+        val processed = processedFiles(spark, outDir)
+          .collect().map(_.getString(0)).toSeq
+        ingested.join(broadcast(processed.toDF("file_name")),
+          Seq("file_name"), "left_anti")
+      } else ingested
     bronze.cache()
-    if (write) {
+    // a fully-ledgered re-run has nothing new: skip every write (the
+    // overwrite-mode mart sinks would otherwise be wiped with empty frames)
+    val doWrite = write && bronze.count() > 0
+    if (doWrite) {
       X12Bronze.writeLanding(bronze, s"$outDir/bronze")
       X12Bronze.writeMetadataJson(bronze, s"$outDir/bronze_metadata")
       X12Bronze.summary(bronze).write.mode("overwrite").json(s"$outDir/bronze_summary")
@@ -55,7 +95,7 @@ object X12Pipeline {
       .select(col("file_name"), col("content")).as[(String, String)]
     val silver = X12Silver.parse(validFiles, batchId, processingDate, processingTs)
     silver.cache()
-    if (write) {
+    if (doWrite) {
       X12Silver.write(silver, s"$outDir/silver")
       X12Silver.summary(silver).write.mode("overwrite").json(s"$outDir/silver_summary")
     }
@@ -67,7 +107,7 @@ object X12Pipeline {
       ("gold_daily_analytics" ->
         X12Gold.dailyAnalytics(bronze, silver.toDF(), processingDate))
     val unpartitioned = Set("gold_business_kpis", "gold_daily_analytics")
-    if (write) marts.foreach { case (name, df) =>
+    if (doWrite) marts.foreach { case (name, df) =>
       val w = df.write.mode("overwrite")
       // summary marts keyed by processing_date partition like the reference
       // (gold_x12_analytics.py:500 etc.); single-row globals unpartitioned
@@ -79,9 +119,15 @@ object X12Pipeline {
     // 997 acknowledgments per trading partner
     val acks = Ack997.validate997(
       Ack997.acknowledgments(silver.toDF(), batchId, now, qualityDrivenAckCode))
-    if (write) {
+    if (doWrite) {
       Ack997.writeAckFiles(acks, s"$outDir/acknowledgments")
       Ack997.metadata(acks).write.mode("overwrite").json(s"$outDir/acknowledgment_metadata")
+      // ledger last: a file is "processed" only once every sink above has
+      // been written (a crashed run re-processes, never skips)
+      bronze.select("file_name")
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("processed_at", lit(processingTs))
+        .write.mode("append").parquet(ledgerPath(outDir))
     }
 
     Result(bronze, silver, marts, acks)

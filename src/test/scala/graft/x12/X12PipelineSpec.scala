@@ -295,4 +295,34 @@ class X12PipelineSpec extends AnyFunSuite with SparkTestBase {
       sm.getAs[Long]("transactions_invalid") ==
       sm.getAs[Long]("transactions_processed"))
   }
+
+  // keep last in the suite: the re-runs below mutate outDir artifacts that
+  // the earlier tests read
+
+  test("processed-file ledger: re-run over the same landing dir adds no silver rows") {
+    result // first run materialized and ledgered
+    val before = spark.read.parquet(s"$outDir/silver").count()
+    val second = X12Pipeline.run(spark, corpusDir, outDir, "BATCH_T2",
+      Date.valueOf("2025-09-02"), Timestamp.valueOf("2025-09-02 12:00:00"),
+      LocalDateTime.of(2025, 9, 2, 12, 0, 0))
+    assert(second.bronze.isEmpty, "every landing file is already ledgered")
+    assert(second.silver.isEmpty)
+    assert(spark.read.parquet(s"$outDir/silver").count() == before,
+      "no duplicate silver rows on re-run")
+  }
+
+  test("processed-file ledger: a late-arriving file is picked up incrementally") {
+    result
+    val before = spark.read.parquet(s"$outDir/silver").count()
+    val src = Paths.get(corpusDir, "test_x12_837_000.x12")
+    Files.copy(src, Paths.get(corpusDir, "late_arrival.x12"))
+    val third = X12Pipeline.run(spark, corpusDir, outDir, "BATCH_T3",
+      Date.valueOf("2025-09-03"), Timestamp.valueOf("2025-09-03 12:00:00"),
+      LocalDateTime.of(2025, 9, 3, 12, 0, 0))
+    assert(third.bronze.count() == 1, "only the new file is processed")
+    assert(third.bronze.select("file_name").head.getString(0) == "late_arrival.x12")
+    val newRows = third.silver.count()
+    assert(newRows > 0)
+    assert(spark.read.parquet(s"$outDir/silver").count() == before + newRows)
+  }
 }
