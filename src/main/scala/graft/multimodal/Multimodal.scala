@@ -32,14 +32,62 @@ final case class MediaFeatures(
     feature: Array[Float])
 
 object MediaCodec {
-  /** STUB — stands in for a real image/audio decoder (not installed here).
-    * Deterministic on the payload bytes so tests and the DuckDB oracle can
-    * verify the surrounding plumbing: "dimensions" are derived from the
-    * first payload bytes and the "embedding" from a rolling byte hash.
+
+  /** REAL header-sniffed dimensions for PNG / GIF / JPEG payloads — pure
+    * JVM parsing of the public container formats, no codec library needed:
+    *  - PNG: 8-byte signature, then the IHDR chunk fixes width/height as
+    *    big-endian u32 at offsets 16/20 (PNG spec §5.2, §11.2.2);
+    *  - GIF: "GIF87a"/"GIF89a", logical-screen width/height as
+    *    little-endian u16 at offsets 6/8 (GIF89a spec §18);
+    *  - JPEG: walk the FF-marker segment chain to the first SOF frame
+    *    header; height/width are big-endian u16 at SOF payload offsets
+    *    3/5 (ISO/IEC 10918-1 B.2.2).
+    * Returns None for unrecognized or truncated payloads.
+    */
+  def sniffDimensions(p: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (p.length >= 24 && u8(0) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
+        p(3) == 'G' && u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a &&
+        u8(7) == 0x0a)
+      Some((be32(16), be32(20)))
+    else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a')
+      Some((le16(6), le16(8)))
+    else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 9 < p.length) {
+        if (u8(i) != 0xff) return None // corrupt marker chain
+        val marker = u8(i + 1)
+        if (marker == 0xd8 || marker == 0x01 ||
+            (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone markers
+        else if (marker == 0xda || marker == 0xd9) return None // SOS/EOI before any SOF
+        else {
+          val len = be16(i + 2)
+          if (len < 2) return None
+          val isSof = (marker >= 0xc0 && marker <= 0xcf) &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc // not DHT/JPG/DAC
+          if (isSof) return Some((be16(i + 7), be16(i + 5)))
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Decode: dimensions are REAL for recognized image headers
+    * ([[sniffDimensions]]); unrecognized payloads fall back to the
+    * deterministic stub (derived from the first payload bytes), and the
+    * "embedding" remains a clearly-marked rolling-byte-hash STUB — a real
+    * pixel decoder/featurizer is not installed in this environment. The
+    * batching, schema and null contracts around this call are real.
     */
   def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    val w = 64 + (if (payload.nonEmpty) (payload(0) & 0x7f) else 0)
-    val h = 64 + (if (payload.length > 1) (payload(1) & 0x7f) else 0)
+    val (w, h) = sniffDimensions(payload).getOrElse((
+      64 + (if (payload.nonEmpty) (payload(0) & 0x7f) else 0),
+      64 + (if (payload.length > 1) (payload(1) & 0x7f) else 0)))
     val feat = new Array[Float](8)
     var acc = 17L
     var i = 0

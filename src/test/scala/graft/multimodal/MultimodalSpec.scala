@@ -35,6 +35,37 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       x.feature.sameElements(y.feature) && x.width == y.width })
   }
 
+  private def imageBytes(format: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"no $format writer")
+    out.toByteArray
+  }
+
+  test("header sniffing returns true dimensions for real PNG/GIF/JPEG bytes") {
+    // real encoders (JDK ImageIO), real header parsing — not the stub path
+    assert(MediaCodec.sniffDimensions(imageBytes("png", 300, 200)).contains((300, 200)))
+    assert(MediaCodec.sniffDimensions(imageBytes("gif", 320, 240)).contains((320, 240)))
+    assert(MediaCodec.sniffDimensions(imageBytes("jpg", 640, 480)).contains((640, 480)))
+    // decode() surfaces the sniffed dimensions
+    val (w, h, _) = MediaCodec.decode(imageBytes("png", 123, 45))
+    assert((w, h) == (123, 45))
+  }
+
+  test("header sniffing rejects garbage and truncated payloads, stub fallback engages") {
+    assert(MediaCodec.sniffDimensions("not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodec.sniffDimensions(Array[Byte]()).isEmpty)
+    assert(MediaCodec.sniffDimensions(imageBytes("png", 10, 10).take(12)).isEmpty)
+    // JPEG cut before any SOF marker
+    assert(MediaCodec.sniffDimensions(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+    // unrecognized payloads keep the deterministic stub dimensions
+    val text = "plain text payload".getBytes("UTF-8")
+    val (w, h, _) = MediaCodec.decode(text)
+    assert(w == 64 + (text(0) & 0x7f) && h == 64 + (text(1) & 0x7f))
+  }
+
   test("stub codec contracts: resize bounds and frame sampling") {
     assert(MediaCodec.resize(1920, 1080, 512) == (512, 288))
     assert(MediaCodec.resize(100, 50, 512) == (100, 50))
