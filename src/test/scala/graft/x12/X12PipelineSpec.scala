@@ -296,6 +296,34 @@ class X12PipelineSpec extends AnyFunSuite with SparkTestBase {
       sm.getAs[Long]("transactions_processed"))
   }
 
+  test("per-functional-group 997 grain bounds state and preserves coverage") {
+    val now = LocalDateTime.of(2025, 9, 1, 12, 0, 0)
+    val perPartner = result.acks
+    val perGroup = Ack997.validate997(
+      Ack997.acknowledgmentsPerGroup(result.silver.toDF(), "BATCH_T1", now)).cache()
+    // grain: exactly one ack per distinct (sender, receiver, group)
+    val expected = result.silver.toDF()
+      .select("sender_id", "receiver_id", "functional_group_number")
+      .distinct().count()
+    assert(perGroup.count() == expected)
+    assert(perGroup.count() >= perPartner.count())
+    // same total transaction coverage as the per-partner grain
+    val covered = perGroup.agg(sum(size(col("transaction_numbers")))).head.getLong(0)
+    assert(covered == result.silver.count())
+    // state bound: no group list exceeds the largest per-partner list
+    val maxPartner = perPartner.agg(max(size(col("transaction_numbers")))).head.getInt(0)
+    val maxGroup = perGroup.agg(max(size(col("transaction_numbers")))).head.getInt(0)
+    assert(maxGroup <= maxPartner)
+    // every ack structurally valid, AK1 names its OWN group control number
+    assert(perGroup.filter(!col("ack_is_valid")).count() == 0)
+    val ak1Mismatch = perGroup.filter(
+      !col("acknowledgment_content").contains(
+        concat(lit("*"), col("functional_group_number"), lit("~"))))
+    assert(ak1Mismatch.count() == 0)
+    // filenames are unique (group control number suffix)
+    assert(perGroup.select("ack_filename").distinct().count() == perGroup.count())
+  }
+
   // keep last in the suite: the re-runs below mutate outDir artifacts that
   // the earlier tests read
 
