@@ -69,6 +69,33 @@ object TextAnalysis {
       .select((Seq(idCol) ++ markers.map(m => s"c_${m._1}") ++ Seq("lang_guess")).map(col): _*)
   }
 
+  /** Benchmark-contamination check: for every document, how many of its
+    * distinct word-bigram shingles appear anywhere in a benchmark corpus —
+    * the standard eval-leakage screen a training-data pipeline runs before
+    * a corpus ships. The benchmark's distinct shingle set is broadcast
+    * (benchmarks are tiny next to a 100 TB corpus), so the operator is one
+    * scan over the corpus: explode shingles → broadcast-join → count per
+    * doc; documents with zero overlap are preserved via the final right
+    * join back onto the corpus (a contamination report must show clean
+    * docs as clean, not omit them).
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String): DataFrame = {
+    val docSh = docs.select(col(idCol).as("doc_id"),
+      explode(TextDedup.bigramShingles(col(textCol))).as("shingle"))
+    val benchSh = benchmark
+      .select(explode(TextDedup.bigramShingles(col(benchTextCol))).as("shingle"))
+      .distinct()
+    val shared = docSh.join(broadcast(benchSh), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.select(col(idCol).as("doc_id"),
+        size(TextDedup.bigramShingles(col(textCol))).as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contamination_ratio",
+        round(col("n_shared").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Content fingerprints: normalized md5, token min-hash, head shingle. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       headTokens: Int = 5): DataFrame = {

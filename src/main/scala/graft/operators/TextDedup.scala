@@ -119,6 +119,50 @@ object TextDedup {
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
   }
 
+  /** Duplicate-cluster formation: connected components over a near-dup
+    * pair frame (doc_a, doc_b), labeling every member with the minimum doc
+    * id reachable through the pair graph — the cluster's canonical id.
+    * This is the step that turns pairwise candidates into the actual dedup
+    * decision (keep canonical, drop the rest).
+    *
+    * Algorithm: iterative min-label propagation — each round joins labels
+    * across edges and takes the min (one bounded shuffle per round),
+    * converging in O(diameter) rounds; near-dup clusters are short-diameter
+    * in practice (dup chains share content transitively). The loop is
+    * driver-controlled like every iterative graph algorithm on Spark
+    * (GraphX Pregel does the same); per-round work is fully distributed,
+    * the driver only checks the convergence counter. `maxIter` bounds
+    * adversarial chains; each round's labels are cached and the previous
+    * round unpersisted so lineage stays shallow.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      changed = updated.filter(col("label") < col("old_label")).count()
+      labels.unpersist()
+      labels = updated.drop("old_label")
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Audit companion to [[minhashLshPairs]]: per-bucket population and
     * whether the cap would drop it — the "dropped bucket" metric a 100 TB
     * run monitors (dropped buckets ⇒ candidate recall loss on boilerplate).

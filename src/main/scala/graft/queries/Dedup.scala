@@ -79,13 +79,24 @@ object Dedup extends QuerySet {
         col("x.label").as("label"), col("cos"))
   }
 
+  /** Duplicate clusters from the LSH candidate pairs: connected components
+    * via iterative min-label propagation, each member labeled with its
+    * cluster's canonical (minimum) doc id — the frame a dedup pass actually
+    * acts on. The oracle recomputes the same components with a recursive
+    * CTE, so the distributed iteration is checked against a direct
+    * transitive closure.
+    */
+  def dd36(s: SparkSession, dir: String): DataFrame =
+    TextDedup.dupClusters(dd33(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
     "dd32_minhash_signatures" -> (dd32 _),
     "dd33_minhash_lsh_pairs" -> (dd33 _),
     "dd34_simhash" -> (dd34 _),
-    "dd35_embedding_neardup" -> (dd35 _))
+    "dd35_embedding_neardup" -> (dd35 _),
+    "dd36_dup_clusters" -> (dd36 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -149,5 +160,27 @@ object Dedup extends QuerySet {
          |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.label AS label,
          | round($cosSql, 4) AS cos
          |FROM w x JOIN w y ON x.label = y.label AND x.vec_id < y.vec_id
-         |WHERE round($cosSql, 4) >= 0.3""".stripMargin)
+         |WHERE round($cosSql, 4) >= 0.3""".stripMargin,
+    "dd36_dup_clusters" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+         |g AS (SELECT doc_id, $bigramsSql AS bg FROM d),
+         |sigs AS (SELECT doc_id,
+         |  md5(list_min(list_transform(bg, x -> md5('1' || x)))
+         |   || list_min(list_transform(bg, x -> md5('2' || x)))) AS b1,
+         |  md5(list_min(list_transform(bg, x -> md5('3' || x)))
+         |   || list_min(list_transform(bg, x -> md5('4' || x)))) AS b2
+         | FROM g),
+         |p AS (SELECT DISTINCT doc_a, doc_b FROM (
+         | SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM sigs x JOIN sigs y
+         |  ON x.b1 = y.b1 AND x.doc_id < y.doc_id
+         | UNION ALL
+         | SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y
+         |  ON x.b2 = y.b2 AND x.doc_id < y.doc_id)),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |walk(id, label) AS (
+         | SELECT src, src FROM edges
+         | UNION
+         | SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id)
+         |SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id""".stripMargin)
 }

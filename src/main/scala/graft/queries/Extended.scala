@@ -105,12 +105,34 @@ object Extended extends QuerySet {
         col("max_l_shipdate").as("max_ship"))
   }
 
+  /** Sessionization (gaps-and-islands, W-family): per-user sessions with a
+    * 30-minute inactivity gap — one shuffle on user_id shared by the lag
+    * window, running-sum window and final per-session aggregate. Streaming
+    * twin: `session_window` (StreamingSpec).
+    */
+  def q31(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessions.sessionStats(
+      Q.t(s, dir, "events"), "user_id", "ts", "event_id", gapSeconds = 1800L)
+
+  /** Deterministic stratified sampling (training-data mixing): hash-of-id
+    * membership per event_type — reproducible across engines/retries, no
+    * RNG state, verifiable by the oracle computing the same md5 bucket.
+    */
+  def q32(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratified(
+      Q.t(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
+      "event_type", "event_id",
+      rates = Map("purchase" -> 1.0, "error" -> 0.5, "view" -> 0.1),
+      defaultRate = 0.25)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
     "q28_percentile_approx" -> (q28 _),
     "q29_regexp_extract" -> (q29 _),
-    "q30_salted_agg" -> (q30 _))
+    "q30_salted_agg" -> (q30 _),
+    "q31_sessionize" -> (q31 _),
+    "q32_stratified_sample" -> (q32 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -144,5 +166,23 @@ object Extended extends QuerySet {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | count(l_orderkey) AS cnt,
         | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
-        |FROM lineitem GROUP BY 1""".stripMargin)
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q31_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |m AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |  OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_s FROM o),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS session_seq FROM m)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | count(*) AS n_events,
+        | min(ts) AS session_start, max(ts) AS session_end,
+        | date_diff('second', min(ts), max(ts)) AS duration_seconds
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "q32_stratified_sample" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE CAST('0x' || substr(md5(event_type || '|' || CAST(event_id AS VARCHAR)), 1, 4) AS INTEGER)
+        |  < CASE event_type WHEN 'purchase' THEN 65536 WHEN 'error' THEN 32768
+        |    WHEN 'view' THEN 6553 ELSE 16384 END""".stripMargin)
 }

@@ -80,13 +80,24 @@ object TextOps extends QuerySet {
   def q29(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(Q.t(s, dir, "documents"), "doc_id", "text")
 
+  /** Benchmark-contamination screen — distinct-shingle overlap of every
+    * document against a (broadcast) benchmark corpus; the pseudo-benchmark
+    * here is every 50th document (training-data op: eval-leakage check).
+    */
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(s, dir, "documents")
+    TextAnalysis.contamination(docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 50 === 0), "text")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
     "q25_array_hof" -> (q25 _),
     "td26_token_stats" -> (q26 _),
     "td27_quality_score" -> (q27 _),
     "td28_lang_id" -> (q28 _),
-    "td29_fingerprint" -> (q29 _))
+    "td29_fingerprint" -> (q29 _),
+    "td30_contamination" -> (q30 _))
 
   val oracles: Map[String, String] = Map(
     "q20_string_functions" ->
@@ -146,5 +157,18 @@ object TextOps extends QuerySet {
         | md5(lower(text)) AS content_fp,
         | list_min(list_transform(string_split(text, ' '), x -> md5(x))) AS token_min_hash,
         | md5(array_to_string(string_split(text, ' ')[1:5], '|')) AS head_fp
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "td30_contamination" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_distinct([sp[i] || ' ' || sp[i+1] for i in range(1, len(sp))]) AS bg FROM d),
+        |bench AS (SELECT DISTINCT unnest(bg) AS shingle FROM g WHERE doc_id % 50 = 0),
+        |sh AS (SELECT doc_id, unnest(bg) AS shingle FROM g),
+        |shared AS (SELECT doc_id, count(*) AS n_shared
+        |           FROM sh JOIN bench USING (shingle) GROUP BY doc_id)
+        |SELECT g.doc_id,
+        | CAST(len(bg) AS INTEGER) AS n_shingles,
+        | CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+        | round(CAST(COALESCE(n_shared, 0) AS DOUBLE) / len(bg), 6) AS contamination_ratio
+        |FROM g LEFT JOIN shared ON g.doc_id = shared.doc_id""".stripMargin)
 }

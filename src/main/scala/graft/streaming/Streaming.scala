@@ -147,4 +147,22 @@ object EventStreaming {
         col("cnt"), col("n_errors"),
         round((col("cnt") - col("n_errors")).cast("double") / col("cnt") * 100, 4)
           .as("success_rate"))
+
+  /** Streaming twin of the batch sessionizer (graft.operators.Sessions):
+    * Spark's native `session_window` merges events of one key into sessions
+    * separated by `gap` of inactivity, with watermark-bounded state — the
+    * state-store analog of the batch gaps-and-islands windows, and the
+    * 100 TB path for continuous sessionization (state is per OPEN session,
+    * not per event).
+    */
+  def sessions(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, "2 hours")
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 }

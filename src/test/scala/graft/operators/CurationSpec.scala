@@ -1,0 +1,78 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Unit specs for the curation operators: sessionization, deterministic
+  * sampling, dup-cluster formation, benchmark contamination.
+  */
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+
+  test("sessionize: a new session starts exactly past the gap, not at it") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      ("u1", t("2025-09-01 10:00:00"), 1L),
+      ("u1", t("2025-09-01 10:30:00"), 2L), // gap 1800 = limit → same session
+      ("u1", t("2025-09-01 11:00:01"), 3L), // gap 1801 > limit → new session
+      ("u2", t("2025-09-01 10:05:00"), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val stats = Sessions.sessionStats(events, "user_id", "ts", "event_id", 1800L)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("session_seq")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("duration_seconds"))).toMap
+    assert(stats(("u1", 1L)) == (2L, 1800L))
+    assert(stats(("u1", 2L)) == (1L, 0L))
+    assert(stats(("u2", 1L)) == (1L, 0L))
+  }
+
+  test("stratified sampling is deterministic, rate-ordered, exact at the extremes") {
+    import spark.implicits._
+    val rows = (1L to 2000L).map(i => (i, if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "stratum")
+    def sampled(rx: Double, ry: Double) =
+      Sampling.stratified(rows, "stratum", "id", Map("x" -> rx, "y" -> ry), 0.0)
+    // extremes are exact
+    assert(sampled(1.0, 0.0).count() == 1000)
+    assert(sampled(0.0, 0.0).count() == 0)
+    // rate ~ fraction kept (hash-uniform, generous tolerance)
+    val half = sampled(0.5, 0.0).count()
+    assert(half > 400 && half < 600, s"0.5 rate kept $half of 1000")
+    // monotone: a higher rate keeps a superset
+    val lo = sampled(0.2, 0.0).select("id")
+    val hi = sampled(0.6, 0.0).select("id")
+    assert(lo.join(hi, Seq("id"), "left_anti").count() == 0)
+    // deterministic across invocations
+    assert(sampled(0.5, 0.3).collect().map(_.getLong(0)).sorted
+      .sameElements(sampled(0.5, 0.3).collect().map(_.getLong(0)).sorted))
+  }
+
+  test("dupClusters: transitive chains collapse to the minimum id") {
+    import spark.implicits._
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    val m = TextDedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(m(_) == 1L))
+    assert(Seq(10L, 11L).forall(m(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(m(_) == 20L))
+    assert(m.size == 9)
+  }
+
+  test("contamination counts shared shingles and reports clean docs as zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "nothing in common here")).toDF("doc_id", "text")
+    val bench = Seq((99L, "alpha beta gamma")).toDF("doc_id", "text")
+    val r = TextAnalysis.contamination(docs, "doc_id", "text", bench, "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Int]("n_shingles"), x.getAs[Long]("n_shared"),
+          x.getAs[Double]("contamination_ratio"))).toMap
+    // doc 1 shingles: "alpha beta","beta gamma","gamma delta"; bench has 2
+    assert(r(1L) == ((3, 2L, 0.666667)))
+    assert(r(2L) == ((3, 0L, 0.0)))
+  }
+}

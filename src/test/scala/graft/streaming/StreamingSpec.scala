@@ -157,4 +157,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.head.getAs[Long]("cnt") == 4)
     assert(rows.head.getAs[Double]("success_rate") == 75.0)
   }
+
+  test("streaming sessions: session_window merges within the gap, splits across it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val sess = EventStreaming.sessions(
+      input.toDF().toDF("ts", "user_id"), "user_id", "ts", "30 minutes")
+    val q = sess.writeStream.format("memory")
+      .queryName("sessions").outputMode("append").start()
+    input.addData(Seq(
+      (Timestamp.valueOf("2025-09-01 10:00:00"), "u1"),
+      (Timestamp.valueOf("2025-09-01 10:10:00"), "u1"), // same session
+      (Timestamp.valueOf("2025-09-01 11:30:00"), "u1"), // > 30 min later → new
+      (Timestamp.valueOf("2025-09-01 10:05:00"), "u2")))
+    q.processAllAvailable()
+    // advance the watermark past every session's close (same two-nudge
+    // pattern as the window tests: a batch's watermark gates the NEXT batch)
+    input.addData(Seq((Timestamp.valueOf("2025-09-01 15:00:00"), "u3")))
+    q.processAllAvailable()
+    input.addData(Seq((Timestamp.valueOf("2025-09-01 15:01:00"), "u3")))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getString(0), r.getAs[Timestamp]("session_start")) ->
+        (r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"))).toMap
+    q.stop()
+    val s1 = rows(("u1", Timestamp.valueOf("2025-09-01 10:00:00")))
+    // session end = last event + gap; both events merged
+    assert(s1 == ((Timestamp.valueOf("2025-09-01 10:40:00"), 2L)))
+    val s2 = rows(("u1", Timestamp.valueOf("2025-09-01 11:30:00")))
+    assert(s2 == ((Timestamp.valueOf("2025-09-01 12:00:00"), 1L)))
+    assert(rows(("u2", Timestamp.valueOf("2025-09-01 10:05:00")))._2 == 1L)
+  }
 }
