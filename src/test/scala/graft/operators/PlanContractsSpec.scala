@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Physical-plan contracts for the curation operators — the 100 TB claims
+  * in the scaladocs, pinned as assertions so a refactor that silently adds
+  * a shuffle or drops a broadcast fails the suite (same idiom as
+  * BucketingSpec and the nested-schema-pruning pin).
+  */
+class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  // events.ts is parquet TIMESTAMP(NANOS) — same read shim as queries.Q.t
+  private def events = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  test("sessionStats plans exactly one shuffle, shared by windows and aggregate") {
+    val ev = events.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stats = Sessions.sessionStats(ev, "user_id", "ts", "event_id", 1800L)
+    val plan = stats.queryExecution.executedPlan.toString
+    // one hash-partitioning exchange on user_id: lag window, running-sum
+    // window and the (user_id, session_seq) aggregate all reuse it —
+    // HashPartitioning(user_id) satisfies the superset grouping
+    assert(countOf(plan, "Exchange hashpartitioning") == 1,
+      s"expected exactly one shuffle:\n$plan")
+    assert(stats.count() > 0)
+  }
+
+  test("stratified sampling plans with no shuffle at all") {
+    val sampled = Sampling.stratified(events, "event_type", "event_id",
+      Map("purchase" -> 1.0), 0.25)
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must be a pure map stage:\n$plan")
+    assert(sampled.count() > 0)
+  }
+
+  test("contamination joins the benchmark shingles by broadcast, never SMJ on the corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val c = TextAnalysis.contamination(docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 50 === 0), "text")
+    val plan = c.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingle set must broadcast:\n$plan")
+    assert(c.count() == docs.count())
+  }
+
+  test("filter + projection reach the parquet scan (pushdown contract)") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_orderdate")
+    val scan = orders.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(scan.contains("EqualTo(o_orderstatus,O)"), s"filter not pushed:\n$scan")
+    val schemaLine = orders.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!schemaLine.contains("o_totalprice"),
+      s"projection must prune unused columns:\n$schemaLine")
+  }
+}
