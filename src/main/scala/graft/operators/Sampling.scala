@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data curation.
@@ -41,4 +42,49 @@ object Sampling {
   def deterministic(df: DataFrame, idCol: String, rate: Double): DataFrame =
     stratified(df.withColumn("__s", lit("all")), "__s", idCol,
       Map.empty, rate).drop("__s")
+
+  /** Deterministic per-source hash order: stable, engine-reproducible, and
+    * uncorrelated with any data column — the "random but repeatable" order
+    * the budget/cap operators admit rows in.
+    */
+  private def hashOrder(stratum: Column, id: Column): Column =
+    md5(concat(stratum, lit("|"), id.cast("string")))
+
+  /** Token-budgeted corpus assembly (training-data mixing): per source,
+    * admit documents in deterministic hash order until the source's token
+    * budget is reached — a document is admitted iff the running token sum
+    * INCLUDING it stays within budget. One shuffle on the source column;
+    * the running-sum window and the filter share it. Budgets are exact and
+    * reproducible: the same corpus + budgets always selects the same
+    * documents, on any engine.
+    */
+  def tokenBudget(df: DataFrame, sourceCol: String, idCol: String,
+      tokenCountCol: String, budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    require((budgets.values.toSeq :+ defaultBudget).forall(_ >= 0),
+      s"budgets must be >= 0: $budgets / $defaultBudget")
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(hashOrder(col(sourceCol), col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (value, b)) => when(col(sourceCol) === value, lit(b)).otherwise(acc)
+    }
+    df.withColumn("__cum_tokens", sum(col(tokenCountCol).cast("long")).over(w))
+      .filter(col("__cum_tokens") <= budget)
+      .drop("__cum_tokens")
+  }
+
+  /** Deterministic per-key cap ("reservoir" with a hash instead of RNG):
+    * keep at most `k` rows per key, chosen by the stable hash order — the
+    * per-source row cap a mixing pipeline applies before interleaving.
+    * Single shuffle on the key; row_number and filter share it.
+    */
+  def perKeyCap(df: DataFrame, keyCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(hashOrder(col(keyCol), col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

@@ -125,6 +125,27 @@ object Extended extends QuerySet {
       rates = Map("purchase" -> 1.0, "error" -> 0.5, "view" -> 0.1),
       defaultRate = 0.25)
 
+  /** Token-budgeted corpus assembly (training-data mixing): per source,
+    * admit documents in deterministic hash order until the source's token
+    * budget is exhausted — the exact-budget, reproducible form of corpus
+    * mixing (a random shuffle would admit a different set every run).
+    */
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    graft.operators.Sampling.tokenBudget(docs, "source", "doc_id", "n_tokens",
+      budgets = Map("src0" -> 1000L, "src1" -> 200L), defaultBudget = 600L)
+  }
+
+  /** Deterministic per-key cap: at most 3 events per user, chosen by the
+    * stable hash order (the per-source row cap before interleaving).
+    */
+  def q34(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.perKeyCap(
+      Q.t(s, dir, "events").select("event_id", "user_id", "event_type"),
+      "user_id", "event_id", k = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
@@ -132,7 +153,9 @@ object Extended extends QuerySet {
     "q29_regexp_extract" -> (q29 _),
     "q30_salted_agg" -> (q30 _),
     "q31_sessionize" -> (q31 _),
-    "q32_stratified_sample" -> (q32 _))
+    "q32_stratified_sample" -> (q32 _),
+    "q33_token_budget" -> (q33 _),
+    "q34_per_key_cap" -> (q34 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -184,5 +207,20 @@ object Extended extends QuerySet {
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE CAST('0x' || substr(md5(event_type || '|' || CAST(event_id AS VARCHAR)), 1, 4) AS INTEGER)
         |  < CASE event_type WHEN 'purchase' THEN 65536 WHEN 'error' THEN 32768
-        |    WHEN 'view' THEN 6553 ELSE 16384 END""".stripMargin)
+        |    WHEN 'view' THEN 6553 ELSE 16384 END""".stripMargin,
+    "q33_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents),
+        |c AS (SELECT *, SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source
+        |  ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)), doc_id
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT doc_id, source, n_tokens FROM c
+        |WHERE cum <= CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 200
+        |  ELSE 600 END""".stripMargin,
+    "q34_per_key_cap" ->
+      """SELECT event_id, user_id, event_type FROM (
+        | SELECT event_id, user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |   ORDER BY md5(user_id || '|' || CAST(event_id AS VARCHAR)), event_id) AS rn
+        | FROM events) WHERE rn <= 3""".stripMargin)
 }

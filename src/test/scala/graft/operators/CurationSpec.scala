@@ -61,6 +61,38 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(m.size == 9)
   }
 
+  test("tokenBudget admits in hash order and never exceeds the budget") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, if (i <= 50) "a" else "b", 10))
+      .toDF("doc_id", "source", "n_tokens")
+    val picked = Sampling.tokenBudget(docs, "source", "doc_id", "n_tokens",
+      Map("a" -> 95L), defaultBudget = 40L).cache()
+    // budget 95 at 10 tokens/doc admits exactly 9 (the 10th would cross)
+    assert(picked.filter(col("source") === "a").count() == 9)
+    assert(picked.filter(col("source") === "b").count() == 4)
+    // deterministic: the same call selects the same documents
+    val again = Sampling.tokenBudget(docs, "source", "doc_id", "n_tokens",
+      Map("a" -> 95L), defaultBudget = 40L)
+    assert(picked.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(again.select("doc_id").collect().map(_.getLong(0)).sorted))
+    // a zero budget admits nothing
+    assert(Sampling.tokenBudget(docs, "source", "doc_id", "n_tokens",
+      Map.empty, defaultBudget = 0L).count() == 0)
+  }
+
+  test("perKeyCap keeps at most k per key, deterministically") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (i, s"u${i % 7}")).toDF("id", "key")
+    val capped = Sampling.perKeyCap(rows, "key", "id", k = 5).cache()
+    val perKey = capped.groupBy("key").count().collect()
+    assert(perKey.forall(_.getLong(1) == 5))
+    val again = Sampling.perKeyCap(rows, "key", "id", k = 5)
+    assert(capped.select("id").collect().map(_.getLong(0)).sorted
+      .sameElements(again.select("id").collect().map(_.getLong(0)).sorted))
+    // k above the population keeps everything
+    assert(Sampling.perKeyCap(rows, "key", "id", k = 1000).count() == 300)
+  }
+
   test("contamination counts shared shingles and reports clean docs as zero") {
     import spark.implicits._
     val docs = Seq(
