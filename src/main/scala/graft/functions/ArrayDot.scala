@@ -103,10 +103,45 @@ object GraftFunctions {
     ArrayDot(children(0), children(1))
   }
 
+  /** graft_minhash(shingles, k): k must be an integer literal — the
+    * signature width is a plan-time constant.
+    */
+  private[functions] val buildMinHash: Seq[Expression] => Expression = children => {
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_minhash: expected 2 " +
+          s"(graft_minhash(array<string>, k)), got ${children.length}")
+    children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
+        MinHashSigs(children(0), k)
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash k must be an integer literal, got $other")
+    }
+  }
+
+  private[functions] val buildMinHashU: Seq[Expression] => Expression = children => {
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_minhash_u: expected 2 " +
+          s"(graft_minhash_u(array<string>, k)), got ${children.length}")
+    children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
+        MinHashUniversal(children(0), k)
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash_u k must be an integer literal, got $other")
+    }
+  }
+
   private val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
-      buildDot))
+      buildDot),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash"),
+      buildMinHash),
+    (FunctionIdentifier("graft_minhash_u"),
+      new ExpressionInfo(classOf[MinHashUniversal].getName, "graft_minhash_u"),
+      buildMinHashU))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>
@@ -116,15 +151,34 @@ object GraftFunctions {
   /** Column-level helper once registered. */
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+
+  /** Column-level helper once registered: array of k min-hash hex strings. */
+  def minhash(shingles: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_minhash", shingles,
+      org.apache.spark.sql.functions.lit(k))
+
+  /** One-digest universal-hash MinHash: array of k min-permutation longs. */
+  def minhashU(shingles: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_minhash_u", shingles,
+      org.apache.spark.sql.functions.lit(k))
 }
 
 /** Extensions entry point: inject graft functions into every session built
   * with `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
         GraftFunctions.buildDot))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_minhash"),
+        new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash"),
+        GraftFunctions.buildMinHash))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_minhash_u"),
+        new ExpressionInfo(classOf[MinHashUniversal].getName, "graft_minhash_u"),
+        GraftFunctions.buildMinHashU))
+  }
 }

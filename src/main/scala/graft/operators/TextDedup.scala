@@ -64,20 +64,51 @@ object TextDedup {
       .select("doc_a", "doc_b", "common", "jaccard")
   }
 
-  /** k seeded-md5 MinHash signature columns mh1..mhk. */
+  /** k seeded-md5 MinHash signature columns mh1..mhk.
+    *
+    * `fast = true` computes all k signatures in ONE traversal of the
+    * shingle array via the native `graft_minhash` expression
+    * (graft.functions.MinHashSigs — requires `GraftFunctions.register`):
+    * identical bytes, but the default composable form evaluates k
+    * interpreted lambda trees per shingle (higher-order function bodies
+    * are not code-generated), which at production signature widths
+    * (k = 64-128) is the whole cost of the signature stage.
+    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val sigs = (1 to k).map(i =>
-      array_min(transform(bigramShingles(col(textCol)),
-        x => md5(concat(lit(i.toString), x)))).as(s"mh$i"))
-    docs.select(col(idCol).as("doc_id") +: sigs: _*)
+      k: Int, fast: Boolean = false): DataFrame =
+    if (fast) {
+      val sig = graft.functions.GraftFunctions.minhash(
+        bigramShingles(col(textCol)), k)
+      docs.select(col(idCol).as("doc_id") +:
+        (1 to k).map(i => element_at(sig, lit(i)).as(s"mh$i")): _*)
+    } else {
+      val sigs = (1 to k).map(i =>
+        array_min(transform(bigramShingles(col(textCol)),
+          x => md5(concat(lit(i.toString), x)))).as(s"mh$i"))
+      docs.select(col(idCol).as("doc_id") +: sigs: _*)
+    }
+
+  /** Production-scale MinHash (Broder's estimator): ONE md5 digest per
+    * shingle, k universal-hash permutations of the truncated digest —
+    * k× fewer digest computations than the seeded-md5 form, the version a
+    * 100 TB dedup runs at k = 64-128. Signature values are longs (cheaper
+    * to band/compare than 32-char hex strings). Requires
+    * `GraftFunctions.register`; coefficients are deterministic and
+    * engine-reproducible (graft.functions.MinHashUtil.aCoef/bCoef).
+    */
+  def minhashSignaturesUniversal(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val sig = graft.functions.GraftFunctions.minhashU(
+      bigramShingles(col(textCol)), k)
+    docs.select(col(idCol).as("doc_id") +:
+      (1 to k).map(i => element_at(sig, lit(i)).as(s"mh$i")): _*)
   }
 
   /** (doc_id, bucket) rows: one banded-minhash bucket id per band per doc. */
   private def lshBandBuckets(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
+      bands: Int, rowsPerBand: Int, fast: Boolean): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = minhashSignatures(docs, idCol, textCol, k)
+    val sigs = minhashSignatures(docs, idCol, textCol, k, fast)
     val bandCols = (0 until bands).map { b =>
       val parts = (1 to rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       concat(lit(s"${b + 1}:"), md5(concat(parts: _*)))
@@ -102,8 +133,9 @@ object TextDedup {
     * exact dedup on the band hash instead of pairwise scoring.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int, maxBucketSize: Long = 0L): DataFrame = {
-    val bandsDf = lshBandBuckets(docs, idCol, textCol, bands, rowsPerBand)
+      bands: Int, rowsPerBand: Int, maxBucketSize: Long = 0L,
+      fast: Boolean = false): DataFrame = {
+    val bandsDf = lshBandBuckets(docs, idCol, textCol, bands, rowsPerBand, fast)
     val capped =
       if (maxBucketSize > 0) {
         val oversize = bandsDf.groupBy("bucket").agg(count(lit(1)).as("n"))
@@ -125,23 +157,37 @@ object TextDedup {
     * This is the step that turns pairwise candidates into the actual dedup
     * decision (keep canonical, drop the rest).
     *
-    * Algorithm: iterative min-label propagation — each round joins labels
-    * across edges and takes the min (one bounded shuffle per round),
-    * converging in O(diameter) rounds; near-dup clusters are short-diameter
-    * in practice (dup chains share content transitively). The loop is
-    * driver-controlled like every iterative graph algorithm on Spark
-    * (GraphX Pregel does the same); per-round work is fully distributed,
-    * the driver only checks the convergence counter. `maxIter` bounds
-    * adversarial chains; each round's labels are cached and the previous
-    * round unpersisted so lineage stays shallow.
+    * Algorithm: iterative min-label propagation WITH pointer jumping —
+    * each round a node takes the min of its own label, its neighbors'
+    * labels (one bounded shuffle), and its label's label (a second bounded
+    * self-join: the path-halving step). Neighbor propagation alone needs
+    * O(diameter) rounds — a 4000-node near-dup chain would blow any
+    * iteration budget; the label-of-label shortcut doubles the jump
+    * distance per round, giving O(log diameter) convergence (the
+    * hash-to-min construction). The loop is driver-controlled like every
+    * iterative graph algorithm on Spark (GraphX Pregel does the same);
+    * per-round work is fully distributed, the driver only checks the
+    * convergence counter. `maxIter` bounds adversarial graphs.
+    *
+    * Each round's labels are CHECKPOINTED, not merely cached: the round's
+    * logical plan references the previous labels twice (directly and via
+    * the neighbor aggregate), so without truncating the logical lineage the
+    * analyzed plan doubles every round — 2^rounds analysis cost and heap,
+    * the classic iterative-on-Catalyst failure (GraphX checkpoints for the
+    * same reason). `localCheckpoint` truncates to the materialized RDD;
+    * superseded checkpoints are unreferenced and cleaned by the
+    * ContextCleaner. On a cluster, executor loss invalidates local
+    * checkpoints — acceptable for a deterministic batch stage that simply
+    * re-runs; use reliable `checkpoint` with a checkpoint dir if the
+    * surrounding pipeline cannot re-run the stage.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -149,17 +195,21 @@ object TextDedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr_label"))
+      // pointer jumping: each node also sees its label's own label
+      val labelOfLabel = labels
+        .select(col("id").as("__lid"), col("label").as("__ll"))
       val updated = labels
+        .join(labelOfLabel, col("label") === col("__lid"), "left")
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
+          least(col("label"),
+            coalesce(col("__ll"), col("label")),
+            coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
       changed = updated.filter(col("label") < col("old_label")).count()
-      labels.unpersist()
       labels = updated.drop("old_label")
       i += 1
     }
-    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -168,8 +218,9 @@ object TextDedup {
     * run monitors (dropped buckets ⇒ candidate recall loss on boilerplate).
     */
   def minhashLshBucketStats(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int, maxBucketSize: Long): DataFrame =
-    lshBandBuckets(docs, idCol, textCol, bands, rowsPerBand)
+      bands: Int, rowsPerBand: Int, maxBucketSize: Long,
+      fast: Boolean = false): DataFrame =
+    lshBandBuckets(docs, idCol, textCol, bands, rowsPerBand, fast)
       .groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
       .withColumn("dropped",
         lit(maxBucketSize > 0) && col("bucket_size") > maxBucketSize)

@@ -44,14 +44,24 @@ object Dedup extends QuerySet {
     TextDedup.ngramJaccardPairs(Q.t(s, dir, "documents"),
       "doc_id", "text", blockCol = "source", threshold = 0.5)
 
-  /** MinHash signature per document: k=4 seeded-md5 permutations. */
-  def dd32(s: SparkSession, dir: String): DataFrame =
-    TextDedup.minhashSignatures(Q.t(s, dir, "documents"), "doc_id", "text", k = 4)
+  /** MinHash signature per document: k=4 seeded-md5 permutations, computed
+    * by the one-pass native `graft_minhash` expression (byte-parity with
+    * the composable HOF form is spec-pinned in ArrayDotSpec).
+    */
+  def dd32(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    TextDedup.minhashSignatures(Q.t(s, dir, "documents"), "doc_id", "text",
+      k = 4, fast = true)
+  }
 
-  /** MinHash LSH candidate pairs: 2 bands × 2 rows per band. */
-  def dd33(s: SparkSession, dir: String): DataFrame =
+  /** MinHash LSH candidate pairs: 2 bands × 2 rows per band (signatures
+    * via the native one-pass expression).
+    */
+  def dd33(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     TextDedup.minhashLshPairs(Q.t(s, dir, "documents"),
-      "doc_id", "text", bands = 2, rowsPerBand = 2)
+      "doc_id", "text", bands = 2, rowsPerBand = 2, fast = true)
+  }
 
   /** SimHash (16-bit) fingerprints. */
   def dd34(s: SparkSession, dir: String): DataFrame =
@@ -89,6 +99,16 @@ object Dedup extends QuerySet {
   def dd36(s: SparkSession, dir: String): DataFrame =
     TextDedup.dupClusters(dd33(s, dir))
 
+  /** One-digest universal-hash MinHash (k=4): the production estimator —
+    * md5 once per shingle, k int64 permutations; the oracle recomputes the
+    * same coefficients and modulus in SQL.
+    */
+  def dd37(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    TextDedup.minhashSignaturesUniversal(Q.t(s, dir, "documents"),
+      "doc_id", "text", k = 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
@@ -96,7 +116,8 @@ object Dedup extends QuerySet {
     "dd33_minhash_lsh_pairs" -> (dd33 _),
     "dd34_simhash" -> (dd34 _),
     "dd35_embedding_neardup" -> (dd35 _),
-    "dd36_dup_clusters" -> (dd36 _))
+    "dd36_dup_clusters" -> (dd36 _),
+    "dd37_minhash_universal" -> (dd37 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -107,6 +128,16 @@ object Dedup extends QuerySet {
 
   private val cosSql =
     """list_sum([x.emb[i] * y.emb[i] for i in range(1, 65)]) / (x.norm * y.norm)"""
+
+  /** Same coefficient formulas as graft.functions.MinHashUtil — generated
+    * from one definition so Spark and the oracle cannot drift.
+    */
+  private val minhashUSql = (1 to 4).map { i =>
+    val a = graft.functions.MinHashUtil.aCoef(i)
+    val b = graft.functions.MinHashUtil.bCoef(i)
+    val p = graft.functions.MinHashUtil.P
+    s"""list_min(list_transform(bg, s -> ($a * CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) + $b) % $p)) AS mh$i"""
+  }.mkString(",\n ")
 
   val oracles: Map[String, String] = Map(
     "dd30_exact_dedup" ->
@@ -182,5 +213,11 @@ object Dedup extends QuerySet {
          | SELECT src, src FROM edges
          | UNION
          | SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id)
-         |SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id""".stripMargin)
+         |SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id""".stripMargin,
+    "dd37_minhash_universal" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+         |g AS (SELECT doc_id, $bigramsSql AS bg FROM d)
+         |SELECT doc_id,
+         | $minhashUSql
+         |FROM g""".stripMargin)
 }

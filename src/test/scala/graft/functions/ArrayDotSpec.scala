@@ -37,6 +37,68 @@ class ArrayDotSpec extends AnyFunSuite with SparkTestBase {
     assert(native.toSeq == hof.toSeq)
   }
 
+  test("graft_minhash matches the k-pass higher-order form byte-for-byte") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hof = graft.operators.TextDedup
+      .minhashSignatures(docs, "doc_id", "text", k = 4)
+    val fast = graft.operators.TextDedup
+      .minhashSignatures(docs, "doc_id", "text", k = 4, fast = true)
+    val joined = hof.withColumnRenamed("mh1", "h1").withColumnRenamed("mh2", "h2")
+      .withColumnRenamed("mh3", "h3").withColumnRenamed("mh4", "h4")
+      .join(fast, "doc_id")
+    assert(joined.filter(col("h1") =!= col("mh1") || col("h2") =!= col("mh2") ||
+      col("h3") =!= col("mh3") || col("h4") =!= col("mh4")).count() == 0)
+    assert(joined.count() == docs.count())
+  }
+
+  test("graft_minhash null/empty semantics match array_min over transform") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq("a b", "b c"))),
+      (2L, Some(Seq.empty[String])), // empty → null sig → null elements
+      (3L, None)                     // null → null
+    ).toDF("id", "sh")
+    val r = df.select(col("id"),
+        element_at(GraftFunctions.minhash(col("sh"), 2), 1).as("m1"))
+      .collect().map(x => x.getLong(0) -> x.isNullAt(1)).toMap
+    assert(!r(1L) && r(2L) && r(3L))
+    // non-null case agrees with the composable form
+    val hof = df.filter(col("id") === 1).select(
+      array_min(transform(col("sh"), x => md5(concat(lit("1"), x)))).as("m"))
+      .head.getString(0)
+    val fast = df.filter(col("id") === 1).select(
+      element_at(GraftFunctions.minhash(col("sh"), 2), 1).as("m"))
+      .head.getString(0)
+    assert(hof == fast)
+  }
+
+  test("graft_minhash_u matches the SQL-expressible universal-hash form") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // one known shingle array, permutations cross-checked against the
+    // composable column form computing the same (a*x+b) % p
+    val df = Seq((1L, Seq("alpha beta", "beta gamma", "gamma delta")))
+      .toDF("id", "sh")
+    val k = 4
+    val hof = df.select((1 to k).map { i =>
+      val a = MinHashUtil.aCoef(i); val b = MinHashUtil.bCoef(i)
+      array_min(transform(col("sh"), s =>
+        (lit(a) * conv(substring(md5(s), 1, 8), 16, 10).cast("long") + lit(b))
+          % lit(MinHashUtil.P))).as(s"e$i")
+    }: _*).head
+    val fast = df.select((1 to k).map(i =>
+      element_at(GraftFunctions.minhashU(col("sh"), k), lit(i)).as(s"m$i")): _*).head
+    (0 until k).foreach(i => assert(hof.getLong(i) == fast.getLong(i)))
+    // null/empty semantics
+    val ne = Seq((1L, Some(Seq.empty[String])), (2L, Option.empty[Seq[String]]))
+      .toDF("id", "sh")
+      .select(element_at(GraftFunctions.minhashU(col("sh"), 2), 1).as("m"))
+      .collect()
+    assert(ne.forall(_.isNullAt(0)))
+  }
+
   test("extensions class injects the function into a fresh session") {
     val ext = new GraftExtensions
     // apply the injection to the current session's extensions mechanism via

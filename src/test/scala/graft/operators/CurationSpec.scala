@@ -93,6 +93,17 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(Sampling.perKeyCap(rows, "key", "id", k = 1000).count() == 300)
   }
 
+  test("dupClusters converges on a 300-node chain inside the default budget") {
+    import spark.implicits._
+    // a path graph is the worst case for plain min-propagation (needs
+    // O(n) rounds); pointer jumping must close it in O(log n)
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = TextDedup.dupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 300)
+    assert(labels.forall(_._2 == 1L), "every chain member labels to the min id")
+  }
+
   test("contamination counts shared shingles and reports clean docs as zero") {
     import spark.implicits._
     val docs = Seq(
