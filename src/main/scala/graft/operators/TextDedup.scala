@@ -33,20 +33,30 @@ object TextDedup {
 
   /** N-gram Jaccard near-dup pairs via a blocked inverted index:
     * |A∩B| / |A∪B| >= threshold, candidates restricted to equal blockCol.
-    * `maxDocFreq` (0 = off) drops shingles appearing in more than that many
-    * documents — the 100 TB knob: ultra-frequent shingles create quadratic
-    * posting-list blowups while contributing no discrimination.
+    * `maxDocFreq` (0 = off) drops posting lists longer than that many
+    * documents (per shingle within a block) — the 100 TB knob:
+    * ultra-frequent shingles create quadratic posting-list blowups while
+    * contributing no discrimination.
+    *
+    * Shape: the exploded posting frame (the interpreted-HOF shingle
+    * computation — the expensive part at this corpus shape) is
+    * checkpoint-materialized ONCE and consumed three times: both sides of
+    * the codegen'd equi-self-join on (shingle, block) and the per-doc
+    * count. The join stays the pair generator — measured faster than
+    * local posting-list expansion here, whose nested interpreted
+    * transform/slice lambdas dominate (HOF bodies are not code-generated);
+    * within-block quadratic blowup is bounded by `maxDocFreq` exactly as
+    * the LSH generators bound bucket size.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
     val sh0 = docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
       explode(bigramShingles(col(textCol))).as("shingle"))
-    val sh =
-      if (maxDocFreq > 0) {
+    val sh = (if (maxDocFreq > 0) {
         val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select("shingle")
         sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
-      } else sh0
+      } else sh0).localCheckpoint(true)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
