@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class PgpEnvelopeSpec extends AnyFunSuite with SparkTestBase {
+
+  private def frame = {
+    import spark.implicits._
+    Seq(
+      ("plain_x12", "ISA*00*          *00*~GS*HC~ST*837~".getBytes("UTF-8")),
+      ("armored", "-----BEGIN PGP MESSAGE-----\n\nhQEMA...\n-----END PGP MESSAGE-----\n"
+        .getBytes("UTF-8")),
+      // binary OpenPGP packet: first octet has the high bit set (0xC1 =
+      // new-format packet tag) — RFC 4880 framing
+      ("binary_pgp", Array(0xc1, 0x5e, 0x03, 0x01).map(_.toByte)),
+      ("empty", Array.empty[Byte]))
+      .toDF("file_name", "payload")
+  }
+
+  test("detects armored and binary OpenPGP payloads, passes plaintext through") {
+    val c = PgpEnvelope.withEncryptionStatus(frame, "payload")
+    val byName = c.collect().map(r => r.getString(0) ->
+      (r.getAs[Boolean]("is_pgp"), r.getAs[String]("decrypt_status"),
+        r.isNullAt(r.fieldIndex("plaintext")))).toMap
+    assert(byName("plain_x12") == ((false, "plaintext", false)))
+    assert(byName("armored") == ((true, "encrypted_unsupported", true)))
+    assert(byName("binary_pgp") == ((true, "encrypted_unsupported", true)))
+    assert(byName("empty") == ((false, "plaintext", false)))
+    // plaintext passthrough is byte-identical
+    val pt = c.filter(col("file_name") === "plain_x12")
+      .select("plaintext").head.getAs[Array[Byte]](0)
+    assert(new String(pt, "UTF-8").startsWith("ISA*00"))
+  }
+
+  test("parseable/quarantine partition the landed frame") {
+    val c = PgpEnvelope.withEncryptionStatus(frame, "payload")
+    assert(PgpEnvelope.parseable(c).count() == 2)
+    assert(PgpEnvelope.quarantine(c).count() == 2)
+    assert(PgpEnvelope.parseable(c).count() + PgpEnvelope.quarantine(c).count()
+      == c.count())
+  }
+}
