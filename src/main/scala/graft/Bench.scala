@@ -76,14 +76,25 @@ object Bench {
         .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}"))
       val tf = dir.resolve("spark_timings.json")
       java.nio.file.Files.writeString(tf, qs)
+      // stderr inherits (no pipe to fill and deadlock on); stdout drains on
+      // a daemon thread so the timeout below actually fires on a hung child
       val proc = new ProcessBuilder(
         "python3", "tools/bench_oracle.py", sfDir, of.toString, tf.toString)
+        .redirectError(ProcessBuilder.Redirect.INHERIT)
         .start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8").trim
+      val outBuf = new java.util.concurrent.atomic.AtomicReference[String]("")
+      val reader = new Thread(() =>
+        try outBuf.set(new String(proc.getInputStream.readAllBytes(), "UTF-8").trim)
+        catch { case _: Throwable => })
+      reader.setDaemon(true)
+      reader.start()
       val done = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
       if (!done) { proc.destroyForcibly(); "null" }
-      else if (proc.exitValue() == 0 && out.startsWith("{")) out
-      else "null"
+      else {
+        reader.join(10000)
+        val out = outBuf.get()
+        if (proc.exitValue() == 0 && out.startsWith("{")) out else "null"
+      }
     } catch { case _: Throwable => "null" }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"x12_parse_tx_per_sec":$txPerSec,"oracle":$oracleJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -61,7 +61,8 @@ object MediaCodec {
       while (i + 9 < p.length) {
         if (u8(i) != 0xff) return None // corrupt marker chain
         val marker = u8(i + 1)
-        if (marker == 0xd8 || marker == 0x01 ||
+        if (marker == 0xff) i += 1 // legal fill byte before a marker (B.1.1.2)
+        else if (marker == 0xd8 || marker == 0x01 ||
             (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone markers
         else if (marker == 0xda || marker == 0xd9) return None // SOS/EOI before any SOF
         else {

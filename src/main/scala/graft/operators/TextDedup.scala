@@ -33,10 +33,11 @@ object TextDedup {
 
   /** N-gram Jaccard near-dup pairs via a blocked inverted index:
     * |A∩B| / |A∪B| >= threshold, candidates restricted to equal blockCol.
-    * `maxDocFreq` (0 = off) drops posting lists longer than that many
-    * documents (per shingle within a block) — the 100 TB knob:
-    * ultra-frequent shingles create quadratic posting-list blowups while
-    * contributing no discrimination.
+    * `maxDocFreq` (0 = off) drops shingles whose CORPUS-GLOBAL document
+    * frequency exceeds the cap (not per block — a boilerplate shingle is
+    * noise wherever it appears) — the 100 TB knob: ultra-frequent shingles
+    * create quadratic posting-list blowups while contributing no
+    * discrimination.
     *
     * Shape: the exploded posting frame (the interpreted-HOF shingle
     * computation — the expensive part at this corpus shape) is
@@ -123,7 +124,12 @@ object TextDedup {
       val parts = (1 to rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       concat(lit(s"${b + 1}:"), md5(concat(parts: _*)))
     }
+    // a doc with <2 tokens has no shingles → null signatures → null band
+    // buckets; NULL is a groupBy key, so without this filter every
+    // signature-less doc would collapse into one bogus bucket and pair
+    // with all the others (the SQL oracle's equi-join drops NULL keys)
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+      .filter(col("bucket").isNotNull)
   }
 
   /** LSH candidate pairs from banded minhash signatures: signatures are

@@ -27,19 +27,20 @@ object GoldMirror {
   /** Session flag gating [[mirror]] (default off). */
   val EnabledKey = "spark.graft.goldMirror.enabled"
 
-  private val scoreLike = Seq("score", "percentage", "rate", "ratio")
-
   /** Reference-DDL column typing: every double becomes DECIMAL(15,2)
-    * (money, init.sql:59-60) unless its name marks it a score/percentage,
-    * which the DDL types DECIMAL(5,2) (init.sql:91 — bounded 0..100).
+    * (money, init.sql:59-60) unless its name marks it a quality SCORE —
+    * the one family the DDL types DECIMAL(5,2) (init.sql:91) because
+    * scores are bounded 0..100 by construction. Percentages/ratios stay
+    * DECIMAL(15,2): variance percentages are UNBOUNDED (a tiny denominator
+    * yields thousands of percent) and a 5,2 cast would overflow to NULL,
+    * silently dropping the very signal the mart surfaces.
     */
   def withJdbcTypes(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.map { f =>
       f.dataType match {
         case DoubleType =>
           val t =
-            if (scoreLike.exists(f.name.toLowerCase.contains(_)))
-              DecimalType(5, 2)
+            if (f.name.toLowerCase.contains("score")) DecimalType(5, 2)
             else DecimalType(15, 2)
           col(f.name).cast(t).as(f.name)
         case _ => col(f.name)

@@ -25,30 +25,38 @@ object PgpEnvelope {
 
   private val ArmorHeader = "-----BEGIN PGP MESSAGE-----"
 
-  /** True iff the payload looks like OpenPGP material (armored or binary). */
-  def isPgp(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  /** True iff the payload looks like OpenPGP material. `binary = true`
+    * (binary-typed column) also checks RFC 4880 packet framing (high bit
+    * of the first octet); a string-typed payload only gets the armor check
+    * — character-level "first byte" inspection on multi-byte text is
+    * meaningless.
+    */
+  def isPgp(payload: org.apache.spark.sql.Column,
+      binary: Boolean): org.apache.spark.sql.Column = {
     val armored =
       substring(payload, 1, ArmorHeader.length).cast("string") === ArmorHeader
-    // high bit of the first octet set = binary OpenPGP packet framing
-    val binaryPacket =
-      length(payload) > 0 &&
-        conv(hex(substring(payload, 1, 1)), 16, 10).cast("int") >= 128
-    armored || binaryPacket
+    if (!binary) armored
+    else armored || (length(payload) > 0 &&
+      conv(hex(substring(payload, 1, 1)), 16, 10).cast("int") >= 128)
   }
 
   /** Classify a landed frame: adds `is_pgp`, `decrypt_status`
     * ('plaintext' | 'encrypted_unsupported') and `plaintext` (the payload
-    * for plaintext rows, null for ciphertext — a real deployment plugs a
-    * decryptor in between detection and parse).
+    * for plaintext rows, typed like the payload column itself; null for
+    * ciphertext — a real deployment plugs a decryptor in between detection
+    * and parse). Works for both binary payloads and the engine's own
+    * string-typed landing content.
     */
   def withEncryptionStatus(files: DataFrame, payloadCol: String): DataFrame = {
-    val pgp = isPgp(col(payloadCol))
+    val payloadType = files.schema(payloadCol).dataType
+    val pgp = isPgp(col(payloadCol),
+      binary = payloadType == org.apache.spark.sql.types.BinaryType)
     files
       .withColumn("is_pgp", pgp)
       .withColumn("decrypt_status",
         when(pgp, lit("encrypted_unsupported")).otherwise(lit("plaintext")))
       .withColumn("plaintext",
-        when(!pgp, col(payloadCol)).otherwise(lit(null).cast("binary")))
+        when(!pgp, col(payloadCol)).otherwise(lit(null).cast(payloadType)))
   }
 
   /** The rows safe to hand to the parser (plaintext only). */

@@ -175,8 +175,12 @@ object Ack997 {
         transform(col("tx_sets"), x => x.getField("tcn")))
     buildContent(base, col("functional_group_number"), now, qualityDrivenAckCode)
       .drop("tx_sets")
+      // filename carries BOTH partners: group control numbers are
+      // per-partner-PAIR counters in X12, so the same sender may reuse a
+      // number toward two receivers in one batch
       .withColumn("ack_filename",
-        concat(trim(col("sender_id")), lit("_997_"), lit(batchId), lit("_"),
+        concat(trim(col("sender_id")), lit("_"), trim(col("receiver_id")),
+          lit("_997_"), lit(batchId), lit("_"),
           coalesce(col("functional_group_number"), lit("NOGROUP")), lit(".x12")))
       .withColumn("generation_timestamp", current_timestamp())
   }

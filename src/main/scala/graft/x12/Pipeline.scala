@@ -43,8 +43,15 @@ object X12Pipeline {
     val path = ledgerPath(outDir)
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hp)) spark.read.parquet(path).select("file_name")
-    else Seq.empty[String].toDF("file_name")
+    // a crashed append can leave a footer-less dir; an unreadable ledger
+    // must mean "re-process" (the documented crash contract), never a
+    // permanently wedged pipeline
+    if (!fs.exists(hp)) Seq.empty[String].toDF("file_name")
+    else
+      try spark.read.parquet(path).select("file_name")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        Seq.empty[String].toDF("file_name")
+      }
   }
 
   def run(
@@ -100,9 +107,17 @@ object X12Pipeline {
       X12Silver.summary(silver).write.mode("overwrite").json(s"$outDir/silver_summary")
     }
 
-    // Gold: valid transactions only (gold_x12_analytics.py:74), one shared
-    // cached scan fanned out to all marts
-    val silverValid = silver.toDF().filter(col("is_valid"))
+    // Gold: valid transactions only (gold_x12_analytics.py:74). On an
+    // incremental (ledgered) run the marts must aggregate the FULL
+    // accumulated silver store, not just this run's slice — the reference
+    // reads the whole silver table per DAG run, and the overwrite-mode
+    // mart sinks would otherwise replace history with the latest batch's
+    // numbers. Batch-scoped outputs (summaries, quarantine, 997 acks,
+    // daily analytics over this batch's bronze) stay per-run by design.
+    val silverStore =
+      if (doWrite) spark.read.parquet(s"$outDir/silver")
+      else silver.toDF()
+    val silverValid = silverStore.filter(col("is_valid"))
     val marts = X12Gold.allMarts(silverValid, processingDate) +
       ("gold_daily_analytics" ->
         X12Gold.dailyAnalytics(bronze, silver.toDF(), processingDate))

@@ -60,6 +60,11 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(MediaCodec.sniffDimensions(imageBytes("png", 10, 10).take(12)).isEmpty)
     // JPEG cut before any SOF marker
     assert(MediaCodec.sniffDimensions(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+    // legal 0xFF fill bytes before a marker must be skipped, not rejected
+    // (ISO 10918-1 B.1.1.2): SOI, fill, then SOF0 with 300x200
+    val filled = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0,
+      0x00, 0x11, 0x08, 0x00, 0xc8, 0x01, 0x2c, 0x03).map(_.toByte)
+    assert(MediaCodec.sniffDimensions(filled).contains((300, 200)))
     // unrecognized payloads keep the deterministic stub dimensions
     val text = "plain text payload".getBytes("UTF-8")
     val (w, h, _) = MediaCodec.decode(text)

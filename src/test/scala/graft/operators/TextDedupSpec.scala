@@ -57,6 +57,18 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(stats.filter(col("dropped")).agg(max("bucket_size")).head.getLong(0) == 500L)
   }
 
+  test("signature-less docs (under 2 tokens) never pair via the NULL bucket") {
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, "one"), (2L, "single"), (3L, "word"), // no bigrams → null sigs
+      (4L, "shared text body here"), (5L, "shared text body here"))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.minhashLshPairs(mixed, "doc_id", "text", 2, 2).collect()
+    // only the two real near-dups pair; the three signature-less docs
+    // must not collapse into one bogus NULL bucket
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((4L, 5L)))
+  }
+
   test("LSH bucket cap above every bucket equals the uncapped result") {
     val base = TextDedup.minhashLshPairs(docs, "doc_id", "text", 2, 2)
     val capped = TextDedup.minhashLshPairs(docs, "doc_id", "text", 2, 2,

@@ -29,11 +29,24 @@ class GoldMirrorSpec extends AnyFunSuite with SparkTestBase {
     val typed = GoldMirror.withJdbcTypes(sampleMart)
     // money → DECIMAL(15,2) per init.sql:59-60
     assert(typed.schema("total_claim_amount").dataType == DecimalType(15, 2))
-    // scores/percentages → DECIMAL(5,2) per init.sql:91
+    // bounded scores → DECIMAL(5,2) per init.sql:91
     assert(typed.schema("average_quality_score").dataType == DecimalType(5, 2))
     // non-double columns untouched
     assert(typed.schema("total_transactions").dataType.typeName == "long")
     assert(typed.schema("transaction_type").dataType.typeName == "string")
+  }
+
+  test("unbounded percentage columns get the wide decimal, never overflow to null") {
+    import spark.implicits._
+    // variance percentages are unbounded (tiny denominator → thousands of
+    // percent); a DECIMAL(5,2) cast would overflow to NULL and silently
+    // drop the signal
+    val m = Seq(("a", 2300.0)).toDF("k", "variance_percentage")
+    val typed = GoldMirror.withJdbcTypes(m)
+    assert(typed.schema("variance_percentage").dataType == DecimalType(15, 2))
+    val v = typed.select("variance_percentage").head
+    assert(!v.isNullAt(0) &&
+      v.getDecimal(0).compareTo(new java.math.BigDecimal("2300.00")) == 0)
   }
 
   test("JDBC round-trip through embedded Derby lands typed rows") {

@@ -34,6 +34,20 @@ class PgpEnvelopeSpec extends AnyFunSuite with SparkTestBase {
     assert(new String(pt, "UTF-8").startsWith("ISA*00"))
   }
 
+  test("string-typed payloads (the engine's own landing content) classify too") {
+    import spark.implicits._
+    val strings = Seq(
+      ("plain", "ISA*00*          *00*~GS*HC~"),
+      ("armored", "-----BEGIN PGP MESSAGE-----\n\nhQEMA...")).toDF("file_name", "payload")
+    val c = PgpEnvelope.withEncryptionStatus(strings, "payload")
+    val m = c.collect().map(r => r.getString(0) ->
+      (r.getAs[Boolean]("is_pgp"), r.isNullAt(r.fieldIndex("plaintext")))).toMap
+    assert(m("plain") == ((false, false)))
+    assert(m("armored") == ((true, true)))
+    // plaintext column keeps the payload's own type
+    assert(c.schema("plaintext").dataType.typeName == "string")
+  }
+
   test("parseable/quarantine partition the landed frame") {
     val c = PgpEnvelope.withEncryptionStatus(frame, "payload")
     assert(PgpEnvelope.parseable(c).count() == 2)

@@ -349,6 +349,18 @@ class X12PipelineSpec extends AnyFunSuite with SparkTestBase {
       LocalDateTime.of(2025, 9, 3, 12, 0, 0))
     assert(third.bronze.count() == 1, "only the new file is processed")
     assert(third.bronze.select("file_name").head.getString(0) == "late_arrival.x12")
+    // gold marts on an incremental run aggregate the FULL accumulated
+    // silver store — the overwrite-mode sinks must not replace history
+    // with just the late batch's numbers
+    val fullValid = spark.read.parquet(s"$outDir/silver")
+      .filter(col("is_valid")).count()
+    val kpiTotal = third.marts("gold_business_kpis")
+      .select("total_transactions").head.getLong(0)
+    assert(kpiTotal == fullValid,
+      s"business KPIs must cover the full store ($fullValid), got $kpiTotal")
+    val summaryTotal = spark.read.parquet(s"$outDir/gold_transaction_summary")
+      .agg(sum(col("transaction_count"))).head.getLong(0)
+    assert(summaryTotal == fullValid)
     val newRows = third.silver.count()
     assert(newRows > 0)
     assert(spark.read.parquet(s"$outDir/silver").count() == before + newRows)
