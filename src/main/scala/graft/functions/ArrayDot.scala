@@ -141,7 +141,16 @@ object GraftFunctions {
       buildMinHash),
     (FunctionIdentifier("graft_minhash_u"),
       new ExpressionInfo(classOf[MinHashUniversal].getName, "graft_minhash_u"),
-      buildMinHashU))
+      buildMinHashU),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new IllegalArgumentException(
+            s"Invalid number of arguments for function graft_nfc: expected 1, " +
+              s"got ${children.length}")
+        NfcNormalize(children.head)
+      }))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>
@@ -161,6 +170,10 @@ object GraftFunctions {
   def minhashU(shingles: Column, k: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_minhash_u", shingles,
       org.apache.spark.sql.functions.lit(k))
+
+  /** Unicode NFC canonical form (matches DuckDB's nfc_normalize). */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_nfc", text)
 }
 
 /** Extensions entry point: inject graft functions into every session built
@@ -180,5 +193,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_minhash_u"),
         new ExpressionInfo(classOf[MinHashUniversal].getName, "graft_minhash_u"),
         GraftFunctions.buildMinHashU))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_nfc"),
+        new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+        (children: Seq[Expression]) => NfcNormalize(children.head)))
   }
 }

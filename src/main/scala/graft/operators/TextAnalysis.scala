@@ -96,6 +96,43 @@ object TextAnalysis {
         round(col("n_shared").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Canonical text normalization — the step that runs BEFORE any hashing
+    * or dedup so visually-identical text fingerprints identically:
+    * Unicode NFC (native `graft_nfc` expression — requires
+    * `GraftFunctions.register`; DuckDB's nfc_normalize computes the same
+    * canonical form), lowercasing, whitespace collapse, trim. Pure per-row
+    * projection, no shuffle.
+    */
+  def normalize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      trim(regexp_replace(
+        lower(graft.functions.GraftFunctions.nfc(col(textCol))),
+        "\\s+", " ")).as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")))
+
+  /** Within-document repetition metrics (the Gopher-style repetition
+    * screens): distinct-token ratio, the most frequent token's share, and
+    * the most frequent word-bigram's share. Per-row bounded work (token
+    * count squared at worst on the distinct-token scan) — no shuffle.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    // NON-distinct bigrams — repetition needs multiplicity
+    val bg = zip_with(
+      slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1),
+      (x, y) => concat(x, lit(" "), y))
+    def topShare(arr: Column): Column =
+      round(array_max(transform(array_distinct(arr),
+        x => size(filter(arr, y => y === x)))).cast("double") / size(arr), 6)
+    docs.select(col(idCol),
+      size(t).as("n_tokens"),
+      round(size(array_distinct(t)).cast("double") / size(t), 6)
+        .as("distinct_token_ratio"),
+      topShare(t).as("top_token_share"),
+      topShare(bg).as("top_bigram_share"))
+  }
+
   /** Content fingerprints: normalized md5, token min-hash, head shingle. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       headTokens: Int = 5): DataFrame = {

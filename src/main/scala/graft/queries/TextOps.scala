@@ -90,6 +90,20 @@ object TextOps extends QuerySet {
       docs.filter(col("doc_id") % 50 === 0), "text")
   }
 
+  /** Canonical normalization (NFC + lower + whitespace collapse) via the
+    * native graft_nfc expression — the pre-hash curation step.
+    */
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    TextAnalysis.normalize(Q.t(s, dir, "documents"), "doc_id", "text")
+  }
+
+  /** Within-document repetition screens (Gopher-style): distinct-token
+    * ratio and top token/bigram shares.
+    */
+  def q32(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(Q.t(s, dir, "documents"), "doc_id", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
     "q25_array_hof" -> (q25 _),
@@ -97,7 +111,9 @@ object TextOps extends QuerySet {
     "td27_quality_score" -> (q27 _),
     "td28_lang_id" -> (q28 _),
     "td29_fingerprint" -> (q29 _),
-    "td30_contamination" -> (q30 _))
+    "td30_contamination" -> (q30 _),
+    "td31_normalize" -> (q31 _),
+    "td32_repetition" -> (q32 _))
 
   val oracles: Map[String, String] = Map(
     "q20_string_functions" ->
@@ -170,5 +186,22 @@ object TextOps extends QuerySet {
         | CAST(len(bg) AS INTEGER) AS n_shingles,
         | CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
         | round(CAST(COALESCE(n_shared, 0) AS DOUBLE) / len(bg), 6) AS contamination_ratio
-        |FROM g LEFT JOIN shared ON g.doc_id = shared.doc_id""".stripMargin)
+        |FROM g LEFT JOIN shared ON g.doc_id = shared.doc_id""".stripMargin,
+    "td31_normalize" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text,
+        | CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS INTEGER) AS n_chars_norm
+        |FROM documents""".stripMargin,
+    "td32_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |b AS (SELECT doc_id, t,
+        |  [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS bg FROM d)
+        |SELECT doc_id,
+        | CAST(len(t) AS INTEGER) AS n_tokens,
+        | round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS distinct_token_ratio,
+        | round(CAST(list_max(list_transform(list_distinct(t),
+        |   x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t), 6) AS top_token_share,
+        | round(CAST(list_max(list_transform(list_distinct(bg),
+        |   x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6) AS top_bigram_share
+        |FROM b""".stripMargin)
 }

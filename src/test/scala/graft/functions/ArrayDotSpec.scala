@@ -99,6 +99,30 @@ class ArrayDotSpec extends AnyFunSuite with SparkTestBase {
     assert(ne.forall(_.isNullAt(0)))
   }
 
+  test("graft_nfc canonicalizes decomposed unicode; normalize/repetition behave") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val composed = "caf\u00e9"          // é as one code point
+    val decomposed = "cafe\u0301"       // e + combining acute accent
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"))
+      .toDF("id", "t")
+    val n = df.select(col("id"), GraftFunctions.nfc(col("t")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(n(1L) == composed && n(2L) == composed, "both forms canonicalize to NFC")
+    assert(n(3L) == "plain ascii")
+    // normalize: the two forms become identical strings
+    val norm = graft.operators.TextAnalysis.normalize(
+      df.withColumnRenamed("t", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) == norm(2L))
+    // repetition: "a a a b" → distinct 0.5, top token 0.75, top bigram 2/3
+    val rep = graft.operators.TextAnalysis.repetition(
+      Seq((1L, "a a a b")).toDF("id", "text"), "id", "text").head
+    assert(rep.getAs[Double]("distinct_token_ratio") == 0.5)
+    assert(rep.getAs[Double]("top_token_share") == 0.75)
+    assert(rep.getAs[Double]("top_bigram_share") == 0.666667)
+  }
+
   test("extensions class injects the function into a fresh session") {
     val ext = new GraftExtensions
     // apply the injection to the current session's extensions mechanism via
