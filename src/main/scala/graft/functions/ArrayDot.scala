@@ -119,6 +119,14 @@ object GraftFunctions {
     }
   }
 
+  private[functions] val buildNfc: Seq[Expression] => Expression = children => {
+    if (children.length != 1)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_nfc: expected 1, " +
+          s"got ${children.length}")
+    NfcNormalize(children.head)
+  }
+
   private[functions] val buildMinHashU: Seq[Expression] => Expression = children => {
     if (children.length != 2)
       throw new IllegalArgumentException(
@@ -144,13 +152,7 @@ object GraftFunctions {
       buildMinHashU),
     (FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
-      (children: Seq[Expression]) => {
-        if (children.length != 1)
-          throw new IllegalArgumentException(
-            s"Invalid number of arguments for function graft_nfc: expected 1, " +
-              s"got ${children.length}")
-        NfcNormalize(children.head)
-      }))
+      buildNfc))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>
@@ -196,6 +198,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_nfc"),
         new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
-        (children: Seq[Expression]) => NfcNormalize(children.head)))
+        GraftFunctions.buildNfc))
   }
 }

@@ -112,8 +112,10 @@ object TextAnalysis {
 
   /** Within-document repetition metrics (the Gopher-style repetition
     * screens): distinct-token ratio, the most frequent token's share, and
-    * the most frequent word-bigram's share. Per-row bounded work (token
-    * count squared at worst on the distinct-token scan) — no shuffle.
+    * the most frequent word-bigram's share. Per-row O(n log n): the top
+    * frequency is the longest equal-run of the SORTED array, computed by a
+    * single fold — not the naive distinct × filter scan, which is
+    * quadratic interpreted-lambda work on long documents. No shuffle.
     */
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = toks(col(textCol))
@@ -122,9 +124,17 @@ object TextAnalysis {
       slice(t, lit(1), size(t) - 1),
       slice(t, lit(2), size(t) - 1),
       (x, y) => concat(x, lit(" "), y))
-    def topShare(arr: Column): Column =
-      round(array_max(transform(array_distinct(arr),
-        x => size(filter(arr, y => y === x)))).cast("double") / size(arr), 6)
+    def topShare(arr: Column): Column = {
+      val folded = aggregate(array_sort(arr),
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + 1).otherwise(lit(1))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        })
+      round(folded.getField("best").cast("double") / size(arr), 6)
+    }
     docs.select(col(idCol),
       size(t).as("n_tokens"),
       round(size(array_distinct(t)).cast("double") / size(t), 6)

@@ -10,12 +10,14 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * local-development/sql/init.sql:5-112 is the receiving DDL).
   *
   * The engine's gold marts carry amounts as doubles; the reference DDL
-  * types money as DECIMAL(15,2) and scores/percentages as DECIMAL(5,2)
-  * (init.sql:59-60, :91). [[withJdbcTypes]] applies exactly that mapping so
-  * the JDBC rows land with the DDL's types instead of driver-default
-  * DOUBLEs, and [[mirror]] gates the writes behind a session flag — the
-  * default deployment has no database (zero-egress), so mirroring is
-  * opt-in per session.
+  * types money as DECIMAL(15,2) (init.sql:59-60) and quality scores as
+  * DECIMAL(5,2) (init.sql:91). [[withJdbcTypes]] applies that mapping
+  * with one deliberate deviation: PERCENTAGE/ratio columns also get the
+  * wide DECIMAL(15,2), not the DDL's narrow type, because the engine's
+  * variance percentages are unbounded and a 5,2 cast would overflow to
+  * NULL — only bounded 0..100 scores take DECIMAL(5,2). [[mirror]] gates
+  * the writes behind a session flag — the default deployment has no
+  * database (zero-egress), so mirroring is opt-in per session.
   *
   * Scale note: a JDBC mirror is for the DASHBOARD slice of gold (small
   * per-day aggregates), never the lake body — partitioned parquet remains

@@ -25,47 +25,69 @@ object PgpEnvelope {
 
   private val ArmorHeader = "-----BEGIN PGP MESSAGE-----"
 
+  /** OpenPGP message-opening packet tags (RFC 4880 §4.3): PKESC(1),
+    * signature(2), SKESC(3), compressed(8), symmetrically-encrypted(9),
+    * SEIPD(18). A binary payload only classifies as PGP if its first octet
+    * is valid packet framing AND decodes to one of these tags — a bare
+    * high-bit test would quarantine any BOM- or multibyte-UTF-8-leading
+    * plaintext (0xEF has the high bit set too).
+    */
+  private val openingTags = Seq(1, 2, 3, 8, 9, 18)
+
   /** True iff the payload looks like OpenPGP material. `binary = true`
-    * (binary-typed column) also checks RFC 4880 packet framing (high bit
-    * of the first octet); a string-typed payload only gets the armor check
-    * — character-level "first byte" inspection on multi-byte text is
-    * meaningless.
+    * (binary-typed column) also checks RFC 4880 packet framing; a
+    * string-typed payload only gets the armor check — byte-level framing
+    * inspection on character data is meaningless.
     */
   def isPgp(payload: org.apache.spark.sql.Column,
       binary: Boolean): org.apache.spark.sql.Column = {
     val armored =
       substring(payload, 1, ArmorHeader.length).cast("string") === ArmorHeader
     if (!binary) armored
-    else armored || (length(payload) > 0 &&
-      conv(hex(substring(payload, 1, 1)), 16, 10).cast("int") >= 128)
+    else {
+      val b = conv(hex(substring(payload, 1, 1)), 16, 10).cast("int")
+      // new format: 11xxxxxx, tag = b & 0x3f; old format: 10xxxxxx,
+      // tag = (b >> 2) & 0x0f
+      val newTag = b - 192
+      val oldTag = (b - 128) / 4
+      val framed =
+        (b >= 192 && newTag.isin(openingTags.map(x => x: Any): _*)) ||
+          (b >= 128 && b < 192 && oldTag.isin(openingTags.map(x => x: Any): _*))
+      armored || (length(payload) > 0 && framed)
+    }
   }
 
   /** Classify a landed frame: adds `is_pgp`, `decrypt_status`
-    * ('plaintext' | 'encrypted_unsupported') and `plaintext` (the payload
-    * for plaintext rows, typed like the payload column itself; null for
-    * ciphertext — a real deployment plugs a decryptor in between detection
-    * and parse). Works for both binary payloads and the engine's own
-    * string-typed landing content.
+    * ('plaintext' | 'encrypted_unsupported' | 'missing_payload') and
+    * `plaintext` (the payload for plaintext rows, typed like the payload
+    * column itself; null otherwise — a real deployment plugs a decryptor
+    * in between detection and parse). Works for both binary payloads and
+    * the engine's own string-typed landing content. A NULL payload is a
+    * transport fault, surfaced as its own status — never silently labeled
+    * plaintext.
     */
   def withEncryptionStatus(files: DataFrame, payloadCol: String): DataFrame = {
     val payloadType = files.schema(payloadCol).dataType
-    val pgp = isPgp(col(payloadCol),
-      binary = payloadType == org.apache.spark.sql.types.BinaryType)
+    val pgp = coalesce(isPgp(col(payloadCol),
+      binary = payloadType == org.apache.spark.sql.types.BinaryType), lit(false))
     files
       .withColumn("is_pgp", pgp)
       .withColumn("decrypt_status",
-        when(pgp, lit("encrypted_unsupported")).otherwise(lit("plaintext")))
+        when(col(payloadCol).isNull, lit("missing_payload"))
+          .when(pgp, lit("encrypted_unsupported"))
+          .otherwise(lit("plaintext")))
       .withColumn("plaintext",
-        when(!pgp, col(payloadCol)).otherwise(lit(null).cast(payloadType)))
+        when(col("decrypt_status") === "plaintext", col(payloadCol))
+          .otherwise(lit(null).cast(payloadType)))
   }
 
   /** The rows safe to hand to the parser (plaintext only). */
   def parseable(classified: DataFrame): DataFrame =
     classified.filter(col("decrypt_status") === "plaintext")
 
-  /** The rows a transport misconfiguration landed as ciphertext — the
-    * dead-letter frame an operator alerts on.
+  /** The rows a transport fault landed as ciphertext or without a payload
+    * — the dead-letter frame an operator alerts on.
     */
   def quarantine(classified: DataFrame): DataFrame =
-    classified.filter(col("is_pgp"))
+    classified.filter(col("decrypt_status") =!= "plaintext")
 }

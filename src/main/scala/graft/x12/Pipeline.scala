@@ -49,7 +49,9 @@ object X12Pipeline {
     if (!fs.exists(hp)) Seq.empty[String].toDF("file_name")
     else
       try spark.read.parquet(path).select("file_name")
-      catch { case _: org.apache.spark.sql.AnalysisException =>
+      catch { case scala.util.control.NonFatal(_) =>
+        // schema-less dir OR corrupt footer — any unreadable ledger means
+        // re-process, never a wedged pipeline
         Seq.empty[String].toDF("file_name")
       }
   }
@@ -114,8 +116,13 @@ object X12Pipeline {
     // mart sinks would otherwise replace history with the latest batch's
     // numbers. Batch-scoped outputs (summaries, quarantine, 997 acks,
     // daily analytics over this batch's bronze) stay per-run by design.
+    // the read-back can fail on a store with no parquet footers yet (this
+    // run's silver slice was empty — e.g. every landing file failed bronze
+    // validation); fall back to the in-memory slice so the run completes
     val silverStore =
-      if (doWrite) spark.read.parquet(s"$outDir/silver")
+      if (doWrite)
+        try spark.read.parquet(s"$outDir/silver")
+        catch { case scala.util.control.NonFatal(_) => silver.toDF() }
       else silver.toDF()
     val silverValid = silverStore.filter(col("is_valid"))
     val marts = X12Gold.allMarts(silverValid, processingDate) +

@@ -34,6 +34,27 @@ class PgpEnvelopeSpec extends AnyFunSuite with SparkTestBase {
     assert(new String(pt, "UTF-8").startsWith("ISA*00"))
   }
 
+  test("BOM-led plaintext is not quarantined; null payloads get their own status") {
+    import spark.implicits._
+    val bom = Array(0xef, 0xbb, 0xbf).map(_.toByte) ++ "ISA*00*".getBytes("UTF-8")
+    val rows = Seq(
+      ("bom_text", Some(bom)),
+      ("missing", Option.empty[Array[Byte]]),
+      // old-format symmetrically-encrypted packet: 10 1001 xx = 0xA4
+      ("old_fmt_pgp", Some(Array(0xa4, 0x01, 0x00).map(_.toByte))))
+      .toDF("file_name", "payload")
+    val c = PgpEnvelope.withEncryptionStatus(rows, "payload")
+    val m = c.collect().map(r => r.getString(0) ->
+      (r.getAs[Boolean]("is_pgp"), r.getAs[String]("decrypt_status"))).toMap
+    // 0xEF has the high bit set but is NOT valid OpenPGP opening framing
+    assert(m("bom_text") == ((false, "plaintext")))
+    assert(m("missing") == ((false, "missing_payload")))
+    assert(m("old_fmt_pgp") == ((true, "encrypted_unsupported")))
+    // missing payloads are quarantined, never parseable
+    assert(PgpEnvelope.parseable(c).count() == 1)
+    assert(PgpEnvelope.quarantine(c).count() == 2)
+  }
+
   test("string-typed payloads (the engine's own landing content) classify too") {
     import spark.implicits._
     val strings = Seq(
