@@ -229,6 +229,18 @@ object TextDedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Apply the dedup decision: drop every cluster member except its
+    * canonical (minimum-id) representative; documents in no cluster pass
+    * through. The non-canonical id set is the anti-join side — small
+    * relative to the corpus (it is exactly the duplicates being removed),
+    * so it broadcasts; the corpus body is never shuffled.
+    */
+  def applyDedup(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val dupIds = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(broadcast(dupIds), Seq(idCol), "left_anti")
+  }
+
   /** Audit companion to [[minhashLshPairs]]: per-bucket population and
     * whether the cap would drop it — the "dropped bucket" metric a 100 TB
     * run monitors (dropped buckets ⇒ candidate recall loss on boilerplate).

@@ -109,6 +109,14 @@ object Dedup extends QuerySet {
       "doc_id", "text", k = 4)
   }
 
+  /** The dedup END STATE: corpus minus non-canonical cluster members —
+    * what actually ships to training after candidates → clusters → apply.
+    */
+  def dd38(s: SparkSession, dir: String): DataFrame =
+    TextDedup.applyDedup(
+      Q.t(s, dir, "documents").select("doc_id", "source", "lang"),
+      "doc_id", dd36(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
@@ -117,7 +125,8 @@ object Dedup extends QuerySet {
     "dd34_simhash" -> (dd34 _),
     "dd35_embedding_neardup" -> (dd35 _),
     "dd36_dup_clusters" -> (dd36 _),
-    "dd37_minhash_universal" -> (dd37 _))
+    "dd37_minhash_universal" -> (dd37 _),
+    "dd38_dedup_applied" -> (dd38 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -219,5 +228,30 @@ object Dedup extends QuerySet {
          |g AS (SELECT doc_id, $bigramsSql AS bg FROM d)
          |SELECT doc_id,
          | $minhashUSql
-         |FROM g""".stripMargin)
+         |FROM g""".stripMargin,
+    "dd38_dedup_applied" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+         |g AS (SELECT doc_id, $bigramsSql AS bg FROM d),
+         |sigs AS (SELECT doc_id,
+         |  md5(list_min(list_transform(bg, x -> md5('1' || x)))
+         |   || list_min(list_transform(bg, x -> md5('2' || x)))) AS b1,
+         |  md5(list_min(list_transform(bg, x -> md5('3' || x)))
+         |   || list_min(list_transform(bg, x -> md5('4' || x)))) AS b2
+         | FROM g),
+         |p AS (SELECT DISTINCT doc_a, doc_b FROM (
+         | SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM sigs x JOIN sigs y
+         |  ON x.b1 = y.b1 AND x.doc_id < y.doc_id
+         | UNION ALL
+         | SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y
+         |  ON x.b2 = y.b2 AND x.doc_id < y.doc_id)),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |walk(id, label) AS (
+         | SELECT src, src FROM edges
+         | UNION
+         | SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id),
+         |dups AS (SELECT id AS doc_id FROM walk GROUP BY id
+         |         HAVING id <> min(label))
+         |SELECT doc_id, source, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin)
 }

@@ -104,6 +104,17 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(labels.forall(_._2 == 1L), "every chain member labels to the min id")
   }
 
+  test("applyDedup keeps cluster canonicals and untouched docs, drops the rest") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "name")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val kept = TextDedup.applyDedup(docs, "doc_id",
+      TextDedup.dupClusters(pairs))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // clusters {1,2,3}→1 and {7,8}→7; 4,5,6,9,10 untouched
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 9L, 10L))
+  }
+
   test("contamination counts shared shingles and reports clean docs as zero") {
     import spark.implicits._
     val docs = Seq(
