@@ -52,6 +52,22 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     assert(c.count() == docs.count())
   }
 
+  test("tokenBudget plans one shuffle; perKeyCap gets map-side WindowGroupLimit") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, s"s${i % 5}", 10)).toDF("id", "src", "n")
+    val tb = Sampling.tokenBudget(docs, "src", "id", "n", Map.empty, 500L)
+    val tbPlan = tb.queryExecution.executedPlan.toString
+    assert(countOf(tbPlan, "Exchange hashpartitioning") == 1,
+      s"tokenBudget is one shuffle + window + filter:\n$tbPlan")
+    val cap = Sampling.perKeyCap(docs, "src", "id", k = 3)
+    val capPlan = cap.queryExecution.executedPlan.toString
+    assert(countOf(capPlan, "Exchange hashpartitioning") == 1)
+    // Spark's rank-limit pushdown prunes each map side to k rows per key
+    // BEFORE the shuffle — the plan shape that survives hot keys at scale
+    assert(countOf(capPlan, "WindowGroupLimit") >= 2,
+      s"expected partial + final WindowGroupLimit:\n$capPlan")
+  }
+
   test("filter + projection reach the parquet scan (pushdown contract)") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .filter(col("o_orderstatus") === "O")
