@@ -104,6 +104,37 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(labels.forall(_._2 == 1L), "every chain member labels to the min id")
   }
 
+  test("property: dupClusters matches an in-memory union-find on random graphs") {
+    import spark.implicits._
+    // reference implementation: classic union-find with path compression
+    def unionFind(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical = min id in component; roots under min-union are the min
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(x => x -> find(x)).toMap
+    }
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 60 + rnd.nextInt(60)
+      val edges = (1 to (n / 2 + rnd.nextInt(n)))
+        .map(_ => (1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val expected = unionFind(n, edges)
+      val got = TextDedup.dupClusters(edges.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed: components diverge from union-find")
+    }
+  }
+
   test("applyDedup keeps cluster canonicals and untouched docs, drops the rest") {
     import spark.implicits._
     val docs = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "name")
