@@ -22,12 +22,13 @@ object RunPipeline {
       else "BATCH_" + now.format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")))
       .replaceAll("[^A-Za-z0-9_-]", "_")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
-      .appName(s"graft-x12-$batchId")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // the session factory carries the engine's scale stance (AQE + skew
+    // join, zstd, UTC, graft functions); shuffle partitions sized to cores
+    val spark = graft.GraftSession.getOrCreate(
+      SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+        .appName(s"graft-x12-$batchId"),
+      shufflePartitions = cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     try {
       val result = X12Pipeline.run(spark, landingDir, outDir, batchId,
