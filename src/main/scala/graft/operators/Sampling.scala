@@ -53,25 +53,60 @@ object Sampling {
   /** Token-budgeted corpus assembly (training-data mixing): per source,
     * admit documents in deterministic hash order until the source's token
     * budget is reached — a document is admitted iff the running token sum
-    * INCLUDING it stays within budget. One shuffle on the source column;
-    * the running-sum window and the filter share it. Budgets are exact and
-    * reproducible: the same corpus + budgets always selects the same
-    * documents, on any engine.
+    * INCLUDING it stays within budget. Budgets are exact and reproducible:
+    * the same corpus + budgets always selects the same documents, on any
+    * engine.
+    *
+    * Scale shape: a naive `Window.partitionBy(source)` running sum puts
+    * EVERY row of a source through one task — a training mix has few
+    * sources and huge ones (a 40 TB crawl slice = one task), so the
+    * prefix sum is computed in two passes instead:
+    *  1. rows are bucketed by the first `bucketChars` hex chars of their
+    *     order hash (a PREFIX of the order key, so bucket order equals
+    *     hash order — md5 hex strings compare lexicographically the same
+    *     as numerically); per-(source, bucket) token subtotals are a tiny
+    *     frame (sources × 16^bucketChars rows);
+    *  2. cumulative bucket offsets come from a window over that tiny
+    *     frame, broadcast back, and each row's global running sum =
+    *     its bucket's offset + a running sum local to its bucket.
+    * The corpus body crosses the wire once (the (source, bucket)
+    * exchange feeding the local window); no window partition ever holds
+    * more than ~1/16^bucketChars of a source. Identical output to the
+    * single-window form for any bucketChars.
     */
   def tokenBudget(df: DataFrame, sourceCol: String, idCol: String,
       tokenCountCol: String, budgets: Map[String, Long],
-      defaultBudget: Long): DataFrame = {
+      defaultBudget: Long, bucketChars: Int = 3): DataFrame = {
     require((budgets.values.toSeq :+ defaultBudget).forall(_ >= 0),
       s"budgets must be >= 0: $budgets / $defaultBudget")
-    val w = Window.partitionBy(sourceCol)
-      .orderBy(hashOrder(col(sourceCol), col(idCol)), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    require(bucketChars >= 1 && bucketChars <= 8,
+      s"bucketChars must be in [1,8], got $bucketChars")
     val budget = budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (value, b)) => when(col(sourceCol) === value, lit(b)).otherwise(acc)
     }
-    df.withColumn("__cum_tokens", sum(col(tokenCountCol).cast("long")).over(w))
+    val withKey = df
+      .withColumn("__h", hashOrder(col(sourceCol), col(idCol)))
+      .withColumn("__b", substring(col("__h"), 1, bucketChars))
+    // pass 1: per-bucket subtotals (tiny: sources × 16^bucketChars rows);
+    // the offset window runs over this aggregate, never the corpus
+    val wOffset = Window.partitionBy(sourceCol).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withKey
+      .groupBy(col(sourceCol), col("__b"))
+      .agg(sum(col(tokenCountCol).cast("long")).as("__sub"))
+      .withColumn("__off", coalesce(sum(col("__sub")).over(wOffset), lit(0L)))
+      .select(col(sourceCol), col("__b"), col("__off"))
+    // pass 2: running sum local to each (source, bucket) partition —
+    // bounded tasks even when one source is 90% of the corpus
+    val wLocal = Window.partitionBy(col(sourceCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withKey
+      .join(broadcast(offsets), Seq(sourceCol, "__b"))
+      .withColumn("__cum_tokens",
+        col("__off") + sum(col(tokenCountCol).cast("long")).over(wLocal))
       .filter(col("__cum_tokens") <= budget)
-      .drop("__cum_tokens")
+      .select(df.columns.map(col): _*)
   }
 
   /** Deterministic per-key cap ("reservoir" with a hash instead of RNG):

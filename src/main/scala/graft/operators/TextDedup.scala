@@ -231,14 +231,18 @@ object TextDedup {
 
   /** Apply the dedup decision: drop every cluster member except its
     * canonical (minimum-id) representative; documents in no cluster pass
-    * through. The non-canonical id set is the anti-join side — small
-    * relative to the corpus (it is exactly the duplicates being removed),
-    * so it broadcasts; the corpus body is never shuffled.
+    * through. The anti-join side is deliberately UNHINTED: web-scale dedup
+    * routinely removes 30-50% of a corpus, so the duplicate-id set is
+    * O(corpus) in the worst case and a forced broadcast would OOM the
+    * driver at 100 TB. Left to the planner, AQE broadcasts when the dup
+    * set's runtime size fits `spark.sql.autoBroadcastJoinThreshold` and
+    * falls back to a shuffled anti-join otherwise — one exchange of bare
+    * ids, never of document bodies.
     */
   def applyDedup(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
     val dupIds = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
-    docs.join(broadcast(dupIds), Seq(idCol), "left_anti")
+    docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
   /** Audit companion to [[minhashLshPairs]]: per-bucket population and

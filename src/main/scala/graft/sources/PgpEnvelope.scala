@@ -47,9 +47,11 @@ object PgpEnvelope {
     else {
       val b = conv(hex(substring(payload, 1, 1)), 16, 10).cast("int")
       // new format: 11xxxxxx, tag = b & 0x3f; old format: 10xxxxxx,
-      // tag = (b >> 2) & 0x0f
+      // tag = (b >> 2) & 0x0f — bit ops, NOT Column `/` (double division:
+      // any old-format octet with non-zero length-type bits would yield a
+      // fractional tag that matches nothing and sail past quarantine)
       val newTag = b - 192
-      val oldTag = (b - 128) / 4
+      val oldTag = shiftright(b, 2).bitwiseAND(lit(15))
       val framed =
         (b >= 192 && newTag.isin(openingTags.map(x => x: Any): _*)) ||
           (b >= 128 && b < 192 && oldTag.isin(openingTags.map(x => x: Any): _*))

@@ -69,20 +69,23 @@ object X12Pipeline {
     import spark.implicits._
 
     // Bronze: validate + metadata; landing write partitioned by y/m/d.
-    // Already-ledgered files are dropped up front (broadcast anti-join on
-    // the small file-name ledger), so a re-run is incremental, not a dup.
-    // The ledger is SNAPSHOTTED into a local relation before the run: the
-    // run itself appends to the ledger at the end, and a plan that read the
-    // ledger path directly would be re-cached against the grown ledger
-    // (Spark refreshes caches on writes to a source path), anti-joining
-    // this run's own files away from the returned frames.
+    // Already-ledgered files are dropped up front (anti-join on the
+    // file-name ledger), so a re-run is incremental, not a dup.
+    // The ledger is SNAPSHOTTED via eager localCheckpoint before the run:
+    // the run itself appends to the ledger at the end, and a plan that
+    // read the ledger path directly would be re-cached against the grown
+    // ledger (Spark's recacheByPath refreshes caches on writes to a source
+    // path), anti-joining this run's own files away from the returned
+    // frames. The checkpoint truncates the plan to a materialized RDD with
+    // no file-source node — immune to the path refresh — WITHOUT pulling
+    // the ledger to the driver (a collect here grows unboundedly with the
+    // processed-file history; the checkpoint stays executor-side). AQE
+    // broadcasts the anti-join when the snapshot fits the threshold.
     val ingested = X12Bronze.ingest(spark, landingDir, batchId, processingDate)
     val bronze =
       if (write) {
-        val processed = processedFiles(spark, outDir)
-          .collect().map(_.getString(0)).toSeq
-        ingested.join(broadcast(processed.toDF("file_name")),
-          Seq("file_name"), "left_anti")
+        val processed = processedFiles(spark, outDir).localCheckpoint(true)
+        ingested.join(processed, Seq("file_name"), "left_anti")
       } else ingested
     bronze.cache()
     // a fully-ledgered re-run has nothing new: skip every write (the

@@ -80,6 +80,36 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       Map.empty, defaultBudget = 0L).count() == 0)
   }
 
+  test("tokenBudget matches the single-window reference on a 90%-skewed corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one source owns 90% of the rows — the shape that serialized the old
+    // single-window form into one task; the bucketed two-pass must select
+    // the EXACT same documents the naive global running sum would
+    val docs = ((1L to 900L).map(i => (i, "crawl", (i % 7 + 1).toInt)) ++
+      (901L to 1000L).map(i => (i, s"s${i % 4}", 5)))
+      .toDF("doc_id", "source", "n_tokens")
+    val budgets = Map("crawl" -> 1200L, "s1" -> 40L)
+    val picked = Sampling.tokenBudget(docs, "source", "doc_id", "n_tokens",
+      budgets, defaultBudget = 60L, bucketChars = 1)
+    // naive reference: the one-task-per-source window the operator replaced
+    val hashKey = md5(concat(col("source"), lit("|"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("source").orderBy(hashKey, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgetCol = when(col("source") === "crawl", 1200L)
+      .when(col("source") === "s1", 40L).otherwise(60L)
+    val expected = docs
+      .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+      .filter(col("cum") <= budgetCol).select("doc_id")
+    assert(picked.count() == expected.count())
+    assert(picked.select("doc_id").except(expected).count() == 0)
+    // the skewed source really is split across buckets (bounded task input)
+    val bucketsUsed = docs.filter(col("source") === "crawl")
+      .select(substring(md5(concat(col("source"), lit("|"),
+        col("doc_id").cast("string"))), 1, 1)).distinct().count()
+    assert(bucketsUsed > 1, "skewed source must span multiple hash buckets")
+  }
+
   test("perKeyCap keeps at most k per key, deterministically") {
     import spark.implicits._
     val rows = (1L to 300L).map(i => (i, s"u${i % 7}")).toDF("id", "key")
@@ -144,6 +174,30 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // clusters {1,2,3}→1 and {7,8}→7; 4,5,6,9,10 untouched
     assert(kept == Set(1L, 4L, 5L, 6L, 7L, 9L, 10L))
+  }
+
+  test("applyDedup on a majority-duplicate corpus takes the non-broadcast path") {
+    import spark.implicits._
+    // 80% duplicates: the dup-id set is O(corpus) — the shape where the old
+    // unconditional broadcast(dupIds) would OOM at 100 TB; with the
+    // broadcast threshold disabled the planner must pick a shuffled
+    // anti-join and still produce the right survivors
+    val docs = (1L to 500L).map(i => (i, s"doc$i")).toDF("doc_id", "name")
+    // chain docs 1..400 into one cluster (canonical = 1)
+    val pairs = (1L until 400L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val clusters = TextDedup.dupClusters(pairs).cache()
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val kept = TextDedup.applyDedup(docs, "doc_id", clusters)
+      val plan = kept.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"dup-id set over threshold must not broadcast:\n$plan")
+      val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == (Set(1L) ++ (401L to 500L)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
   }
 
   test("contamination counts shared shingles and reports clean docs as zero") {

@@ -52,13 +52,33 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     assert(c.count() == docs.count())
   }
 
-  test("tokenBudget plans one shuffle; perKeyCap gets map-side WindowGroupLimit") {
+  test("tokenBudget never windows a whole source in one task; perKeyCap gets map-side WindowGroupLimit") {
     import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val docs = (1L to 100L).map(i => (i, s"s${i % 5}", 10)).toDF("id", "src", "n")
-    val tb = Sampling.tokenBudget(docs, "src", "id", "n", Map.empty, 500L)
-    val tbPlan = tb.queryExecution.executedPlan.toString
-    assert(countOf(tbPlan, "Exchange hashpartitioning") == 1,
-      s"tokenBudget is one shuffle + window + filter:\n$tbPlan")
+    // AQE wraps stages in leaf nodes, hiding the join from tree traversal —
+    // the static plan has the same shape and is what this contract pins
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val tb = Sampling.tokenBudget(docs, "src", "id", "n", Map.empty, 500L)
+      // the window that consumes the CORPUS (downstream of the broadcast
+      // offset join) must partition by (source, hash-prefix bucket) — a
+      // partition spec of just the source would put a 40 TB source through
+      // one task; the only single-column window allowed is the one over the
+      // tiny per-bucket subtotal aggregate
+      val corpusWindows = tb.queryExecution.executedPlan.collect {
+        case w: WindowExec
+            if w.find(_.isInstanceOf[BroadcastHashJoinExec]).isDefined => w
+      }
+      assert(corpusWindows.nonEmpty, "expected a window over the joined corpus")
+      corpusWindows.foreach { w =>
+        assert(w.partitionSpec.size == 2,
+          s"corpus window must partition by (source, bucket):\n${tb.queryExecution.executedPlan}")
+      }
+      assert(tb.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     val cap = Sampling.perKeyCap(docs, "src", "id", k = 3)
     val capPlan = cap.queryExecution.executedPlan.toString
     assert(countOf(capPlan, "Exchange hashpartitioning") == 1)

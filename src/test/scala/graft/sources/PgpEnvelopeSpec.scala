@@ -41,7 +41,15 @@ class PgpEnvelopeSpec extends AnyFunSuite with SparkTestBase {
       ("bom_text", Some(bom)),
       ("missing", Option.empty[Array[Byte]]),
       // old-format symmetrically-encrypted packet: 10 1001 xx = 0xA4
-      ("old_fmt_pgp", Some(Array(0xa4, 0x01, 0x00).map(_.toByte))))
+      ("old_fmt_pgp", Some(Array(0xa4, 0x01, 0x00).map(_.toByte))),
+      // old-format packets with NON-ZERO length-type bits — the octets the
+      // double-division bug classified as plaintext: 0x85 = 10 0001 01
+      // (PKESC, two-octet length), 0xA5 = 10 1001 01 (sym-enc, two-octet)
+      ("old_fmt_pkesc_2len", Some(Array(0x85, 0x01, 0x00, 0x00).map(_.toByte))),
+      ("old_fmt_symenc_2len", Some(Array(0xa5, 0x01, 0x00, 0x00).map(_.toByte))),
+      // old-format tag NOT in the opening set (tag 13 = user ID, 0xB4):
+      // framing-valid but not a message opener — stays plaintext-classified
+      ("old_fmt_userid", Some(Array(0xb4, 0x01, 0x41).map(_.toByte))))
       .toDF("file_name", "payload")
     val c = PgpEnvelope.withEncryptionStatus(rows, "payload")
     val m = c.collect().map(r => r.getString(0) ->
@@ -50,9 +58,12 @@ class PgpEnvelopeSpec extends AnyFunSuite with SparkTestBase {
     assert(m("bom_text") == ((false, "plaintext")))
     assert(m("missing") == ((false, "missing_payload")))
     assert(m("old_fmt_pgp") == ((true, "encrypted_unsupported")))
+    assert(m("old_fmt_pkesc_2len") == ((true, "encrypted_unsupported")))
+    assert(m("old_fmt_symenc_2len") == ((true, "encrypted_unsupported")))
+    assert(m("old_fmt_userid") == ((false, "plaintext")))
     // missing payloads are quarantined, never parseable
-    assert(PgpEnvelope.parseable(c).count() == 1)
-    assert(PgpEnvelope.quarantine(c).count() == 2)
+    assert(PgpEnvelope.parseable(c).count() == 2)
+    assert(PgpEnvelope.quarantine(c).count() == 4)
   }
 
   test("string-typed payloads (the engine's own landing content) classify too") {
