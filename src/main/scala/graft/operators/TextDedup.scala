@@ -258,22 +258,74 @@ object TextDedup {
         lit(maxBucketSize > 0) && col("bucket_size") > maxBucketSize)
 
   /** SimHash fingerprint: per-token md5-derived `bits`-bit hash, each bit
-    * votes ±1 weighted by token frequency.
+    * votes ±1 weighted by token frequency. Token hashes come from the
+    * first ceil(bits/4) hex chars of md5, so narrow fingerprints are
+    * prefix-stable as `bits` grows. At the production width (64) the hash
+    * is assembled from two 32-bit halves into a SIGNED long — bit 63 is
+    * the sign bit, exactly the wire format `bit_count(a ^ b)` Hamming
+    * arithmetic expects; the SQL oracle reproduces the same signed value.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
-    // token hashes are 16 bits (4 hex chars of md5); higher bit positions
-    // would read shifted-out zeros and vote a constant -1
-    require(bits >= 1 && bits <= 16, s"simhash supports 1..16 bits, got $bits")
+    require(bits >= 1 && bits <= 64, s"simhash supports 1..64 bits, got $bits")
+    val hexChars = (bits + 3) / 4
     val tok = docs.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
-      .withColumn("th", conv(substring(md5(col("t")), 1, 4), 16, 10).cast("int"))
+      .withColumn("__md5", md5(col("t")))
+    val th =
+      if (hexChars <= 15) // fits a signed long directly
+        conv(substring(col("__md5"), 1, hexChars), 16, 10).cast("long")
+      else { // 16 hex chars = 64 bits: conv-to-string would overflow the
+        // signed cast, so assemble from two 32-bit halves (shiftleft wraps
+        // into the sign bit, which is the intended two's-complement value)
+        val hi = conv(substring(col("__md5"), 1, 8), 16, 10).cast("long")
+        val lo = conv(substring(col("__md5"), 9, 8), 16, 10).cast("long")
+        shiftleft(hi, 32).bitwiseOR(lo)
+      }
+    val hashed = tok.withColumn("th", th)
     val sums = (0 until bits).map(j =>
-      sum(when(shiftright(col("th"), j).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
+      sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
         .as(s"s$j"))
     val fingerprint = (0 until bits)
-      .map(j => when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0)))
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    tok.groupBy("doc_id")
+    val out = if (bits <= 16) fingerprint.cast("int") else fingerprint.cast("long")
+    hashed.groupBy("doc_id")
       .agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), fingerprint.cast("int").as("simhash"))
+      .select(col("doc_id"), out.as("simhash"))
+  }
+
+  /** SimHash Hamming near-dup pairs at the production 64-bit width,
+    * blocked Manku-style: the fingerprint splits into four 16-bit chunks;
+    * by pigeonhole any pair within Hamming distance `maxHamming` <= 3
+    * agrees on at least one chunk, so candidates are generated per
+    * (chunk index, chunk value) bucket — ONE shuffle, local pair expansion
+    * inside each bucket (the minhashLshPairs shape), never an all-pairs
+    * join — then exact-filtered with `bit_count(a ^ b)`. At 100 TB the
+    * chunk id is the layout key; a degenerate chunk bucket (boilerplate
+    * collapsing to one fingerprint) routes to exact dedup on the
+    * fingerprint itself, mirroring the LSH bucket-cap rationale.
+    */
+  def simhashNearPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit chunking guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val fp = simhash(docs, idCol, textCol, bits = 64)
+    val chunks = (0 until 4).map(i =>
+      concat(lit(s"$i:"),
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))))
+    val buckets = fp.select(col("doc_id"), col("simhash"),
+      explode(array(chunks: _*)).as("bucket"))
+    buckets.groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + 2, size(col("xs"))), y =>
+          struct(x.getField("doc_id").as("doc_a"),
+            y.getField("doc_id").as("doc_b"),
+            x.getField("simhash").as("fp_a"),
+            y.getField("simhash").as("fp_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        bit_count(col("p.fp_a").bitwiseXOR(col("p.fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -117,6 +117,39 @@ object Dedup extends QuerySet {
       Q.t(s, dir, "documents").select("doc_id", "source", "lang"),
       "doc_id", dd36(s, dir))
 
+  /** SimHash at the production 64-bit width (signed long fingerprint,
+    * two-half assembly — the oracle reproduces the same two's-complement
+    * value).
+    */
+  def dd39(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhash(Q.t(s, dir, "documents"), "doc_id", "text", bits = 64)
+
+  /** SimHash Hamming near-dup pairs: 4×16-bit chunk blocking (pigeonhole
+    * recall guarantee for distance <= 3), exact bit_count(xor) filter.
+    */
+  def dd40(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashNearPairs(Q.t(s, dir, "documents"), "doc_id", "text",
+      maxHamming = 3)
+
+  /** dd31 with the corpus-global document-frequency cap ENGAGED (df > 40
+    * shingles dropped — the 100 TB anti-boilerplate knob, here
+    * oracle-verified rather than spec-only: the oracle computes the same
+    * skip semantics).
+    */
+  def dd41(s: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramJaccardPairs(Q.t(s, dir, "documents"),
+      "doc_id", "text", blockCol = "source", threshold = 0.5, maxDocFreq = 40L)
+
+  /** dd33 with the LSH bucket cap ENGAGED (buckets over 4 docs dropped
+    * before pair expansion — oracle-verified skip-and-count).
+    */
+  def dd42(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    TextDedup.minhashLshPairs(Q.t(s, dir, "documents"),
+      "doc_id", "text", bands = 2, rowsPerBand = 2, maxBucketSize = 4L,
+      fast = true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
@@ -126,7 +159,11 @@ object Dedup extends QuerySet {
     "dd35_embedding_neardup" -> (dd35 _),
     "dd36_dup_clusters" -> (dd36 _),
     "dd37_minhash_universal" -> (dd37 _),
-    "dd38_dedup_applied" -> (dd38 _))
+    "dd38_dedup_applied" -> (dd38 _),
+    "dd39_simhash64" -> (dd39 _),
+    "dd40_simhash_hamming_pairs" -> (dd40 _),
+    "dd41_ngram_jaccard_capped" -> (dd41 _),
+    "dd42_lsh_pairs_capped" -> (dd42 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -137,6 +174,29 @@ object Dedup extends QuerySet {
 
   private val cosSql =
     """list_sum([x.emb[i] * y.emb[i] for i in range(1, 65)]) / (x.norm * y.norm)"""
+
+  // 64-bit simhash oracle scaffolding: the signed fingerprint is assembled
+  // from two 32-bit md5 halves ((hi - 2^32·sign) · 2^32 + lo stays inside
+  // BIGINT); the j=63 term is written -9223372036854775807 - 1 because the
+  // bare literal -2^63 parses as HUGEINT in DuckDB
+  private val simhash64ThSql =
+    """(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)
+      | - CASE WHEN CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) >= 2147483648
+      |   THEN 4294967296 ELSE 0 END) * 4294967296
+      | + CAST('0x' || substr(md5(t), 9, 8) AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+  private val simhash64SumsSql = (0 until 64)
+    .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+    .mkString(", ")
+  private val simhash64BitsSql = (0 until 64).map { j =>
+    val term = if (j == 63) "-9223372036854775807 - 1" else (1L << j).toString
+    s"(CASE WHEN s$j > 0 THEN $term ELSE 0 END)"
+  }.mkString(" + ")
+  private val simhash64FpCte =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |h AS (SELECT doc_id, $simhash64ThSql AS th FROM tok),
+       |s AS (SELECT doc_id, $simhash64SumsSql FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($simhash64BitsSql AS BIGINT) AS simhash FROM s)""".stripMargin
 
   /** Same coefficient formulas as graft.functions.MinHashUtil — generated
     * from one definition so Spark and the oracle cannot drift.
@@ -253,5 +313,48 @@ object Dedup extends QuerySet {
          |dups AS (SELECT id AS doc_id FROM walk GROUP BY id
          |         HAVING id <> min(label))
          |SELECT doc_id, source, lang FROM documents
-         |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin)
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin,
+    "dd39_simhash64" ->
+      s"""WITH $simhash64FpCte
+         |SELECT doc_id, simhash FROM fp""".stripMargin,
+    "dd40_simhash_hamming_pairs" ->
+      s"""WITH $simhash64FpCte,
+         |ch AS (SELECT doc_id, simhash, i, (simhash >> (i * 16)) & 65535 AS cv
+         |       FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+         |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |       x.simhash AS fa, y.simhash AS fb
+         |      FROM ch x JOIN ch y ON x.i = y.i AND x.cv = y.cv
+         |       AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+         |FROM p WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
+    "dd41_ngram_jaccard_capped" ->
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS sp FROM documents),
+         |sh0 AS (SELECT doc_id, source, unnest($bigramsSql) AS shingle FROM d),
+         |hot AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1)
+         |        WHERE df > 40),
+         |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
+         |       AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, common,
+         | round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) AS jaccard
+         |FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
+         |WHERE round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) >= 0.5""".stripMargin,
+    "dd42_lsh_pairs_capped" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+         |g AS (SELECT doc_id, $bigramsSql AS bg FROM d),
+         |sigs AS (SELECT doc_id,
+         |  md5(list_min(list_transform(bg, x -> md5('1' || x)))
+         |   || list_min(list_transform(bg, x -> md5('2' || x)))) AS b1,
+         |  md5(list_min(list_transform(bg, x -> md5('3' || x)))
+         |   || list_min(list_transform(bg, x -> md5('4' || x)))) AS b2
+         | FROM g),
+         |b AS (SELECT doc_id, '1:' || b1 AS bucket FROM sigs WHERE b1 IS NOT NULL
+         |      UNION ALL SELECT doc_id, '2:' || b2 FROM sigs WHERE b2 IS NOT NULL),
+         |ok AS (SELECT bucket FROM (SELECT bucket, count(*) AS n FROM b GROUP BY 1)
+         |       WHERE n <= 4),
+         |bb AS (SELECT b.* FROM b JOIN ok USING (bucket))
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |FROM bb x JOIN bb y ON x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin)
 }

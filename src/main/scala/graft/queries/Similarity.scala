@@ -87,13 +87,22 @@ object Similarity extends QuerySet {
       queryPred = col("vec_id") < 5, k = 3, nprobe = 2)
   }
 
+  /** sim38 with the bucket cap ENGAGED (buckets over 6 vectors dropped
+    * before the within-bucket self-join — the degenerate-bucket guard,
+    * here oracle-verified: the oracle computes the same skip semantics).
+    */
+  def sim42(s0: SparkSession, dir: String): DataFrame =
+    Ann.lshNearPairs(embD(withDot(s0), dir), "vec_id", "emb",
+      planes = 8, dim = 64, threshold = 0.25, maxBucketSize = 6L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
     "sim37_lsh_buckets" -> (sim37 _),
     "sim38_lsh_neardup_pairs" -> (sim38 _),
     "sim39_ivf_assign" -> (sim39 _),
     "sim40_ivf_probe" -> (sim40 _),
-    "sim41_ivf_probe_nprobe2" -> (sim41 _))
+    "sim41_ivf_probe_nprobe2" -> (sim41 _),
+    "sim42_lsh_neardup_capped" -> (sim42 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -193,5 +202,17 @@ object Similarity extends QuerySet {
         | centroid_id AS cell, round(cand_cos, 4) AS cos
         |FROM (SELECT *, row_number() OVER
         |  (PARTITION BY query_id ORDER BY cand_cos DESC, vec_id ASC) AS rank FROM cand)
-        |WHERE rank <= 3""".stripMargin)
+        |WHERE rank <= 3""".stripMargin,
+    "sim42_lsh_neardup_capped" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm,
+         |  CAST($bucketSql AS INTEGER) AS bucket FROM e),
+         |ok AS (SELECT bucket FROM (SELECT bucket, count(*) AS n FROM b GROUP BY 1)
+         |       WHERE n <= 6),
+         |bb AS (SELECT b.* FROM b JOIN ok USING (bucket))
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket AS bucket,
+         | round(list_sum([x.emb[i] * y.emb[i] for i in range(1, 65)]) / (x.norm * y.norm), 4) AS cos
+         |FROM bb x JOIN bb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE round(list_sum([x.emb[i] * y.emb[i] for i in range(1, 65)]) / (x.norm * y.norm), 4) >= 0.25""".stripMargin)
 }

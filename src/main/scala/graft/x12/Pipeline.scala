@@ -65,7 +65,8 @@ object X12Pipeline {
       processingTs: java.sql.Timestamp,
       now: LocalDateTime,
       write: Boolean = true,
-      qualityDrivenAckCode: Boolean = false): Result = {
+      qualityDrivenAckCode: Boolean = false,
+      incrementalGold: Boolean = false): Result = {
     import spark.implicits._
 
     // Bronze: validate + metadata; landing write partitioned by y/m/d.
@@ -128,17 +129,42 @@ object X12Pipeline {
         catch { case scala.util.control.NonFatal(_) => silver.toDF() }
       else silver.toDF()
     val silverValid = silverStore.filter(col("is_valid"))
-    val marts = X12Gold.allMarts(silverValid, processingDate) +
+    val unpartitioned = Set("gold_business_kpis", "gold_daily_analytics")
+    // Incremental gold maintenance (A9's group-recompute semantics at
+    // pipeline level): every mart groups by processing_date, so rows of
+    // one date only ever influence that date's partition. An incremental
+    // run therefore recomputes ONLY the partitions this batch touched —
+    // the mart input is the accumulated store filtered to the touched
+    // dates (a partition-pruned scan), and the write replaces just those
+    // partitions via dynamic partition overwrite. At 100 TB this turns
+    // mart maintenance from O(history) into O(day). Global single-row
+    // marts (KPIs) still aggregate the full store — they are cheap
+    // aggregates, and a date-scoped recompute would drop history.
+    val fullMarts = X12Gold.allMarts(silverValid, processingDate) +
       ("gold_daily_analytics" ->
         X12Gold.dailyAnalytics(bronze, silver.toDF(), processingDate))
-    val unpartitioned = Set("gold_business_kpis", "gold_daily_analytics")
-    if (doWrite) marts.foreach { case (name, df) =>
-      val w = df.write.mode("overwrite")
-      // summary marts keyed by processing_date partition like the reference
-      // (gold_x12_analytics.py:500 etc.); single-row globals unpartitioned
-      if (!unpartitioned(name))
-        w.partitionBy("processing_date").parquet(s"$outDir/$name")
-      else w.parquet(s"$outDir/$name")
+    val marts =
+      if (!incrementalGold) fullMarts
+      else {
+        val touched = X12Gold.allMarts(
+          silverValid.filter(col("processing_date") === lit(processingDate)),
+          processingDate)
+        fullMarts.map { case (name, df) =>
+          name -> (if (unpartitioned(name)) df else touched(name))
+        }
+      }
+    if (doWrite) {
+      val overwriteMode = "spark.sql.sources.partitionOverwriteMode"
+      val prevMode = spark.conf.get(overwriteMode)
+      if (incrementalGold) spark.conf.set(overwriteMode, "dynamic")
+      try marts.foreach { case (name, df) =>
+        val w = df.write.mode("overwrite")
+        // summary marts keyed by processing_date partition like the reference
+        // (gold_x12_analytics.py:500 etc.); single-row globals unpartitioned
+        if (!unpartitioned(name))
+          w.partitionBy("processing_date").parquet(s"$outDir/$name")
+        else w.parquet(s"$outDir/$name")
+      } finally if (incrementalGold) spark.conf.set(overwriteMode, prevMode)
     }
 
     // 997 acknowledgments per trading partner

@@ -76,6 +76,27 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(base.collect().toSet == capped.collect().toSet)
   }
 
+  test("simhash64: identical texts share a fingerprint; hamming pairs find them at distance 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely unrelated words about spark catalyst plans engine"),
+      (4L, "the quick brown fox jumps over the lazy cat")).toDF("doc_id", "text")
+    val fp = TextDedup.simhash(docs, "doc_id", "text", bits = 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    // 64-bit fingerprints actually use the high bits (a 16-bit-wide bug
+    // would leave bits 16..63 constant across unrelated docs)
+    assert((fp(1L) >>> 16) != (fp(3L) >>> 16))
+    val pairs = TextDedup.simhashNearPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+    // unrelated docs are far in hamming space and never pair
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash of identical texts is identical") {
     val sh = TextDedup.simhash(docs, "doc_id", "text", 16)
     val joined = docs.select(col("doc_id").as("id_a"), md5(col("text")).as("fp"))

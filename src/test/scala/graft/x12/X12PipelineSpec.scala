@@ -339,6 +339,64 @@ class X12PipelineSpec extends AnyFunSuite with SparkTestBase {
       "no duplicate silver rows on re-run")
   }
 
+  test("exactly-once 997 emission: a fully-ledgered re-run adds no ack files") {
+    result // first run materialized and ledgered
+    def ackFiles: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(Paths.get(outDir, "acknowledgments"))
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(_.toString).toSet
+      finally s.close()
+    }
+    val before = ackFiles
+    assert(before.nonEmpty)
+    val rerun = X12Pipeline.run(spark, corpusDir, outDir, "BATCH_ACK_RERUN",
+      Date.valueOf("2025-09-04"), Timestamp.valueOf("2025-09-04 12:00:00"),
+      LocalDateTime.of(2025, 9, 4, 12, 0, 0))
+    assert(rerun.acks.isEmpty, "no new batches means no new acknowledgments")
+    assert(ackFiles == before, "re-run must not re-emit 997 files")
+  }
+
+  test("incremental gold: partition-scoped recompute equals the full recompute") {
+    val corpus2 = Files.createTempDirectory("x12corpus_inc").toString
+    val outInc = Files.createTempDirectory("x12out_inc").toString
+    val outFull = Files.createTempDirectory("x12out_full").toString
+    X12TestDataGen.writeCorpus(corpus2, 18, seed = 9L)
+    val d = Date.valueOf("2025-09-05")
+    val ts = Timestamp.valueOf("2025-09-05 12:00:00")
+    val now = LocalDateTime.of(2025, 9, 5, 12, 0, 0)
+    X12Pipeline.run(spark, corpus2, outInc, "INC1", d, ts, now,
+      incrementalGold = true)
+    // a late file lands; the second incremental run processes only it and
+    // rewrites only the touched processing_date partition of each mart
+    Files.copy(Paths.get(corpus2, "test_x12_837_000.x12"),
+      Paths.get(corpus2, "late_inc.x12"))
+    val run2 = X12Pipeline.run(spark, corpus2, outInc, "INC2", d, ts, now,
+      incrementalGold = true)
+    assert(run2.bronze.count() == 1)
+    // reference: one combined run over the full corpus
+    val full = X12Pipeline.run(spark, corpus2, outFull, "FULL", d, ts, now)
+    // every mart on disk must be content-identical to the combined run's
+    // (doubles canonicalized: append order differs between the two silver
+    // stores, so float sums can differ in ulps)
+    def canon(df0: org.apache.spark.sql.DataFrame) = {
+      // created_at is a run-time stamp by design — not part of the contract
+      val df = if (df0.columns.contains("created_at")) df0.drop("created_at") else df0
+      df.select(df.schema.fields.map(f => f.dataType match {
+        case org.apache.spark.sql.types.DoubleType => round(col(f.name), 6).as(f.name)
+        case _ => col(f.name)
+      }).toSeq: _*)
+    }
+    // daily analytics is batch-scoped by design (this batch's bronze)
+    full.marts.keys.filterNot(_ == "gold_daily_analytics").foreach { mart =>
+      val a = canon(spark.read.parquet(s"$outInc/$mart"))
+      val b = canon(spark.read.parquet(s"$outFull/$mart"))
+      assert(a.count() == b.count(), s"$mart row count")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$mart content diverges from the combined run")
+    }
+  }
+
   test("processed-file ledger: a late-arriving file is picked up incrementally") {
     result
     val before = spark.read.parquet(s"$outDir/silver").count()
