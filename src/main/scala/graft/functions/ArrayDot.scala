@@ -140,6 +140,14 @@ object GraftFunctions {
     }
   }
 
+  private[functions] val buildShingles: Seq[Expression] => Expression = children => {
+    if (children.length != 1)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_shingles: expected 1, " +
+          s"got ${children.length}")
+    BigramShingles(children.head)
+  }
+
   private val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
@@ -152,7 +160,10 @@ object GraftFunctions {
       buildMinHashU),
     (FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
-      buildNfc))
+      buildNfc),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[BigramShingles].getName, "graft_shingles"),
+      buildShingles))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>
@@ -176,6 +187,12 @@ object GraftFunctions {
   /** Unicode NFC canonical form (matches DuckDB's nfc_normalize). */
   def nfc(text: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_nfc", text)
+
+  /** Distinct word-bigram shingles, one fused codegen loop (parity with
+    * the composable HOF form is spec-pinned).
+    */
+  def shingles(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_shingles", text)
 }
 
 /** Extensions entry point: inject graft functions into every session built
@@ -199,5 +216,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_nfc"),
         new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
         GraftFunctions.buildNfc))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_shingles"),
+        new ExpressionInfo(classOf[BigramShingles].getName, "graft_shingles"),
+        GraftFunctions.buildShingles))
   }
 }

@@ -17,14 +17,24 @@ object TextDedup {
 
   private def toks(text: Column): Column = split(text, " ")
 
-  /** Distinct word-bigram shingles — the MinHash/Jaccard unit. */
-  def bigramShingles(text: Column): Column = {
-    val t = toks(text)
-    array_distinct(zip_with(
-      slice(t, lit(1), size(t) - 1),
-      slice(t, lit(2), size(t) - 1),
-      (x, y) => concat(x, lit(" "), y)))
-  }
+  /** Distinct word-bigram shingles — the MinHash/Jaccard unit.
+    *
+    * `fast = true` computes them in one fused codegen loop via the native
+    * `graft_shingles` expression (identical output, spec-pinned parity;
+    * requires `GraftFunctions.register`). The composable default
+    * interprets three HOF lambdas and materializes two slices + a zipped
+    * array per row — at corpus scale the shingle computation dominates the
+    * (codegen'd) joins around it.
+    */
+  def bigramShingles(text: Column, fast: Boolean = false): Column =
+    if (fast) graft.functions.GraftFunctions.shingles(text)
+    else {
+      val t = toks(text)
+      array_distinct(zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (x, y) => concat(x, lit(" "), y)))
+    }
 
   /** Exact content dedup: groups by md5(text); canonical row = min id. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -50,9 +60,13 @@ object TextDedup {
     * the LSH generators bound bucket size.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
+      blockCol: String, threshold: Double, maxDocFreq: Long = 0L,
+      fast: Boolean = false): DataFrame = {
     val sh0 = docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-      explode(bigramShingles(col(textCol))).as("shingle"))
+      explode(bigramShingles(col(textCol), fast)).as("shingle"))
+    // the posting frame is consumed three times (both self-join sides + the
+    // per-doc count) — materializing once beats recomputing even with the
+    // fused native shingle expression (measured at sf0.1)
     val sh = (if (maxDocFreq > 0) {
         val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select("shingle")
@@ -89,7 +103,7 @@ object TextDedup {
       k: Int, fast: Boolean = false): DataFrame =
     if (fast) {
       val sig = graft.functions.GraftFunctions.minhash(
-        bigramShingles(col(textCol)), k)
+        bigramShingles(col(textCol), fast = true), k)
       docs.select(col(idCol).as("doc_id") +:
         (1 to k).map(i => element_at(sig, lit(i)).as(s"mh$i")): _*)
     } else {
@@ -110,7 +124,7 @@ object TextDedup {
   def minhashSignaturesUniversal(docs: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     val sig = graft.functions.GraftFunctions.minhashU(
-      bigramShingles(col(textCol)), k)
+      bigramShingles(col(textCol), fast = true), k)
     docs.select(col(idCol).as("doc_id") +:
       (1 to k).map(i => element_at(sig, lit(i)).as(s"mh$i")): _*)
   }

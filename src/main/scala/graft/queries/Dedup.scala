@@ -39,10 +39,14 @@ object Dedup extends QuerySet {
   def dd30(s: SparkSession, dir: String): DataFrame =
     TextDedup.exactDedup(Q.t(s, dir, "documents"), "doc_id", "text")
 
-  /** N-gram Jaccard near-dup: blocked inverted index, threshold 0.5. */
-  def dd31(s: SparkSession, dir: String): DataFrame =
+  /** N-gram Jaccard near-dup: blocked inverted index, threshold 0.5
+    * (posting frame built by the fused native `graft_shingles` loop).
+    */
+  def dd31(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     TextDedup.ngramJaccardPairs(Q.t(s, dir, "documents"),
-      "doc_id", "text", blockCol = "source", threshold = 0.5)
+      "doc_id", "text", blockCol = "source", threshold = 0.5, fast = true)
+  }
 
   /** MinHash signature per document: k=4 seeded-md5 permutations, computed
     * by the one-pass native `graft_minhash` expression (byte-parity with
@@ -136,9 +140,12 @@ object Dedup extends QuerySet {
     * oracle-verified rather than spec-only: the oracle computes the same
     * skip semantics).
     */
-  def dd41(s: SparkSession, dir: String): DataFrame =
+  def dd41(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     TextDedup.ngramJaccardPairs(Q.t(s, dir, "documents"),
-      "doc_id", "text", blockCol = "source", threshold = 0.5, maxDocFreq = 40L)
+      "doc_id", "text", blockCol = "source", threshold = 0.5,
+      maxDocFreq = 40L, fast = true)
+  }
 
   /** dd33 with the LSH bucket cap ENGAGED (buckets over 4 docs dropped
     * before pair expansion — oracle-verified skip-and-count).

@@ -52,6 +52,35 @@ class ArrayDotSpec extends AnyFunSuite with SparkTestBase {
     assert(joined.count() == docs.count())
   }
 
+  test("graft_shingles matches the composable HOF form exactly, edge cases included") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val tricky = Seq(
+      (9000001L, "a b c a b"),          // duplicate shingle "a b" — distinct, first-occurrence order
+      (9000002L, "single"),             // one token → empty array
+      (9000003L, ""),                   // empty text → [""] tokens → empty array
+      (9000004L, "a  b c"),             // double space → empty middle token
+      (9000005L, "héllo wörld héllo wörld x"), // unicode + repeats
+      (9000006L, "trailing space "))    // trailing empty token shingles too
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).unionByName(tricky)
+    val hof = docs.select(col("doc_id"),
+      graft.operators.TextDedup.bigramShingles(col("text")).as("sh"))
+    val fast = docs.select(col("doc_id"),
+      graft.operators.TextDedup.bigramShingles(col("text"), fast = true).as("sf"))
+    val joined = hof.join(fast, "doc_id")
+    assert(joined.filter(col("sh") =!= col("sf")).count() == 0,
+      "native shingles must equal the HOF form element-for-element")
+    assert(joined.count() == docs.count())
+    // spot-pin ordering + edge semantics
+    val m = fast.filter(col("doc_id").isin(9000001L, 9000002L, 9000003L, 9000004L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(9000001L) == Seq("a b", "b c", "c a"))
+    assert(m(9000002L) == Seq.empty && m(9000003L) == Seq.empty)
+    assert(m(9000004L) == Seq("a ", " b", "b c"))
+  }
+
   test("graft_minhash null/empty semantics match array_min over transform") {
     GraftFunctions.register(spark)
     import spark.implicits._
