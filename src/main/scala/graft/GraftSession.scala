@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   *
   * What it encodes (and why — the 100 TB design defaults):
   *  - graft function extensions (graft_dot / graft_minhash /
-  *    graft_minhash_u / graft_nfc) injected into every session;
+  *    graft_minhash_u / graft_nfc / graft_shingles) injected into every
+  *    session;
   *  - AQE on with skew-join splitting and partition coalescing — runtime
   *    re-planning is the first defense against skewed partners/keys;
   *  - 128 MB file partitions (one task ≈ one parquet row-group span);

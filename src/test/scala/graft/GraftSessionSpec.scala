@@ -26,6 +26,8 @@ class GraftSessionSpec extends AnyFunSuite with SparkTestBase {
         .head.getString(0) == "café")
       assert(s.sql("SELECT element_at(graft_minhash(array('a b'), 2), 1) AS m")
         .head.getString(0).length == 32)
+      assert(s.sql("SELECT graft_shingles('a b c') AS sh")
+        .head.getSeq[String](0) == Seq("a b", "b c"))
     } finally {
       prev.foreach(SparkSession.setDefaultSession)
       prev.foreach(SparkSession.setActiveSession)
