@@ -23,6 +23,23 @@ object TextAnalysis {
         / size(t), 4).as("avg_token_len"))): _*)
   }
 
+  /** BPE-style pre-tokenization count alongside the whitespace count — the
+    * two token-budget currencies a training mix is planned in. The pattern
+    * is the GPT-2 pre-tokenizer family (optional leading space + letter
+    * run / digit run / punctuation run, else whitespace run) WITHOUT the
+    * trailing-space lookahead: RE2 has no lookahead, and dropping it keeps
+    * Java regex (Spark codegen'd regexp_count) and RE2 (SQL engines)
+    * counting identically — parity is oracle-verified. A real BPE vocab
+    * merges within these pre-tokens, so this count upper-bounds true BPE
+    * tokens the way budget planning uses it.
+    */
+  val BpePattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(toks(col(textCol))).as("n_ws_tokens"),
+      regexp_count(col(textCol), lit(BpePattern)).as("n_bpe_tokens"))
+
   /** Heuristic 0-100 quality score from length and stopword-ratio distance
     * (shape mirrors the reference's deduction scoring,
     * silver_x12_parsing.py:1068-1073).

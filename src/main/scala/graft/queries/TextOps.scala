@@ -104,6 +104,13 @@ object TextOps extends QuerySet {
   def q32(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(Q.t(s, dir, "documents"), "doc_id", "text")
 
+  /** BPE-style pre-token counting next to the whitespace count — the two
+    * token-budget currencies; Java-regex/RE2 parity is the point of the
+    * oracle check (the pattern is lookahead-free by design).
+    */
+  def q33(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokenStats(Q.t(s, dir, "documents"), "doc_id", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
     "q25_array_hof" -> (q25 _),
@@ -113,7 +120,8 @@ object TextOps extends QuerySet {
     "td29_fingerprint" -> (q29 _),
     "td30_contamination" -> (q30 _),
     "td31_normalize" -> (q31 _),
-    "td32_repetition" -> (q32 _))
+    "td32_repetition" -> (q32 _),
+    "td33_bpe_tokens" -> (q33 _))
 
   val oracles: Map[String, String] = Map(
     "q20_string_functions" ->
@@ -203,5 +211,11 @@ object TextOps extends QuerySet {
         |   x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t), 6) AS top_token_share,
         | round(CAST(list_max(list_transform(list_distinct(bg),
         |   x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6) AS top_bigram_share
-        |FROM b""".stripMargin)
+        |FROM b""".stripMargin,
+    "td33_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text,
+        |   ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INTEGER) AS n_bpe_tokens
+        |FROM documents""".stripMargin)
 }

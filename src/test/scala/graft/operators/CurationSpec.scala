@@ -200,6 +200,22 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bpeTokenStats: GPT-2-style pre-token counts on known strings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world"),            // 2 pre-tokens
+      (2L, "it's 2x faster!"),        // it | ' | s | " 2" | x | " faster" | !
+      (3L, "don't stop-me now... 42"),
+      (4L, "a  b")                    // a | "  " (double-space run) | b
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTokenStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(m(1L) == ((2, 2)))
+    assert(m(2L) == ((3, 7)))
+    assert(m(3L) == ((4, 9)))
+    assert(m(4L) == ((3, 3)))
+  }
+
   test("contamination counts shared shingles and reports clean docs as zero") {
     import spark.implicits._
     val docs = Seq(
