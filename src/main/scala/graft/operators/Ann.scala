@@ -96,12 +96,13 @@ object Ann {
   def lshNearPairs(emb: DataFrame, idCol: String, embCol: String,
       planes: Int, dim: Int, threshold: Double, maxBucketSize: Long = 0L): DataFrame = {
     // with the cap on, the norm + plane-dot bucket projection is consumed
-    // three times (oversize aggregate + both self-join sides) — materialize
-    // it once instead of recomputing planes×dim dot products per consumer
-    // (same reason ngramJaccardPairs checkpoints its posting frame)
+    // three times (oversize aggregate + both self-join sides) — cache it
+    // instead of recomputing planes×dim dot products per consumer. cache()
+    // not eager localCheckpoint: laziness means constructing the frame
+    // launches no job, and lineage survives executor loss
     val e1 = withNorm(emb.select(col(idCol).as("vec_id"), col(embCol).as("emb")), "emb")
       .withColumn("bucket", lshBucket("emb", planes, dim).cast("int"))
-    val e0 = if (maxBucketSize > 0) e1.localCheckpoint(true) else e1
+    val e0 = if (maxBucketSize > 0) e1.cache() else e1
     val e =
       if (maxBucketSize > 0) {
         val oversize = e0.groupBy("bucket").agg(count(lit(1)).as("n"))

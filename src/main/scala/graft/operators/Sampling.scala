@@ -97,12 +97,18 @@ object Sampling {
       .withColumn("__off", coalesce(sum(col("__sub")).over(wOffset), lit(0L)))
       .select(col(sourceCol), col("__b"), col("__off"))
     // pass 2: running sum local to each (source, bucket) partition —
-    // bounded tasks even when one source is 90% of the corpus
+    // bounded tasks even when one source is 90% of the corpus. The offset
+    // join is NULL-SAFE: a null source or id hashes to a null bucket, and
+    // the single-window form kept such rows (nulls form their own window
+    // partition) — a plain using-columns join would silently drop them
     val wLocal = Window.partitionBy(col(sourceCol), col("__b"))
       .orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = offsets
+      .withColumnRenamed(sourceCol, "__osrc").withColumnRenamed("__b", "__ob")
     withKey
-      .join(broadcast(offsets), Seq(sourceCol, "__b"))
+      .join(broadcast(off),
+        col(sourceCol) <=> col("__osrc") && col("__b") <=> col("__ob"))
       .withColumn("__cum_tokens",
         col("__off") + sum(col(tokenCountCol).cast("long")).over(wLocal))
       .filter(col("__cum_tokens") <= budget)

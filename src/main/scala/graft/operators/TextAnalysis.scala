@@ -29,11 +29,15 @@ object TextAnalysis {
     * run / digit run / punctuation run, else whitespace run) WITHOUT the
     * trailing-space lookahead: RE2 has no lookahead, and dropping it keeps
     * Java regex (Spark codegen'd regexp_count) and RE2 (SQL engines)
-    * counting identically — parity is oracle-verified. A real BPE vocab
-    * merges within these pre-tokens, so this count upper-bounds true BPE
-    * tokens the way budget planning uses it.
+    * counting identically — parity is oracle-verified. Whitespace is an
+    * EXPLICIT class, not `\s`: Java's `\s` includes U+000B vertical tab
+    * while RE2's does not, so `\s` would count differently across engines
+    * on real crawl text. A real BPE vocab merges within these pre-tokens,
+    * so this count upper-bounds true BPE tokens the way budget planning
+    * uses it.
     */
-  val BpePattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  private val Ws = "\\t\\n\\f\\r "
+  val BpePattern = s" ?\\p{L}+| ?\\p{N}+| ?[^$Ws\\p{L}\\p{N}]+|[$Ws]+"
 
   def bpeTokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),

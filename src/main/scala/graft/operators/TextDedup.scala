@@ -273,15 +273,18 @@ object TextDedup {
 
   /** SimHash fingerprint: per-token md5-derived `bits`-bit hash, each bit
     * votes ±1 weighted by token frequency. Token hashes come from the
-    * first ceil(bits/4) hex chars of md5, so narrow fingerprints are
-    * prefix-stable as `bits` grows. At the production width (64) the hash
-    * is assembled from two 32-bit halves into a SIGNED long — bit 63 is
-    * the sign bit, exactly the wire format `bit_count(a ^ b)` Hamming
-    * arithmetic expects; the SQL oracle reproduces the same signed value.
+    * first max(4, ceil(bits/4)) hex chars of md5 — the 4-char floor keeps
+    * every width <= 16 bit-identical to the original 16-bit-only
+    * implementation (a narrower prefix would re-map bit j to different
+    * md5 bits and silently change persisted fingerprints). At the
+    * production width (64) the hash is assembled from two 32-bit halves
+    * into a SIGNED long — bit 63 is the sign bit, exactly the wire format
+    * `bit_count(a ^ b)` Hamming arithmetic expects; the SQL oracle
+    * reproduces the same signed value.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 64, s"simhash supports 1..64 bits, got $bits")
-    val hexChars = (bits + 3) / 4
+    val hexChars = math.max(4, (bits + 3) / 4)
     val tok = docs.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
       .withColumn("__md5", md5(col("t")))
     val th =
@@ -314,20 +317,29 @@ object TextDedup {
     * (chunk index, chunk value) bucket — ONE shuffle, local pair expansion
     * inside each bucket (the minhashLshPairs shape), never an all-pairs
     * join — then exact-filtered with `bit_count(a ^ b)`. At 100 TB the
-    * chunk id is the layout key; a degenerate chunk bucket (boilerplate
-    * collapsing to one fingerprint) routes to exact dedup on the
-    * fingerprint itself, mirroring the LSH bucket-cap rationale.
+    * chunk id is the layout key, and `maxBucketSize` (0 = off) is the
+    * same degenerate-bucket guard as minhashLshPairs': a boilerplate
+    * corpus collapsing to one fingerprint would otherwise accumulate an
+    * unbounded id list in one task; oversize buckets are anti-joined away
+    * before the collect, and their members — near-identical by
+    * construction — belong in exact dedup on the fingerprint instead.
     */
   def simhashNearPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Long = 0L): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit chunking guarantees recall only for maxHamming <= 3, got $maxHamming")
     val fp = simhash(docs, idCol, textCol, bits = 64)
     val chunks = (0 until 4).map(i =>
       concat(lit(s"$i:"),
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))))
-    val buckets = fp.select(col("doc_id"), col("simhash"),
+    val buckets0 = fp.select(col("doc_id"), col("simhash"),
       explode(array(chunks: _*)).as("bucket"))
+    val buckets =
+      if (maxBucketSize > 0) {
+        val oversize = buckets0.groupBy("bucket").agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucketSize).select("bucket")
+        buckets0.join(broadcast(oversize), Seq("bucket"), "left_anti")
+      } else buckets0
     buckets.groupBy("bucket")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
       .filter(size(col("xs")) > 1)

@@ -212,10 +212,12 @@ object TextOps extends QuerySet {
         | round(CAST(list_max(list_transform(list_distinct(bg),
         |   x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6) AS top_bigram_share
         |FROM b""".stripMargin,
+    // whitespace written as an explicit class on both sides — Java \s and
+    // RE2 \s disagree on U+000B (see TextAnalysis.BpePattern)
     "td33_bpe_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(text,
-        |   ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INTEGER) AS n_bpe_tokens
+        |   ' ?\p{L}+| ?\p{N}+| ?[^\t\n\f\r \p{L}\p{N}]+|[\t\n\f\r ]+')) AS INTEGER) AS n_bpe_tokens
         |FROM documents""".stripMargin)
 }

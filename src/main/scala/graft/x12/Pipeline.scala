@@ -130,16 +130,24 @@ object X12Pipeline {
       else silver.toDF()
     val silverValid = silverStore.filter(col("is_valid"))
     val unpartitioned = Set("gold_business_kpis", "gold_daily_analytics")
+    // Marts whose rows are NOT a function of a single processing_date:
+    // request/response correlation joins a request to a response that may
+    // have arrived in a LATER batch (the response side deliberately drops
+    // its own date) — a date-scoped recompute would never revisit the
+    // request's partition and the pair would be lost forever. These marts
+    // always aggregate the full store; their pair sets only grow, so a
+    // full-input dynamic overwrite rewrites every partition they own.
+    val crossDate = Set("gold_request_response_pairs")
     // Incremental gold maintenance (A9's group-recompute semantics at
-    // pipeline level): every mart groups by processing_date, so rows of
-    // one date only ever influence that date's partition. An incremental
-    // run therefore recomputes ONLY the partitions this batch touched —
-    // the mart input is the accumulated store filtered to the touched
-    // dates (a partition-pruned scan), and the write replaces just those
-    // partitions via dynamic partition overwrite. At 100 TB this turns
-    // mart maintenance from O(history) into O(day). Global single-row
-    // marts (KPIs) still aggregate the full store — they are cheap
-    // aggregates, and a date-scoped recompute would drop history.
+    // pipeline level): the per-date marts group by processing_date, so
+    // rows of one date only ever influence that date's partition. An
+    // incremental run therefore recomputes ONLY the partitions this batch
+    // touched — the mart input is the accumulated store filtered to the
+    // touched dates (a partition-pruned scan), and the write replaces just
+    // those partitions via dynamic partition overwrite. At 100 TB this
+    // turns mart maintenance from O(history) into O(day). Global
+    // single-row marts (KPIs) still aggregate the full store — they are
+    // cheap aggregates, and a date-scoped recompute would drop history.
     val fullMarts = X12Gold.allMarts(silverValid, processingDate) +
       ("gold_daily_analytics" ->
         X12Gold.dailyAnalytics(bronze, silver.toDF(), processingDate))
@@ -150,7 +158,8 @@ object X12Pipeline {
           silverValid.filter(col("processing_date") === lit(processingDate)),
           processingDate)
         fullMarts.map { case (name, df) =>
-          name -> (if (unpartitioned(name)) df else touched(name))
+          name -> (if (unpartitioned(name) || crossDate(name)) df
+            else touched(name))
         }
       }
     if (doWrite) {

@@ -71,6 +71,23 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(w == 64 + (text(0) & 0x7f) && h == 64 + (text(1) & 0x7f))
   }
 
+  test("mm43 oracle precondition: fixture texts never collide with image magic") {
+    // mm43's DuckDB oracle applies the stub-dims formula unconditionally,
+    // while decode() sniffs real headers first. The only image magic
+    // reachable from UTF-8 text bytes is GIF's (PNG's 0x89 and JPEG's 0xFF
+    // cannot lead valid UTF-8); the stub formula also assumes the first two
+    // payload bytes equal the first two character codes (ASCII). Pin both
+    // invariants at every SF so a fixture change fails here, not in the
+    // hash gate.
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val d = spark.read.parquet(s"/root/testdata/sf$sf/documents.parquet")
+      assert(d.filter(col("text").startsWith("GIF87a") ||
+        col("text").startsWith("GIF89a")).count() == 0, s"GIF magic at sf$sf")
+      assert(d.filter(!col("text").rlike("^[\\x00-\\x7F]{2}")).count() == 0,
+        s"non-ASCII leading chars at sf$sf")
+    }
+  }
+
   test("stub codec contracts: resize bounds and frame sampling") {
     assert(MediaCodec.resize(1920, 1080, 512) == (512, 288))
     assert(MediaCodec.resize(100, 50, 512) == (100, 50))

@@ -110,6 +110,25 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(bucketsUsed > 1, "skewed source must span multiple hash buckets")
   }
 
+  test("tokenBudget keeps null-keyed rows (single-window parity)") {
+    import spark.implicits._
+    // null source/id hash to a null bucket; the single-window form kept
+    // such rows (nulls form their own window partition under the default
+    // budget), so the bucketed offset join must be null-safe, not drop them
+    val docs = Seq(
+      (Option(1L), Option("a"), 10),
+      (Option(2L), Option.empty[String], 10),  // null source
+      (Option.empty[Long], Option("a"), 10),   // null id
+      (Option(3L), Option("a"), 10))
+      .toDF("doc_id", "source", "n_tokens")
+    val all = Sampling.tokenBudget(docs, "source", "doc_id", "n_tokens",
+      Map.empty, defaultBudget = 1000L)
+    assert(all.count() == 4, "ample budget admits every row, nulls included")
+    val none = Sampling.tokenBudget(docs, "source", "doc_id", "n_tokens",
+      Map.empty, defaultBudget = 0L)
+    assert(none.count() == 0)
+  }
+
   test("perKeyCap keeps at most k per key, deterministically") {
     import spark.implicits._
     val rows = (1L to 300L).map(i => (i, s"u${i % 7}")).toDF("id", "key")
@@ -206,7 +225,9 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       (1L, "hello world"),            // 2 pre-tokens
       (2L, "it's 2x faster!"),        // it | ' | s | " 2" | x | " faster" | !
       (3L, "don't stop-me now... 42"),
-      (4L, "a  b")                    // a | "  " (double-space run) | b
+      (4L, "a  b"),                   // a | "  " (double-space run) | b
+      (5L, "x.\u000By")               // U+000B is NOT whitespace in either
+                                      // engine's class: x | "." | y
     ).toDF("doc_id", "text")
     val m = TextAnalysis.bpeTokenStats(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
@@ -214,6 +235,7 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(m(2L) == ((3, 7)))
     assert(m(3L) == ((4, 9)))
     assert(m(4L) == ((3, 3)))
+    assert(m(5L) == ((1, 3)))
   }
 
   test("contamination counts shared shingles and reports clean docs as zero") {

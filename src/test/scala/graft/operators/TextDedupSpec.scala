@@ -76,6 +76,24 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(base.collect().toSet == capped.collect().toSet)
   }
 
+  test("simhash hamming pairs: bucket cap drops degenerate buckets, subset of uncapped") {
+    import spark.implicits._
+    // 30 identical docs collapse to one fingerprint → four buckets of 30;
+    // a cap below that must drop them all (no quadratic expansion), while
+    // two distinct near-ish docs in small buckets are unaffected
+    val docs = ((1L to 30L).map(i => (i, "same boilerplate text everywhere")) ++
+      Seq((100L, "rare doc alpha beta"), (101L, "rare doc alpha gamma")))
+      .toDF("doc_id", "text")
+    val uncapped = TextDedup.simhashNearPairs(docs, "doc_id", "text", 3)
+    val capped = TextDedup.simhashNearPairs(docs, "doc_id", "text", 3,
+      maxBucketSize = 10L)
+    assert(uncapped.filter(col("doc_a") < 100L).count() == 29 * 30 / 2)
+    assert(capped.filter(col("doc_a") < 100L).count() == 0,
+      "oversize boilerplate buckets must be dropped, not expanded")
+    // capped pairs are a subset of the uncapped pairs
+    assert(capped.join(uncapped, Seq("doc_a", "doc_b"), "left_anti").count() == 0)
+  }
+
   test("simhash64: identical texts share a fingerprint; hamming pairs find them at distance 0") {
     import spark.implicits._
     val docs = Seq(

@@ -397,6 +397,51 @@ class X12PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("incremental gold: cross-date request/response pairs survive") {
+    // the correlation mart joins a request to a response that may arrive in
+    // a LATER batch — it must recompute over the full store even in
+    // incremental mode (a date-scoped recompute would lose the pair forever)
+    def twoDateSequence(incremental: Boolean): String = {
+      val corpus = Files.createTempDirectory("x12corpus_cd").toString
+      val out = Files.createTempDirectory("x12out_cd").toString
+      X12TestDataGen.writeCorpus(corpus, 9, seed = 13L)
+      // hold back every correlated RESPONSE file until day 2
+      val hold = Files.createTempDirectory("x12hold_cd")
+      import scala.jdk.CollectionConverters._
+      val responses = {
+        val s = Files.list(Paths.get(corpus))
+        try s.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("test_x12_277_pair") || n.startsWith("test_x12_271_pair")
+        }.toList finally s.close()
+      }
+      assert(responses.nonEmpty)
+      responses.foreach(p => Files.move(p, hold.resolve(p.getFileName)))
+      X12Pipeline.run(spark, corpus, out, "CD1",
+        Date.valueOf("2025-09-06"), Timestamp.valueOf("2025-09-06 12:00:00"),
+        LocalDateTime.of(2025, 9, 6, 12, 0, 0), incrementalGold = incremental)
+      responses.foreach(p =>
+        Files.move(hold.resolve(p.getFileName), Paths.get(corpus, p.getFileName.toString)))
+      X12Pipeline.run(spark, corpus, out, "CD2",
+        Date.valueOf("2025-09-07"), Timestamp.valueOf("2025-09-07 12:00:00"),
+        LocalDateTime.of(2025, 9, 7, 12, 0, 0), incrementalGold = incremental)
+      out
+    }
+    val inc = twoDateSequence(incremental = true)
+    val ref = twoDateSequence(incremental = false)
+    val incPairs = spark.read.parquet(s"$inc/gold_request_response_pairs")
+      .drop("created_at")
+    val refPairs = spark.read.parquet(s"$ref/gold_request_response_pairs")
+      .drop("created_at")
+    // the correlated pairs really cross the two processing dates
+    assert(incPairs.filter(col("corr_ref").startsWith("CORR")).count() >= 6,
+      "cross-date CORR pairs must survive incremental maintenance")
+    assert(incPairs.count() == refPairs.count())
+    assert(incPairs.exceptAll(refPairs).isEmpty &&
+      refPairs.exceptAll(incPairs).isEmpty,
+      "incremental pair mart must equal the full-recompute baseline")
+  }
+
   test("processed-file ledger: a late-arriving file is picked up incrementally") {
     result
     val before = spark.read.parquet(s"$outDir/silver").count()
