@@ -157,6 +157,14 @@ object Dedup extends QuerySet {
       fast = true)
   }
 
+  /** dd40 with the chunk-bucket cap ENGAGED (buckets over 8 docs dropped
+    * before pair expansion — oracle-verified skip semantics, completing
+    * the capped-oracle family dd41/dd42/sim42).
+    */
+  def dd43(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashNearPairs(Q.t(s, dir, "documents"), "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 8L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
@@ -170,7 +178,8 @@ object Dedup extends QuerySet {
     "dd39_simhash64" -> (dd39 _),
     "dd40_simhash_hamming_pairs" -> (dd40 _),
     "dd41_ngram_jaccard_capped" -> (dd41 _),
-    "dd42_lsh_pairs_capped" -> (dd42 _))
+    "dd42_lsh_pairs_capped" -> (dd42 _),
+    "dd43_simhash_hamming_capped" -> (dd43 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -331,6 +340,19 @@ object Dedup extends QuerySet {
          |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |       x.simhash AS fa, y.simhash AS fb
          |      FROM ch x JOIN ch y ON x.i = y.i AND x.cv = y.cv
+         |       AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+         |FROM p WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
+    "dd43_simhash_hamming_capped" ->
+      s"""WITH $simhash64FpCte,
+         |ch AS (SELECT doc_id, simhash, i, (simhash >> (i * 16)) & 65535 AS cv
+         |       FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+         |ok AS (SELECT i, cv FROM (SELECT i, cv, count(*) AS n FROM ch GROUP BY 1, 2)
+         |       WHERE n <= 8),
+         |cc AS (SELECT ch.* FROM ch JOIN ok USING (i, cv)),
+         |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |       x.simhash AS fa, y.simhash AS fb
+         |      FROM cc x JOIN cc y ON x.i = y.i AND x.cv = y.cv
          |       AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
          |FROM p WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
