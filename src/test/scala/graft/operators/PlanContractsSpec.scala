@@ -88,6 +88,22 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
       s"expected partial + final WindowGroupLimit:\n$capPlan")
   }
 
+  test("LSH and simhash pair generation is local expansion — no join operator at all") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the scale claim behind minhashLshPairs/simhashNearPairs: candidates
+    // expand INSIDE bucket groups after one shuffle — a refactor that
+    // reintroduces a self-join (or worse, a cartesian product) must fail
+    for (pairs <- Seq(
+        TextDedup.minhashLshPairs(docs, "doc_id", "text", bands = 2,
+          rowsPerBand = 2, fast = true),
+        TextDedup.simhashNearPairs(docs, "doc_id", "text", maxHamming = 3))) {
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+        s"pair generation must not join:\n$plan")
+    }
+  }
+
   test("filter + projection reach the parquet scan (pushdown contract)") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .filter(col("o_orderstatus") === "O")
