@@ -90,8 +90,9 @@ object Ann {
     * `maxBucketSize` (0 = off) caps the quadratic within-bucket self-join —
     * the 100 TB guard against a degenerate bucket (all-similar embeddings
     * hashing to one cell) turning into a single straggler task. Oversize
-    * buckets are anti-joined away (the oversize set is tiny → broadcast)
-    * before the self-join; audit them via [[lshBuckets]]' bucket_size.
+    * buckets are anti-joined away (unhinted — AQE broadcasts the oversize
+    * set when its runtime size fits) before the self-join; audit them via
+    * [[lshBuckets]]' bucket_size.
     */
   def lshNearPairs(emb: DataFrame, idCol: String, embCol: String,
       planes: Int, dim: Int, threshold: Double, maxBucketSize: Long = 0L): DataFrame = {
@@ -107,7 +108,9 @@ object Ann {
       if (maxBucketSize > 0) {
         val oversize = e0.groupBy("bucket").agg(count(lit(1)).as("n"))
           .filter(col("n") > maxBucketSize).select("bucket")
-        e0.join(broadcast(oversize), Seq("bucket"), "left_anti")
+        // unhinted: bounded by 2^planes distinct buckets, but consistent
+        // with the other cap anti-joins — AQE broadcasts when it fits
+        e0.join(oversize, Seq("bucket"), "left_anti")
       } else e0
     val cosine = dot(col("x.emb"), col("y.emb")) / (col("x.norm") * col("y.norm"))
     e.as("x").join(e.as("y"),

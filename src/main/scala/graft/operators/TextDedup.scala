@@ -70,7 +70,11 @@ object TextDedup {
     val sh = (if (maxDocFreq > 0) {
         val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select("shingle")
-        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+        // deliberately UNHINTED (the applyDedup stance): the hot-shingle set
+        // is O(shingles/cap), unbounded on a boilerplate-heavy corpus — a
+        // forced broadcast ships it to every executor or OOMs the driver.
+        // AQE broadcasts when the runtime size fits the threshold.
+        sh0.join(hot, Seq("shingle"), "left_anti")
       } else sh0).localCheckpoint(true)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
@@ -156,8 +160,9 @@ object TextDedup {
     * ngramJaccardPairs' `maxDocFreq`: a degenerate bucket (boilerplate-heavy
     * corpus collapsing to one signature) would otherwise accumulate an
     * unbounded id list in one task and expand quadratically. Oversize
-    * buckets are dropped BEFORE the collect (anti-join against the tiny
-    * oversize-bucket set, broadcast), never materialized; audit them with
+    * buckets are dropped BEFORE the collect (an unhinted anti-join against
+    * the oversize-bucket set — AQE broadcasts it only when its runtime size
+    * fits, since heavy hitters are O(rows/cap)), never materialized; audit them with
     * [[minhashLshBucketStats]]. Near-dups inside a dropped bucket are by
     * construction near-identical boilerplate — at scale those route to
     * exact dedup on the band hash instead of pairwise scoring.
@@ -170,7 +175,9 @@ object TextDedup {
       if (maxBucketSize > 0) {
         val oversize = bandsDf.groupBy("bucket").agg(count(lit(1)).as("n"))
           .filter(col("n") > maxBucketSize).select("bucket")
-        bandsDf.join(broadcast(oversize), Seq("bucket"), "left_anti")
+        // unhinted: the oversize-bucket set is O(rows/cap), not bounded —
+        // AQE broadcasts it only when its runtime size fits (applyDedup stance)
+        bandsDf.join(oversize, Seq("bucket"), "left_anti")
       } else bandsDf
     capped.groupBy("bucket")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -338,7 +345,8 @@ object TextDedup {
       if (maxBucketSize > 0) {
         val oversize = buckets0.groupBy("bucket").agg(count(lit(1)).as("n"))
           .filter(col("n") > maxBucketSize).select("bucket")
-        buckets0.join(broadcast(oversize), Seq("bucket"), "left_anti")
+        // unhinted: O(rows/cap) heavy-hitter set — AQE sizes the join
+        buckets0.join(oversize, Seq("bucket"), "left_anti")
       } else buckets0
     buckets.groupBy("bucket")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
