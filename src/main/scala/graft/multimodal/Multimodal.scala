@@ -1,6 +1,10 @@
 package graft.multimodal
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.security.MessageDigest
+import javax.imageio.ImageIO
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,9 +17,12 @@ import org.apache.spark.sql.functions._
   * setup, and partition count controls parallelism, so the same code drives
   * 32 local threads or 1000 executors.
   *
-  * The actual codecs are NOT in this container, so [[MediaCodec.decode]] is
-  * a clearly-marked deterministic stub; everything around it — schema,
-  * batching, partitioning, null handling — is real and tested.
+  * IMAGE decode/resize/features are REAL: the JDK ships PNG/GIF/JPEG codecs
+  * in `javax.imageio` (java.desktop, headless-safe), so [[MediaCodec.decode]]
+  * produces true dimensions and true pixel statistics for those types.
+  * Audio/video codecs genuinely are not in the JDK or this container, so the
+  * non-image paths remain clearly-marked deterministic stubs; the schema,
+  * batching, partitioning and null contracts around them are real and tested.
   */
 final case class MediaItem(
     media_id: Long,
@@ -32,6 +39,10 @@ final case class MediaFeatures(
     feature: Array[Float])
 
 object MediaCodec {
+
+  // BufferedImage + Graphics2D are headless-safe; pin the property so a
+  // stray DISPLAY on an executor never routes AWT to a real toolkit.
+  System.setProperty("java.awt.headless", "true")
 
   /** REAL header-sniffed dimensions for PNG / GIF / JPEG payloads — pure
     * JVM parsing of the public container formats, no codec library needed:
@@ -78,32 +89,113 @@ object MediaCodec {
     } else None
   }
 
-  /** Decode: dimensions are REAL for recognized image headers
-    * ([[sniffDimensions]]); unrecognized payloads fall back to the
-    * deterministic stub (derived from the first payload bytes), and the
-    * "embedding" remains a clearly-marked rolling-byte-hash STUB — a real
-    * pixel decoder/featurizer is not installed in this environment. The
-    * batching, schema and null contracts around this call are real.
+  /** REAL pixel decode for the image types the JDK ships codecs for
+    * (PNG/GIF/JPEG via `javax.imageio`). Gated on [[sniffDimensions]] so
+    * non-image payloads never pay the reader-probe cost; returns None for
+    * payloads the JDK cannot decode (truncated data, audio/video, text).
     */
-  def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    val (w, h) = sniffDimensions(payload).getOrElse((
-      64 + (if (payload.nonEmpty) (payload(0) & 0x7f) else 0),
-      64 + (if (payload.length > 1) (payload(1) & 0x7f) else 0)))
-    val feat = new Array[Float](8)
-    var acc = 17L
-    var i = 0
-    while (i < payload.length) { acc = acc * 31 + (payload(i) & 0xff); i += 1
-      feat(i % 8) += ((acc % 1000).toFloat / 1000f) }
-    (w, h, feat)
+  def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
+    sniffDimensions(payload).flatMap { _ =>
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+    }
+
+  /** Exact integer pixel statistics: per-channel sums plus an 8-bin integer
+    * luminance histogram (lum = (299r+587g+114b)/1000 with integer division,
+    * bin = lum/32). Integer arithmetic end to end, so a SQL oracle can
+    * recompute them exactly from a pixel formula (see mm45/mm46).
+    */
+  final case class ImageStats(n: Long, rSum: Long, gSum: Long, bSum: Long,
+      lumHist: Array[Long])
+
+  def imageStats(img: BufferedImage): ImageStats = {
+    val w = img.getWidth; val h = img.getHeight
+    var rs = 0L; var gs = 0L; var bs = 0L
+    val hist = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        rs += r; gs += g; bs += b
+        hist(((299 * r + 587 * g + 114 * b) / 1000) / 32) += 1
+        x += 1
+      }
+      y += 1
+    }
+    ImageStats(w.toLong * h, rs, gs, bs, hist)
   }
 
-  /** STUB resize: a real implementation re-encodes pixels; the stub scales
-    * the fake dimensions, preserving the contract (w,h) => (w',h').
+  /** Decode.
+    *
+    * REAL path (PNG/GIF/JPEG): `javax.imageio` decode → true dimensions and
+    * an 11-float feature vector of true pixel statistics — per-channel means
+    * (0..2) and the normalized 8-bin luminance histogram (3..10), both
+    * exactly recoverable as the integer [[imageStats]] via
+    * `rint(feature * n)` (driver-oracled in mm45/mm46).
+    *
+    * STUB path (everything else — audio/video codecs are genuinely absent
+    * from the JDK and this container): deterministic dimensions derived from
+    * the first payload bytes (a recognized-but-undecodable image header still
+    * gets its REAL sniffed dimensions) and a clearly-marked rolling-byte-hash
+    * 8-float "embedding". The batching, schema and null contracts around
+    * both paths are real.
+    */
+  def decode(payload: Array[Byte]): (Int, Int, Array[Float]) =
+    decodeImage(payload) match {
+      case Some(img) =>
+        val st = imageStats(img)
+        val n = st.n.toDouble
+        val feat = new Array[Float](11)
+        feat(0) = (st.rSum / n).toFloat
+        feat(1) = (st.gSum / n).toFloat
+        feat(2) = (st.bSum / n).toFloat
+        var k = 0
+        while (k < 8) { feat(3 + k) = (st.lumHist(k) / n).toFloat; k += 1 }
+        (img.getWidth, img.getHeight, feat)
+      case None =>
+        val (w, h) = sniffDimensions(payload).getOrElse((
+          64 + (if (payload.nonEmpty) (payload(0) & 0x7f) else 0),
+          64 + (if (payload.length > 1) (payload(1) & 0x7f) else 0)))
+        val feat = new Array[Float](8)
+        var acc = 17L
+        var i = 0
+        while (i < payload.length) { acc = acc * 31 + (payload(i) & 0xff); i += 1
+          feat(i % 8) += ((acc % 1000).toFloat / 1000f) }
+        (w, h, feat)
+    }
+
+  /** Aspect-preserving fit of (w,h) into `maxSide` — the shared integer
+    * dims contract for both the metadata-level mm43 check and the real
+    * [[resizeBytes]]. Never upscales.
     */
   def resize(w: Int, h: Int, maxSide: Int): (Int, Int) = {
     val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
     (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
   }
+
+  /** REAL resize: decode → [[resize]] dims → nearest-neighbor Graphics2D
+    * redraw → PNG re-encode. Nearest-neighbor samples only source pixels
+    * (no edge blending with the uninitialized target background, no
+    * fixed-point rounding drift), which keeps the resample deterministic and
+    * makes the mm46 solid-color oracle exact. None for payloads the JDK
+    * cannot decode.
+    */
+  def resizeBytes(payload: Array[Byte], maxSide: Int): Option[Array[Byte]] =
+    decodeImage(payload).map { img =>
+      val (rw, rh) = resize(img.getWidth, img.getHeight, maxSide)
+      val out = new BufferedImage(rw, rh, BufferedImage.TYPE_INT_RGB)
+      val g2 = out.createGraphics()
+      try {
+        g2.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g2.drawImage(img, 0, 0, rw, rh, null)
+      } finally g2.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
 
   /** STUB frame sampler: returns the byte offsets a real video demuxer
     * would seek to — every `stride`-th position, capped at `maxFrames`.

@@ -2,13 +2,15 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaCodec, Multimodal, SyntheticImages}
 
 /** Multimodal plumbing exposed to the driver's oracle check: the binary
-  * payload + batched mapPartitions feature extraction runs end-to-end, and
-  * the DuckDB-computable columns (byte length, content md5) are
-  * hash-compared; the stubbed decode outputs (width/height/embedding) are
-  * exercised by MultimodalSpec instead.
+  * payload + batched mapPartitions feature extraction runs end-to-end
+  * (mm39/mm43/mm44 hash-compare the DuckDB-computable columns), and the
+  * REAL image decode/resize path is oracled by mm45/mm46 — pixel values are
+  * pure integer functions of (id, x, y) (SyntheticImages), so DuckDB
+  * recomputes the expected per-channel sums and luminance histogram from
+  * the formula while Spark recovers them from ImageIO-decoded pixels.
   */
 object MultimodalQueries extends QuerySet {
 
@@ -46,10 +48,58 @@ object MultimodalQueries extends QuerySet {
       }.toDF("media_id", "frame_offset")
   }
 
+  /** REAL image decode, driver-oracled: 64 gradient PNGs (pixels a pure
+    * integer function of (doc_id, x, y)) → ImageIO decode → exact integer
+    * stats recovered from the 11-float feature vector via rint(f*n). DuckDB
+    * recomputes the same stats from the pixel formula with generate_series —
+    * a wrong decode (channel order, row order, lossy round-trip) diverges.
+    */
+  def mm45(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Q.t(s, dir, "documents")
+      .filter(col("doc_id") < 64)
+      .select(col("doc_id").cast("long")).as[Long]
+    ids.map { i =>
+      val w = (8 + i % 9).toInt
+      val h = (8 + (i * 3) % 9).toInt
+      val png = SyntheticImages.gradientPng(i, w, h)
+      val (dw, dh, feat) = MediaCodec.decode(png)
+      val n = dw.toDouble * dh
+      def cnt(k: Int): Long = math.rint(feat(k) * n).toLong
+      (i, dw, dh, cnt(0), cnt(1), cnt(2), (3 to 10).map(cnt).mkString(","))
+    }.toDF("media_id", "width", "height", "r_sum", "g_sum", "b_sum", "lum_hist")
+  }
+
+  /** REAL resize, driver-oracled: solid-color PNGs → resizeBytes (nearest-
+    * neighbor Graphics2D + PNG re-encode) → decode the RESIZED payload.
+    * Nearest-neighbor on a constant image is pixel-exact, so DuckDB predicts
+    * both the fitted dimensions and the channel sums (rw*rh*color) exactly.
+    */
+  def mm46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Q.t(s, dir, "documents")
+      .filter(col("doc_id") < 64)
+      .select(col("doc_id").cast("long")).as[Long]
+    ids.map { i =>
+      val w = (20 + i % 13).toInt
+      val h = (20 + (i * 5) % 13).toInt
+      val r = ((i * 31) % 256).toInt
+      val g = ((i * 17) % 256).toInt
+      val b = ((i * 7) % 256).toInt
+      val resized = MediaCodec.resizeBytes(SyntheticImages.solidPng(r, g, b, w, h), 16).get
+      val (rw, rh, feat) = MediaCodec.decode(resized)
+      val n = rw.toDouble * rh
+      def sum(k: Int): Long = math.rint(feat(k) * n).toLong
+      (i, rw, rh, sum(0), sum(1), sum(2))
+    }.toDF("media_id", "resized_w", "resized_h", "r_sum", "g_sum", "b_sum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm39_media_features" -> (mm39 _),
     "mm43_media_resize" -> (mm43 _),
-    "mm44_frame_offsets" -> (mm44 _))
+    "mm44_frame_offsets" -> (mm44 _),
+    "mm45_image_decode" -> (mm45 _),
+    "mm46_image_resize" -> (mm46 _))
 
   val oracles: Map[String, String] = Map(
     "mm39_media_features" ->
@@ -72,5 +122,42 @@ object MultimodalQueries extends QuerySet {
     "mm44_frame_offsets" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(o AS BIGINT) AS frame_offset
         |FROM documents CROSS JOIN generate_series(0, 400, 100) t(o)
-        |WHERE o < strlen(text)""".stripMargin)
+        |WHERE o < strlen(text)""".stripMargin,
+    // recomputes the SyntheticImages.gradientRgb formula per pixel; integer
+    // luminance lum=(299r+587g+114b)//1000, bin=lum//32 — all exact BIGINT
+    // arithmetic, matching MediaCodec.imageStats
+    "mm45_image_decode" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 64),
+        |dims AS (SELECT i, 8 + (i % 9) AS w, 8 + ((i*3) % 9) AS h FROM ids),
+        |px AS (SELECT d.i, d.w, d.h,
+        |    (x.x*7 + y.y*13 + d.i*31) % 256 AS r,
+        |    (x.x*11 + y.y*3 + d.i*17) % 256 AS g,
+        |    (x.x*5 + y.y*19 + d.i*7) % 256 AS b
+        |  FROM dims d, generate_series(0, 15) x(x), generate_series(0, 15) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h),
+        |lum AS (SELECT *, ((299*r + 587*g + 114*b) // 1000) // 32 AS bin FROM px)
+        |SELECT i AS media_id,
+        |  CAST(MAX(w) AS INTEGER) AS width, CAST(MAX(h) AS INTEGER) AS height,
+        |  CAST(SUM(r) AS BIGINT) AS r_sum, CAST(SUM(g) AS BIGINT) AS g_sum,
+        |  CAST(SUM(b) AS BIGINT) AS b_sum,
+        |  concat_ws(',',
+        |    count(*) FILTER (WHERE bin = 0), count(*) FILTER (WHERE bin = 1),
+        |    count(*) FILTER (WHERE bin = 2), count(*) FILTER (WHERE bin = 3),
+        |    count(*) FILTER (WHERE bin = 4), count(*) FILTER (WHERE bin = 5),
+        |    count(*) FILTER (WHERE bin = 6), count(*) FILTER (WHERE bin = 7)) AS lum_hist
+        |FROM lum GROUP BY i""".stripMargin,
+    // solid color survives nearest-neighbor resampling exactly, so the
+    // resized channel sums are rw*rh*color; dims follow the mm43 fit formula
+    "mm46_image_resize" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 64),
+        |d AS (SELECT i, 20 + (i % 13) AS w, 20 + ((i*5) % 13) AS h,
+        |    (i*31) % 256 AS r, (i*17) % 256 AS g, (i*7) % 256 AS b FROM ids),
+        |f AS (SELECT i, r, g, b,
+        |    CAST(greatest(1, trunc(w * least(1.0, 16.0 / greatest(w, h)))) AS BIGINT) AS rw,
+        |    CAST(greatest(1, trunc(h * least(1.0, 16.0 / greatest(w, h)))) AS BIGINT) AS rh
+        |  FROM d)
+        |SELECT i AS media_id,
+        |  CAST(rw AS INTEGER) AS resized_w, CAST(rh AS INTEGER) AS resized_h,
+        |  rw*rh*r AS r_sum, rw*rh*g AS g_sum, rw*rh*b AS b_sum
+        |FROM f""".stripMargin)
 }

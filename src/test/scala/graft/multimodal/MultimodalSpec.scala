@@ -88,7 +88,47 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("stub codec contracts: resize bounds and frame sampling") {
+  test("real decode: ImageIO pixel stats match the synthetic-pixel formula exactly") {
+    val id = 7L; val w = 13; val h = 11
+    val (dw, dh, feat) = MediaCodec.decode(SyntheticImages.gradientPng(id, w, h))
+    assert((dw, dh) == (w, h))
+    assert(feat.length == 11)
+    // brute-force the expected integer stats from the formula (the same
+    // arithmetic the mm45 DuckDB oracle uses)
+    var rs = 0L; var gs = 0L; var bs = 0L
+    val hist = new Array[Long](8)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = SyntheticImages.gradientRgb(id, x, y)
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      rs += r; gs += g; bs += b
+      hist(((299 * r + 587 * g + 114 * b) / 1000) / 32) += 1
+    }
+    val n = w.toDouble * h
+    assert(math.rint(feat(0) * n).toLong == rs)
+    assert(math.rint(feat(1) * n).toLong == gs)
+    assert(math.rint(feat(2) * n).toLong == bs)
+    for (k <- 0 until 8)
+      assert(math.rint(feat(3 + k) * n).toLong == hist(k), s"lum bin $k")
+  }
+
+  test("real decode engages for JPEG too (lossy: dims exact, stats real floats)") {
+    val (w, h, feat) = MediaCodec.decode(imageBytes("jpg", 32, 24))
+    assert((w, h) == (32, 24))
+    assert(feat.length == 11) // real pixel path, not the 8-float stub
+  }
+
+  test("real resize: nearest-neighbor preserves a solid color exactly") {
+    val png = SyntheticImages.solidPng(200, 100, 50, 30, 20)
+    val resized = MediaCodec.resizeBytes(png, 16).get
+    val img = MediaCodec.decodeImage(resized).get
+    assert((img.getWidth, img.getHeight) == MediaCodec.resize(30, 20, 16))
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      assert((img.getRGB(x, y) & 0xffffff) == ((200 << 16) | (100 << 8) | 50))
+    // undecodable payloads refuse rather than fake
+    assert(MediaCodec.resizeBytes("not an image".getBytes("UTF-8"), 16).isEmpty)
+  }
+
+  test("codec contracts: resize dims fit and frame sampling (video stub)") {
     assert(MediaCodec.resize(1920, 1080, 512) == (512, 288))
     assert(MediaCodec.resize(100, 50, 512) == (100, 50))
     val offs = MediaCodec.sampleFrameOffsets(1000, 300, 10)

@@ -104,6 +104,74 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cap anti-joins are unhinted: no BroadcastExchange once the heavy-hitter set exceeds the threshold") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // degenerate corpus: 80% of rows sit in oversize buckets / hot shingles,
+    // so the cap-side relation is O(rows/cap) — the shape where a forced
+    // broadcast(oversize) ships an unbounded set to every executor (or OOMs
+    // the driver building the relation) at 100 TB. With the broadcast
+    // threshold disabled, a BroadcastExchange in these plans can only come
+    // from a hint — r4 removed them; this pins that they stay gone.
+    val docs = ((0L until 400L).map(i =>
+        (i, s"src${i % 4}", s"boilerplate block ${i % 20} repeated again and again")) ++
+      (400L until 500L).map(i =>
+        (i, s"src${i % 4}", s"unique document number $i with its own words")))
+      .toDF("doc_id", "source", "text")
+    val emb = (0L until 300L)
+      .map(i => (i, Array.tabulate(8)(d => ((i % 10) + d).toDouble + 1d)))
+      .toDF("vec_id", "emb")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for ((name, capped) <- Seq(
+          "minhashLshPairs" -> TextDedup.minhashLshPairs(docs, "doc_id", "text",
+            bands = 2, rowsPerBand = 2, maxBucketSize = 8L, fast = true),
+          "simhashNearPairs" -> TextDedup.simhashNearPairs(docs, "doc_id", "text",
+            maxHamming = 3, maxBucketSize = 8L),
+          "lshNearPairs" -> Ann.lshNearPairs(emb, "vec_id", "emb",
+            planes = 4, dim = 8, threshold = 0.25, maxBucketSize = 8L))) {
+        val plan = capped.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastExchange"),
+          s"$name cap side over threshold must not broadcast:\n$plan")
+        capped.count() // and the shuffled anti-join actually executes
+      }
+      // ngramJaccardPairs runs its cap anti-join INSIDE the eager
+      // localCheckpoint, so the returned frame's plan no longer shows it —
+      // capture the checkpoint execution's plan through a listener instead
+      val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = captured.add(qe.executedPlan.toString)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        TextDedup.ngramJaccardPairs(docs, "doc_id", "text", blockCol = "source",
+          threshold = 0.5, maxDocFreq = 8L, fast = true).count()
+        // listener delivery is async — poll for the plan containing the
+        // hot-shingle anti-join
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        def antiJoinPlans() = {
+          val it = captured.iterator()
+          var found = List.empty[String]
+          while (it.hasNext) { val p = it.next(); if (p.contains("LeftAnti")) found ::= p }
+          found
+        }
+        var plans = antiJoinPlans()
+        while (plans.isEmpty && System.nanoTime() < deadline) {
+          Thread.sleep(100); plans = antiJoinPlans()
+        }
+        assert(plans.nonEmpty, "expected to observe the checkpointed anti-join execution")
+        plans.foreach(p => assert(!p.contains("BroadcastExchange"),
+          s"hot-shingle set over threshold must not broadcast:\n$p"))
+      } finally spark.listenerManager.unregister(listener)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("filter + projection reach the parquet scan (pushdown contract)") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .filter(col("o_orderstatus") === "O")
