@@ -61,13 +61,20 @@ object TextDedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double, maxDocFreq: Long = 0L,
-      fast: Boolean = false): DataFrame = {
+      fast: Boolean = false, reliable: Boolean = false): DataFrame = {
     val sh0 = docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
       explode(bigramShingles(col(textCol), fast)).as("shingle"))
     // the posting frame is consumed three times (both self-join sides + the
     // per-doc count) — materializing once beats recomputing even with the
-    // fused native shingle expression (measured at sf0.1)
-    val sh = (if (maxDocFreq > 0) {
+    // fused native shingle expression (measured at sf0.1). Local checkpoints
+    // die with their executors, so on a real cluster where the surrounding
+    // pipeline cannot simply re-run this stage, pass reliable=true (and set
+    // spark.sparkContext.setCheckpointDir) to persist the posting frame to
+    // the checkpoint dir instead — same plan-truncation effect, fault-
+    // tolerant storage (the dupClusters scaladoc trade-off, as a knob).
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val sh = materialize(if (maxDocFreq > 0) {
         val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select("shingle")
         // deliberately UNHINTED (the applyDedup stance): the hot-shingle set
@@ -75,7 +82,7 @@ object TextDedup {
         // forced broadcast ships it to every executor or OOMs the driver.
         // AQE broadcasts when the runtime size fits the threshold.
         sh0.join(hot, Seq("shingle"), "left_anti")
-      } else sh0).localCheckpoint(true)
+      } else sh0)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),

@@ -25,6 +25,25 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(hotShingles.count() > 0)
   }
 
+  test("reliable checkpoint mode: identical pairs with a reliable checkpoint dir") {
+    // on a real cluster local checkpoints die with their executors — the
+    // reliable knob persists the posting frame to the checkpoint dir
+    // instead; results must be identical either way
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      spark.sparkContext.setCheckpointDir(dir)
+      val local = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+        0.3, maxDocFreq = 3)
+      val reliable = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+        0.3, maxDocFreq = 3, reliable = true)
+      assert(reliable.collect().toSet == local.collect().toSet)
+      // the reliable checkpoint actually landed in the configured dir
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("minhash banding generalizes: 4 bands x 1 row recalls at least as much as 2x2") {
     val b22 = TextDedup.minhashLshPairs(docs, "doc_id", "text", 2, 2).cache()
     val b41 = TextDedup.minhashLshPairs(docs, "doc_id", "text", 4, 1).cache()
