@@ -1,0 +1,153 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.{EventStreaming, X12Streaming}
+import graft.x12.{SilverRecord, X12Silver, X12TestDataGen}
+
+/** Driver-visible streaming entries (SURVEY §2.10 T1/T2/T4 + stateful
+  * dedup). These are ROWS-ONLY checks (no DuckDB oracle — a streaming drain
+  * is not SQL-expressible), but each query is self-verifying: it runs a
+  * one-trigger `AvailableNow` drain and `require`s the streamed result to
+  * match the equivalent batch computation before returning it, so the
+  * driver's green row means batch/stream parity held, not merely rows>0.
+  */
+object StreamingQueries extends QuerySet {
+
+  private val date = Date.valueOf("2025-09-01")
+  private val ts = Timestamp.valueOf("2025-09-01 12:00:00")
+
+  private val corpusDir =
+    s"${System.getProperty("java.io.tmpdir")}/graft_x12_stream_corpus_v1"
+
+  private def ensureCorpus(): String = synchronized {
+    X12TestDataGen.writeCorpus(corpusDir, 45, seed = 42L)
+    corpusDir
+  }
+
+  /** The batch twin of silverStream: same parse over the same file set
+    * (all *.x12 in the landing dir), no bronze gate on either side — one
+    * code path, two execution modes.
+    */
+  private def batchSilver(s: SparkSession, landing: String): Dataset[SilverRecord] = {
+    import s.implicits._
+    val files = s.read.format("text")
+      .option("wholetext", "true").option("pathGlobFilter", "*.x12")
+      .load(landing)
+      .select(col("_metadata.file_name").as("file_name"), col("value"))
+      .as[(String, String)]
+    X12Silver.parse(files, "BATCH_S", date, ts)
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** T1: AvailableNow drain of the streaming silver ingest → partitioned
+    * parquet, then parity-checked against the batch parse of the same
+    * landing dir.
+    */
+  def st47(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureCorpus()
+    val out = tmp("graft_st47_out")
+    val stream = X12Streaming.silverStream(s, landing, "BATCH_S", date, ts)
+    X12Streaming.startIngest(stream, out, tmp("graft_st47_ckpt"))
+      .awaitTermination()
+    val streamed = s.read.parquet(out)
+    val expected = batchSilver(s, landing).count()
+    val n = streamed.count()
+    require(n == expected, s"stream drained $n rows, batch parsed $expected")
+    streamed.select("file_name", "transaction_type",
+      "interchange_control_number", "functional_group_number",
+      "transaction_set_control_number", "is_valid")
+  }
+
+  /** Stateful exactly-once dedup: every corpus file is replayed under a
+    * second name (the partner-re-upload case the reference's move-to-archive
+    * idiom cannot suppress); the keyed-state stream must emit exactly one
+    * row per distinct transaction identity — the batch-side distinct count.
+    */
+  def st48(s: SparkSession, dir: String): DataFrame = {
+    val landing = ensureCorpus()
+    val replayDir = {
+      val d = Paths.get(
+        s"${System.getProperty("java.io.tmpdir")}/graft_x12_stream_replay_v1")
+      Files.createDirectories(d)
+      val existing = Files.list(d).count()
+      val sources = Files.list(Paths.get(landing)).filter(_.toString.endsWith(".x12"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      if (existing != sources.length * 2) {
+        sources.foreach { p =>
+          Files.copy(p, d.resolve(p.getFileName.toString),
+            StandardCopyOption.REPLACE_EXISTING)
+          Files.copy(p, d.resolve(s"replay_${p.getFileName}"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+      d.toString
+    }
+    val deduped = X12Streaming.dedupStream(
+      X12Streaming.silverStream(s, replayDir, "BATCH_S", date, ts))
+    val q = deduped.writeStream.format("memory").queryName("st48_dedup")
+      .option("checkpointLocation", tmp("graft_st48_ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table("st48_dedup")
+    val expected = batchSilver(s, landing)
+      .select("interchange_control_number", "functional_group_number",
+        "transaction_set_control_number")
+      .distinct().count()
+    val n = out.count()
+    require(n == expected,
+      s"stateful dedup emitted $n identities over the 2x replay, batch has $expected")
+    out.select("file_name", "transaction_type",
+      "interchange_control_number", "functional_group_number",
+      "transaction_set_control_number", "is_valid")
+  }
+
+  /** T4: windowed monitoring stream — hourlyHealth over the events fixture
+    * drained with AvailableNow in complete mode; one output row per
+    * populated hour, parity-checked against the batch hour count.
+    */
+  def st49(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file streaming source requires a DIRECTORY; the fixture table is a
+    // single parquet file — stage it into a temp dir (idempotent per sf dir)
+    val src = Paths.get(s"$dir/events.parquet")
+    val staged = Paths.get(s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_st49_events_${Integer.toHexString(dir.hashCode)}")
+    Files.createDirectories(staged)
+    val dst = staged.resolve("events.parquet")
+    if (!Files.exists(dst) || Files.size(dst) != Files.size(src))
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    val path = staged.toString
+    val schema = s.read.parquet(path).schema
+    val stream = s.readStream.schema(schema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = EventStreaming.hourlyHealth(stream).writeStream
+      .format("memory").queryName("st49_health")
+      .option("checkpointLocation", tmp("graft_st49_ckpt"))
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table("st49_health")
+    val expected = Q.t(s, dir, "events")
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    val n = out.count()
+    require(n == expected, s"stream emitted $n hourly windows, batch has $expected")
+    out
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st47_stream_silver_drain" -> (st47 _),
+    "st48_stream_dedup_replay" -> (st48 _),
+    "st49_stream_hourly_health" -> (st49 _))
+
+  // no DuckDB oracles: streaming drains are rows-only by design; the parity
+  // require()s above carry the correctness assertion
+  val oracles: Map[String, String] = Map.empty
+}
