@@ -28,7 +28,14 @@ object Bench {
     // compiled, JIT warm) — the DuckDB oracle sidecar times best-of-2 too.
     // A failed query reports -1 (never a fake fast timing) and is excluded
     // from the total.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // bench only the oracle-comparable queries: the rows-only streaming
+    // drains (st47-49) are correctness plumbing with no DuckDB counterpart —
+    // timing them would inflate spark_total against an unchanged duck_total
+    // and skew the aggregate ratio round-over-round
+    val oracleSql = SparkEntry.oracleSql
+    val results = SparkEntry.queries
+      .filter { case (name, _) => oracleSql.contains(name) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
@@ -45,57 +52,13 @@ object Bench {
     // X12 parse throughput vs the reference's 1,000 tx/hour baseline
     // (docs/performance-tuning-guide.md:22 — driver-bound Python parse):
     // distributed wholetext parse of a generated corpus, transactions/sec.
-    val txPerSec = try {
-      val corpus = s"${System.getProperty("java.io.tmpdir")}/graft_x12_bench_corpus"
-      graft.x12.X12TestDataGen.writeCorpus(corpus, 600, seed = 7L)
-      import spark.implicits._
-      val files = graft.x12.X12Silver.readFiles(spark, corpus)
-      val t0 = System.nanoTime()
-      val n = graft.x12.X12Silver.parse(files, "BENCH",
-        java.sql.Date.valueOf("2025-09-01"),
-        java.sql.Timestamp.valueOf("2025-09-01 12:00:00")).count()
-      n / ((System.nanoTime() - t0) / 1e9)
-    } catch { case _: Throwable => -1.0 }
+    val txPerSec = BenchHarness.txParseThroughput(spark,
+      s"${System.getProperty("java.io.tmpdir")}/graft_x12_bench_corpus",
+      nFiles = 600, seed = 7L)
     // BASELINE.md 2x gate, MEASURED: time each DuckDB oracle over the same
-    // tables (sidecar python process — the oracle engine is driver-side
-    // tooling, not a library dependency) and report spark/duck ratios.
-    // Best-effort: the bench line never fails if python/duckdb are absent.
-    val oracleJson: String = try {
-      def esc(s: String): String = "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-      val dir = java.nio.file.Files.createTempDirectory("graft_bench")
-      val of = dir.resolve("oracle_sql.json")
-      java.nio.file.Files.writeString(of, SparkEntry.oracleSql
-        .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}"))
-      val tf = dir.resolve("spark_timings.json")
-      java.nio.file.Files.writeString(tf, qs)
-      // stderr inherits (no pipe to fill and deadlock on); stdout drains on
-      // a daemon thread so the timeout below actually fires on a hung child
-      val proc = new ProcessBuilder(
-        "python3", "tools/bench_oracle.py", sfDir, of.toString, tf.toString)
-        .redirectError(ProcessBuilder.Redirect.INHERIT)
-        .start()
-      val outBuf = new java.util.concurrent.atomic.AtomicReference[String]("")
-      val reader = new Thread(() =>
-        try outBuf.set(new String(proc.getInputStream.readAllBytes(), "UTF-8").trim)
-        catch { case _: Throwable => })
-      reader.setDaemon(true)
-      reader.start()
-      val done = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
-      if (!done) { proc.destroyForcibly(); "null" }
-      else {
-        reader.join(10000)
-        val out = outBuf.get()
-        if (proc.exitValue() == 0 && out.startsWith("{")) out else "null"
-      }
-    } catch { case _: Throwable => "null" }
+    // tables and report spark/duck ratios (see BenchHarness).
+    val oracleJson = BenchHarness.runOracleSidecar(sfDir, oracleSql, qs,
+      timeoutMinutes = 10)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"x12_parse_tx_per_sec":$txPerSec,"oracle":$oracleJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+
+/** Shared plumbing for the bench mains (Bench, BenchHeavy): JSON escaping,
+  * the DuckDB oracle-timing sidecar, and the distributed-parse throughput
+  * point — one copy of the hung-child/timeout/stdout-drain logic.
+  */
+object BenchHarness {
+
+  def escJson(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Time each DuckDB oracle over the same tables via the python sidecar
+    * (driver-side tooling, not a library dependency). Returns the sidecar's
+    * JSON object, or "null" on any failure/timeout — a bench line never
+    * fails because python/duckdb are absent.
+    */
+  def runOracleSidecar(tablesDir: String, oracleSql: Map[String, String],
+      sparkTimingsJson: String, timeoutMinutes: Long): String = try {
+    val dir = Files.createTempDirectory("graft_bench")
+    val of = dir.resolve("oracle_sql.json")
+    Files.writeString(of, oracleSql
+      .map { case (k, v) => s"${escJson(k)}: ${escJson(v)}" }
+      .mkString("{", ",", "}"))
+    val tf = dir.resolve("spark_timings.json")
+    Files.writeString(tf, sparkTimingsJson)
+    // stderr inherits (no pipe to fill and deadlock on); stdout drains on
+    // a daemon thread so the timeout below actually fires on a hung child
+    val proc = new ProcessBuilder(
+      "python3", "tools/bench_oracle.py", tablesDir, of.toString, tf.toString)
+      .redirectError(ProcessBuilder.Redirect.INHERIT)
+      .start()
+    val outBuf = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val reader = new Thread(() =>
+      try outBuf.set(new String(proc.getInputStream.readAllBytes(), "UTF-8").trim)
+      catch { case _: Throwable => })
+    reader.setDaemon(true)
+    reader.start()
+    val done = proc.waitFor(timeoutMinutes, java.util.concurrent.TimeUnit.MINUTES)
+    if (!done) { proc.destroyForcibly(); "null" }
+    else {
+      reader.join(10000)
+      val out = outBuf.get()
+      if (proc.exitValue() == 0 && out.startsWith("{")) out else "null"
+    }
+  } catch { case _: Throwable => "null" }
+
+  /** X12 distributed-parse throughput (transactions/sec) over a generated
+    * corpus of `nFiles` — the comparison point for the reference's
+    * 1,000 tx/hour driver-bound baseline. -1 on failure.
+    */
+  def txParseThroughput(spark: SparkSession, corpusDir: String,
+      nFiles: Int, seed: Long): Double = try {
+    graft.x12.X12TestDataGen.writeCorpus(corpusDir, nFiles, seed = seed)
+    val files = graft.x12.X12Silver.readFiles(spark, corpusDir)
+    val t0 = System.nanoTime()
+    val n = graft.x12.X12Silver.parse(files, "BENCH",
+      java.sql.Date.valueOf("2025-09-01"),
+      java.sql.Timestamp.valueOf("2025-09-01 12:00:00")).count()
+    n / ((System.nanoTime() - t0) / 1e9)
+  } catch { case _: Throwable => -1.0 }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Work-dominated bench tier (r3 verdict item 6).
+  *
+  * The per-round sf0.1 bench is floor-dominated for ~57 of its entries
+  * (Spark's fixed ~0.1-0.3 s per-job cost vs an in-process oracle answering
+  * in milliseconds), so regressions in the heavy operators hide inside the
+  * floor. This main replicates the sf0.1 documents/embeddings tables by a
+  * factor (default 10 — a corpus with a 10x duplication rate, exactly the
+  * dedup workload shape) into a heavy dir laid out like a sf dir, then runs
+  * ONLY the work-dominated operators over it, best-of-2, with the same
+  * DuckDB oracle-timing sidecar as graft.Bench.
+  *
+  * dd36 (dup clusters) is timed Spark-side but EXCLUDED from the oracle
+  * sidecar: its oracle is a recursive-CTE transitive closure that already
+  * needs 62 s at sf0.1 (BASELINE.md) and is quadratic-ish in pair count —
+  * infeasible at 10x, which is itself the scale point.
+  *
+  * Output: ONE JSON line {"metric":"heavy_total",...} — recorded as
+  * BENCH_heavy.json and summarized in BASELINE.md.
+  */
+object BenchHeavy {
+
+  private val heavySpark = Seq(
+    "dd30_exact_dedup",
+    "dd31_ngram_jaccard",
+    "dd33_minhash_lsh_pairs",
+    "dd36_dup_clusters",
+    "dd40_simhash_hamming_pairs",
+    "sim38_lsh_neardup_pairs",
+    "q33_token_budget",
+    "td29_fingerprint")
+  private val oracleExcluded = Set("dd36_dup_clusters")
+
+  /** Replicate a table `factor`x with offset ids, written as ONE parquet
+    * file so the DuckDB sidecar's `FROM 'path.parquet'` view works.
+    */
+  private def replicate(spark: SparkSession, src: String, dst: java.nio.file.Path,
+      idCol: String, factor: Int): Unit = {
+    val base = spark.read.parquet(src)
+    val n = base.agg(max(col(idCol))).head.getLong(0) + 1
+    val rep = base
+      .withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn(idCol, col(idCol) + col("__r").cast("long") * n)
+      .drop("__r")
+    val staging = Files.createTempDirectory("graft_heavy_stage").toString
+    rep.coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part written under $staging"))
+    Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_HEAVY_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val heavyDir = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_sfheavy_v1")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    Files.createDirectories(heavyDir)
+    val manifest = heavyDir.resolve("_manifest.txt")
+    val stamp = s"base=$base factor=$factor v=1"
+    if (!Files.exists(manifest) || Files.readString(manifest) != stamp) {
+      replicate(spark, s"$base/documents.parquet",
+        heavyDir.resolve("documents.parquet"), "doc_id", factor)
+      replicate(spark, s"$base/embeddings.parquet",
+        heavyDir.resolve("embeddings.parquet"), "vec_id", factor)
+      Files.writeString(manifest, stamp)
+    }
+    val dir = heavyDir.toString
+
+    // warm codegen/session paths off the clock
+    try spark.read.parquet(s"$dir/documents.parquet").agg(count(lit(1))).collect()
+    catch { case _: Throwable => }
+
+    val results = heavySpark.map { name =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = try math.min(once(), once())
+        catch { case e: Throwable =>
+          System.err.println(s"[bench-heavy] $name FAILED: ${e.getMessage}"); -1.0 }
+      name -> t
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+
+    // heavier distributed-parse throughput point: 4x the standard bench corpus
+    val txPerSec = BenchHarness.txParseThroughput(spark,
+      s"${System.getProperty("java.io.tmpdir")}/graft_x12_heavy_corpus",
+      nFiles = 2400, seed = 7L)
+
+    // DuckDB oracle sidecar over the SAME heavy tables (timing only)
+    val oracleJson = BenchHarness.runOracleSidecar(dir,
+      SparkEntry.oracleSql.filter { case (k, _) =>
+        heavySpark.contains(k) && !oracleExcluded(k) },
+      qs, timeoutMinutes = 30)
+
+    println(s"""{"metric":"heavy_total","value":$total,"unit":"sec","factor":$factor,"queries":$qs,"x12_parse_tx_per_sec":$txPerSec,"oracle":$oracleJson,"base":"$base"}""")
+    spark.stop()
+  }
+}

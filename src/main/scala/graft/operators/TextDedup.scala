@@ -72,6 +72,11 @@ object TextDedup {
     // spark.sparkContext.setCheckpointDir) to persist the posting frame to
     // the checkpoint dir instead — same plan-truncation effect, fault-
     // tolerant storage (the dupClusters scaladoc trade-off, as a knob).
+    // Storage caveat: unlike local checkpoints (ContextCleaner-reclaimed),
+    // reliable checkpoint files are NOT auto-deleted unless
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true — a recurring
+    // pipeline must set that or clean the checkpoint dir per batch, or the
+    // persisted posting frames accumulate at O(batches x corpus shingles).
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val sh = materialize(if (maxDocFreq > 0) {

@@ -29,17 +29,10 @@ object StreamingQueries extends QuerySet {
 
   /** The batch twin of silverStream: same parse over the same file set
     * (all *.x12 in the landing dir), no bronze gate on either side — one
-    * code path, two execution modes.
+    * code path (X12Silver.readFiles + parse), two execution modes.
     */
-  private def batchSilver(s: SparkSession, landing: String): Dataset[SilverRecord] = {
-    import s.implicits._
-    val files = s.read.format("text")
-      .option("wholetext", "true").option("pathGlobFilter", "*.x12")
-      .load(landing)
-      .select(col("_metadata.file_name").as("file_name"), col("value"))
-      .as[(String, String)]
-    X12Silver.parse(files, "BATCH_S", date, ts)
-  }
+  private def batchSilver(s: SparkSession, landing: String): Dataset[SilverRecord] =
+    X12Silver.parse(X12Silver.readFiles(s, landing), "BATCH_S", date, ts)
 
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
@@ -71,19 +64,22 @@ object StreamingQueries extends QuerySet {
   def st48(s: SparkSession, dir: String): DataFrame = {
     val landing = ensureCorpus()
     val replayDir = {
+      // rebuilt from scratch on every call: a count- or size-keyed skip
+      // would serve stale files after the corpus generator regenerates
+      // (the mistake writeCorpus's own manifest exists to prevent), and
+      // the copy is ~90 small files — negligible next to the drain
       val d = Paths.get(
         s"${System.getProperty("java.io.tmpdir")}/graft_x12_stream_replay_v1")
+      if (Files.exists(d))
+        new java.io.File(d.toString).listFiles().foreach(_.delete())
       Files.createDirectories(d)
-      val existing = Files.list(d).count()
-      val sources = Files.list(Paths.get(landing)).filter(_.toString.endsWith(".x12"))
-        .toArray.map(_.asInstanceOf[java.nio.file.Path])
-      if (existing != sources.length * 2) {
-        sources.foreach { p =>
-          Files.copy(p, d.resolve(p.getFileName.toString),
-            StandardCopyOption.REPLACE_EXISTING)
-          Files.copy(p, d.resolve(s"replay_${p.getFileName}"),
-            StandardCopyOption.REPLACE_EXISTING)
-        }
+      val sources = new java.io.File(landing).listFiles()
+        .filter(_.getName.endsWith(".x12")).map(_.toPath)
+      sources.foreach { p =>
+        Files.copy(p, d.resolve(p.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.copy(p, d.resolve(s"replay_${p.getFileName}"),
+          StandardCopyOption.REPLACE_EXISTING)
       }
       d.toString
     }
@@ -115,14 +111,16 @@ object StreamingQueries extends QuerySet {
   def st49(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file streaming source requires a DIRECTORY; the fixture table is a
-    // single parquet file — stage it into a temp dir (idempotent per sf dir)
+    // single parquet file — stage it into a temp dir keyed by the sf-dir
+    // name, copied UNCONDITIONALLY (a size-keyed skip would silently stream
+    // a stale file after a fixture regeneration of equal byte size)
     val src = Paths.get(s"$dir/events.parquet")
-    val staged = Paths.get(s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_st49_events_${Integer.toHexString(dir.hashCode)}")
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val staged = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_st49_events_$key")
     Files.createDirectories(staged)
-    val dst = staged.resolve("events.parquet")
-    if (!Files.exists(dst) || Files.size(dst) != Files.size(src))
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(src, staged.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
     val path = staged.toString
     val schema = s.read.parquet(path).schema
     val stream = s.readStream.schema(schema).parquet(path)
