@@ -49,38 +49,55 @@ object TextDedup {
     * create quadratic posting-list blowups while contributing no
     * discrimination.
     *
-    * Shape: the exploded posting frame (the interpreted-HOF shingle
-    * computation — the expensive part at this corpus shape) is
-    * checkpoint-materialized ONCE and consumed three times: both sides of
-    * the codegen'd equi-self-join on (shingle, block) and the per-doc
-    * count. The join stays the pair generator — measured faster than
-    * local posting-list expansion here, whose nested interpreted
-    * transform/slice lambdas dominate (HOF bodies are not code-generated);
-    * within-block quadratic blowup is bounded by `maxDocFreq` exactly as
-    * the LSH generators bound bucket size.
+    * Shape (round-5 upgrade): EXACT duplicates are collapsed before any
+    * pairwise scoring. Identical (block, text) documents share every
+    * shingle, so each distinct text is scored ONCE through the inverted
+    * index (posting frame + codegen'd equi-self-join on (shingle, block)),
+    * then group members are expanded back afterwards — cross-group pairs
+    * inherit the group pair's (common, jaccard) verbatim, within-group
+    * pairs are J=1.0 by construction. On a corpus with duplication factor
+    * d this cuts the join's quadratic blowup by d² (measured 116 s → see
+    * BASELINE.md on the 10x-duplicated heavy corpus) while being
+    * output-identical on any corpus; exact dedup BEFORE near-dup scoring
+    * is also the production ordering, so the collapsed path is the shape
+    * a 100 TB run takes anyway. `maxDocFreq` keeps its corpus-global
+    * semantics: document frequency is the SUM OF GROUP SIZES per shingle,
+    * not the distinct-text count. A pathological group (10⁶ identical
+    * docs) still implies C(m,2) output pairs — that is the operator's
+    * contract; route exact duplicates to [[exactDedup]] first at scale.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double, maxDocFreq: Long = 0L,
       fast: Boolean = false, reliable: Boolean = false): DataFrame = {
-    val sh0 = docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-      explode(bigramShingles(col(textCol), fast)).as("shingle"))
-    // the posting frame is consumed three times (both self-join sides + the
-    // per-doc count) — materializing once beats recomputing even with the
-    // fused native shingle expression (measured at sf0.1). Local checkpoints
-    // die with their executors, so on a real cluster where the surrounding
-    // pipeline cannot simply re-run this stage, pass reliable=true (and set
-    // spark.sparkContext.setCheckpointDir) to persist the posting frame to
-    // the checkpoint dir instead — same plan-truncation effect, fault-
-    // tolerant storage (the dupClusters scaladoc trade-off, as a knob).
-    // Storage caveat: unlike local checkpoints (ContextCleaner-reclaimed),
-    // reliable checkpoint files are NOT auto-deleted unless
+    // materialized frames are each consumed 2-3 times — rebuilding beats
+    // nothing here, and plan truncation keeps the self-join analyzable.
+    // Local checkpoints die with their executors, so on a real cluster
+    // where the surrounding pipeline cannot simply re-run this stage, pass
+    // reliable=true (and set spark.sparkContext.setCheckpointDir) to
+    // persist to the checkpoint dir instead (the dupClusters trade-off, as
+    // a knob). Storage caveat: unlike local checkpoints (ContextCleaner-
+    // reclaimed), reliable checkpoint files are NOT auto-deleted unless
     // spark.cleaner.referenceTracking.cleanCheckpoints=true — a recurring
-    // pipeline must set that or clean the checkpoint dir per batch, or the
-    // persisted posting frames accumulate at O(batches x corpus shingles).
+    // pipeline must set that or clean the dir per batch, or the persisted
+    // frames accumulate at O(batches x corpus shingles).
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // 1. collapse exact duplicates: one representative per (block, text)
+    val groups = materialize(docs
+      .select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+        col(textCol).as("__text"))
+      .groupBy(col("block"), md5(col("__text")).as("__tkey"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("ids"),
+        count(lit(1)).as("gsize"),
+        first(col("__text")).as("__text")))
+    // 2. inverted index over representatives only
+    val sh0 = groups.select(col("rep").as("doc_id"), col("block"),
+      col("gsize"), explode(bigramShingles(col("__text"), fast)).as("shingle"))
     val sh = materialize(if (maxDocFreq > 0) {
-        val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+        // df = sum of group sizes: the cap keeps counting DOCUMENTS, so
+        // capped results are identical to the uncollapsed formulation
+        val hot = sh0.groupBy("shingle").agg(sum(col("gsize")).as("df"))
           .filter(col("df") > maxDocFreq).select("shingle")
         // deliberately UNHINTED (the applyDedup stance): the hot-shingle set
         // is O(shingles/cap), unbounded on a boilerplate-heavy corpus — a
@@ -89,20 +106,41 @@ object TextDedup {
         sh0.join(hot, Seq("shingle"), "left_anti")
       } else sh0)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
+    val repPairs = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.block") === col("b.block") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"))
       .agg(count(lit(1)).as("common"))
-    pairs
-      .join(n.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(n.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .join(n.select(col("doc_id").as("rep_a"), col("n_sh").as("n_a")), "rep_a")
+      .join(n.select(col("doc_id").as("rep_b"), col("n_sh").as("n_b")), "rep_b")
       .withColumn("jaccard", round(
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 6))
       .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "common", "jaccard")
+    // 3a. expand cross-group pairs: every member of A against every member
+    // of B, normalized to doc_a < doc_b; (common, jaccard) carry over since
+    // members are byte-identical to their representative
+    val cross = repPairs
+      .join(groups.select(col("rep").as("rep_a"), col("ids").as("ids_a")), "rep_a")
+      .join(groups.select(col("rep").as("rep_b"), col("ids").as("ids_b")), "rep_b")
+      .withColumn("x", explode(col("ids_a")))
+      .withColumn("y", explode(col("ids_b")))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"),
+        col("common"), col("jaccard"))
+    // 3b. within-group pairs: J = 1.0 exactly; the join with n drops groups
+    // whose representative has no (surviving) shingles — identical to the
+    // uncollapsed formulation, where such docs never enter the index
+    if (threshold > 1.0) return cross.select("doc_a", "doc_b", "common", "jaccard")
+    val within = groups.filter(col("gsize") >= 2)
+      .join(n.select(col("doc_id").as("rep"), col("n_sh")), "rep")
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"), col("n_sh"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("n_sh").as("common"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within).select("doc_a", "doc_b", "common", "jaccard")
   }
 
   /** k seeded-md5 MinHash signature columns mh1..mhk.

@@ -25,6 +25,50 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(hotShingles.count() > 0)
   }
 
+  test("exact-duplicate collapse is output-identical to brute-force Jaccard") {
+    import spark.implicits._
+    // the parquet fixtures contain no exact duplicates, so this pins the
+    // collapse/expansion paths: duplicate groups (within-group J=1.0),
+    // a near-dup of a duplicated text (cross-group pairs inherit the
+    // group-level score), different-block identical texts (never pair),
+    // and identical one-token texts (no shingles -> never pair)
+    val rows = Seq(
+      (1L, "s1", "alpha beta gamma delta"),
+      (2L, "s1", "alpha beta gamma delta"),   // dup of 1
+      (3L, "s1", "alpha beta gamma delta"),   // dup of 1
+      (4L, "s1", "alpha beta gamma epsilon"), // near-dup of group {1,2,3}
+      (5L, "s1", "alpha beta gamma epsilon"), // dup of 4
+      (6L, "s2", "alpha beta gamma delta"),   // same text, other block
+      (7L, "s1", "totally different words entirely"),
+      (8L, "s1", "x"), (9L, "s1", "x"))       // identical, zero shingles
+      .toDF("doc_id", "source", "text")
+    val got = TextDedup.ngramJaccardPairs(rows, "doc_id", "text", "source", 0.3)
+      .select("doc_a", "doc_b", "common", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // brute force over the same semantics: distinct bigram shingles,
+    // candidates within equal block, J = |A∩B| / |A∪B| >= 0.3
+    def shingles(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSet
+    val docs = rows.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = (for {
+      (a, ba, ta) <- docs; (b, bb, tb) <- docs
+      if a < b && ba == bb
+      sa = shingles(ta); sb = shingles(tb)
+      common = (sa intersect sb).size
+      if common > 0
+      j = BigDecimal(common.toDouble / (sa ++ sb).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.3
+    } yield (a, b, common.toLong, j)).toSet
+    assert(got == expected)
+    // the duplicate groups actually exercised both expansion paths
+    assert(got.exists { case (a, b, _, j) => Set(a, b) == Set(1L, 2L) && j == 1.0 })
+    assert(got.exists { case (a, b, _, _) => Set(a, b) == Set(3L, 4L) })
+    assert(!got.exists { case (a, b, _, _) => b == 6L || a == 6L })
+    assert(!got.exists { case (a, b, _, _) => a >= 8L })
+  }
+
   test("reliable checkpoint mode: identical pairs with a reliable checkpoint dir") {
     // on a real cluster local checkpoints die with their executors — the
     // reliable knob persists the posting frame to the checkpoint dir
