@@ -84,9 +84,22 @@ object Sampling {
     val budget = budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (value, b)) => when(col(sourceCol) === value, lit(b)).otherwise(acc)
     }
+    // the keyed frame feeds BOTH passes (the subtotal aggregate and the
+    // local-window body), and the two consumers sit under different shuffle
+    // boundaries, so without storage the scan + order-hash would execute
+    // twice per row. A LAZY local checkpoint stores partitions on first
+    // computation (the offsets broadcast job) and serves the window pass
+    // from storage — one scan, one hash per row, no extra job. At bench
+    // scale this is noise (the query is stage-floor-dominated); the point
+    // is the 100 TB scan economics, where reading the corpus once instead
+    // of twice is the dominant term. Same materialize-once pattern as
+    // ngramJaccardPairs' posting frame; on a cluster, executor loss
+    // invalidates local checkpoints — acceptable for a deterministic batch
+    // stage that re-runs.
     val withKey = df
       .withColumn("__h", hashOrder(col(sourceCol), col(idCol)))
       .withColumn("__b", substring(col("__h"), 1, bucketChars))
+      .localCheckpoint(false)
     // pass 1: per-bucket subtotals (tiny: sources × 16^bucketChars rows);
     // the offset window runs over this aggregate, never the corpus
     val wOffset = Window.partitionBy(sourceCol).orderBy("__b")

@@ -246,15 +246,26 @@ object TextDedup {
     *
     * Algorithm: iterative min-label propagation WITH pointer jumping —
     * each round a node takes the min of its own label, its neighbors'
-    * labels (one bounded shuffle), and its label's label (a second bounded
-    * self-join: the path-halving step). Neighbor propagation alone needs
-    * O(diameter) rounds — a 4000-node near-dup chain would blow any
-    * iteration budget; the label-of-label shortcut doubles the jump
-    * distance per round, giving O(log diameter) convergence (the
-    * hash-to-min construction). The loop is driver-controlled like every
-    * iterative graph algorithm on Spark (GraphX Pregel does the same);
-    * per-round work is fully distributed, the driver only checks the
-    * convergence counter. `maxIter` bounds adversarial graphs.
+    * labels (the round's one pass over the edge frame), and its label's
+    * label (a label-frame self-join: the path-halving step). Neighbor
+    * propagation alone needs O(diameter) rounds — a 4000-node near-dup
+    * chain would blow any iteration budget; the label-of-label shortcut
+    * doubles the jump distance per round, giving O(log diameter)
+    * convergence (the hash-to-min construction). The loop is
+    * driver-controlled like every iterative graph algorithm on Spark
+    * (GraphX Pregel does the same); per-round work is fully distributed,
+    * the driver only checks the convergence counter. `maxIter` bounds
+    * adversarial graphs.
+    *
+    * Edge-frame shape, sized for the 100 TB point where edges >> nodes:
+    * the frame is pre-partitioned AND pre-sorted on `src` ONCE at
+    * materialization (checkpointing preserves the physical partitioning
+    * and ordering through `LogicalRDD`), so every round's neighbor join
+    * exchanges and sorts only the label frame — the multi-billion-row edge
+    * side never crosses the wire again. Duplicate edges are NOT removed:
+    * min-aggregation is insensitive to them and partial aggregation
+    * absorbs them map-side, so a `distinct` would spend a full-width
+    * shuffle to buy nothing.
     *
     * Each round's labels are CHECKPOINTED, not merely cached: the round's
     * logical plan references the previous labels twice (directly and via
@@ -265,37 +276,78 @@ object TextDedup {
     * superseded checkpoints are unreferenced and cleaned by the
     * ContextCleaner. On a cluster, executor loss invalidates local
     * checkpoints — acceptable for a deterministic batch stage that simply
-    * re-runs; use reliable `checkpoint` with a checkpoint dir if the
-    * surrounding pipeline cannot re-run the stage.
+    * re-runs; pass `reliable=true` (with `setCheckpointDir`) if the
+    * surrounding pipeline cannot re-run the stage (same knob and caveats
+    * as [[ngramJaccardPairs]]).
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
+      reliable: Boolean = false): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // progress logging for long-running converge loops (off by default):
+    // an iterative graph stage with no per-round signal is undebuggable on
+    // a cluster — set GRAFT_CC_LOG=1 to see round/changed/seconds on stderr
+    val ccLog = sys.env.contains("GRAFT_CC_LOG")
+    def logRound(tag: String, t0: Long, extra: => String): Unit = if (ccLog)
+      System.err.println(f"[dupClusters] $tag ${(System.nanoTime - t0) / 1e9}%.2fs $extra")
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // per-round variant: LAZY local checkpoint, so the round's convergence
+    // count is the one job that both materializes the labels and counts the
+    // changes — half the jobs of an eager checkpoint + count. (Reliable
+    // checkpoints stay eager: a lazy reliable checkpoint recomputes its RDD
+    // when writing to the checkpoint dir.)
+    def materializeRound(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(false)
+    // explicit partition count so AQE cannot coalesce the repartition into
+    // a non-hash layout — the preserved HashPartitioning(src, n) is what
+    // lets every later round's join skip the edge exchange
+    val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val tE = System.nanoTime
+    val edges = materialize(pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+      .repartition(n, col("src"))
+      .sortWithinPartitions("src"))
+    logRound("edges", tE, s"n=${edges.count()}")
+    val tL = System.nanoTime
+    // edges are already partitioned by src, so the distinct is exchange-free
+    // and labels inherit HashPartitioning(id, n) for the per-round merges
+    var labels = materialize(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
+    logRound("labels", tL, s"n=${labels.count()}")
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
+      val tR = System.nanoTime
+      // the round's single pass over the edge frame: only the label frame
+      // is exchanged/sorted into the join (edges keep their materialized
+      // layout); partial aggregation shrinks the min-by-dst shuffle to
+      // O(nodes) before it crosses the wire
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      // pointer jumping: each node also sees its label's own label
+      // pointer jumping: each node also sees its label's own label (the
+      // path-halving step — one label-frame self-join, fused into the
+      // round's single plan). A deeper fused compression is a trap twice
+      // over: each extra jump references its input twice, so either the
+      // edge-join subplan duplicates 2^jumps-fold (re-executed copies) or
+      // an extra materialize job per round pays for itself only on graphs
+      // with very long chains — measured slower on both the heavy tier
+      // and small-graph workloads.
       val labelOfLabel = labels
         .select(col("id").as("__lid"), col("label").as("__ll"))
-      val updated = labels
+      val updated = materializeRound(labels
         .join(labelOfLabel, col("label") === col("__lid"), "left")
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"),
             coalesce(col("__ll"), col("label")),
-            coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
+            coalesce(col("nbr_label"), col("label"))).as("label")))
       changed = updated.filter(col("label") < col("old_label")).count()
       labels = updated.drop("old_label")
       i += 1
+      logRound(s"round $i", tR, s"changed=$changed")
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
