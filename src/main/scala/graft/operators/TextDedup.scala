@@ -41,6 +41,54 @@ object TextDedup {
     docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("canonical_id"))
 
+  /** Boilerplate-line removal (the CCNet/RefinedWeb line-level dedup):
+    * drop every line whose document frequency — the number of DISTINCT
+    * documents containing it — reaches `minDocFreq`, and reassemble each
+    * document's surviving lines in their original order. Cookie banners,
+    * nav menus and footers repeat across a site's pages; removing them
+    * line-by-line preserves the unique prose that document-level dedup
+    * would keep verbatim.
+    *
+    * Returns (idCol, textCol, n_removed): the cleaned text (empty string
+    * when every line was boilerplate — rows are never dropped) plus the
+    * per-document removed-line count, the audit metric a curation run
+    * monitors. Only the id and rebuilt text are returned — at corpus
+    * scale the caller joins back by id rather than riding every
+    * passthrough column through the explode.
+    *
+    * Scale shape: the census groups by a 16-byte line digest, so the
+    * shuffle carries digests + ids, never line bodies; the boilerplate
+    * set joins back UNHINTED (it is O(lines/minDocFreq), unbounded on a
+    * template-heavy corpus — AQE broadcasts it only when its runtime size
+    * fits, the applyDedup stance); the exploded line frame feeds both the
+    * census and the rebuild, so it is lazily checkpoint-materialized once
+    * (the ngramJaccardPairs posting-frame pattern). Reassembly is one
+    * partial-aggregated groupBy on the id; a document's lines fit in its
+    * task by the same argument its text column does.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Long, sep: String = "\n"): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+      .withColumn("__lh", md5(col("__line")))
+      .localCheckpoint(false)
+    val hot = lines.groupBy(col("__lh"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__lh").as("__hot"))
+    lines
+      .join(hot, col("__lh") === col("__hot"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__hot").isNull,
+            struct(col("__pos"), col("__line"))))),
+          s => s.getField("__line")), sep).as(textCol),
+        count(when(col("__hot").isNotNull, lit(1))).as("n_removed"))
+  }
+
   /** N-gram Jaccard near-dup pairs via a blocked inverted index:
     * |A∩B| / |A∪B| >= threshold, candidates restricted to equal blockCol.
     * `maxDocFreq` (0 = off) drops shingles whose CORPUS-GLOBAL document

@@ -165,6 +165,26 @@ object Dedup extends QuerySet {
     TextDedup.simhashNearPairs(Q.t(s, dir, "documents"), "doc_id", "text",
       maxHamming = 3, maxBucketSize = 8L)
 
+  /** CCNet-style boilerplate-line removal. The fixture text has no line
+    * structure, so the query derives one deterministically (both engines
+    * build the identical corpus): first-10-words line, a per-source footer
+    * line shared by every document of the source, last-10-words line. The
+    * footer's document frequency is ~N/3, far over the threshold, so the
+    * operator must strip exactly the middle line everywhere while keeping
+    * the unique prose lines in order.
+    */
+  def dd44(s: SparkSession, dir: String): DataFrame = {
+    val structured = Q.t(s, dir, "documents").select(
+      col("doc_id"),
+      concat_ws("\n",
+        array_join(slice(toks, 1, 10), " "),
+        // coalesce: a NULL source must still yield a footer line (string
+        // concat with NULL nulls the whole derived text in SQL engines)
+        concat(lit("footer "), coalesce(col("source"), lit("none"))),
+        array_join(slice(toks, 11, 10), " ")).as("text"))
+    TextDedup.lineDedup(structured, "doc_id", "text", minDocFreq = 10L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
@@ -179,7 +199,8 @@ object Dedup extends QuerySet {
     "dd40_simhash_hamming_pairs" -> (dd40 _),
     "dd41_ngram_jaccard_capped" -> (dd41 _),
     "dd42_lsh_pairs_capped" -> (dd42 _),
-    "dd43_simhash_hamming_capped" -> (dd43 _))
+    "dd43_simhash_hamming_capped" -> (dd43 _),
+    "dd44_line_dedup" -> (dd44 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -385,5 +406,23 @@ object Dedup extends QuerySet {
          |       WHERE n <= 4),
          |bb AS (SELECT b.* FROM b JOIN ok USING (bucket))
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |FROM bb x JOIN bb y ON x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin)
+         |FROM bb x JOIN bb y ON x.bucket = y.bucket AND x.doc_id < y.doc_id""".stripMargin,
+    "dd44_line_dedup" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  coalesce(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' '), '')
+         |   || chr(10) || 'footer ' || coalesce(source, 'none')
+         |   || chr(10) || coalesce(array_to_string(list_slice(string_split(text, ' '), 11, 20), ' '), '')
+         |   AS text FROM documents),
+         |lines AS (SELECT doc_id,
+         |  unnest(string_split(text, chr(10))) AS line,
+         |  generate_subscripts(string_split(text, chr(10)), 1) AS pos FROM d),
+         |hot AS (SELECT line FROM lines GROUP BY line
+         |        HAVING count(DISTINCT doc_id) >= 10)
+         |SELECT l.doc_id,
+         | coalesce(string_agg(CASE WHEN h.line IS NULL THEN l.line END,
+         |   chr(10) ORDER BY l.pos), '') AS text,
+         | CAST(count(CASE WHEN h.line IS NOT NULL THEN 1 END) AS BIGINT)
+         |   AS n_removed
+         |FROM lines l LEFT JOIN hot h ON l.line = h.line
+         |GROUP BY l.doc_id""".stripMargin)
 }

@@ -88,6 +88,46 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
       s"expected partial + final WindowGroupLimit:\n$capPlan")
   }
 
+  test("checkpoint preserves the edge frame's partitioning: per-round join exchanges only the label side") {
+    import spark.implicits._
+    // the dupClusters per-round contract: the edge frame is repartitioned +
+    // sorted on src ONCE at checkpoint, and every round's neighbor join
+    // must exchange only the O(nodes) label frame. This rides on Spark
+    // preserving outputPartitioning/outputOrdering through
+    // Dataset.localCheckpoint (LogicalRDD) — if an upgrade drops that, the
+    // multi-billion-row edge side reshuffles EVERY round and this pins it.
+    // pin the 100 TB planner decision: labels past the broadcast threshold
+    // (at bench scale a node frame broadcasts and neither side exchanges —
+    // also fine; the contract protects the big-cluster SMJ path)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val n = spark.sessionState.conf.numShufflePartitions
+      val edges = (1L to 2000L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+        .toDF("src", "dst")
+        .repartition(n, col("src")).sortWithinPartitions("src")
+        .localCheckpoint(true)
+      val labels = (1L to 2001L).map(i => (i, i)).toDF("id", "label")
+        .localCheckpoint(true)
+      val joined = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // exactly two exchanges: the label side into the sort-merge join and
+      // the min-by-dst aggregate — NONE on the checkpointed edge side, and
+      // no edge re-sort either (the materialized ordering survives)
+      assert(countOf(plan, "Exchange hashpartitioning") == 2,
+        s"expected label-side + aggregate exchanges only:\n$plan")
+      assert(countOf(plan, "Sort ") == 1,
+        s"expected a sort on the label side only:\n$plan")
+      assert(joined.count() == 2001L)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("LSH and simhash pair generation is local expansion — no join operator at all") {
     graft.functions.GraftFunctions.register(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")

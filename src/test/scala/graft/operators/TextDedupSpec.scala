@@ -25,6 +25,34 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(hotShingles.count() > 0)
   }
 
+  test("lineDedup strips boilerplate lines, keeps order, never drops rows") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "alpha prose one\nCOOKIE BANNER\nbeta prose two"),
+      (2L, "COOKIE BANNER\ngamma text\nNAV MENU"),
+      (3L, "NAV MENU\nCOOKIE BANNER"),            // all boilerplate
+      (4L, "delta solo\nNAV MENU\ndelta encore"),
+      (5L, "COOKIE BANNER\nNAV MENU\nepsilon end"),
+      (6L, "unique only line"))
+      .toDF("doc_id", "text")
+    // COOKIE BANNER in 4 docs, NAV MENU in 4 docs, threshold 3 strips both
+    val got = TextDedup.lineDedup(rows, "doc_id", "text", minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("alpha prose one\nbeta prose two", 1L)))
+    assert(got(2L) == (("gamma text", 2L)))
+    assert(got(3L) == (("", 2L)))                 // row kept, text emptied
+    assert(got(4L) == (("delta solo\ndelta encore", 1L)))
+    assert(got(5L) == (("epsilon end", 2L)))
+    assert(got(6L) == (("unique only line", 0L)))
+    assert(got.size == 6)
+    // document frequency is DISTINCT docs: a line repeated inside one doc
+    // only counts once, so it survives a threshold equal to its doc count
+    val rep = Seq((1L, "x\nx\nx\ny"), (2L, "x\nz")).toDF("doc_id", "text")
+    val kept = TextDedup.lineDedup(rep, "doc_id", "text", minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept(1L) == "x\nx\nx\ny" && kept(2L) == "x\nz")
+  }
+
   test("exact-duplicate collapse is output-identical to brute-force Jaccard") {
     import spark.implicits._
     // the parquet fixtures contain no exact duplicates, so this pins the
