@@ -33,6 +33,8 @@ object BenchHeavy {
     "dd40_simhash_hamming_pairs",
     "sim38_lsh_neardup_pairs",
     "q33_token_budget",
+    "q35_weighted_mix",
+    "dd44_line_dedup",
     "td29_fingerprint")
   private val oracleExcluded = Set("dd36_dup_clusters")
 

@@ -141,4 +141,57 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Mixture-weighted corpus interleave (training-data mixing weights):
+    * pick the `n` rows with the smallest weighted rank `r_s / w_s`, where
+    * `r_s` is the row's deterministic hash-order rank WITHIN its source
+    * and `w_s` the source's mixture weight — source s receives ~w_s/Σw of
+    * every prefix of the interleaved stream, the "sampling proportion"
+    * knob of an LLM training mix, but exact, reproducible and
+    * engine-checkable instead of RNG-driven. A source runs out when
+    * exhausted (its ranks stop), and the remaining sources keep their
+    * relative proportions — the natural without-replacement semantics.
+    *
+    * Scale shape: per-source ranks use the same two-pass bucketed prefix
+    * trick as [[tokenBudget]] (bucket counts + broadcast offsets + a
+    * (source, bucket)-local row_number), so no source ever runs through
+    * one task; the global top-n is an `orderBy(...).limit(n)` —
+    * TakeOrderedAndProject, a per-partition heap + driver merge of n
+    * rows, never a full sort. Ties across equal-weight sources break on
+    * the hash then the id, so the selection is total-order deterministic.
+    */
+  def weightedMix(df: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Double], defaultWeight: Double, n: Int,
+      bucketChars: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require((weights.values.toSeq :+ defaultWeight).forall(_ > 0),
+      s"weights must be > 0: $weights / $defaultWeight")
+    require(bucketChars >= 1 && bucketChars <= 8,
+      s"bucketChars must be in [1,8], got $bucketChars")
+    val weight = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (value, x)) => when(col(sourceCol) === value, lit(x)).otherwise(acc)
+    }
+    // same two-consumer materialize-once economics as tokenBudget
+    val withKey = df
+      .withColumn("__h", hashOrder(col(sourceCol), col(idCol)))
+      .withColumn("__b", substring(col("__h"), 1, bucketChars))
+      .localCheckpoint(false)
+    val wOffset = Window.partitionBy(sourceCol).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withKey
+      .groupBy(col(sourceCol), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOffset), lit(0L)))
+      .select(col(sourceCol).as("__osrc"), col("__b").as("__ob"), col("__off"))
+    val wLocal = Window.partitionBy(col(sourceCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+    withKey
+      .join(broadcast(offsets),
+        col(sourceCol) <=> col("__osrc") && col("__b") <=> col("__ob"))
+      .withColumn("__k",
+        (col("__off") + row_number().over(wLocal)).cast("double") / weight)
+      .orderBy(col("__k"), col("__h"), col(idCol))
+      .limit(n)
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -151,6 +151,18 @@ object Extended extends QuerySet {
       Q.t(s, dir, "events").select("event_id", "user_id", "event_type"),
       "user_id", "event_id", k = 3)
 
+  /** Mixture-weighted interleave: the first 300 rows of a 3.0/1.5/1.0
+    * weighted mix over sources — the sampling-proportion knob of a
+    * training mix, exact and engine-reproducible (see
+    * [[graft.operators.Sampling.weightedMix]]).
+    */
+  def q35(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedMix(
+      Q.t(s, dir, "documents").select("doc_id", "source"),
+      "source", "doc_id",
+      weights = Map("src0" -> 3.0, "src1" -> 1.5), defaultWeight = 1.0,
+      n = 300)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
@@ -160,7 +172,8 @@ object Extended extends QuerySet {
     "q31_sessionize" -> (q31 _),
     "q32_stratified_sample" -> (q32 _),
     "q33_token_budget" -> (q33 _),
-    "q34_per_key_cap" -> (q34 _))
+    "q34_per_key_cap" -> (q34 _),
+    "q35_weighted_mix" -> (q35 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -227,5 +240,15 @@ object Extended extends QuerySet {
         | SELECT event_id, user_id, event_type,
         |  row_number() OVER (PARTITION BY user_id
         |   ORDER BY md5(user_id || '|' || CAST(event_id AS VARCHAR)), event_id) AS rn
-        | FROM events) WHERE rn <= 3""".stripMargin)
+        | FROM events) WHERE rn <= 3""".stripMargin,
+    "q35_weighted_mix" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  md5(source || '|' || CAST(doc_id AS VARCHAR)) AS h,
+        |  row_number() OVER (PARTITION BY source
+        |   ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        | FROM documents)
+        |SELECT doc_id, source FROM r
+        |ORDER BY rnk / CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.5
+        |  ELSE 1.0 END ASC, h ASC NULLS FIRST, doc_id ASC
+        |LIMIT 300""".stripMargin)
 }

@@ -80,6 +80,37 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       Map.empty, defaultBudget = 0L).count() == 0)
   }
 
+  test("weightedMix matches a brute-force weighted interleave and its proportions") {
+    import java.security.MessageDigest
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val weights = Map("s0" -> 4.0, "s1" -> 2.0)
+    val got = Sampling.weightedMix(docs, "source", "doc_id", weights,
+      defaultWeight = 1.0, n = 160)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size == 160)
+    // brute force the same total order on the driver
+    def h(src: String, id: Long): String =
+      MessageDigest.getInstance("MD5").digest(s"$src|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val ranked = (1L to 400L).map { i =>
+      val src = s"s${i % 4}"; (i, src, h(src, i))
+    }.groupBy(_._2).values.flatMap { grp =>
+      grp.sortBy { case (id, _, hh) => (hh, id) }.zipWithIndex.map {
+        case ((id, src, hh), r) =>
+          (id, (r + 1).toDouble / weights.getOrElse(src, 1.0), hh)
+      }
+    }.toSeq.sortBy { case (id, k, hh) => (k, hh, id) }.take(160).map(_._1).toSet
+    assert(got == ranked)
+    // a weight-4 source gets ~4x the rows of a weight-1 source in any prefix
+    val bySrc = Sampling.weightedMix(docs, "source", "doc_id", weights,
+      defaultWeight = 1.0, n = 160)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("s0") == 80 && bySrc("s1") == 40 &&
+      bySrc("s2") == 20 && bySrc("s3") == 20)
+  }
+
   test("tokenBudget matches the single-window reference on a 90%-skewed corpus") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -53,6 +53,30 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept(1L) == "x\nx\nx\ny" && kept(2L) == "x\nz")
   }
 
+  test("property: lineDedup matches an in-memory reference on random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val pool = (1 to 12).map(i => s"line pool entry $i")
+    for (trial <- 1 to 4) {
+      val docs = (1L to 30L).map { id =>
+        val nLines = 1 + rng.nextInt(5)
+        (id, Seq.fill(nLines)(pool(rng.nextInt(pool.size))).mkString("\n"))
+      }
+      val k = 2 + rng.nextInt(4)
+      val got = TextDedup.lineDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minDocFreq = k)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val df = docs.flatMap { case (id, t) => t.split("\n").distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+      val hot = df.filter(_._2 >= k).keySet
+      val expected = docs.map { case (id, t) =>
+        val lines = t.split("\n", -1)
+        (id, lines.filterNot(hot).mkString("\n"), lines.count(hot).toLong)
+      }.toSet
+      assert(got == expected, s"trial $trial (k=$k)")
+    }
+  }
+
   test("exact-duplicate collapse is output-identical to brute-force Jaccard") {
     import spark.implicits._
     // the parquet fixtures contain no exact duplicates, so this pins the
