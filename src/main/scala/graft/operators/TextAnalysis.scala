@@ -131,6 +131,35 @@ object TextAnalysis {
         "\\s+", " ")).as("norm_text"))
       .withColumn("n_chars_norm", length(col("norm_text")))
 
+  // PII patterns, written to the Java-regex/RE2 COMMON SUBSET (no
+  // backreferences, no lookaround) so Spark's codegen'd regexp and the
+  // DuckDB oracle match byte-identically — the same parity discipline as
+  // the BPE pre-tokenizer. Phone is deliberately the unambiguous
+  // separated-triplet shape: a greedier digit-span pattern would disagree
+  // across engines on boundary cases and eat IPs.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneRe = "\\+?\\d{3}[ .-]\\d{3}[ .-]\\d{4}"
+
+  /** PII redaction pass (the scrub a curation pipeline runs before
+    * training): emails, IPv4 addresses and separated-triplet phone numbers
+    * are replaced with [EMAIL]/[IP]/[PHONE] tags, applied in that order;
+    * per-document match counts (on the ORIGINAL text — the audit metric)
+    * ride along. Pure per-row projection — no shuffle, regex inside
+    * whole-stage codegen; patterns are RE2-safe so the oracle reproduces
+    * every match.
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        emailRe, "[EMAIL]"), ipv4Re, "[IP]"), phoneRe, "[PHONE]")
+        .as("redacted_text"),
+      regexp_count(t, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(t, lit(phoneRe)).cast("long").as("n_phones"))
+  }
+
   /** Within-document repetition metrics (the Gopher-style repetition
     * screens): distinct-token ratio, the most frequent token's share, and
     * the most frequent word-bigram's share. Per-row O(n log n): the top

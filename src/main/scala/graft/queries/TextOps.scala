@@ -111,6 +111,26 @@ object TextOps extends QuerySet {
   def q33(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTokenStats(Q.t(s, dir, "documents"), "doc_id", "text")
 
+  /** PII redaction. The fixture text carries no PII, so the query injects
+    * deterministic shapes (an email, an IP, a phone) into a rotating fifth
+    * of the corpus — the SAME construction in both engines — and the
+    * operator must find and redact exactly those.
+    */
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    val injected = Q.t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" reach me at user"), col("doc_id").cast("string"),
+            lit("@example.com")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit(" server 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".7 down")))
+          .when(col("doc_id") % 5 === 2, lit(" call +1 555-123-4567 now"))
+          .otherwise(lit(""))).as("text"))
+    TextAnalysis.redactPii(injected, "doc_id", "text")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
     "q25_array_hof" -> (q25 _),
@@ -121,7 +141,8 @@ object TextOps extends QuerySet {
     "td30_contamination" -> (q30 _),
     "td31_normalize" -> (q31 _),
     "td32_repetition" -> (q32 _),
-    "td33_bpe_tokens" -> (q33 _))
+    "td33_bpe_tokens" -> (q33 _),
+    "td34_redact_pii" -> (q34 _))
 
   val oracles: Map[String, String] = Map(
     "q20_string_functions" ->
@@ -219,5 +240,21 @@ object TextOps extends QuerySet {
         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(text,
         |   ' ?\p{L}+| ?\p{N}+| ?[^\t\n\f\r \p{L}\p{N}]+|[\t\n\f\r ]+')) AS INTEGER) AS n_bpe_tokens
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "td34_redact_pii" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |   WHEN 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |   WHEN 1 THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 down'
+        |   WHEN 2 THEN ' call +1 555-123-4567 now'
+        |   ELSE '' END AS text FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |   '\+?\d{3}[ .-]\d{3}[ .-]\d{4}', '[PHONE]', 'g') AS redacted_text,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        | CAST(len(regexp_extract_all(text, '\+?\d{3}[ .-]\d{3}[ .-]\d{4}')) AS BIGINT) AS n_phones
+        |FROM d""".stripMargin)
 }

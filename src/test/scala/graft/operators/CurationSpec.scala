@@ -250,6 +250,29 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("redactPii replaces emails, IPs and phones with tags and counts them") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail a.b+c%d@sub.example.org or x@y.io today"),
+      (2L, "host 192.168.001.1 and 10.0.0.7 up"),
+      (3L, "call 555-123-4567 or +1 555.987.6543 x"),
+      (4L, "clean text, no pii at all"),
+      (5L, "ver 1.2.3 is not an ip, nor is 1.2.3.4.5 a clean one"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(rows, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got(1L) == (("mail [EMAIL] or [EMAIL] today", 2L, 0L, 0L)))
+    assert(got(2L) == (("host [IP] and [IP] up", 0L, 2L, 0L)))
+    // '+1 555.987.6543' redacts from the 555 triplet on (the +1 prefix is
+    // a country code outside the separated-triplet shape)
+    assert(got(3L) == (("call [PHONE] or +1 [PHONE] x", 0L, 0L, 2L)))
+    assert(got(4L) == (("clean text, no pii at all", 0L, 0L, 0L)))
+    // 1.2.3 has three octets (no match); 1.2.3.4.5 contains a 4-octet run
+    assert(got(5L)._3 == 1L)
+  }
+
   test("bpeTokenStats: GPT-2-style pre-token counts on known strings") {
     import spark.implicits._
     val docs = Seq(

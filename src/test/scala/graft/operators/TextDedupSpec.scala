@@ -135,6 +135,12 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
       assert(reliable.collect().toSet == local.collect().toSet)
       // the reliable checkpoint actually landed in the configured dir
       assert(new java.io.File(dir).listFiles().nonEmpty)
+      // dupClusters carries the same knob through its iterative loop
+      val pairs = local.select("doc_a", "doc_b")
+      val localClusters = TextDedup.dupClusters(pairs).collect().toSet
+      val reliableClusters = TextDedup.dupClusters(pairs, reliable = true)
+        .collect().toSet
+      assert(reliableClusters == localClusters)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
