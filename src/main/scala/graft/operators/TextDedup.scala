@@ -485,30 +485,60 @@ object TextDedup {
       maxHamming: Int = 3, maxBucketSize: Long = 0L): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit chunking guarantees recall only for maxHamming <= 3, got $maxHamming")
-    val fp = simhash(docs, idCol, textCol, bits = 64)
+    // round-5 collapse (the ngramJaccardPairs treatment): identical texts
+    // share a fingerprint and identical fingerprints share every chunk
+    // bucket, so each DISTINCT fingerprint goes through the chunk-blocked
+    // index once, with its member-id array riding along — on a corpus with
+    // duplication factor d the in-bucket quadratic expansion shrinks d².
+    // No join is introduced: cross-group pairs explode the two id arrays
+    // where the bucket already co-located them, within-group pairs
+    // (hamming 0) fall out of each surviving bucket row — which makes the
+    // bucket cap gate them exactly as the uncollapsed form did — and the
+    // final distinct() dedups multi-bucket emissions as before.
+    val groups = simhash(docs, idCol, textCol, bits = 64)
+      .groupBy(col("simhash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
     val chunks = (0 until 4).map(i =>
       concat(lit(s"$i:"),
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))))
-    val buckets0 = fp.select(col("doc_id"), col("simhash"),
+    val buckets0 = groups.select(col("simhash"), col("ids"),
       explode(array(chunks: _*)).as("bucket"))
     val buckets =
       if (maxBucketSize > 0) {
-        val oversize = buckets0.groupBy("bucket").agg(count(lit(1)).as("n"))
+        // the cap keeps counting DOCUMENTS (sum of member counts), so
+        // capped results are identical to the uncollapsed formulation
+        val oversize = buckets0.groupBy("bucket")
+          .agg(sum(size(col("ids"))).as("n"))
           .filter(col("n") > maxBucketSize).select("bucket")
         // unhinted: O(rows/cap) heavy-hitter set — AQE sizes the join
         buckets0.join(oversize, Seq("bucket"), "left_anti")
       } else buckets0
-    buckets.groupBy("bucket")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
+    val cross = buckets.groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("simhash"), col("ids")))).as("xs"))
       .filter(size(col("xs")) > 1)
       .select(explode(flatten(transform(col("xs"), (x, i) =>
         transform(slice(col("xs"), i + 2, size(col("xs"))), y =>
-          struct(x.getField("doc_id").as("doc_a"),
-            y.getField("doc_id").as("doc_b"),
+          struct(x.getField("ids").as("ids_a"),
+            y.getField("ids").as("ids_b"),
             x.getField("simhash").as("fp_a"),
             y.getField("simhash").as("fp_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"),
-        bit_count(col("p.fp_a").bitwiseXOR(col("p.fp_b"))).as("hamming"))
+      .select(explode(col("p.ids_a")).as("x"), col("p.ids_b"),
+        col("p.fp_a"), col("p.fp_b"))
+      .select(col("x"), explode(col("ids_b")).as("y"),
+        col("fp_a"), col("fp_b"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+    // hamming written as fp^fp (not a 0 literal) so a null fingerprint
+    // group yields null and is filtered — byte-identical to the
+    // uncollapsed form's null semantics
+    val within = buckets.filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"),
+        bit_count(col("simhash").bitwiseXOR(col("simhash"))).as("hamming"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("hamming"))
+    cross.unionByName(within)
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
