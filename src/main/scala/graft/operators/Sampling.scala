@@ -142,6 +142,58 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Sequence packing (GPT-style concatenate-and-chunk): documents are
+    * laid out in the deterministic hash order and split into fixed
+    * `seqLen`-token training sequences; each document learns its byte —
+    * token — position in that layout: global `start_offset`, the
+    * `first_seq`/`last_seq` sequence indices it lands in (a document
+    * spans sequences when it crosses a boundary), and `n_seqs`. The
+    * downstream writer can then route each document's tokens to its
+    * sequence shards without any global sort.
+    *
+    * Scale shape: the global running offset is the same two-pass bucketed
+    * prefix sum as [[tokenBudget]] — per-bucket subtotals (16^bucketChars
+    * rows), offsets via a window over that tiny frame, a bucket-local
+    * running sum for the body — so no task ever sees more than
+    * ~1/16^bucketChars of the corpus even though the order is corpus-global.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCountCol: String,
+      seqLen: Long, bucketChars: Int = 3): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(bucketChars >= 1 && bucketChars <= 8,
+      s"bucketChars must be in [1,8], got $bucketChars")
+    val withKey = df
+      .withColumn("__h", hashOrder(lit("pack"), col(idCol)))
+      .withColumn("__b", substring(col("__h"), 1, bucketChars))
+      .localCheckpoint(false)
+    val wOffset = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withKey
+      .groupBy(col("__b"))
+      .agg(sum(col(tokenCountCol).cast("long")).as("__sub"))
+      .withColumn("__off", coalesce(sum(col("__sub")).over(wOffset), lit(0L)))
+      .select(col("__b").as("__ob"), col("__off"))
+    val wLocal = Window.partitionBy(col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withKey
+      .join(broadcast(offsets), col("__b") <=> col("__ob"))
+      .withColumn("start_offset",
+        col("__off") + coalesce(
+          sum(col(tokenCountCol).cast("long")).over(wLocal), lit(0L)))
+      // floor over an explicit double division: exact for token offsets
+      // up to 2^53, and the same arithmetic the SQL oracle runs
+      .withColumn("first_seq",
+        floor(col("start_offset") / lit(seqLen.toDouble)))
+      .withColumn("last_seq",
+        floor((col("start_offset")
+          + greatest(col(tokenCountCol).cast("long"), lit(1L)) - 1)
+          / lit(seqLen.toDouble)))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .select((df.columns.map(col) ++ Seq(col("start_offset"),
+        col("first_seq"), col("last_seq"), col("n_seqs"))): _*)
+  }
+
   /** Mixture-weighted corpus interleave (training-data mixing weights):
     * pick the `n` rows with the smallest weighted rank `r_s / w_s`, where
     * `r_s` is the row's deterministic hash-order rank WITHIN its source

@@ -163,6 +163,18 @@ object Extended extends QuerySet {
       weights = Map("src0" -> 3.0, "src1" -> 1.5), defaultWeight = 1.0,
       n = 300)
 
+  /** Sequence packing (concatenate-and-chunk): where each document's
+    * tokens land in the fixed-512-token training-sequence layout (see
+    * [[graft.operators.Sampling.packSequences]]).
+    */
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(s, dir, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    graft.operators.Sampling.packSequences(docs, "doc_id", "n_tokens",
+      seqLen = 512L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
@@ -173,7 +185,8 @@ object Extended extends QuerySet {
     "q32_stratified_sample" -> (q32 _),
     "q33_token_budget" -> (q33 _),
     "q34_per_key_cap" -> (q34 _),
-    "q35_weighted_mix" -> (q35 _))
+    "q35_weighted_mix" -> (q35 _),
+    "q36_pack_sequences" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -250,5 +263,23 @@ object Extended extends QuerySet {
         |SELECT doc_id, source FROM r
         |ORDER BY rnk / CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.5
         |  ELSE 1.0 END ASC, h ASC NULLS FIRST, doc_id ASC
-        |LIMIT 300""".stripMargin)
+        |LIMIT 300""".stripMargin,
+    "q36_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(coalesce(SUM(CAST(n_tokens AS BIGINT)) OVER (
+        |   ORDER BY md5('pack|' || CAST(doc_id AS VARCHAR)), doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS start_offset
+        | FROM d)
+        |SELECT doc_id, n_tokens, start_offset,
+        | CAST(floor(start_offset / 512.0) AS BIGINT) AS first_seq,
+        | CAST(floor((start_offset + greatest(CAST(n_tokens AS BIGINT), 1) - 1)
+        |   / 512.0) AS BIGINT) AS last_seq,
+        | CAST(floor((start_offset + greatest(CAST(n_tokens AS BIGINT), 1) - 1)
+        |   / 512.0) AS BIGINT)
+        |  - CAST(floor(start_offset / 512.0) AS BIGINT) + 1 AS n_seqs
+        |FROM c""".stripMargin)
 }

@@ -111,6 +111,30 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       bySrc("s2") == 20 && bySrc("s3") == 20)
   }
 
+  test("packSequences lays out a contiguous token stream and spans boundaries correctly") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, 1 + (i % 7).toInt)).toDF("doc_id", "n")
+    val packed = Sampling.packSequences(docs, "doc_id", "n", seqLen = 16L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(packed.length == 200)
+    // contiguous, gap-free layout: sorted by offset, each doc starts where
+    // the previous one ended, starting at zero
+    val byOffset = packed.sortBy(_._3)
+    assert(byOffset.head._3 == 0L)
+    byOffset.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + a._2, s"gap between $a and $b")
+    }
+    // seq arithmetic: floor bounds and span count
+    packed.foreach { case (_, n, start, first, last, nSeqs) =>
+      assert(first == start / 16)
+      assert(last == (start + n - 1) / 16)
+      assert(nSeqs == last - first + 1)
+    }
+    // a doc crossing a 16-token boundary spans > 1 sequence
+    assert(packed.exists(_._6 > 1))
+  }
+
   test("tokenBudget matches the single-window reference on a 90%-skewed corpus") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
