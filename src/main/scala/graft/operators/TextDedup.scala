@@ -202,17 +202,17 @@ object TextDedup {
     * (k = 64-128) is the whole cost of the signature stage.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, fast: Boolean = false): DataFrame =
+      k: Int, fast: Boolean = false, extraCols: Seq[String] = Nil): DataFrame =
     if (fast) {
       val sig = graft.functions.GraftFunctions.minhash(
         bigramShingles(col(textCol), fast = true), k)
-      docs.select(col(idCol).as("doc_id") +:
+      docs.select(col(idCol).as("doc_id") +: extraCols.map(col) ++:
         (1 to k).map(i => element_at(sig, lit(i)).as(s"mh$i")): _*)
     } else {
       val sigs = (1 to k).map(i =>
         array_min(transform(bigramShingles(col(textCol)),
           x => md5(concat(lit(i.toString), x)))).as(s"mh$i"))
-      docs.select(col(idCol).as("doc_id") +: sigs: _*)
+      docs.select(col(idCol).as("doc_id") +: extraCols.map(col) ++: sigs: _*)
     }
 
   /** Production-scale MinHash (Broder's estimator): ONE md5 digest per
@@ -233,9 +233,10 @@ object TextDedup {
 
   /** (doc_id, bucket) rows: one banded-minhash bucket id per band per doc. */
   private def lshBandBuckets(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int, fast: Boolean): DataFrame = {
+      bands: Int, rowsPerBand: Int, fast: Boolean,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = minhashSignatures(docs, idCol, textCol, k, fast)
+    val sigs = minhashSignatures(docs, idCol, textCol, k, fast, extraCols)
     val bandCols = (0 until bands).map { b =>
       val parts = (1 to rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       concat(lit(s"${b + 1}:"), md5(concat(parts: _*)))
@@ -244,7 +245,8 @@ object TextDedup {
     // buckets; NULL is a groupBy key, so without this filter every
     // signature-less doc would collapse into one bogus bucket and pair
     // with all the others (the SQL oracle's equi-join drops NULL keys)
-    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+    sigs.select(col("doc_id") +: extraCols.map(col) :+
+        explode(array(bandCols: _*)).as("bucket"): _*)
       .filter(col("bucket").isNotNull)
   }
 
@@ -268,22 +270,51 @@ object TextDedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       bands: Int, rowsPerBand: Int, maxBucketSize: Long = 0L,
       fast: Boolean = false): DataFrame = {
-    val bandsDf = lshBandBuckets(docs, idCol, textCol, bands, rowsPerBand, fast)
+    // round-5 collapse (the simhashNearPairs treatment): identical texts
+    // share every signature and hence every band bucket, so signatures —
+    // k digests per shingle, the dominant cost — are computed once per
+    // DISTINCT text, with the member-id array riding through the banding.
+    // Cross-group pairs explode the two arrays where the bucket already
+    // co-located them; within-group pairs fall out of each surviving
+    // bucket row (so the bucket cap and the null-signature filter gate
+    // them exactly as the uncollapsed form did); the final distinct()
+    // dedups multi-band emissions as before. No join is introduced.
+    val groups = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .groupBy(md5(col("__text")).as("__tkey"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("ids"),
+        first(col("__text")).as("__text"))
+    val bandsDf = lshBandBuckets(groups, "rep", "__text", bands, rowsPerBand,
+      fast, extraCols = Seq("ids"))
     val capped =
       if (maxBucketSize > 0) {
-        val oversize = bandsDf.groupBy("bucket").agg(count(lit(1)).as("n"))
+        // the cap keeps counting DOCUMENTS (sum of member counts), so
+        // capped results are identical to the uncollapsed formulation
+        val oversize = bandsDf.groupBy("bucket")
+          .agg(sum(size(col("ids"))).as("n"))
           .filter(col("n") > maxBucketSize).select("bucket")
         // unhinted: the oversize-bucket set is O(rows/cap), not bounded —
         // AQE broadcasts it only when its runtime size fits (applyDedup stance)
         bandsDf.join(oversize, Seq("bucket"), "left_anti")
       } else bandsDf
-    capped.groupBy("bucket")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+    val cross = capped.groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("ids")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + 2, size(col("xs"))), y =>
+          struct(x.getField("ids").as("ids_a"),
+            y.getField("ids").as("ids_b")))))).as("p"))
+      .select(explode(col("p.ids_a")).as("x"), col("p.ids_b"))
+      .select(col("x"), explode(col("ids_b")).as("y"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"))
+    val within = capped.filter(size(col("ids")) >= 2)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
           struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+      .select(col("p.doc_a"), col("p.doc_b"))
+    cross.unionByName(within).distinct()
   }
 
   /** Duplicate-cluster formation: connected components over a near-dup
