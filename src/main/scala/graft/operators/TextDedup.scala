@@ -17,6 +17,28 @@ object TextDedup {
 
   private def toks(text: Column): Column = split(text, " ")
 
+  /** Local expansion of a sorted array into its C(n,2) ordered element
+    * pairs — the task-local pair generator every blocked candidate path
+    * shares (`slice(arr, i + 2, ...)` pairs element i with every LATER
+    * element, so (a, b) is emitted exactly once with a before b in array
+    * order). Wrap in `explode(...)`.
+    */
+  private def pairwise(arr: Column, f: (Column, Column) => Column): Column =
+    flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + 2, size(arr)), y => f(x, y))))
+
+  /** One row per DISTINCT text: representative id (the minimum), the
+    * sorted member-id array, and the text itself — the exact-duplicate
+    * collapse the round-5 candidate generators score once and expand back.
+    */
+  private def textGroups(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .groupBy(md5(col("__text")).as("__tkey"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("ids"),
+        first(col("__text")).as("__text"))
+
   /** Distinct word-bigram shingles — the MinHash/Jaccard unit.
     *
     * `fast = true` computes them in one fused codegen loop via the native
@@ -69,8 +91,12 @@ object TextDedup {
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
       minDocFreq: Long, sep: String = "\n"): DataFrame = {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    // null text reads as empty (one '' line): posexplode of a null array
+    // emits NO rows, which would silently drop the document and break the
+    // rows-are-never-dropped contract
     val lines = docs
-      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      .select(col(idCol), posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep)))
         .as(Seq("__pos", "__line")))
       .withColumn("__lh", md5(col("__line")))
       .localCheckpoint(false)
@@ -183,9 +209,8 @@ object TextDedup {
     if (threshold > 1.0) return cross.select("doc_a", "doc_b", "common", "jaccard")
     val within = groups.filter(col("gsize") >= 2)
       .join(n.select(col("doc_id").as("rep"), col("n_sh")), "rep")
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"), col("n_sh"))
+      .select(explode(pairwise(col("ids"), (x, y) =>
+        struct(x.as("doc_a"), y.as("doc_b")))).as("p"), col("n_sh"))
       .select(col("p.doc_a"), col("p.doc_b"), col("n_sh").as("common"),
         lit(1.0).as("jaccard"))
     cross.unionByName(within).select("doc_a", "doc_b", "common", "jaccard")
@@ -279,14 +304,13 @@ object TextDedup {
     // bucket row (so the bucket cap and the null-signature filter gate
     // them exactly as the uncollapsed form did); the final distinct()
     // dedups multi-band emissions as before. No join is introduced.
-    val groups = docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .groupBy(md5(col("__text")).as("__tkey"))
-      .agg(min(col("doc_id")).as("rep"),
-        sort_array(collect_list(col("doc_id"))).as("ids"),
-        first(col("__text")).as("__text"))
-    val bandsDf = lshBandBuckets(groups, "rep", "__text", bands, rowsPerBand,
-      fast, extraCols = Seq("ids"))
+    // the banding frame feeds two consumers (cross + within; three with
+    // the cap census) under different shuffle boundaries — lazily
+    // checkpoint-materialize so the signature stage (k digests per
+    // shingle) runs once, not once per branch (the tokenBudget pattern)
+    val bandsDf = lshBandBuckets(textGroups(docs, idCol, textCol), "rep",
+      "__text", bands, rowsPerBand, fast, extraCols = Seq("ids"))
+      .localCheckpoint(false)
     val capped =
       if (maxBucketSize > 0) {
         // the cap keeps counting DOCUMENTS (sum of member counts), so
@@ -297,22 +321,21 @@ object TextDedup {
         // unhinted: the oversize-bucket set is O(rows/cap), not bounded —
         // AQE broadcasts it only when its runtime size fits (applyDedup stance)
         bandsDf.join(oversize, Seq("bucket"), "left_anti")
+          .localCheckpoint(false)
       } else bandsDf
     val cross = capped.groupBy("bucket")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("ids")))).as("xs"))
       .filter(size(col("xs")) > 1)
-      .select(explode(flatten(transform(col("xs"), (x, i) =>
-        transform(slice(col("xs"), i + 2, size(col("xs"))), y =>
-          struct(x.getField("ids").as("ids_a"),
-            y.getField("ids").as("ids_b")))))).as("p"))
+      .select(explode(pairwise(col("xs"), (x, y) =>
+        struct(x.getField("ids").as("ids_a"),
+          y.getField("ids").as("ids_b")))).as("p"))
       .select(explode(col("p.ids_a")).as("x"), col("p.ids_b"))
       .select(col("x"), explode(col("ids_b")).as("y"))
       .select(least(col("x"), col("y")).as("doc_a"),
         greatest(col("x"), col("y")).as("doc_b"))
     val within = capped.filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(explode(pairwise(col("ids"), (x, y) =>
+        struct(x.as("doc_a"), y.as("doc_b")))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
     cross.unionByName(within).distinct()
   }
@@ -454,8 +477,12 @@ object TextDedup {
   def minhashLshBucketStats(docs: DataFrame, idCol: String, textCol: String,
       bands: Int, rowsPerBand: Int, maxBucketSize: Long,
       fast: Boolean = false): DataFrame =
-    lshBandBuckets(docs, idCol, textCol, bands, rowsPerBand, fast)
-      .groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
+    // same collapsed banding as minhashLshPairs, so the audit costs what
+    // the operator it monitors costs; bucket_size keeps DOCUMENT-count
+    // semantics via the member arrays
+    lshBandBuckets(textGroups(docs, idCol, textCol), "rep", "__text",
+      bands, rowsPerBand, fast, extraCols = Seq("ids"))
+      .groupBy("bucket").agg(sum(size(col("ids"))).as("bucket_size"))
       .withColumn("dropped",
         lit(maxBucketSize > 0) && col("bucket_size") > maxBucketSize)
 
@@ -532,8 +559,12 @@ object TextDedup {
     val chunks = (0 until 4).map(i =>
       concat(lit(s"$i:"),
         shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))))
+    // two consumers (cross + within; three with the cap census) — lazily
+    // checkpoint-materialize so the per-token fingerprint aggregation runs
+    // once, not once per branch
     val buckets0 = groups.select(col("simhash"), col("ids"),
       explode(array(chunks: _*)).as("bucket"))
+      .localCheckpoint(false)
     val buckets =
       if (maxBucketSize > 0) {
         // the cap keeps counting DOCUMENTS (sum of member counts), so
@@ -543,16 +574,16 @@ object TextDedup {
           .filter(col("n") > maxBucketSize).select("bucket")
         // unhinted: O(rows/cap) heavy-hitter set — AQE sizes the join
         buckets0.join(oversize, Seq("bucket"), "left_anti")
+          .localCheckpoint(false)
       } else buckets0
     val cross = buckets.groupBy("bucket")
       .agg(sort_array(collect_list(struct(col("simhash"), col("ids")))).as("xs"))
       .filter(size(col("xs")) > 1)
-      .select(explode(flatten(transform(col("xs"), (x, i) =>
-        transform(slice(col("xs"), i + 2, size(col("xs"))), y =>
-          struct(x.getField("ids").as("ids_a"),
-            y.getField("ids").as("ids_b"),
-            x.getField("simhash").as("fp_a"),
-            y.getField("simhash").as("fp_b")))))).as("p"))
+      .select(explode(pairwise(col("xs"), (x, y) =>
+        struct(x.getField("ids").as("ids_a"),
+          y.getField("ids").as("ids_b"),
+          x.getField("simhash").as("fp_a"),
+          y.getField("simhash").as("fp_b")))).as("p"))
       .select(explode(col("p.ids_a")).as("x"), col("p.ids_b"),
         col("p.fp_a"), col("p.fp_b"))
       .select(col("x"), explode(col("ids_b")).as("y"),
@@ -564,9 +595,8 @@ object TextDedup {
     // group yields null and is filtered — byte-identical to the
     // uncollapsed form's null semantics
     val within = buckets.filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"),
+      .select(explode(pairwise(col("ids"), (x, y) =>
+        struct(x.as("doc_a"), y.as("doc_b")))).as("p"),
         bit_count(col("simhash").bitwiseXOR(col("simhash"))).as("hamming"))
       .select(col("p.doc_a"), col("p.doc_b"), col("hamming"))
     cross.unionByName(within)

@@ -169,20 +169,26 @@ object Dedup extends QuerySet {
     * structure, so the query derives one deterministically (both engines
     * build the identical corpus): first-10-words line, a per-source footer
     * line shared by every document of the source, last-10-words line. The
-    * footer's document frequency is ~N/3, far over the threshold, so the
-    * operator must strip exactly the middle line everywhere while keeping
-    * the unique prose lines in order.
+    * footer's document frequency is the per-source doc count (>= 25 at
+    * every SF), over the threshold, so the operator must strip the middle
+    * line everywhere while keeping the prose lines in order.
     */
   def dd44(s: SparkSession, dir: String): DataFrame = {
+    // coalesce guards: a NULL source/text must still yield all three lines
+    // (string concat with NULL nulls the whole derived text in SQL
+    // engines, and concat_ws would silently SKIP a null piece where the
+    // oracle keeps an empty line)
     val structured = Q.t(s, dir, "documents").select(
       col("doc_id"),
       concat_ws("\n",
-        array_join(slice(toks, 1, 10), " "),
-        // coalesce: a NULL source must still yield a footer line (string
-        // concat with NULL nulls the whole derived text in SQL engines)
+        coalesce(array_join(slice(toks, 1, 10), " "), lit("")),
         concat(lit("footer "), coalesce(col("source"), lit("none"))),
-        array_join(slice(toks, 11, 10), " ")).as("text"))
-    TextDedup.lineDedup(structured, "doc_id", "text", minDocFreq = 10L)
+        coalesce(array_join(slice(toks, 11, 10), " "), lit(""))).as("text"))
+    // threshold 12 sits between the heavy tier's 10x replication (prose
+    // lines reach df = 10 and must be KEPT — a threshold at 10 would empty
+    // every document and benchmark only the degenerate all-removed path)
+    // and the per-source footer frequency (>= 25 docs/source at every SF)
+    TextDedup.lineDedup(structured, "doc_id", "text", minDocFreq = 12L)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -417,7 +423,7 @@ object Dedup extends QuerySet {
          |  unnest(string_split(text, chr(10))) AS line,
          |  generate_subscripts(string_split(text, chr(10)), 1) AS pos FROM d),
          |hot AS (SELECT line FROM lines GROUP BY line
-         |        HAVING count(DISTINCT doc_id) >= 10)
+         |        HAVING count(DISTINCT doc_id) >= 12)
          |SELECT l.doc_id,
          | coalesce(string_agg(CASE WHEN h.line IS NULL THEN l.line END,
          |   chr(10) ORDER BY l.pos), '') AS text,

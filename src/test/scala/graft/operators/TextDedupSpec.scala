@@ -51,6 +51,13 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     val kept = TextDedup.lineDedup(rep, "doc_id", "text", minDocFreq = 3)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(kept(1L) == "x\nx\nx\ny" && kept(2L) == "x\nz")
+    // a NULL text reads as empty and the row survives (never dropped)
+    val withNull = Seq((1L, Some("a\nb")), (2L, None))
+      .toDF("doc_id", "text")
+    val outRows = TextDedup.lineDedup(withNull, "doc_id", "text",
+      minDocFreq = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(outRows(2L) == (("", 0L)) && outRows.size == 2)
   }
 
   test("property: lineDedup matches an in-memory reference on random corpora") {
