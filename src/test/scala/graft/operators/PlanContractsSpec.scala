@@ -78,6 +78,28 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
           s"corpus window must partition by (source, bucket):\n${tb.queryExecution.executedPlan}")
       }
       assert(tb.count() > 0)
+      // weightedMix rides the same bucketed-rank machinery: its corpus
+      // window must also partition by (source, bucket), never source alone
+      val wm = Sampling.weightedMix(docs, "src", "id", Map("s1" -> 2.0),
+        defaultWeight = 1.0, n = 50)
+      val wmWindows = wm.queryExecution.executedPlan.collect {
+        case w: WindowExec
+            if w.find(_.isInstanceOf[BroadcastHashJoinExec]).isDefined => w
+      }
+      assert(wmWindows.nonEmpty && wmWindows.forall(_.partitionSpec.size == 2),
+        s"weightedMix corpus window must partition by (source, bucket):\n${wm.queryExecution.executedPlan}")
+      assert(wm.count() == 50)
+      // packSequences' order is corpus-GLOBAL, so its corpus window must
+      // still partition by the hash bucket (one column) — an empty
+      // partition spec would put the whole corpus through one task
+      val ps = Sampling.packSequences(docs, "id", "n", seqLen = 64L)
+      val psWindows = ps.queryExecution.executedPlan.collect {
+        case w: WindowExec
+            if w.find(_.isInstanceOf[BroadcastHashJoinExec]).isDefined => w
+      }
+      assert(psWindows.nonEmpty && psWindows.forall(_.partitionSpec.size == 1),
+        s"packSequences corpus window must partition by bucket:\n${ps.queryExecution.executedPlan}")
+      assert(ps.count() == 100)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     val cap = Sampling.perKeyCap(docs, "src", "id", k = 3)
     val capPlan = cap.queryExecution.executedPlan.toString
