@@ -192,4 +192,24 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("centroid_id").as("cell"), round(col("cand_cos"), 4).as("cos"))
   }
+
+  /** Symmetric per-vector int8 scalar quantization — the 4× memory
+    * compression an ANN index applies before a 100 TB corpus fits in
+    * executor/SSD budgets. Each vector is scaled by its own max-abs so
+    * values land in [-127, 127] (round-half-up via floor(x + 0.5) — one
+    * branch-free expression both engines evaluate identically); `scale` =
+    * max_abs/127 rides along for dequantization (`x ≈ q * scale`).
+    * All-zero vectors quantize to zeros with scale 0. Pure per-row
+    * projection — no shuffle, whole-stage codegen; arithmetic runs in
+    * double with the same promotion order as the SQL oracle.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, embCol: String): DataFrame =
+    emb
+      .withColumn("__ma", array_max(transform(col(embCol), x => abs(x))))
+      .select(col(idCol),
+        when(col("__ma") === 0, transform(col(embCol), _ => lit(0)))
+          .otherwise(transform(col(embCol), x =>
+            floor(x * lit(127.0) / col("__ma") + lit(0.5)).cast("int")))
+          .as("qvec"),
+        (col("__ma") / lit(127.0)).cast("double").as("scale"))
 }

@@ -95,6 +95,12 @@ object Similarity extends QuerySet {
     Ann.lshNearPairs(embD(withDot(s0), dir), "vec_id", "emb",
       planes = 8, dim = 64, threshold = 0.25, maxBucketSize = 6L)
 
+  /** Per-vector int8 scalar quantization — the 4× index-memory cut an ANN
+    * deployment applies before the corpus fits storage budgets.
+    */
+  def sim43(s0: SparkSession, dir: String): DataFrame =
+    Ann.quantizeInt8(embD(s0, dir), "vec_id", "emb")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
     "sim37_lsh_buckets" -> (sim37 _),
@@ -102,7 +108,8 @@ object Similarity extends QuerySet {
     "sim39_ivf_assign" -> (sim39 _),
     "sim40_ivf_probe" -> (sim40 _),
     "sim41_ivf_probe_nprobe2" -> (sim41 _),
-    "sim42_lsh_neardup_capped" -> (sim42 _))
+    "sim42_lsh_neardup_capped" -> (sim42 _),
+    "sim43_quantize_int8" -> (sim43 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -214,5 +221,16 @@ object Similarity extends QuerySet {
          |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket AS bucket,
          | round(list_sum([x.emb[i] * y.emb[i] for i in range(1, 65)]) / (x.norm * y.norm), 4) AS cos
          |FROM bb x JOIN bb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-         |WHERE round(list_sum([x.emb[i] * y.emb[i] for i in range(1, 65)]) / (x.norm * y.norm), 4) >= 0.25""".stripMargin)
+         |WHERE round(list_sum([x.emb[i] * y.emb[i] for i in range(1, 65)]) / (x.norm * y.norm), 4) >= 0.25""".stripMargin,
+    "sim43_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |  list_max(list_transform(emb, x -> abs(x))) AS ma FROM e)
+        |SELECT vec_id,
+        | CASE WHEN ma = 0 THEN list_transform(emb, x -> 0)
+        |  ELSE list_transform(emb, x -> CAST(floor(x * 127.0 / ma + 0.5) AS INTEGER))
+        |  END AS qvec,
+        | CAST(ma / 127.0 AS DOUBLE) AS scale
+        |FROM m""".stripMargin)
 }

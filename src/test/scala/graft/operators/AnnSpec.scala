@@ -51,4 +51,26 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
       nprobe = 1)
     assert(p1.collect().toSet == p1viaMulti.collect().toSet)
   }
+
+  test("quantizeInt8: values span [-127,127], dequantization error <= scale/2, zero vector safe") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.5, -1.0, 0.25, 0.0)),
+      (2L, Seq(0.0, 0.0, 0.0, 0.0)),     // all-zero: qvec zeros, scale 0
+      (3L, Seq(3.0, 2.9999, -3.0, 1.5)))
+      .toDF("vec_id", "emb")
+    val q = Ann.quantizeInt8(vecs, "vec_id", "emb").collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    assert(q(2L) == ((Seq(0, 0, 0, 0), 0.0)))
+    // the max-abs component maps exactly to +/-127
+    assert(q(1L)._1 == Seq(64, -127, 32, 0) && q(1L)._2 == 1.0 / 127.0)
+    assert(q(3L)._1(0) == 127 && q(3L)._1(2) == -127)
+    // reconstruction bound: |x - q*scale| <= scale/2 for every component
+    val in = Map(1L -> Seq(0.5, -1.0, 0.25, 0.0), 3L -> Seq(3.0, 2.9999, -3.0, 1.5))
+    for ((id, xs) <- in; (x, i) <- xs.zipWithIndex) {
+      val (qv, scale) = q(id)
+      assert(math.abs(x - qv(i) * scale) <= scale / 2 + 1e-12,
+        s"vec $id dim $i: x=$x q=${qv(i)} scale=$scale")
+    }
+  }
 }
