@@ -405,11 +405,21 @@ object TextDedup {
     // lets every later round's join skip the edge exchange
     val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val tE = System.nanoTime
-    val edges = materialize(pairs
+    // the edge frame is the loop's big resident: COLUMNAR-cache it
+    // (compressed, spillable) rather than localCheckpoint it — an RDD
+    // checkpoint stores deserialized row objects, several times the
+    // columnar footprint, and at high duplication factors that evicts
+    // everything else and OOMs the rounds (reproduced at 30x). The cache
+    // preserves the repartition+sort layout through InMemoryRelation just
+    // as LogicalRDD does, and the edge plan is static across rounds so
+    // lineage truncation buys nothing here. Reliable mode keeps the
+    // fault-tolerant checkpoint-dir copy instead.
+    val edges0 = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(n, col("src"))
-      .sortWithinPartitions("src"))
+      .sortWithinPartitions("src")
+    val edges = if (reliable) edges0.checkpoint(true) else edges0.persist()
     logRound("edges", tE, s"n=${edges.count()}")
     val tL = System.nanoTime
     // edges are already partitioned by src, so the distinct is exchange-free
@@ -424,9 +434,16 @@ object TextDedup {
       // the round's single pass over the edge frame: only the label frame
       // is exchanged/sorted into the join (edges keep their materialized
       // layout); partial aggregation shrinks the min-by-dst shuffle to
-      // O(nodes) before it crosses the wire
+      // O(nodes) before it crosses the wire.
+      // ALL round joins are merge-hinted: a broadcast build is the one
+      // non-spillable driver-heap allocation in the loop, and on a driver
+      // already holding the checkpointed edge frame it OOMs before storage
+      // evicts (reproduced at 30x duplication: round 2 died building a
+      // 150k-row broadcast while ~2 GB of edge blocks sat in storage).
+      // Sort-merge with the pre-sorted edge frame is the designed plan —
+      // the hint gives up nothing and removes the failure mode.
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(labels.withColumnRenamed("id", "src").hint("merge"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr_label"))
       // pointer jumping: each node also sees its label's own label (the
@@ -440,8 +457,8 @@ object TextDedup {
       val labelOfLabel = labels
         .select(col("id").as("__lid"), col("label").as("__ll"))
       val updated = materializeRound(labels
-        .join(labelOfLabel, col("label") === col("__lid"), "left")
-        .join(neighborMin, Seq("id"), "left")
+        .join(labelOfLabel.hint("merge"), col("label") === col("__lid"), "left")
+        .join(neighborMin.hint("merge"), Seq("id"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"),
             coalesce(col("__ll"), col("label")),
@@ -451,6 +468,9 @@ object TextDedup {
       i += 1
       logRound(s"round $i", tR, s"changed=$changed")
     }
+    // the final label frame is checkpointed (not edge-dependent), so the
+    // loop's working set can go; async to not block the caller
+    if (!reliable) edges.unpersist(false)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
