@@ -96,10 +96,17 @@ object Similarity extends QuerySet {
       planes = 8, dim = 64, threshold = 0.25, maxBucketSize = 6L)
 
   /** Per-vector int8 scalar quantization — the 4× index-memory cut an ANN
-    * deployment applies before the corpus fits storage budgets.
+    * deployment applies before the corpus fits storage budgets. The raw
+    * `array<int>` qvec is ","-joined for the gate because the driver's
+    * pandas canonicalizer cannot sort raw array columns (same convention
+    * as q09/q17/x12_65 — see Relational.scala q09 scaladoc); AnnSpec pins
+    * the unserialized ±127 mapping and reconstruction bound.
     */
   def sim43(s0: SparkSession, dir: String): DataFrame =
     Ann.quantizeInt8(embD(s0, dir), "vec_id", "emb")
+      .select(col("vec_id"),
+        concat_ws(",", transform(col("qvec"), _.cast("string"))).as("qvec"),
+        col("scale"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
@@ -228,9 +235,9 @@ object Similarity extends QuerySet {
         |m AS (SELECT vec_id, emb,
         |  list_max(list_transform(emb, x -> abs(x))) AS ma FROM e)
         |SELECT vec_id,
-        | CASE WHEN ma = 0 THEN list_transform(emb, x -> 0)
+        | array_to_string(CASE WHEN ma = 0 THEN list_transform(emb, x -> 0)
         |  ELSE list_transform(emb, x -> CAST(floor(x * 127.0 / ma + 0.5) AS INTEGER))
-        |  END AS qvec,
+        |  END, ',') AS qvec,
         | CAST(ma / 127.0 AS DOUBLE) AS scale
         |FROM m""".stripMargin)
 }
