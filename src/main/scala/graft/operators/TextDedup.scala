@@ -30,6 +30,14 @@ object TextDedup {
   /** One row per DISTINCT text: representative id (the minimum), the
     * sorted member-id array, and the text itself — the exact-duplicate
     * collapse the round-5 candidate generators score once and expand back.
+    *
+    * Texts (and lines, in [[lineDedup]]'s census) are equated by
+    * md5(content), the same stance as [[exactDedup]]: a collision would
+    * merge two distinct texts into one group. At 2^64 texts the birthday
+    * bound on a 128-bit digest puts that probability near 2^-1; at any
+    * plausible corpus (2^40 documents) it is under 2^-47 — accepted, and
+    * cheaper than shuffling text bodies just to break ties the digest
+    * already breaks.
     */
   private def textGroups(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
@@ -427,9 +435,9 @@ object TextDedup {
     var labels = materialize(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
     logRound("labels", tL, s"n=${labels.count()}")
-    var changed = 1L
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (!converged && i < maxIter) {
       val tR = System.nanoTime
       // the round's single pass over the edge frame: only the label frame
       // is exchanged/sorted into the join (edges keep their materialized
@@ -463,10 +471,24 @@ object TextDedup {
           least(col("label"),
             coalesce(col("__ll"), col("label")),
             coalesce(col("nbr_label"), col("label"))).as("label")))
-      changed = updated.filter(col("label") < col("old_label")).count()
-      labels = updated.drop("old_label")
       i += 1
-      logRound(s"round $i", tR, s"changed=$changed")
+      // convergence is checked every SECOND round: the count is the round's
+      // only job (it is what materializes the lazy checkpoint), so skipping
+      // it on odd rounds folds two rounds of pointer-jumping into one job
+      // and halves the per-round scheduling floor — the dominant cost once
+      // the loop is floor-bound. Correct because label updates are
+      // monotone: a round with zero changes is a fixed point, so "the last
+      // round changed nothing" remains an exact stop condition whenever it
+      // is evaluated; the price is at most one redundant round after
+      // convergence. On skip rounds the unmaterialized lazy checkpoint is
+      // computed (and its lineage truncated) inside the next check round's
+      // count job.
+      if (i % 2 == 0 || i >= maxIter) {
+        val changed = updated.filter(col("label") < col("old_label")).count()
+        converged = changed == 0
+        logRound(s"round $i", tR, s"changed=$changed")
+      } else logRound(s"round $i", tR, "deferred")
+      labels = updated.drop("old_label")
     }
     // the final label frame is checkpointed (not edge-dependent), so the
     // loop's working set can go; async to not block the caller

@@ -150,6 +150,54 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("persist-cached edge frame keeps its partitioning: merge-hinted round join exchanges only the label side") {
+    import spark.implicits._
+    // dupClusters no longer localCheckpoints its edge frame — it
+    // persist()s the repartitioned+sorted plan (columnar InMemoryRelation;
+    // see the OOM note at TextDedup.dupClusters) and merge-hints every
+    // round join. This pins THAT mechanism: InMemoryRelation must preserve
+    // the cached plan's outputPartitioning/outputOrdering so the
+    // multi-billion-row edge side neither re-exchanges nor re-sorts in any
+    // round — only the O(nodes) label frame moves.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val n = spark.sessionState.conf.numShufflePartitions
+      val edges = (1L to 2000L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+        .toDF("src", "dst")
+        .repartition(n, col("src")).sortWithinPartitions("src")
+        .persist()
+      edges.count() // materialize the cache, as the operator's count() does
+      val labels = (1L to 2001L).map(i => (i, i)).toDF("id", "label")
+      val joined = edges
+        .join(labels.withColumnRenamed("id", "src").hint("merge"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr"))
+      // count by tree traversal, not plan-string grep: the InMemoryRelation
+      // prints its CACHED build plan (whose one-time repartition+sort is
+      // already materialized and never re-executes) inside the string, but
+      // the executed tree stops at the InMemoryTableScan leaf
+      val planTree = joined.queryExecution.executedPlan
+      val plan = planTree.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"edge side must read from the columnar cache:\n$plan")
+      val exchanges = planTree.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exchanges.size == 2,
+        s"expected label-side + aggregate exchanges only:\n$plan")
+      val sorts = planTree.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.size == 1,
+        s"expected a sort on the label side only:\n$plan")
+      assert(joined.count() == 2001L)
+      edges.unpersist(false)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("LSH and simhash pair generation is local expansion — no join operator at all") {
     graft.functions.GraftFunctions.register(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
