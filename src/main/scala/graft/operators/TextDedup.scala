@@ -512,6 +512,108 @@ object TextDedup {
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** The production near-dedup PIPELINE — the composed whole a curation run
+    * actually calls: MinHash-LSH candidates → exact Jaccard verification on
+    * ONLY the candidate pairs → connected-component clusters → apply.
+    * Returns `docs` minus every non-canonical cluster member (the
+    * [[applyDedup]] end state, all caller columns preserved). Semantically
+    * identical to hand-wiring [[minhashLshPairs]] → Jaccard-filter →
+    * [[dupClusters]] → [[applyDedup]] (spec-pinned equality, including
+    * under an engaged bucket cap), but with the composition economics a
+    * 100 TB run needs:
+    *
+    *  - ONE [[textGroups]] pass feeds BOTH stages: signatures (k digests
+    *    per shingle, the candidate stage's dominant cost) and the
+    *    verification shingle sets are computed per DISTINCT text, never per
+    *    document. At duplication factor d that is d× less hashing and d²
+    *    less verification work than running the stages on raw documents.
+    *  - Verification touches CANDIDATES ONLY: each candidate rep pair joins
+    *    the two representatives' shingle arrays (two key joins on the
+    *    O(candidates) frame) and intersects them locally. Unlike the full
+    *    [[ngramJaccardPairs]] inverted index — which scores every
+    *    co-blocked pair in the corpus — the scored set here is bounded by
+    *    LSH fan-out (bands × bucket population, capped via
+    *    `maxBucketSize`), the candidates ≪ corpus regime LSH exists to buy.
+    *  - Clustering runs on the REPRESENTATIVE graph (nodes = distinct
+    *    texts, edges = verified rep pairs), not the expanded member graph:
+    *    byte-identical members share every signature, so their cluster is
+    *    their representative's cluster. The member-level labels fall out
+    *    join-free afterwards (explode of the member-id arrays already
+    *    riding on `groups`), and the canonical id is preserved exactly —
+    *    each representative is its group's minimum id, so the component's
+    *    minimum representative IS the component's minimum document id.
+    *
+    * Exact duplicates collapse only when their group survives ≥1 band
+    * bucket (with `maxBucketSize = 0` that is always), mirroring the
+    * hand-wired chain where within-group J=1 pairs are emitted from
+    * surviving buckets — this is what makes the equality exact rather than
+    * approximate. A run that wants unconditional exact dedup composes
+    * [[exactDedup]] upstream.
+    *
+    * `reliable` hardens the iterative clustering stage's checkpoints (the
+    * [[dupClusters]] knob and caveats); the candidate/verify frames use
+    * lazy local checkpoints as in [[minhashLshPairs]].
+    */
+  def nearDedupPipeline(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucketSize: Long = 0L, maxIter: Int = 20, fast: Boolean = false,
+      reliable: Boolean = false): DataFrame = {
+    // stage 0: the shared exact-duplicate collapse — one scan of the corpus
+    val groups = textGroups(docs, idCol, textCol).localCheckpoint(false)
+    // stage 1: banding over representatives only; `ids` rides along unused
+    // so the frame is shared with minhashLshPairs' shape (and the bucket
+    // cap keeps counting DOCUMENTS via member counts, not groups)
+    val bandsDf = lshBandBuckets(groups, "rep", "__text", bands, rowsPerBand,
+      fast, extraCols = Seq("ids")).localCheckpoint(false)
+    val capped =
+      if (maxBucketSize > 0) {
+        val oversize = bandsDf.groupBy("bucket")
+          .agg(sum(size(col("ids"))).as("n"))
+          .filter(col("n") > maxBucketSize).select("bucket")
+        // unhinted: oversize-bucket set is O(rows/cap) (applyDedup stance)
+        bandsDf.join(oversize, Seq("bucket"), "left_anti")
+          .localCheckpoint(false)
+      } else bandsDf
+    // candidate REP pairs: local in-bucket expansion, no join (the
+    // minhashLshPairs plan), distinct across multi-band emissions
+    val cand = capped.groupBy("bucket")
+      .agg(sort_array(collect_list(col("doc_id"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(pairwise(col("xs"), (x, y) =>
+        struct(x.as("rep_a"), y.as("rep_b")))).as("p"))
+      .select(col("p.rep_a"), col("p.rep_b")).distinct()
+    // stage 2: exact verification on candidates only — ship each side's
+    // shingle array to the pair (bounded by LSH fan-out) and intersect
+    // locally; round(j, 6) matches ngramJaccardPairs' scorer exactly
+    val shArr = groups.select(col("rep"),
+      bigramShingles(col("__text"), fast).as("__sh"))
+    val verified = cand
+      .join(shArr.select(col("rep").as("rep_a"), col("__sh").as("__sh_a")), "rep_a")
+      .join(shArr.select(col("rep").as("rep_b"), col("__sh").as("__sh_b")), "rep_b")
+      .withColumn("__common", size(array_intersect(col("__sh_a"), col("__sh_b"))))
+      .withColumn("__union",
+        size(col("__sh_a")) + size(col("__sh_b")) - col("__common"))
+      .filter(col("__union") > 0 &&
+        round(col("__common").cast("double") / col("__union"), 6) >= threshold)
+      .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"))
+    // stage 3: connected components over the rep graph (nodes = distinct
+    // texts — the d²-smaller graph)
+    val repClusters = dupClusters(verified, maxIter, reliable)
+    // stage 4: member-level canonical = the rep's cluster label (or the rep
+    // itself when unclustered), for groups with >= 1 surviving bucket row;
+    // groups fully dropped by the cap produced no pairs and pass through
+    val survivors = capped.select(col("doc_id").as("rep")).distinct()
+    val canon = survivors
+      .join(repClusters.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
+      .select(col("rep"), coalesce(col("cluster_id"), col("rep")).as("__canon"))
+    val dupIds = groups.join(canon, Seq("rep"))
+      .select(explode(col("ids")).as(idCol), col("__canon"))
+      .filter(col(idCol) =!= col("__canon"))
+      .select(col(idCol))
+    // unhinted anti-join: the duplicate-id set is O(corpus) (applyDedup)
+    docs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Audit companion to [[minhashLshPairs]]: per-bucket population and
     * whether the cap would drop it — the "dropped bucket" metric a 100 TB
     * run monitors (dropped buckets ⇒ candidate recall loss on boilerplate).

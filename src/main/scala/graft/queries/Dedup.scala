@@ -191,6 +191,23 @@ object Dedup extends QuerySet {
     TextDedup.lineDedup(structured, "doc_id", "text", minDocFreq = 12L)
   }
 
+  /** The composed near-dedup PIPELINE end state (dd45): one operator call
+    * wiring candidates (dd33's banding params) → exact Jaccard verification
+    * on ONLY the candidate pairs (dd31's scorer semantics, threshold 0.5) →
+    * clusters (dd36's connected components) → apply (dd38's anti-join),
+    * with the exact-duplicate collapse shared across all stages. The oracle
+    * recomputes the identical chain document-level: LSH candidates, a
+    * list_intersect Jaccard filter, the recursive-CTE closure, anti-join.
+    */
+  def dd45(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    TextDedup.nearDedupPipeline(
+      Q.t(s, dir, "documents").select("doc_id", "text", "source", "lang"),
+      "doc_id", "text", bands = 2, rowsPerBand = 2, threshold = 0.5,
+      fast = true)
+      .select("doc_id", "source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
@@ -206,7 +223,8 @@ object Dedup extends QuerySet {
     "dd41_ngram_jaccard_capped" -> (dd41 _),
     "dd42_lsh_pairs_capped" -> (dd42 _),
     "dd43_simhash_hamming_capped" -> (dd43 _),
-    "dd44_line_dedup" -> (dd44 _))
+    "dd44_line_dedup" -> (dd44 _),
+    "dd45_neardedup_pipeline" -> (dd45 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -430,5 +448,36 @@ object Dedup extends QuerySet {
          | CAST(count(CASE WHEN h.line IS NOT NULL THEN 1 END) AS BIGINT)
          |   AS n_removed
          |FROM lines l LEFT JOIN hot h ON l.line = h.line
-         |GROUP BY l.doc_id""".stripMargin)
+         |GROUP BY l.doc_id""".stripMargin,
+    "dd45_neardedup_pipeline" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+         |g AS (SELECT doc_id, $bigramsSql AS bg FROM d),
+         |sigs AS (SELECT doc_id,
+         |  md5(list_min(list_transform(bg, x -> md5('1' || x)))
+         |   || list_min(list_transform(bg, x -> md5('2' || x)))) AS b1,
+         |  md5(list_min(list_transform(bg, x -> md5('3' || x)))
+         |   || list_min(list_transform(bg, x -> md5('4' || x)))) AS b2
+         | FROM g),
+         |p AS (SELECT DISTINCT doc_a, doc_b FROM (
+         | SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM sigs x JOIN sigs y
+         |  ON x.b1 = y.b1 AND x.doc_id < y.doc_id
+         | UNION ALL
+         | SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y
+         |  ON x.b2 = y.b2 AND x.doc_id < y.doc_id)),
+         |v AS (SELECT doc_a, doc_b FROM p
+         |  JOIN g ga ON p.doc_a = ga.doc_id
+         |  JOIN g gb ON p.doc_b = gb.doc_id
+         |  WHERE len(ga.bg) + len(gb.bg) - len(list_intersect(ga.bg, gb.bg)) > 0
+         |   AND round(CAST(len(list_intersect(ga.bg, gb.bg)) AS DOUBLE)
+         |    / (len(ga.bg) + len(gb.bg) - len(list_intersect(ga.bg, gb.bg))), 6) >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM v
+         |          UNION SELECT doc_b, doc_a FROM v),
+         |walk(id, label) AS (
+         | SELECT src, src FROM edges
+         | UNION
+         | SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id),
+         |dups AS (SELECT id AS doc_id FROM walk GROUP BY id
+         |         HAVING id <> min(label))
+         |SELECT doc_id, source, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin)
 }

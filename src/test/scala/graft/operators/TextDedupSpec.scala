@@ -243,6 +243,44 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("nearDedupPipeline equals the hand-wired candidates -> verify -> clusters -> apply chain") {
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = docs.select("doc_id", "text", "source", "lang")
+    // hand-wired: dd33-style candidates, dd31's scorer on ONLY those pairs,
+    // dd36 clustering, dd38 apply — the sequence the pipeline composes
+    def handWired(cap: Long): Set[Long] = {
+      val cand = TextDedup.minhashLshPairs(corpus, "doc_id", "text",
+        bands = 2, rowsPerBand = 2, maxBucketSize = cap, fast = true)
+      val sh = corpus.select(col("doc_id"),
+        TextDedup.bigramShingles(col("text"), fast = true).as("sh"))
+      val verified = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("u", size(col("sh_a")) + size(col("sh_b")) - col("common"))
+        .filter(col("u") > 0 &&
+          round(col("common").cast("double") / col("u"), 6) >= 0.5)
+        .select("doc_a", "doc_b")
+      val clusters = TextDedup.dupClusters(verified)
+      TextDedup.applyDedup(corpus, "doc_id", clusters)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    def pipeline(cap: Long): Set[Long] =
+      TextDedup.nearDedupPipeline(corpus, "doc_id", "text",
+        bands = 2, rowsPerBand = 2, threshold = 0.5, maxBucketSize = cap,
+        fast = true)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val uncapped = handWired(0L)
+    assert(pipeline(0L) == uncapped)
+    // the fixture must actually dedup something, or the equality is vacuous
+    assert(uncapped.size < corpus.count())
+    // equality holds with the bucket cap ENGAGED too (within-group collapse
+    // gated on surviving buckets, exactly like the hand-wired chain)
+    val capped = handWired(4L)
+    assert(pipeline(4L) == capped)
+    assert(capped.size >= uncapped.size) // dropping buckets only loses merges
+  }
+
   test("simhash of identical texts is identical") {
     val sh = TextDedup.simhash(docs, "doc_id", "text", 16)
     val joined = docs.select(col("doc_id").as("id_a"), md5(col("text")).as("fp"))
