@@ -49,7 +49,7 @@ object TextOps extends QuerySet {
 
   // td26-td29 are the oracle-checked instantiations of the reusable
   // operators in graft.operators.TextAnalysis.
-  import graft.operators.TextAnalysis
+  import graft.operators.{Curation, TextAnalysis}
 
   /** Token counting — whitespace tokens + char stats (training-data op). */
   def q26(s: SparkSession, dir: String): DataFrame =
@@ -131,6 +131,29 @@ object TextOps extends QuerySet {
     TextAnalysis.redactPii(injected, "doc_id", "text")
   }
 
+  /** URL canonicalization + per-domain cap (td35) — the screen a crawl
+    * curation run starts with. The fixture has no URL column, so the query
+    * derives one deterministically (the td34 injection pattern — the SAME
+    * construction in both engines) carrying every kind of noise the
+    * canonicalizer must strip: uppercase scheme/host, utm/gclid/fbclid
+    * tracking params (alone and mixed with real params), fragments, and a
+    * trailing slash. 20 sources → 20 domains, so the k=5 cap engages at
+    * every SF.
+    */
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val withUrl = Q.t(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM/Path/"), id,
+        when(col("doc_id") % 4 === 0,
+          concat(lit("?utm_source=feed&id="), id, lit("&utm_campaign=x")))
+          .when(col("doc_id") % 4 === 1, lit("/?gclid=abc123"))
+          .when(col("doc_id") % 4 === 2, lit("#section2"))
+          .otherwise(lit("?page=2&fbclid=zz&sort=asc"))).as("url"))
+    Curation.perDomainCap(withUrl, "url", "doc_id", k = 5)
+      .select("doc_id", "source", "canonical_url", "domain")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
     "q25_array_hof" -> (q25 _),
@@ -142,7 +165,8 @@ object TextOps extends QuerySet {
     "td31_normalize" -> (q31 _),
     "td32_repetition" -> (q32 _),
     "td33_bpe_tokens" -> (q33 _),
-    "td34_redact_pii" -> (q34 _))
+    "td34_redact_pii" -> (q34 _),
+    "td35_domain_cap" -> (q35 _))
 
   val oracles: Map[String, String] = Map(
     "q20_string_functions" ->
@@ -256,5 +280,38 @@ object TextOps extends QuerySet {
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         | CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
         | CAST(len(regexp_extract_all(text, '\+?\d{3}[ .-]\d{3}[ .-]\d{4}')) AS BIGINT) AS n_phones
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin,
+    "td35_domain_cap" ->
+      """WITH u AS (SELECT doc_id, source,
+        |  'HTTPS://WWW.' || source || '.Example.COM/Path/' || CAST(doc_id AS VARCHAR) ||
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |   WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+        |   WHEN 1 THEN '/?gclid=abc123'
+        |   WHEN 2 THEN '#section2'
+        |   ELSE '?page=2&fbclid=zz&sort=asc' END AS url
+        | FROM documents),
+        |sp AS (SELECT doc_id, source, url,
+        |  string_split(string_split(url, '#')[1], '?') AS bp FROM u),
+        |pr AS (SELECT doc_id, source, url, bp[1] AS preq,
+        |  CASE WHEN len(bp) > 1
+        |   THEN array_to_string(list_slice(bp, 2, len(bp)), '?') END AS qs
+        | FROM sp),
+        |lo AS (SELECT doc_id, source, url, qs,
+        |  regexp_replace(
+        |   lower(regexp_extract(preq, '^([^/]*//[^/]*)', 1))
+        |    || regexp_extract(preq, '^[^/]*//[^/]*(.*)$', 1),
+        |   '/$', '') AS noslash
+        | FROM pr),
+        |cn AS (SELECT doc_id, source,
+        |  noslash || CASE WHEN kept IS NOT NULL AND len(kept) > 0
+        |   THEN '?' || kept ELSE '' END AS canonical_url,
+        |  regexp_replace(regexp_extract(lower(url), '//(?:[^/@]*@)?([^/:?#]+)', 1),
+        |   '^www\.', '') AS domain
+        | FROM (SELECT *, array_to_string(list_filter(string_split(qs, '&'),
+        |    p -> NOT regexp_matches(p, '^(utm_[^=&]*|gclid|fbclid|msclkid|ref)(=|$)')),
+        |   '&') AS kept FROM lo))
+        |SELECT doc_id, source, canonical_url, domain FROM (
+        | SELECT *, row_number() OVER (PARTITION BY domain
+        |   ORDER BY md5(domain || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM cn) WHERE rn <= 5""".stripMargin)
 }

@@ -330,4 +330,66 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(r(1L) == ((3, 2L, 0.666667)))
     assert(r(2L) == ((3, 0L, 0.0)))
   }
+
+  test("canonicalizeUrl: fragments, tracking params, case, trailing slash") {
+    import spark.implicits._
+    val cases = Seq(
+      // host case folds, path case survives
+      ("HTTPS://WWW.Example.COM/Path/A", "https://www.example.com/Path/A"),
+      // tracking-only query drops its '?', trailing slash stripped
+      ("https://a.com/x/?gclid=abc123", "https://a.com/x"),
+      // mixed params keep the survivors in order
+      ("https://a.com/x?page=2&fbclid=zz&sort=asc", "https://a.com/x?page=2&sort=asc"),
+      // utm_* family matches any suffix; bare param (no '=') matches too
+      ("https://a.com/x?utm_medium&keep=1", "https://a.com/x?keep=1"),
+      // 'ref' strips, but a param merely PREFIXED ref... does not
+      ("https://a.com/x?ref=here&refresh=1", "https://a.com/x?refresh=1"),
+      // fragment goes, even with a query present
+      ("http://A.com/p?id=3#frag", "http://a.com/p?id=3"),
+      // bare authority root: one trailing slash collapses
+      ("https://B.com/", "https://b.com"),
+      // port and userinfo ride along in the authority, lowercased
+      ("https://User@B.com:8443/P", "https://user@b.com:8443/P"))
+      .toDF("url", "expected")
+    val got = cases.withColumn("canon", Curation.canonicalizeUrl(col("url")))
+      .filter(col("canon") =!= col("expected"))
+      .select("url", "canon", "expected").collect()
+    assert(got.isEmpty, got.mkString("\n"))
+  }
+
+  test("urlDomain lowercases, strips www/userinfo/port, stops at path") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTPS://WWW.Sub.Example.COM/p?x=1", "sub.example.com"),
+      ("https://user@Host.com:8443/p", "host.com"),
+      ("http://plain.org#f", "plain.org"),
+      ("http://wwwx.org/", "wwwx.org")) // only a literal 'www.' label strips
+      .toDF("url", "expected")
+    val got = cases.withColumn("d", Curation.urlDomain(col("url")))
+      .filter(col("d") =!= col("expected")).collect()
+    assert(got.isEmpty, got.mkString("\n"))
+  }
+
+  test("perDomainCap: k per domain, tracking noise does not split a domain's count") {
+    import spark.implicits._
+    // 40 docs on one host behind per-click tracking ids + 2 on another:
+    // canonicalization must not matter for the DOMAIN key (raw host), and
+    // the cap must see ONE bigdoc.com population of 40, not 40 singletons
+    val docs = (1L to 40L).map(i =>
+        (i, s"https://WWW.BigDoc.com/page/$i?utm_source=click$i"))
+      .++(Seq((98L, "https://small.org/a"), (99L, "https://small.org/b")))
+      .toDF("doc_id", "url")
+    val capped = Curation.perDomainCap(docs, "url", "doc_id", k = 3)
+    val byDomain = capped.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain == Map("bigdoc.com" -> 3L, "small.org" -> 2L))
+    // canonical_url rides along with tracking stripped
+    val sample = capped.filter(col("domain") === "bigdoc.com")
+      .select("canonical_url").collect().map(_.getString(0))
+    assert(sample.forall(u => u.startsWith("https://www.bigdoc.com/page/")
+      && !u.contains("utm_")))
+    // same single-shuffle rank-limit plan as perKeyCap (map-side prune)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
