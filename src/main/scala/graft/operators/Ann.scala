@@ -29,15 +29,42 @@ object Ann {
   private def withNorm(emb: DataFrame, embCol: String): DataFrame =
     emb.withColumn("norm", sqrt(dot(col(embCol), col(embCol))))
 
+  /** Default ceiling on a forced-broadcast query set (rows). 100k rows of
+    * 64-dim doubles is a ~60-80 MB broadcast — already generous for a
+    * "small query set"; anything larger is almost certainly a misuse of
+    * brute-force/probe search and should fail loud, not OOM the driver.
+    */
+  val DefaultMaxQueryRows: Long = 100000L
+
+  /** Fail-loud guard in front of every forced query-set broadcast: the
+    * "small query set" caller contract, enforced instead of assumed. Costs
+    * one `limit(max+1).count()` job — CollectLimit executes partitions
+    * incrementally and stops as soon as max+1 rows exist, so an oversized
+    * set is rejected early and a small set pays ~one filtered scan, noise
+    * next to the search it precedes.
+    */
+  private def requireSmallQuerySet(q: DataFrame, what: String,
+      maxRows: Long): Unit = {
+    require(maxRows >= 1, s"maxQueryRows must be >= 1, got $maxRows")
+    val n = q.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
+    require(n <= maxRows,
+      s"$what: query set has > $maxRows rows (found at least $n) — this " +
+        "operator broadcasts the query set to every executor; tighten " +
+        "queryPred or raise maxQueryRows if the broadcast is truly intended")
+  }
+
   /** Brute-force cosine top-k of `k` neighbors for each row matching
-    * `queryPred`, deterministic tiebreak on id.
+    * `queryPred`, deterministic tiebreak on id. `maxQueryRows` bounds the
+    * forced query-set broadcast (fail-loud contract, not a sampling knob).
     */
   def cosineTopK(emb: DataFrame, idCol: String, embCol: String,
-      queryPred: Column, k: Int): DataFrame = {
+      queryPred: Column, k: Int,
+      maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
     val e = withNorm(emb.select(col(idCol).as("vec_id"), col(embCol).as("emb")), "emb")
     val q = e.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("norm").as("q_norm"))
+    requireSmallQuerySet(q, "cosineTopK", maxQueryRows)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_full").desc, col("vec_id").asc)
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -142,10 +169,12 @@ object Ann {
   /** IVF probe with nprobe=1: top-k neighbors searched only inside each
     * query's own centroid cell.
     */
-  def ivfProbe(assigned: DataFrame, queryPred: Column, k: Int): DataFrame = {
+  def ivfProbe(assigned: DataFrame, queryPred: Column, k: Int,
+      maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
     val q = assigned.filter(queryPred).select(
       col("vec_id").as("query_id"), col("centroid_id").as("q_cell"),
       col("emb").as("q_emb"), col("norm").as("q_norm"))
+    requireSmallQuerySet(q, "ivfProbe", maxQueryRows)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cand_cos").desc, col("vec_id").asc)
     assigned.join(broadcast(q),
@@ -167,11 +196,22 @@ object Ann {
     * queries × nprobe, tiny next to the candidate table.
     */
   def ivfProbe(assigned: DataFrame, centroids: DataFrame, queryPred: Column,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int): DataFrame =
+    ivfProbe(assigned, centroids, queryPred, k, nprobe, DefaultMaxQueryRows)
+
+  /** [[ivfProbe]] (nprobe variant) with an explicit broadcast bound; only
+    * one overload may carry default arguments, hence the delegation.
+    */
+  def ivfProbe(assigned: DataFrame, centroids: DataFrame, queryPred: Column,
+      k: Int, nprobe: Int,
+      maxQueryRows: Long): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val q = assigned.filter(queryPred).select(
       col("vec_id").as("query_id"), col("emb").as("q_emb"),
       col("norm").as("q_norm"))
+    // the broadcast frame is queries × nprobe probe rows — bound the product
+    requireSmallQuerySet(q, "ivfProbe(nprobe)",
+      math.max(1L, maxQueryRows / nprobe))
     val wc = Window.partitionBy("query_id")
       .orderBy(col("c_cos").desc, col("centroid_id").asc)
     val probeCells = q.crossJoin(broadcast(centroids))

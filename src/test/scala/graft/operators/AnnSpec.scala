@@ -52,6 +52,31 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(p1.collect().toSet == p1viaMulti.collect().toSet)
   }
 
+  test("oversized query sets fail loud before the forced broadcast") {
+    // the "small query set" contract, enforced: a predicate matching more
+    // than maxQueryRows must throw instead of building a driver-heap
+    // broadcast that OOMs at scale
+    val wide = col("vec_id") >= 0 // matches the whole corpus
+    val eTop = intercept[IllegalArgumentException] {
+      Ann.cosineTopK(emb, "vec_id", "emb", wide, k = 3, maxQueryRows = 5L)
+    }
+    assert(eTop.getMessage.contains("cosineTopK"))
+    val assigned = Ann.ivfAssign(emb, "vec_id", "emb", centroids)
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.ivfProbe(assigned, wide, k = 3, maxQueryRows = 5L)
+    }
+    assert(e1.getMessage.contains("ivfProbe"))
+    val e2 = intercept[IllegalArgumentException] {
+      // nprobe divides the budget: 10 queries x nprobe 2 > 12
+      Ann.ivfProbe(assigned, centroids, col("vec_id") < 10, k = 3,
+        nprobe = 2, maxQueryRows = 12L)
+    }
+    assert(e2.getMessage.contains("ivfProbe(nprobe)"))
+    // within-bound predicates pass through unchanged
+    assert(Ann.cosineTopK(emb, "vec_id", "emb", col("vec_id") < 3, k = 2,
+      maxQueryRows = 5L).count() > 0)
+  }
+
   test("quantizeInt8: values span [-127,127], dequantization error <= scale/2, zero vector safe") {
     import spark.implicits._
     val vecs = Seq(
