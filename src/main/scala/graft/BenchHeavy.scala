@@ -30,13 +30,16 @@ object BenchHeavy {
     "dd31_ngram_jaccard",
     "dd33_minhash_lsh_pairs",
     "dd36_dup_clusters",
+    "dd45_neardedup_pipeline",
     "dd40_simhash_hamming_pairs",
     "sim38_lsh_neardup_pairs",
     "q33_token_budget",
     "q35_weighted_mix",
     "dd44_line_dedup",
     "td29_fingerprint")
-  private val oracleExcluded = Set("dd36_dup_clusters")
+  // dd45 composes the same recursive-CTE closure as dd36 — both oracles
+  // are infeasible at the 10x tier (which is itself the scale point)
+  private val oracleExcluded = Set("dd36_dup_clusters", "dd45_neardedup_pipeline")
 
   /** Replicate a table `factor`x with offset ids, written as ONE parquet
     * file so the DuckDB sidecar's `FROM 'path.parquet'` view works.

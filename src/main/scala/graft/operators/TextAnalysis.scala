@@ -203,4 +203,33 @@ object TextAnalysis {
       array_min(transform(t, x => md5(x))).as("token_min_hash"),
       md5(concat_ws("|", slice(t, 1, headTokens))).as("head_fp"))
   }
+
+  /** Corpus vocabulary census — the precursor to tokenizer training and
+    * the TF/DF side of any IDF-weighted screen: per distinct token, the
+    * corpus frequency and the document frequency, truncated to the `topK`
+    * most frequent (ties broken by token, so the cut is deterministic).
+    *
+    * Scale shape: explode to (doc, token) pairs, ONE shuffle keyed on the
+    * token — partial aggregation absorbs each task's repeats map-side, and
+    * the per-document dedup for `df` rides the same exchange
+    * (count(DISTINCT doc_id) expands to a two-phase plan over the token
+    * key, never a second corpus pass). The top-K truncation is a
+    * TakeOrderedAndProject (per-partition heap + merge on the driver of
+    * K rows per partition), NEVER a global sort of the vocabulary — at
+    * web scale the distinct-token universe is billions of rows and a full
+    * sort would shuffle all of it to order the top thousand.
+    */
+  def vocab(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    docs
+      .select(col(idCol).as("__doc"),
+        explode(toks(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"),
+        countDistinct(col("__doc")).as("df"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(topK)
+  }
 }

@@ -154,6 +154,13 @@ object TextOps extends QuerySet {
       .select("doc_id", "source", "canonical_url", "domain")
   }
 
+  /** Corpus vocabulary census (td36): top-500 tokens by corpus frequency
+    * with document frequency riding the same shuffle; the deterministic
+    * (freq desc, token asc) cut is the oracle check.
+    */
+  def q36(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocab(Q.t(s, dir, "documents"), "doc_id", "text", topK = 500)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
     "q25_array_hof" -> (q25 _),
@@ -166,7 +173,8 @@ object TextOps extends QuerySet {
     "td32_repetition" -> (q32 _),
     "td33_bpe_tokens" -> (q33 _),
     "td34_redact_pii" -> (q34 _),
-    "td35_domain_cap" -> (q35 _))
+    "td35_domain_cap" -> (q35 _),
+    "td36_vocab" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
     "q20_string_functions" ->
@@ -313,5 +321,14 @@ object TextOps extends QuerySet {
         |SELECT doc_id, source, canonical_url, domain FROM (
         | SELECT *, row_number() OVER (PARTITION BY domain
         |   ORDER BY md5(domain || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
-        | FROM cn) WHERE rn <= 5""".stripMargin)
+        | FROM cn) WHERE rn <= 5""".stripMargin,
+    "td36_vocab" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS freq,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |WHERE len(token) > 0
+        |GROUP BY token
+        |ORDER BY freq DESC, token ASC
+        |LIMIT 500""".stripMargin)
 }

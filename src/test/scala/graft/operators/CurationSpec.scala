@@ -331,6 +331,25 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(r(2L) == ((3, 0L, 0.0)))
   }
 
+  test("vocab: exact counts, deterministic top-K cut, TakeOrdered plan (no global sort)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "a b b"),
+      (3L, "c a")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocab(docs, "doc_id", "text", topK = 2)
+    val rows = v.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a: freq 4 df 3; b: freq 3 df 2; c: freq 2 df 2 — top-2 cut after b
+    assert(rows.toSeq == Seq(("a", 4L, 3L), ("b", 3L, 2L)))
+    // tie at the cut breaks on token asc: x and y both freq 1
+    val tied = TextAnalysis.vocab(
+      Seq((1L, "y x")).toDF("doc_id", "text"), "doc_id", "text", topK = 1)
+    assert(tied.collect().map(_.getString(0)).toSeq == Seq("x"))
+    // the truncation must be a TakeOrderedAndProject heap, not a global sort
+    val plan = v.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("canonicalizeUrl: fragments, tracking params, case, trailing slash") {
     import spark.implicits._
     val cases = Seq(

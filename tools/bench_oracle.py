@@ -49,23 +49,34 @@ def main(sf_dir, oracle_file, timings_file):
             flagged.append(name)
     spark_total = sum(v for v in spark.values() if v >= 0)
     duck_total = sum(v["duck_s"] for v in per_query.values() if v["duck_s"] > 0)
+    # The aggregate ratio is computed over MATCHED pairs only (both engines
+    # timed the query): summing Spark-only entries into the numerator while
+    # their oracle twin is absent from the denominator (dd36/dd45 on the
+    # heavy tier, whose recursive-CTE oracles are infeasible there) would
+    # penalize exactly the queries the oracle cannot run. spark_total_s
+    # stays the FULL wall-clock sum; spark_unmatched_s is the excluded part.
+    matched = [n for n, v in per_query.items()
+               if v["duck_s"] > 0 and v["spark_s"] >= 0]
+    spark_matched = sum(per_query[n]["spark_s"] for n in matched)
     # Per-query ratios at sf0.1 are dominated by Spark's fixed per-job floor
     # (scheduler + stage setup, ~0.1-0.3 s) against an in-process engine
     # answering in milliseconds; the floor amortizes to zero at the 100 TB
     # design scale. Report the floor (min spark time = cheapest query ≈ pure
     # overhead) and the floor-subtracted aggregate alongside the raw data so
     # the gate can be judged on marginal compute as well as raw wall-clock.
-    pos = [v for v in spark.values() if v >= 0]
+    pos = [per_query[n]["spark_s"] for n in matched]
     floor = min(pos) if pos else 0.0
     adj_total = sum(max(0.0, v - floor) for v in pos)
     print(json.dumps({
         "per_query": per_query,
         "flagged_over_2x": flagged,
         "spark_total_s": round(spark_total, 3),
+        "spark_matched_s": round(spark_matched, 3),
+        "spark_unmatched_s": round(spark_total - spark_matched, 3),
         "duck_total_s": round(duck_total, 3),
         "spark_per_query_floor_s": round(floor, 4),
         "spark_total_minus_floor_s": round(adj_total, 3),
-        "aggregate_ratio": round(spark_total / duck_total, 3) if duck_total > 0 else None,
+        "aggregate_ratio": round(spark_matched / duck_total, 3) if duck_total > 0 else None,
         "aggregate_ratio_minus_floor": round(adj_total / duck_total, 3) if duck_total > 0 else None}))
     return 0
 
