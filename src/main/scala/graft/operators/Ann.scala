@@ -233,6 +233,52 @@ object Ann {
         col("centroid_id").as("cell"), round(col("cand_cos"), 4).as("cos"))
   }
 
+  /** Deterministic PQ codebook: centroid value for (subspace, centroid,
+    * component) = firstHexDigit(md5("pq-s-c-i")) / 8 - 1 — dyadic rationals
+    * in [-1, 0.875], exactly representable in double and printing short, so
+    * the SQL oracle can inline the SAME literals and match bit-for-bit.
+    * (A production codebook comes from k-means; the operator is agnostic —
+    * it takes the codebook as data.)
+    */
+  def pqCodebook(subspaces: Int, centroidsPerSub: Int,
+      subDim: Int): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until subspaces).map(s => (0 until centroidsPerSub).map(c =>
+      (0 until subDim).map { i =>
+        val h = md.digest(s"pq-$s-$c-$i".getBytes("UTF-8"))
+        ((h(0) >> 4) & 0xf) / 8.0 - 1.0
+      }))
+  }
+
+  /** Product quantization encode — the OTHER standard ANN index
+    * compression next to [[quantizeInt8]]: the vector is split into
+    * `subspaces` contiguous blocks and each block is replaced by the id of
+    * its nearest codebook centroid (squared L2, first-index tiebreak), so
+    * a 64-dim float vector compresses to `subspaces` small ints + a shared
+    * codebook. Pure per-row projection — no shuffle, no UDF; the argmin is
+    * `array_position(ds, array_min(ds))` over the per-centroid distance
+    * array, with every squared-difference term expanded as a codegen'd
+    * arithmetic expression (left-associated sum, the same evaluation order
+    * the SQL oracle uses, so distances are bit-identical across engines).
+    */
+  def pqEncode(emb: DataFrame, idCol: String, embCol: String,
+      subspaces: Int, centroidsPerSub: Int, dim: Int): DataFrame = {
+    require(dim % subspaces == 0,
+      s"dim $dim must divide evenly into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val book = pqCodebook(subspaces, centroidsPerSub, subDim)
+    val codeCols = (0 until subspaces).map { s =>
+      val ds = array((0 until centroidsPerSub).map { c =>
+        (0 until subDim).map { i =>
+          val x = element_at(col(embCol), s * subDim + i + 1) - lit(book(s)(c)(i))
+          x * x
+        }.reduce(_ + _)
+      }: _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int").as(s"c$s")
+    }
+    emb.select(col(idCol) +: codeCols: _*)
+  }
+
   /** Symmetric per-vector int8 scalar quantization — the 4× memory
     * compression an ANN index applies before a 100 TB corpus fits in
     * executor/SSD budgets. Each vector is scaled by its own max-abs so

@@ -108,6 +108,14 @@ object Similarity extends QuerySet {
         concat_ws(",", transform(col("qvec"), _.cast("string"))).as("qvec"),
         col("scale"))
 
+  /** Product-quantization encode: 64 dims → 4 subspaces × 8 deterministic
+    * codebook centroids (see Ann.pqCodebook — the oracle inlines the same
+    * dyadic literals, so distances and argmins match bit-for-bit).
+    */
+  def sim44(s0: SparkSession, dir: String): DataFrame =
+    Ann.pqEncode(embD(s0, dir), "vec_id", "emb",
+      subspaces = 4, centroidsPerSub = 8, dim = 64)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
     "sim37_lsh_buckets" -> (sim37 _),
@@ -116,7 +124,8 @@ object Similarity extends QuerySet {
     "sim40_ivf_probe" -> (sim40 _),
     "sim41_ivf_probe_nprobe2" -> (sim41 _),
     "sim42_lsh_neardup_capped" -> (sim42 _),
-    "sim43_quantize_int8" -> (sim43 _))
+    "sim43_quantize_int8" -> (sim43 _),
+    "sim44_pq_encode" -> (sim44 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -126,7 +135,27 @@ object Similarity extends QuerySet {
     .map(j => s"(CASE WHEN ${planeDotSql(j)} > 0 THEN ${1 << j} ELSE 0 END)")
     .mkString(" + ")
 
+  /** Per-subspace PQ code expression: squared-L2 distances to the 8
+    * codebook centroids (same literals as Ann.pqCodebook, left-associated
+    * sums → bit-identical doubles), argmin via list_position of the min.
+    */
+  private def pqCodeSql(s: Int): String = {
+    val book = graft.operators.Ann.pqCodebook(4, 8, 16)
+    val ds = (0 until 8).map { c =>
+      (0 until 16).map { i =>
+        val w = book(s)(c)(i)
+        s"(emb[${s * 16 + i + 1}] - ($w)) * (emb[${s * 16 + i + 1}] - ($w))"
+      }.mkString("(", " + ", ")")
+    }.mkString("[", ", ", "]")
+    s"CAST(list_position($ds, list_min($ds)) - 1 AS INTEGER) AS c$s"
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim44_pq_encode" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings)
+         |SELECT vec_id, ${(0 until 4).map(pqCodeSql).mkString(",\n ")}
+         |FROM e""".stripMargin,
     "sim36_cosine_topk" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),

@@ -77,6 +77,28 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
       maxQueryRows = 5L).count() > 0)
   }
 
+  test("pqEncode codes are the true per-subspace argmin (brute-force check)") {
+    val book = Ann.pqCodebook(4, 8, 16)
+    // codebook values are dyadic rationals in [-1, 0.875] (exact doubles)
+    assert(book.flatten.flatten.forall(v =>
+      v >= -1.0 && v <= 0.875 && (v * 8).isWhole))
+    val coded = Ann.pqEncode(emb, "vec_id", "emb", 4, 8, 64)
+    val vecs = emb.limit(20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val got = coded.filter(col("vec_id").isin(vecs.keys.toSeq: _*)).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    assert(got.values.forall(_.forall(c => c >= 0 && c < 8)))
+    for ((id, xs) <- vecs; s <- 0 until 4) {
+      val dists = (0 until 8).map { c =>
+        (0 until 16).map { i =>
+          val d = xs(s * 16 + i) - book(s)(c)(i); d * d
+        }.sum
+      }
+      val want = dists.indexOf(dists.min)
+      assert(got(id)(s) == want, s"vec $id subspace $s: ${got(id)(s)} != $want")
+    }
+  }
+
   test("quantizeInt8: values span [-127,127], dequantization error <= scale/2, zero vector safe") {
     import spark.implicits._
     val vecs = Seq(
