@@ -614,6 +614,87 @@ object TextDedup {
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Incremental dedup of a NEW batch against an existing REFERENCE corpus
+    * — the production ingest path: the reference is already deduplicated
+    * and indexed; each arriving batch must drop documents that are exact
+    * or near duplicates OF THE REFERENCE, without re-scoring the reference
+    * against itself. Returns the surviving batch rows (all caller
+    * columns). Batch-internal duplicates are deliberately NOT collapsed
+    * here — run [[nearDedupPipeline]] on the surviving batch for that;
+    * separating the two keeps this operator's cost proportional to the
+    * BATCH, not the corpus.
+    *
+    * Stages (each stage only ever shuffles digests/ids/shingle arrays of
+    * the BATCH side; the reference side contributes its banding frame,
+    * built once and reusable across batches):
+    *
+    *  1. exact screen — anti-join of batch md5 digests against reference
+    *     digests (unhinted: the reference digest set is O(corpus));
+    *  2. LSH candidates — band buckets for both sides' DISTINCT texts
+    *     ([[textGroups]] collapse on each side), joined on the bucket id.
+    *     Unlike the within-corpus generators (which expand pairs inside a
+    *     bucket group and need no join), the cross-corpus candidate set IS
+    *     a join — batch buckets against reference buckets — and stays
+    *     bounded by bucket populations (`maxBucketSize` caps the COMBINED
+    *     population, counting documents on both sides);
+    *  3. exact Jaccard verify on candidates only (the [[nearDedupPipeline]]
+    *     array-intersect form, round(j,6) >= threshold);
+    *  4. expand — drop every member of a batch group whose representative
+    *     matched any reference representative.
+    *
+    * Null-text rows survive (they never digest-match and never band); a
+    * null-text reference row likewise screens nothing.
+    */
+  def dedupAgainstReference(ref: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucketSize: Long = 0L, fast: Boolean = false): DataFrame = {
+    // 1. exact screen on content digests
+    val refDigests = ref.select(md5(col(textCol)).as("__fp")).distinct()
+    val fresh = batch.withColumn("__fp", md5(col(textCol)))
+      .join(refDigests, Seq("__fp"), "left_anti").drop("__fp")
+    // 2. band buckets over each side's distinct texts
+    val bGroups = textGroups(fresh, idCol, textCol).localCheckpoint(false)
+    val bBands = lshBandBuckets(bGroups, "rep", "__text", bands, rowsPerBand,
+      fast, extraCols = Seq("ids"))
+      .select(col("doc_id").as("b_rep"), col("ids"), col("bucket"))
+    val rBands = lshBandBuckets(textGroups(ref, idCol, textCol), "rep",
+      "__text", bands, rowsPerBand, fast, extraCols = Seq("ids"))
+      .select(col("doc_id").as("r_rep"),
+        col("ids").as("__r_ids"), col("bucket"))
+    val (bCapped, rCapped) =
+      if (maxBucketSize > 0) {
+        // combined population, counting documents (sum of member counts on
+        // both sides) — the degenerate-boilerplate guard, same stance as
+        // minhashLshPairs; the oversize set is unbounded, so unhinted
+        val oversize = bBands.select(col("bucket"), size(col("ids")).as("__n"))
+          .unionByName(rBands.select(col("bucket"), size(col("__r_ids")).as("__n")))
+          .groupBy("bucket").agg(sum(col("__n")).as("__tot"))
+          .filter(col("__tot") > maxBucketSize).select("bucket")
+        (bBands.join(oversize, Seq("bucket"), "left_anti"),
+          rBands.join(oversize, Seq("bucket"), "left_anti"))
+      } else (bBands, rBands)
+    val cand = bCapped.join(rCapped, "bucket")
+      .select("b_rep", "r_rep").distinct()
+    // 3. verify on candidates only
+    val bSh = bGroups.select(col("rep").as("b_rep"),
+      bigramShingles(col("__text"), fast).as("__sh_b"))
+    val rSh = textGroups(ref, idCol, textCol).select(col("rep").as("r_rep"),
+      bigramShingles(col("__text"), fast).as("__sh_r"))
+    val matchedReps = cand
+      .join(bSh, "b_rep").join(rSh, "r_rep")
+      .withColumn("__common", size(array_intersect(col("__sh_b"), col("__sh_r"))))
+      .withColumn("__union",
+        size(col("__sh_b")) + size(col("__sh_r")) - col("__common"))
+      .filter(col("__union") > 0 &&
+        round(col("__common").cast("double") / col("__union"), 6) >= threshold)
+      .select(col("b_rep")).distinct()
+    // 4. expand matched groups to member ids, anti-join (unhinted — the
+    // near-dup id set is O(batch) on a redundant feed)
+    val dupIds = bGroups.join(matchedReps, col("rep") === col("b_rep"))
+      .select(explode(col("ids")).as(idCol))
+    fresh.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Audit companion to [[minhashLshPairs]]: per-bucket population and
     * whether the cap would drop it — the "dropped bucket" metric a 100 TB
     * run monitors (dropped buckets ⇒ candidate recall loss on boilerplate).

@@ -208,6 +208,25 @@ object Dedup extends QuerySet {
       .select("doc_id", "source", "lang")
   }
 
+  /** Incremental dedup of a new batch against an existing reference corpus
+    * (dd46): even doc_ids play the already-ingested reference, odd doc_ids
+    * the arriving batch; survivors are the odd documents that are neither
+    * byte-identical nor Jaccard-0.5 near-dups of any even document. The
+    * oracle recomputes the same exact screen + cross-corpus LSH candidates
+    * + list_intersect verification — no recursive CTE needed, since no
+    * clustering happens in this path.
+    */
+  def dd46(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val all = Q.t(s, dir, "documents")
+    TextDedup.dedupAgainstReference(
+      all.filter(col("doc_id") % 2 === 0),
+      all.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", bands = 2, rowsPerBand = 2, threshold = 0.5,
+      fast = true)
+      .select("doc_id", "source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
@@ -224,7 +243,8 @@ object Dedup extends QuerySet {
     "dd42_lsh_pairs_capped" -> (dd42 _),
     "dd43_simhash_hamming_capped" -> (dd43 _),
     "dd44_line_dedup" -> (dd44 _),
-    "dd45_neardedup_pipeline" -> (dd45 _))
+    "dd45_neardedup_pipeline" -> (dd45 _),
+    "dd46_dedup_incremental" -> (dd46 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -479,5 +499,32 @@ object Dedup extends QuerySet {
          |dups AS (SELECT id AS doc_id FROM walk GROUP BY id
          |         HAVING id <> min(label))
          |SELECT doc_id, source, lang FROM documents
-         |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin)
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin,
+    "dd46_dedup_incremental" ->
+      s"""WITH d AS (SELECT doc_id, text, source, lang,
+         |  string_split(text, ' ') AS sp FROM documents),
+         |g AS (SELECT doc_id, text, source, lang, $bigramsSql AS bg FROM d),
+         |sigs AS (SELECT doc_id,
+         |  md5(list_min(list_transform(bg, x -> md5('1' || x)))
+         |   || list_min(list_transform(bg, x -> md5('2' || x)))) AS b1,
+         |  md5(list_min(list_transform(bg, x -> md5('3' || x)))
+         |   || list_min(list_transform(bg, x -> md5('4' || x)))) AS b2
+         | FROM g),
+         |bk AS (SELECT doc_id, '1:' || b1 AS bucket FROM sigs WHERE b1 IS NOT NULL
+         |       UNION ALL SELECT doc_id, '2:' || b2 FROM sigs WHERE b2 IS NOT NULL),
+         |ex AS (SELECT doc_id FROM g WHERE doc_id % 2 = 1 AND md5(text) IN
+         |       (SELECT md5(text) FROM g WHERE doc_id % 2 = 0)),
+         |cand AS (SELECT DISTINCT b.doc_id AS b_id, r.doc_id AS r_id
+         |         FROM bk b JOIN bk r ON b.bucket = r.bucket
+         |         WHERE b.doc_id % 2 = 1 AND r.doc_id % 2 = 0),
+         |m AS (SELECT DISTINCT c.b_id FROM cand c
+         |      JOIN g gb ON c.b_id = gb.doc_id
+         |      JOIN g gr ON c.r_id = gr.doc_id
+         |      WHERE len(gb.bg) + len(gr.bg) - len(list_intersect(gb.bg, gr.bg)) > 0
+         |       AND round(CAST(len(list_intersect(gb.bg, gr.bg)) AS DOUBLE)
+         |        / (len(gb.bg) + len(gr.bg) - len(list_intersect(gb.bg, gr.bg))), 6) >= 0.5)
+         |SELECT doc_id, source, lang FROM g
+         |WHERE doc_id % 2 = 1
+         | AND doc_id NOT IN (SELECT doc_id FROM ex)
+         | AND doc_id NOT IN (SELECT b_id FROM m)""".stripMargin)
 }

@@ -281,6 +281,37 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(capped.size >= uncapped.size) // dropping buckets only loses merges
   }
 
+  test("dedupAgainstReference: exact + near dups of the reference drop, batch-internal dups stay") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "completely different reference content lives here now")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // exact duplicate of ref 100 -> dropped by the digest screen
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      // near-dup of ref 100 (one word changed) -> dropped by verify
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      // unrelated -> kept
+      (3L, "an entirely novel batch document with fresh words"),
+      // batch-internal duplicates of each other, NOT of ref -> both kept
+      (4L, "twin batch content appearing twice in this feed exactly"),
+      (5L, "twin batch content appearing twice in this feed exactly")
+    ).toDF("doc_id", "text")
+    val kept = TextDedup.dedupAgainstReference(ref, batch, "doc_id", "text",
+      bands = 2, rowsPerBand = 2, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L))
+    // the cap can only KEEP more (dropped buckets lose candidate recall)
+    val capped = TextDedup.dedupAgainstReference(ref, batch, "doc_id", "text",
+      bands = 2, rowsPerBand = 2, threshold = 0.5, maxBucketSize = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(capped))
+    // exact screen is cap-independent: doc 1 drops even at cap 1
+    assert(!capped.contains(1L))
+  }
+
   test("simhash of identical texts is identical") {
     val sh = TextDedup.simhash(docs, "doc_id", "text", 16)
     val joined = docs.select(col("doc_id").as("id_a"), md5(col("text")).as("fp"))
