@@ -31,6 +31,7 @@ object BenchHeavy {
     "dd33_minhash_lsh_pairs",
     "dd36_dup_clusters",
     "dd45_neardedup_pipeline",
+    "dd46_dedup_incremental",
     "dd40_simhash_hamming_pairs",
     "sim38_lsh_neardup_pairs",
     "q33_token_budget",

@@ -240,7 +240,16 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
           "simhashNearPairs" -> TextDedup.simhashNearPairs(docs, "doc_id", "text",
             maxHamming = 3, maxBucketSize = 8L),
           "lshNearPairs" -> Ann.lshNearPairs(emb, "vec_id", "emb",
-            planes = 4, dim = 8, threshold = 0.25, maxBucketSize = 8L))) {
+            planes = 4, dim = 8, threshold = 0.25, maxBucketSize = 8L),
+          // dd46: the reference digest set, the combined-bucket oversize
+          // set, and the matched-member id set are ALL O(corpus-or-batch)
+          // on this boilerplate-heavy shape — every screen must stay
+          // unhinted so AQE (not a hint) decides the join strategy
+          "dedupAgainstReference" -> TextDedup.dedupAgainstReference(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+            bands = 2, rowsPerBand = 2, threshold = 0.5,
+            maxBucketSize = 8L, fast = true))) {
         val plan = capped.queryExecution.executedPlan.toString
         assert(!plan.contains("BroadcastExchange"),
           s"$name cap side over threshold must not broadcast:\n$plan")
