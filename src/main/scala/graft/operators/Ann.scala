@@ -279,6 +279,57 @@ object Ann {
     emb.select(col(idCol) +: codeCols: _*)
   }
 
+  /** PQ asymmetric-distance (ADC) top-k search — the companion of
+    * [[pqEncode]] and the way a PQ index is actually queried: the corpus
+    * side is touched ONLY through its codes (`subspaces` small ints per
+    * vector — the 4-byte-per-vector scan that makes 100 TB of embeddings
+    * searchable), while each query builds a per-subspace lookup table of
+    * exact distances to the codebook centroids and sums table entries
+    * selected by the codes. Approximate by construction (distances are to
+    * centroids, not original vectors) — the standard IVF-PQ recall/memory
+    * trade.
+    *
+    * Plan shape: codes are a pure projection of the corpus; the query set
+    * is guarded ([[DefaultMaxQueryRows]]) then broadcast; the lookup is
+    * `element_at` on a per-query distance array built by codegen'd
+    * arithmetic — no shuffle of the corpus beyond the final per-query
+    * top-k window. Distances are left-associated sums of products of
+    * dyadic codebook literals and the query's doubles — bit-identical in
+    * any engine evaluating the same order, so `adc` is emitted unrounded.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, embCol: String,
+      queryPred: Column, k: Int, subspaces: Int, centroidsPerSub: Int,
+      dim: Int, maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
+    require(dim % subspaces == 0,
+      s"dim $dim must divide evenly into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val book = pqCodebook(subspaces, centroidsPerSub, subDim)
+    val codes = pqEncode(emb, idCol, embCol, subspaces, centroidsPerSub, dim)
+      .withColumnRenamed(idCol, "vec_id")
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    requireSmallQuerySet(q, "pqTopK", maxQueryRows)
+    // per subspace: the query's exact distance to each of the centroids,
+    // as an array the code column indexes into
+    val adc = (0 until subspaces).map { s =>
+      val lut = array((0 until centroidsPerSub).map { c =>
+        (0 until subDim).map { i =>
+          val x = element_at(col("q_emb"), s * subDim + i + 1) - lit(book(s)(c)(i))
+          x * x
+        }.reduce(_ + _)
+      }: _*)
+      element_at(lut, col(s"c$s") + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc"))
+  }
+
   /** Symmetric per-vector int8 scalar quantization — the 4× memory
     * compression an ANN index applies before a 100 TB corpus fits in
     * executor/SSD budgets. Each vector is scaled by its own max-abs so

@@ -116,6 +116,14 @@ object Similarity extends QuerySet {
     Ann.pqEncode(embD(s0, dir), "vec_id", "emb",
       subspaces = 4, centroidsPerSub = 8, dim = 64)
 
+  /** PQ asymmetric-distance top-5 for 3 query vectors over the 4×8
+    * codebook — corpus touched through codes only; adc emitted unrounded
+    * (bit-identical dyadic-literal arithmetic on both engines).
+    */
+  def sim45(s0: SparkSession, dir: String): DataFrame =
+    Ann.pqTopK(embD(s0, dir), "vec_id", "emb", queryPred = col("vec_id") < 3,
+      k = 5, subspaces = 4, centroidsPerSub = 8, dim = 64)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
     "sim37_lsh_buckets" -> (sim37 _),
@@ -125,7 +133,8 @@ object Similarity extends QuerySet {
     "sim41_ivf_probe_nprobe2" -> (sim41 _),
     "sim42_lsh_neardup_capped" -> (sim42 _),
     "sim43_quantize_int8" -> (sim43 _),
-    "sim44_pq_encode" -> (sim44 _))
+    "sim44_pq_encode" -> (sim44 _),
+    "sim45_pq_topk" -> (sim45 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -139,18 +148,40 @@ object Similarity extends QuerySet {
     * codebook centroids (same literals as Ann.pqCodebook, left-associated
     * sums → bit-identical doubles), argmin via list_position of the min.
     */
-  private def pqCodeSql(s: Int): String = {
+  /** Per-centroid squared-L2 distance array for subspace `s`, with the
+    * vector referenced as `embRef` — shared between the code argmin
+    * (sim44) and the query lookup tables (sim45).
+    */
+  private def pqDistsSql(s: Int, embRef: String): String = {
     val book = graft.operators.Ann.pqCodebook(4, 8, 16)
-    val ds = (0 until 8).map { c =>
+    (0 until 8).map { c =>
       (0 until 16).map { i =>
         val w = book(s)(c)(i)
-        s"(emb[${s * 16 + i + 1}] - ($w)) * (emb[${s * 16 + i + 1}] - ($w))"
+        s"($embRef[${s * 16 + i + 1}] - ($w)) * ($embRef[${s * 16 + i + 1}] - ($w))"
       }.mkString("(", " + ", ")")
     }.mkString("[", ", ", "]")
+  }
+
+  private def pqCodeSql(s: Int): String = {
+    val ds = pqDistsSql(s, "emb")
     s"CAST(list_position($ds, list_min($ds)) - 1 AS INTEGER) AS c$s"
   }
 
   val oracles: Map[String, String] = Map(
+    "sim45_pq_topk" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+         |c AS (SELECT vec_id, ${(0 until 4).map(pqCodeSql).mkString(",\n ")}
+         | FROM e),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 3),
+         |d AS (SELECT q.query_id, c.vec_id,
+         |  ${(0 until 4).map(s => s"(${pqDistsSql(s, "q.q_emb")})[c.c$s + 1]")
+                .mkString(" + ")} AS adc
+         | FROM c, q WHERE c.vec_id <> q.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id, adc
+         |FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank FROM d)
+         |WHERE rank <= 5""".stripMargin,
     "sim44_pq_encode" ->
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings)

@@ -99,6 +99,37 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pqTopK matches a brute-force ADC ranking and honors the query guard") {
+    val book = Ann.pqCodebook(4, 8, 16)
+    val got = Ann.pqTopK(emb, "vec_id", "emb", col("vec_id") < 2, k = 5,
+      subspaces = 4, centroidsPerSub = 8, dim = 64)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(r => r.getLong(2)).toSeq).toMap
+    // brute force: codes for every vector, exact luts per query, full rank
+    val codes = Ann.pqEncode(emb, "vec_id", "emb", 4, 8, 64).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for (qid <- Seq(0L, 1L)) {
+      val qv = vecs(qid)
+      def adc(id: Long): Double = (0 until 4).map { s =>
+        val c = codes(id)(s)
+        (0 until 16).map { i =>
+          val d = qv(s * 16 + i) - book(s)(c)(i); d * d
+        }.sum
+      }.sum
+      val want = vecs.keys.filter(_ != qid).toSeq
+        .sortBy(id => (adc(id), id)).take(5)
+      assert(got(qid) == want, s"query $qid: ${got(qid)} != $want")
+    }
+    // the forced query broadcast stays behind the fail-loud guard
+    val e = intercept[IllegalArgumentException] {
+      Ann.pqTopK(emb, "vec_id", "emb", col("vec_id") >= 0, k = 3,
+        subspaces = 4, centroidsPerSub = 8, dim = 64, maxQueryRows = 5L)
+    }
+    assert(e.getMessage.contains("pqTopK"))
+  }
+
   test("quantizeInt8: values span [-127,127], dequantization error <= scale/2, zero vector safe") {
     import spark.implicits._
     val vecs = Seq(
