@@ -140,10 +140,59 @@ object StreamingQueries extends QuerySet {
     out
   }
 
+  /** Streaming incremental dedup: the odd half of the documents fixture
+    * arrives as a file stream and every micro-batch is screened against
+    * the static even half with `TextDedup.dedupAgainstReference` inside
+    * `foreachBatch` — the production ingest loop (T2 mechanism + the dd46
+    * screen). Because the screen's per-document decision depends only on
+    * the REFERENCE, any micro-batch partitioning of the feed yields the
+    * same union — which is exactly what the parity `require` asserts
+    * against the one-shot batch twin (the dd46 computation), by identity
+    * set, not just count.
+    */
+  def st50(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val src = Paths.get(s"$dir/documents.parquet")
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val staged = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_st50_docs_$key")
+    Files.createDirectories(staged)
+    Files.copy(src, staged.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val all = Q.t(s, dir, "documents")
+    val ref = all.filter(col("doc_id") % 2 === 0)
+    val schema = s.read.parquet(staged.toString).schema
+    val feed = s.readStream.schema(schema).parquet(staged.toString)
+      .filter(col("doc_id") % 2 === 1)
+    val out = tmp("graft_st50_out")
+    val q = feed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TextDedup
+          .dedupAgainstReference(ref, batch, "doc_id", "text",
+            bands = 2, rowsPerBand = 2, threshold = 0.5, fast = true)
+          .select("doc_id", "source", "lang")
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", tmp("graft_st50_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = s.read.parquet(out)
+    val batchTwin = Dedup.dd46(s, dir)
+    val missing = batchTwin.select("doc_id")
+      .except(streamed.select("doc_id")).count()
+    val extra = streamed.select("doc_id")
+      .except(batchTwin.select("doc_id")).count()
+    require(missing == 0 && extra == 0,
+      s"streamed screen diverged from the batch twin: missing=$missing extra=$extra")
+    streamed
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st47_stream_silver_drain" -> (st47 _),
     "st48_stream_dedup_replay" -> (st48 _),
-    "st49_stream_hourly_health" -> (st49 _))
+    "st49_stream_hourly_health" -> (st49 _),
+    "st50_stream_incremental_dedup" -> (st50 _))
 
   // no DuckDB oracles: streaming drains are rows-only by design; the parity
   // require()s above carry the correctness assertion

@@ -198,6 +198,31 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pqTopK touches the corpus through codes only: one broadcast, one window exchange") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // the ADC scale claim: the corpus side is a pure code projection — the
+    // only exchange in the whole plan is the per-query top-k window, and
+    // the only join is the guarded query broadcast. A refactor that
+    // shuffles the corpus (SortMergeJoin) or re-reads raw embeddings on
+    // the corpus side must fail here.
+    val emb = (0L until 200L)
+      .map(i => (i, Array.tabulate(64)(d => ((i * 7 + d) % 13).toDouble / 13)))
+      .toDF("vec_id", "emb")
+    val top = Ann.pqTopK(emb, "vec_id", "emb", col("vec_id") < 2, k = 3,
+      subspaces = 4, centroidsPerSub = 8, dim = 64)
+    // string counts, not tree traversal: under AQE the unexecuted
+    // AdaptiveSparkPlan wrapper exposes no children to collect(), and this
+    // plan has no cached-relation repr to miscount
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side must not shuffle into a join:\n$plan")
+    assert(countOf(plan, "Exchange hashpartitioning") == 1,
+      s"expected only the query_id window exchange:\n$plan")
+    assert(top.count() == 6) // 2 queries x k=3
+  }
+
   test("LSH and simhash pair generation is local expansion — no join operator at all") {
     graft.functions.GraftFunctions.register(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
