@@ -204,6 +204,74 @@ object TextAnalysis {
       md5(concat_ws("|", slice(t, 1, headTokens))).as("head_fp"))
   }
 
+  /** The Gopher quality-signal screen (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", table A1 — the published heuristic filter every
+    * large pre-training corpus runs): word-count bounds, mean-word-length
+    * band, symbol-to-word ratio (`#` and ellipsis), bullet-line and
+    * ellipsis-line fractions, alphabetic-word fraction, and a
+    * mandatory-stopword floor, folded into one `keep` verdict. Together
+    * with [[repetition]] (the Gopher repetition rules) and [[qualityScore]]
+    * this completes the standard pre-training quality filter.
+    *
+    * Engine-parity notes (same discipline as [[BpePattern]]/[[redactPii]]):
+    * words split on the EXPLICIT class `[ \t\n]+` (Java `\s` and RE2 `\s`
+    * disagree on U+000B); "alphabetic" is ASCII `[A-Za-z]` so Java and RE2
+    * count identically on crawl text; every ratio divides by a count that
+    * is >= 1 by construction (split never returns an empty array); and
+    * every ratio is an exact integer/integer division emitted UNROUNDED —
+    * bit-identical IEEE in both engines, immune to the round-at-tie
+    * divergence Spark's shortest-decimal `round` is known to hit. The
+    * `keep` conjunction compares the emitted ratio columns, so the verdict
+    * is a pure function of the output. Pure per-row projection — no
+    * shuffle, scan-bound, inside whole-stage codegen.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherScreen(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+      stopwords: Seq[String] = GopherStopwords,
+      minStopHits: Int = 2): DataFrame = {
+    val words = split(col(textCol), "[ \\t\\n]+")
+    val lines = split(col(textCol), "\n")
+    val nWords = size(words)
+    val meanWordLen =
+      aggregate(words, lit(0), (a, x) => a + length(x)).cast("double") / nWords
+    val symbolRatio =
+      (regexp_count(col(textCol), lit("#"))
+        + regexp_count(col(textCol), lit("\\.\\.\\.|…"))).cast("double") / nWords
+    val bulletRatio =
+      size(filter(lines, l => regexp_like(l, lit("^[ \\t]*[-*•]"))))
+        .cast("double") / size(lines)
+    val ellipsisRatio =
+      size(filter(lines, l => regexp_like(l, lit("(\\.\\.\\.|…)[ \\t]*$"))))
+        .cast("double") / size(lines)
+    val alphaRatio =
+      size(filter(words, w => regexp_like(w, lit("[A-Za-z]"))))
+        .cast("double") / nWords
+    val stopHits = size(filter(
+      array(stopwords.map(lit(_)): _*), w => array_contains(words, w)))
+    docs.select(col(idCol),
+        nWords.as("n_words"),
+        meanWordLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"),
+        bulletRatio.as("bullet_ratio"),
+        ellipsisRatio.as("ellipsis_ratio"),
+        alphaRatio.as("alpha_ratio"),
+        stopHits.as("n_stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords)
+          && col("mean_word_len").between(minMeanWordLen, maxMeanWordLen)
+          && col("symbol_ratio") < maxSymbolRatio
+          && col("bullet_ratio") < maxBulletRatio
+          && col("ellipsis_ratio") < maxEllipsisRatio
+          && col("alpha_ratio") > minAlphaRatio
+          && col("n_stop_hits") >= minStopHits)
+  }
+
   /** Corpus vocabulary census — the precursor to tokenizer training and
     * the TF/DF side of any IDF-weighted screen: per distinct token, the
     * corpus frequency and the document frequency, truncated to the `topK`

@@ -161,6 +161,34 @@ object TextOps extends QuerySet {
   def q36(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocab(Q.t(s, dir, "documents"), "doc_id", "text", topK = 500)
 
+  /** Gopher quality-signal screen (td37). The fixture text is single-line
+    * and symbol-free, so the query appends deterministic noise to a
+    * rotating sixth of the corpus (the td34 injection pattern — SAME
+    * construction in both engines) so every screen engages: a mildly
+    * bulleted tail (passes), a 9-of-10 bullet-line tail (fails the <0.9
+    * rule), an ellipsis-heavy tail (fails <0.3), a `#`/`…` symbol tail
+    * (fails short docs on symbol ratio, passes long ones), and a 20-number
+    * tail (fails short docs on the alphabetic-word rule). Word-count and
+    * stopword screens engage on the base corpus itself (10-99 tokens).
+    */
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    val injected = Q.t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 6 === 0,
+          lit("\n- alpha beta\n- gamma delta\n* epsilon zeta\nplain tail line"))
+          .when(col("doc_id") % 6 === 1,
+            lit("\n- a1\n- b2\n- c3\n- d4\n- e5\n- f6\n- g7\n- h8\n- i9"))
+          .when(col("doc_id") % 6 === 2,
+            lit("\nwait for it...\nnot yet…\nstill loading..."))
+          .when(col("doc_id") % 6 === 3, lit(" ### tag # list … end"))
+          .when(col("doc_id") % 6 === 4,
+            lit(" 100 200 300 400 500 600 700 800 900 1000" +
+              " 1100 1200 1300 1400 1500 1600 1700 1800 1900 2000"))
+          .otherwise(lit(""))).as("text"))
+    TextAnalysis.gopherScreen(injected, "doc_id", "text")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
     "q25_array_hof" -> (q25 _),
@@ -174,7 +202,8 @@ object TextOps extends QuerySet {
     "td33_bpe_tokens" -> (q33 _),
     "td34_redact_pii" -> (q34 _),
     "td35_domain_cap" -> (q35 _),
-    "td36_vocab" -> (q36 _))
+    "td36_vocab" -> (q36 _),
+    "td37_gopher_screen" -> (q37 _))
 
   val oracles: Map[String, String] = Map(
     "q20_string_functions" ->
@@ -330,5 +359,35 @@ object TextOps extends QuerySet {
         |WHERE len(token) > 0
         |GROUP BY token
         |ORDER BY freq DESC, token ASC
-        |LIMIT 500""".stripMargin)
+        |LIMIT 500""".stripMargin,
+    // ratios are integer/integer divisions emitted UNROUNDED on both
+    // sides — bit-identical IEEE, immune to the round-at-tie divergence
+    "td37_gopher_screen" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |  CASE CAST(doc_id % 6 AS INTEGER)
+        |   WHEN 0 THEN replace('<NL>- alpha beta<NL>- gamma delta<NL>* epsilon zeta<NL>plain tail line', '<NL>', chr(10))
+        |   WHEN 1 THEN replace('<NL>- a1<NL>- b2<NL>- c3<NL>- d4<NL>- e5<NL>- f6<NL>- g7<NL>- h8<NL>- i9', '<NL>', chr(10))
+        |   WHEN 2 THEN replace('<NL>wait for it...<NL>not yet…<NL>still loading...', '<NL>', chr(10))
+        |   WHEN 3 THEN ' ### tag # list … end'
+        |   WHEN 4 THEN ' 100 200 300 400 500 600 700 800 900 1000 1100 1200 1300 1400 1500 1600 1700 1800 1900 2000'
+        |   ELSE '' END AS text FROM documents),
+        |m AS (SELECT doc_id, text,
+        |  string_split_regex(text, '[ \t\n]+') AS w,
+        |  string_split(text, chr(10)) AS l FROM d),
+        |r AS (SELECT doc_id,
+        |  CAST(len(w) AS INTEGER) AS n_words,
+        |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_word_len,
+        |  CAST(len(regexp_extract_all(text, '#'))
+        |       + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE) / len(w) AS symbol_ratio,
+        |  CAST(len(list_filter(l, x -> regexp_matches(x, '^[ \t]*[-*•]'))) AS DOUBLE) / len(l) AS bullet_ratio,
+        |  CAST(len(list_filter(l, x -> regexp_matches(x, '(\.\.\.|…)[ \t]*$'))) AS DOUBLE) / len(l) AS ellipsis_ratio,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_ratio,
+        |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |       s -> list_contains(w, s))) AS INTEGER) AS n_stop_hits
+        | FROM m)
+        |SELECT *, (n_words BETWEEN 50 AND 100000
+        |  AND mean_word_len BETWEEN 3.0 AND 10.0
+        |  AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
+        |  AND ellipsis_ratio < 0.3 AND alpha_ratio > 0.8
+        |  AND n_stop_hits >= 2) AS keep FROM r""".stripMargin)
 }

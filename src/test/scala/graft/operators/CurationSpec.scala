@@ -411,4 +411,35 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     val plan = capped.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("gopherScreen: each signal trips on its own fixture, keep is the conjunction") {
+    import spark.implicits._
+    val passing = (Seq.fill(15)("alpha beta gamma delta").mkString(" ")
+      + " the with") // 62 words, mean len ~4.7, 2 stopwords, clean lines
+    val docs = Seq(
+      (1L, passing),
+      (2L, "the cat with hat"), // fails word-count floor only
+      (3L, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\nz"), // 9/10 bullets
+      (4L, "one...\ntwo…\nthree"), // 2/3 ellipsis lines
+      (5L, "# x … y ..."), // 1 hash + 2 ellipses over 5 words
+      (6L, "abc 123 456 789"), // 1/4 alphabetic words
+      (7L, passing.replace(" the with", " the the")) // 1 distinct stopword
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherScreen(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(got(2L).getAs[Int]("n_words") == 4
+      && got(2L).getAs[Int]("n_stop_hits") == 2
+      && !got(2L).getAs[Boolean]("keep"))
+    assert(got(3L).getAs[Double]("bullet_ratio") == 0.9) // == max → fails <
+    assert(got(4L).getAs[Double]("ellipsis_ratio") == 2.0 / 3)
+    assert(got(5L).getAs[Double]("symbol_ratio") == 3.0 / 5)
+    assert(got(6L).getAs[Double]("alpha_ratio") == 0.25)
+    assert(got(7L).getAs[Int]("n_stop_hits") == 1
+      && !got(7L).getAs[Boolean]("keep"))
+    // the screen is a pure projection: no exchange in the plan
+    val plan = TextAnalysis.gopherScreen(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
