@@ -330,6 +330,50 @@ object Ann {
         col("adc"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus by nearest centroid, then inside
+    * each cluster drop every vector that has a LOWER-id neighbor above the
+    * cosine threshold — one deterministic representative survives per
+    * ε-ball. The removal rule is the dominated-by-any-lower-id screen (an
+    * EXISTS, not a transitive closure): order-independent, one-pass, and
+    * exactly reproducible in SQL; it can remove slightly more than a greedy
+    * sequential sweep when similarity is non-transitive, which is the
+    * conservative direction for a training-data dedup.
+    *
+    * Scale shape: the centroid assignment is [[ivfAssign]] (broadcast
+    * centroids); the quadratic screen is confined within cells, so the
+    * caller's centroid count is the scale knob — size k so cells fit a
+    * task (SemDeDup runs ~100k clusters at web scale). `maxClusterSize`
+    * (0 = off) guards the degenerate-cell case: oversize cells SKIP the
+    * screen and keep all members (recall-for-boundedness, the same trade
+    * as the other capped families; audit via the returned cell sizes).
+    * The assignment frame feeds three consumers (both self-join sides and
+    * the survivor anti-join) — cached lazily, columnar and spillable, so
+    * the window job runs once. The dup set is anti-joined UNHINTED: AQE
+    * broadcasts it when its runtime size fits.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, threshold: Double,
+      maxClusterSize: Long = 0L): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, embCol, centroids)
+      .select("vec_id", "centroid_id", "emb", "norm").cache()
+    val screened =
+      if (maxClusterSize > 0) {
+        val oversize = assigned.groupBy("centroid_id")
+          .agg(count(lit(1)).as("n")).filter(col("n") > maxClusterSize)
+          .select("centroid_id")
+        assigned.join(oversize, Seq("centroid_id"), "left_anti")
+      } else assigned
+    val cosine = dot(col("x.emb"), col("y.emb")) / (col("x.norm") * col("y.norm"))
+    val dups = screened.as("x").join(screened.as("y"),
+        col("x.centroid_id") === col("y.centroid_id")
+          && col("x.vec_id") < col("y.vec_id"))
+      .filter(round(cosine, 4) >= threshold)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+    assigned.join(dups, Seq("vec_id"), "left_anti")
+      .select("vec_id", "centroid_id")
+  }
+
   /** Symmetric per-vector int8 scalar quantization — the 4× memory
     * compression an ANN index applies before a 100 TB corpus fits in
     * executor/SSD budgets. Each vector is scaled by its own max-abs so

@@ -227,6 +227,38 @@ object Dedup extends QuerySet {
       .select("doc_id", "source", "lang")
   }
 
+  /** Shared fixture parameters for the semantic-dedup pair (dd47/dd48):
+    * the sim39 centroid convention (vec_id < 8 embeddings as the fixed,
+    * SQL-joinable centroid set) over the embeddings table.
+    */
+  private def semanticDedupQ(s0: SparkSession, dir: String,
+      maxClusterSize: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(s0)
+    val e = Q.t(s0, dir, "embeddings").select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val centroids = e.filter(col("vec_id") < 8).select(
+      col("vec_id").as("centroid_id"), col("emb").as("c_emb"),
+      sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb")))
+        .as("c_norm"))
+    graft.operators.Ann.semanticDedup(e, "vec_id", "emb", centroids,
+      threshold = 0.3, maxClusterSize = maxClusterSize)
+  }
+
+  /** SemDeDup semantic dedup end state (dd47): survivors after the
+    * within-cell dominated-by-lower-id cosine screen at threshold 0.3 —
+    * 8 fixed centroids, ~60-vector cells, ~38% of the fixture removed.
+    */
+  def dd47(s: SparkSession, dir: String): DataFrame =
+    semanticDedupQ(s, dir, maxClusterSize = 0L)
+
+  /** dd47 with the oversize-cell cap ENGAGED (cells over 60 vectors skip
+    * the screen and keep all members — oracle-verified skip semantics,
+    * the same recall-for-boundedness trade as dd41/dd42/dd43/sim42).
+    */
+  def dd48(s: SparkSession, dir: String): DataFrame =
+    semanticDedupQ(s, dir, maxClusterSize = 60L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
@@ -244,7 +276,9 @@ object Dedup extends QuerySet {
     "dd43_simhash_hamming_capped" -> (dd43 _),
     "dd44_line_dedup" -> (dd44 _),
     "dd45_neardedup_pipeline" -> (dd45 _),
-    "dd46_dedup_incremental" -> (dd46 _))
+    "dd46_dedup_incremental" -> (dd46 _),
+    "dd47_semantic_dedup" -> (dd47 _),
+    "dd48_semantic_dedup_capped" -> (dd48 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -255,6 +289,21 @@ object Dedup extends QuerySet {
 
   private val cosSql =
     """list_sum([x.emb[i] * y.emb[i] for i in range(1, 65)]) / (x.norm * y.norm)"""
+
+  // sim39's centroid-assignment scaffolding (fixed vec_id<8 centroids,
+  // deterministic tiebreak), shared by the semantic-dedup oracles
+  private val ivfAssignCte =
+    """e AS (SELECT vec_id,
+      |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+      |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
+      |c AS (SELECT vec_id AS centroid_id, emb AS c_emb, norm AS c_norm FROM w WHERE vec_id < 8),
+      |scored AS (SELECT w.vec_id, c.centroid_id, w.emb, w.norm,
+      |  list_sum([w.emb[i] * c.c_emb[i] for i in range(1, 65)]) / (w.norm * c.c_norm) AS cos_full
+      | FROM w, c),
+      |a AS (SELECT vec_id, centroid_id, emb, norm FROM (
+      |  SELECT *, row_number() OVER
+      |   (PARTITION BY vec_id ORDER BY cos_full DESC, centroid_id ASC) AS rn FROM scored)
+      | WHERE rn = 1)""".stripMargin
 
   // 64-bit simhash oracle scaffolding: the signed fingerprint is assembled
   // from two 32-bit md5 halves ((hi - 2^32·sign) · 2^32 + lo stays inside
@@ -526,5 +575,22 @@ object Dedup extends QuerySet {
          |SELECT doc_id, source, lang FROM g
          |WHERE doc_id % 2 = 1
          | AND doc_id NOT IN (SELECT doc_id FROM ex)
-         | AND doc_id NOT IN (SELECT b_id FROM m)""".stripMargin)
+         | AND doc_id NOT IN (SELECT b_id FROM m)""".stripMargin,
+    "dd47_semantic_dedup" ->
+      s"""WITH $ivfAssignCte,
+         |dup AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y
+         |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+         |  WHERE round($cosSql, 4) >= 0.3)
+         |SELECT vec_id, centroid_id FROM a
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
+    "dd48_semantic_dedup_capped" ->
+      s"""WITH $ivfAssignCte,
+         |ok AS (SELECT centroid_id FROM
+         |  (SELECT centroid_id, count(*) AS n FROM a GROUP BY 1) WHERE n <= 60),
+         |aa AS (SELECT a.* FROM a JOIN ok USING (centroid_id)),
+         |dup AS (SELECT DISTINCT y.vec_id FROM aa x JOIN aa y
+         |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+         |  WHERE round($cosSql, 4) >= 0.3)
+         |SELECT vec_id, centroid_id FROM a
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin)
 }

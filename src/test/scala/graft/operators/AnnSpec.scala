@@ -130,6 +130,36 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("pqTopK"))
   }
 
+  test("semanticDedup: lower id survives per ε-ball, oversize cells skip the screen") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // two axis-aligned centroid cells; ids chosen so domination is visible
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("centroid_id", "c_emb")
+      .withColumn("c_norm",
+        sqrt(graft.functions.GraftFunctions.dot(col("c_emb"), col("c_emb"))))
+    val vecs = Seq(
+      (10L, Seq(1.0, 0.0)),  // cell 0, survivor
+      (11L, Seq(2.0, 0.0)),  // cell 0, cos(10,11)=1 -> dominated by 10
+      (12L, Seq(1.0, 0.2)),  // cell 0, cos with 10 ~0.9806 < 0.99 -> survives
+      (20L, Seq(0.0, 1.0)),  // cell 1, survivor
+      (21L, Seq(0.0, 3.0))   // cell 1, cos(20,21)=1 -> dominated by 20
+    ).toDF("vec_id", "emb")
+    val kept = Ann.semanticDedup(vecs, "vec_id", "emb", cents, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(10L -> 0L, 12L -> 0L, 20L -> 1L))
+    // cap 2: cell 0 (3 members) skips the screen and keeps 11; cell 1 still screens
+    val capped = Ann.semanticDedup(vecs, "vec_id", "emb", cents,
+      threshold = 0.99, maxClusterSize = 2L)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped == Set(10L, 11L, 12L, 20L))
+    // cap above every cell equals the uncapped result
+    val wide = Ann.semanticDedup(vecs, "vec_id", "emb", cents,
+      threshold = 0.99, maxClusterSize = 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(wide == kept.keySet)
+  }
+
   test("quantizeInt8: values span [-127,127], dequantization error <= scale/2, zero vector safe") {
     import spark.implicits._
     val vecs = Seq(
