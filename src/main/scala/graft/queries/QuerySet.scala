@@ -19,14 +19,27 @@ trait QuerySet {
 /** Shared helpers keeping Spark results bit-identical to the DuckDB oracle. */
 object Q {
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
-    // long; convert to a micros timestamp (integer division = DuckDB's own
-    // ns→us truncation, so both engines see identical values).
+    // events.ts has shipped as both parquet TIMESTAMP(NANOS) (which Spark 4
+    // only reads as a long) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ)
+    // across fixture generations; normalize either to a session-TZ (UTC)
+    // micros timestamp so every consumer sees one type. The DIV 1000 on the
+    // long form is integer division = DuckDB's own ns→us truncation, so both
+    // engines see identical values.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name == "events") df.withColumn("ts", normTs(df, "ts")) else df
+  }
+
+  /** ts column normalized to TimestampType regardless of the fixture's
+    * physical parquet type (long nanos | TIMESTAMP_NTZ micros | TIMESTAMP).
+    * The session TZ is pinned to UTC, so the NTZ→TZ cast preserves the wall
+    * clock DuckDB reads from the same file.
+    */
+  def normTs(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      timestamp_micros(expr(s"$c DIV 1000"))
+    case org.apache.spark.sql.types.TimestampNTZType => col(c).cast("timestamp")
+    case _ => col(c)
   }
 
   /** Order-independent money sum: cast to decimal (exact, associative), sum,

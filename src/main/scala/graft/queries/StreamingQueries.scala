@@ -123,8 +123,8 @@ object StreamingQueries extends QuerySet {
       StandardCopyOption.REPLACE_EXISTING)
     val path = staged.toString
     val schema = s.read.parquet(path).schema
-    val stream = s.readStream.schema(schema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val streamRaw = s.readStream.schema(schema).parquet(path)
+    val stream = streamRaw.withColumn("ts", Q.normTs(streamRaw, "ts"))
     val q = EventStreaming.hourlyHealth(stream).writeStream
       .format("memory").queryName("st49_health")
       .option("checkpointLocation", tmp("graft_st49_ckpt"))

@@ -16,14 +16,11 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
   private def countOf(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
 
-  // events.ts is parquet TIMESTAMP(NANOS) — same read shim as queries.Q.t
-  private def events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-  }
+  // same type-adaptive ts read shim as queries.Q.t
+  private def events = graft.queries.Q.t(spark, dir, "events")
 
   test("sessionStats plans exactly one shuffle, shared by windows and aggregate") {
-    val ev = events.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = events
     val stats = Sessions.sessionStats(ev, "user_id", "ts", "event_id", 1800L)
     val plan = stats.queryExecution.executedPlan.toString
     // one hash-partitioning exchange on user_id: lag window, running-sum
