@@ -150,20 +150,46 @@ object Ann {
 
   /** IVF coarse assignment against a broadcast centroid frame
     * (centroid_id, c_emb, c_norm); nearest-by-cosine with deterministic
-    * tiebreak. Keeps emb/norm columns for downstream probing.
+    * tiebreak (cos desc, centroid_id asc). Keeps emb/norm columns for
+    * downstream probing.
+    *
+    * Plan shape (the 100 TB contract, pinned in PlanContractsSpec): the
+    * argmin is a PURE PROJECTION — the centroid frame is collapsed to a
+    * single-row `array<struct>` (one tiny single-partition aggregate over
+    * k centroid rows), nested-loop-broadcast onto the corpus (adds one
+    * array column per row, NO row expansion), and the winner picked with
+    * `array_max` over per-centroid `struct(cos, -id, id)` (struct ordering
+    * = cos desc then id asc, with Spark's NaN-greatest double semantics —
+    * identical to the `row_number` ordering this replaces). The corpus
+    * never passes through an exchange at corpus×k width; the earlier
+    * crossJoin+window form shuffled that expanded frame, which at
+    * SemDeDup-scale centroid counts (~100k clusters) is a 100,000× row
+    * amplification through a hash exchange. Centroid ids must be numeric
+    * (the tiebreak negates them); both fixture families use long ids.
+    *
+    * `maxCentroids` bounds the forced broadcast of the centroid array
+    * (same fail-loud stance as [[requireSmallQuerySet]] — 100k × 64-dim
+    * doubles ≈ 51 MB is the sane ceiling, not a sampling knob).
     */
   def ivfAssign(emb: DataFrame, idCol: String, embCol: String,
-      centroids: DataFrame): DataFrame = {
+      centroids: DataFrame, maxCentroids: Long = DefaultMaxQueryRows): DataFrame = {
+    requireSmallQuerySet(centroids, "ivfAssign centroids", maxCentroids)
     val e = withNorm(emb.select(col(idCol).as("vec_id"), col(embCol).as("emb")), "emb")
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos_full").desc, col("centroid_id").asc)
-    e.crossJoin(broadcast(centroids))
-      .withColumn("cos_full",
-        dot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("emb"), col("norm"),
-        round(col("cos_full"), 4).as("cos"))
+    val cents = centroids.agg(collect_list(
+      struct(col("centroid_id"), col("c_emb"), col("c_norm"))).as("__cents"))
+    // collect_list order is nondeterministic — irrelevant: array_max over
+    // the scored structs is order-independent
+    val best = array_max(transform(col("__cents"), c =>
+      struct(
+        (dot(col("emb"), c("c_emb")) / (col("norm") * c("c_norm"))).as("cos_full"),
+        (-c("centroid_id")).as("__neg_id"),
+        c("centroid_id").as("centroid_id"))))
+    e.crossJoin(broadcast(cents))
+      .withColumn("__best", best)
+      .filter(col("__best").isNotNull) // empty centroid set assigns nothing
+      .select(col("vec_id"), col("__best.centroid_id").as("centroid_id"),
+        col("emb"), col("norm"),
+        round(col("__best.cos_full"), 4).as("cos"))
   }
 
   /** IVF probe with nprobe=1: top-k neighbors searched only inside each

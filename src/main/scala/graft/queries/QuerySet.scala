@@ -26,6 +26,11 @@ object Q {
     // long form is integer division = DuckDB's own ns→us truncation, so both
     // engines see identical values.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // normTs's NTZ→timestamp cast is wall-clock-preserving ONLY under a UTC
+    // session TZ; every entry point pins it already, but pin it here too so
+    // a caller with an unpinned session cannot get silently shifted
+    // timestamps vs the DuckDB oracle (ADVICE r6)
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events") df.withColumn("ts", normTs(df, "ts")) else df
   }
@@ -37,7 +42,15 @@ object Q {
     */
   def normTs(df: DataFrame, c: String): Column = df.schema(c).dataType match {
     case org.apache.spark.sql.types.LongType =>
-      timestamp_micros(expr(s"$c DIV 1000"))
+      // a raw-long ts is assumed parquet TIMESTAMP(NANOS); fail loud if the
+      // values are only plausible as micros/millis (a future fixture
+      // generation changing units) instead of silently dividing by 1000
+      // (ADVICE r6). 1e17 ns ≈ 1973-03; micros/millis for any modern date
+      // fall far below it. assert_true returns NULL when the guard holds.
+      val guard = assert_true(col(c).isNull || col(c) >= lit(100000000000000000L),
+        lit(s"$c: long timestamp too small to be nanoseconds — " +
+          "fixture shipped micros/millis?"))
+      timestamp_micros(when(guard.isNull, expr(s"$c DIV 1000")))
     case org.apache.spark.sql.types.TimestampNTZType => col(c).cast("timestamp")
     case _ => col(c)
   }

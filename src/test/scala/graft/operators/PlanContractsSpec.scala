@@ -313,6 +313,46 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ivfAssign is a projection argmin: the corpus never crosses an exchange at corpus-times-centroids width") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // the SemDeDup-scale claim (r6 verdict #1): assignment against k
+    // centroids must never expand the corpus k-fold through a shuffle —
+    // the old crossJoin+row_number form exchanged the EXPANDED frame,
+    // a 100,000x row amplification at SemDeDup's ~100k clusters. The fix
+    // folds the whole centroid set into ONE broadcast array row and takes
+    // the argmax as a per-row projection, so the only allowed exchange is
+    // the O(k) single-partition collect_list over the centroid frame.
+    val emb = (0L until 500L)
+      .map(i => (i, Array.tabulate(16)(d => ((i * 11 + d) % 17).toDouble / 17 + 0.1)))
+      .toDF("vec_id", "emb")
+    val centroids = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"),
+        sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb"))).as("c_norm"))
+    val assigned = Ann.ivfAssign(emb, "vec_id", "emb", centroids)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"assignment must not hash-exchange anything (the old form shuffled corpus x k):\n$plan")
+    assert(!plan.contains("Window"),
+      s"argmin must be a projection, not a window over the expanded frame:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid array must reach the corpus as a one-row broadcast:\n$plan")
+    assert(assigned.count() == 500L)
+    // and the winner is the true argmax with the (cos desc, id asc) tiebreak
+    val cents = centroids.as[(Long, Array[Double], Double)].collect()
+    val brute = emb.as[(Long, Array[Double])].collect().map { case (id, v) =>
+      val cs = cents.map { case (cid, cv, cn) =>
+        val cos = v.zip(cv).map { case (a, b) => a * b }.sum /
+          (math.sqrt(v.map(x => x * x).sum) * cn)
+        (cid, cos)
+      }
+      val bestCos = cs.map(_._2).max
+      (id, cs.filter(_._2 == bestCos).map(_._1).min)
+    }.toMap
+    assigned.select("vec_id", "centroid_id").as[(Long, Long)].collect()
+      .foreach { case (id, cid) => assert(brute(id) == cid, s"vec $id") }
+  }
+
   test("filter + projection reach the parquet scan (pushdown contract)") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .filter(col("o_orderstatus") === "O")
