@@ -625,8 +625,11 @@ object TextDedup {
     * BATCH, not the corpus.
     *
     * Stages (each stage only ever shuffles digests/ids/shingle arrays of
-    * the BATCH side; the reference side contributes its banding frame,
-    * built once and reusable across batches):
+    * the BATCH side; the reference side contributes the three
+    * [[ReferenceDedupIndex]] frames, built from one textGroups pass within
+    * this call — callers screening MANY batches must build the index once
+    * with [[buildReferenceIndex]] and call [[dedupAgainstIndex]] per batch,
+    * which is what st50's ingest loop does):
     *
     *  1. exact screen — anti-join of batch md5 digests against reference
     *     digests (unhinted: the reference digest set is O(corpus));
@@ -647,20 +650,70 @@ object TextDedup {
     */
   def dedupAgainstReference(ref: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, bands: Int, rowsPerBand: Int, threshold: Double,
-      maxBucketSize: Long = 0L, fast: Boolean = false): DataFrame = {
+      maxBucketSize: Long = 0L, fast: Boolean = false): DataFrame =
+    dedupAgainstIndex(
+      buildReferenceIndex(ref, idCol, textCol, bands, rowsPerBand, fast),
+      batch, idCol, textCol, threshold, maxBucketSize)
+
+  /** Prebuilt reference-side index for [[dedupAgainstIndex]]: the three
+    * frames the screen consumes (content digests, LSH band buckets,
+    * per-representative shingle arrays), each derived from ONE
+    * [[textGroups]] pass over the reference and lazily local-checkpointed
+    * — so the reference corpus is scanned and its grouping shuffle paid
+    * ONCE when the first batch materializes the index, and every later
+    * batch (and every stream micro-batch — st50) reads the materialized
+    * partitions instead of re-grouping a 100 TB corpus per call (r6
+    * verdict #2: the previous form rebuilt all three per invocation).
+    * Banding parameters ride along so a batch cannot be screened with a
+    * mismatched banding scheme. A production pipeline would persist these
+    * frames as parquet and rebuild on corpus compaction; the checkpoint
+    * form is the in-session equivalent.
+    */
+  final case class ReferenceDedupIndex(digests: DataFrame,
+      bandBuckets: DataFrame, shingles: DataFrame,
+      bands: Int, rowsPerBand: Int, fast: Boolean)
+
+  /** Build the [[ReferenceDedupIndex]] for a reference corpus. Lazy: no
+    * job runs until the first screening batch needs a frame.
+    */
+  def buildReferenceIndex(ref: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, fast: Boolean = false): ReferenceDedupIndex = {
+    val rGroups = textGroups(ref, idCol, textCol).localCheckpoint(false)
+    // distinct digests fall out of the grouping (one row per distinct
+    // text); the null-text group yields a null digest, which an equi-join
+    // can never match — same semantics as the md5+distinct it replaces
+    val digests = rGroups.select(md5(col("__text")).as("__fp"))
+      .localCheckpoint(false)
+    val rBands = lshBandBuckets(rGroups, "rep", "__text", bands, rowsPerBand,
+      fast, extraCols = Seq("ids"))
+      .select(col("doc_id").as("r_rep"),
+        col("ids").as("__r_ids"), col("bucket"))
+      .localCheckpoint(false)
+    val rSh = rGroups.select(col("rep").as("r_rep"),
+      bigramShingles(col("__text"), fast).as("__sh_r"))
+      .localCheckpoint(false)
+    ReferenceDedupIndex(digests, rBands, rSh, bands, rowsPerBand, fast)
+  }
+
+  /** [[dedupAgainstReference]] against a prebuilt [[ReferenceDedupIndex]]
+    * — the form a streaming ingest loop calls per micro-batch: only the
+    * BATCH side is scanned, grouped and banded per call.
+    */
+  def dedupAgainstIndex(index: ReferenceDedupIndex, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      maxBucketSize: Long = 0L): DataFrame = {
+    val bands = index.bands; val rowsPerBand = index.rowsPerBand
+    val fast = index.fast
     // 1. exact screen on content digests
-    val refDigests = ref.select(md5(col(textCol)).as("__fp")).distinct()
     val fresh = batch.withColumn("__fp", md5(col(textCol)))
-      .join(refDigests, Seq("__fp"), "left_anti").drop("__fp")
-    // 2. band buckets over each side's distinct texts
+      .join(index.digests, Seq("__fp"), "left_anti").drop("__fp")
+    // 2. band buckets over the batch side's distinct texts; the reference
+    //    side's buckets come prebuilt from the index
     val bGroups = textGroups(fresh, idCol, textCol).localCheckpoint(false)
     val bBands = lshBandBuckets(bGroups, "rep", "__text", bands, rowsPerBand,
       fast, extraCols = Seq("ids"))
       .select(col("doc_id").as("b_rep"), col("ids"), col("bucket"))
-    val rBands = lshBandBuckets(textGroups(ref, idCol, textCol), "rep",
-      "__text", bands, rowsPerBand, fast, extraCols = Seq("ids"))
-      .select(col("doc_id").as("r_rep"),
-        col("ids").as("__r_ids"), col("bucket"))
+    val rBands = index.bandBuckets
     val (bCapped, rCapped) =
       if (maxBucketSize > 0) {
         // combined population, counting documents (sum of member counts on
@@ -675,13 +728,11 @@ object TextDedup {
       } else (bBands, rBands)
     val cand = bCapped.join(rCapped, "bucket")
       .select("b_rep", "r_rep").distinct()
-    // 3. verify on candidates only
+    // 3. verify on candidates only; reference shingles come from the index
     val bSh = bGroups.select(col("rep").as("b_rep"),
       bigramShingles(col("__text"), fast).as("__sh_b"))
-    val rSh = textGroups(ref, idCol, textCol).select(col("rep").as("r_rep"),
-      bigramShingles(col("__text"), fast).as("__sh_r"))
     val matchedReps = cand
-      .join(bSh, "b_rep").join(rSh, "r_rep")
+      .join(bSh, "b_rep").join(index.shingles, "r_rep")
       .withColumn("__common", size(array_intersect(col("__sh_b"), col("__sh_r"))))
       .withColumn("__union",
         size(col("__sh_b")) + size(col("__sh_r")) - col("__common"))

@@ -161,6 +161,12 @@ object StreamingQueries extends QuerySet {
       StandardCopyOption.REPLACE_EXISTING)
     val all = Q.t(s, dir, "documents")
     val ref = all.filter(col("doc_id") % 2 === 0)
+    // the reference index is built ONCE, outside the stream: the ref
+    // corpus is grouped/banded/shingled on the first micro-batch and every
+    // later micro-batch reads the checkpointed frames (r6 verdict #2 — the
+    // per-batch form re-shuffled the full reference corpus per trigger)
+    val refIndex = graft.operators.TextDedup.buildReferenceIndex(
+      ref, "doc_id", "text", bands = 2, rowsPerBand = 2, fast = true)
     val schema = s.read.parquet(staged.toString).schema
     val feed = s.readStream.schema(schema).parquet(staged.toString)
       .filter(col("doc_id") % 2 === 1)
@@ -168,8 +174,8 @@ object StreamingQueries extends QuerySet {
     val q = feed.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.TextDedup
-          .dedupAgainstReference(ref, batch, "doc_id", "text",
-            bands = 2, rowsPerBand = 2, threshold = 0.5, fast = true)
+          .dedupAgainstIndex(refIndex, batch, "doc_id", "text",
+            threshold = 0.5)
           .select("doc_id", "source", "lang")
           .write.mode("append").parquet(out)
       }

@@ -312,6 +312,39 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!capped.contains(1L))
   }
 
+  test("buildReferenceIndex scans the reference exactly once across many screened batches") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // the r6 verdict-#2 contract: the old per-call form re-grouped the ref
+    // corpus (3 scans per call — digest screen + banding + shingles); the
+    // index form pays ONE scan ever, however many batches it screens. The
+    // accumulator counts actual ref-row reads through every materialization.
+    val acc = spark.sparkContext.longAccumulator("refRowReads")
+    val refRows = (0L until 60L)
+      .map(i => (i * 2, s"reference document number ${i % 20} with shared boilerplate text"))
+    val ref = refRows.toDF("doc_id", "text").as[(Long, String)]
+      .map { r => acc.add(1); r }.toDF("doc_id", "text")
+    val index = TextDedup.buildReferenceIndex(ref, "doc_id", "text",
+      bands = 2, rowsPerBand = 2, fast = true)
+    val batch1 = Seq(
+      (1L, s"reference document number 3 with shared boilerplate text"), // exact dup
+      (3L, "a genuinely new arrival with its own wording")
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (5L, s"reference document number 7 with shared boilerplate text"), // exact dup
+      (7L, "another novel batch row unrelated to anything prior")
+    ).toDF("doc_id", "text")
+    val kept1 = TextDedup.dedupAgainstIndex(index, batch1, "doc_id", "text",
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept2 = TextDedup.dedupAgainstIndex(index, batch2, "doc_id", "text",
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept1 == Set(3L))
+    assert(kept2 == Set(7L))
+    assert(acc.value == refRows.size,
+      s"reference scanned ${acc.value} row-reads for ${refRows.size} rows — " +
+        "the index must materialize from ONE pass and be reused by later batches")
+  }
+
   test("simhash of identical texts is identical") {
     val sh = TextDedup.simhash(docs, "doc_id", "text", 16)
     val joined = docs.select(col("doc_id").as("id_a"), md5(col("text")).as("fp"))
