@@ -259,6 +259,98 @@ object Ann {
         col("centroid_id").as("cell"), round(col("cand_cos"), 4).as("cos"))
   }
 
+  /** Fixed-point scale for [[kmeansFit]] mean updates: components are
+    * quantized to `round(x * 2^20)` longs so per-cluster component sums
+    * are EXACT integer arithmetic — order-independent, hence identical
+    * across Spark's partition-dependent aggregation order and any SQL
+    * engine. 2^20 is dyadic (the quantization itself introduces no
+    * binary rounding beyond the grid) and leaves 2^43 of long headroom
+    * above any realistic cluster mass.
+    */
+  val KmeansQuantScale: Double = 1048576.0
+
+  /** Lloyd's k-means over an embedding column — closes the ANN family's
+    * self-containment gap: [[ivfAssign]]/[[semanticDedup]]/[[pqTopK]]
+    * consume centroids as given data; this fits them from the corpus
+    * itself. Returns one row per surviving centroid:
+    * `(centroid_id int, n long, c_emb array<double>)` after exactly
+    * `iters` assign→update rounds (an empty cluster simply drops out).
+    *
+    * Deterministic by construction, in BOTH engines, which is what makes
+    * it oracle-able (sim46):
+    *  - seeding: the k sample vectors ranked first by
+    *    `(md5(cast(id as string)), id)` — a reproducible pseudo-random
+    *    draw with no RNG state (both engines produce identical lowercase
+    *    hex md5);
+    *  - assignment: nearest centroid by squared L2 expanded as
+    *    `dot(e,e) - 2*dot(e,c) + dot(c,c)` (every dot the same
+    *    left-associated [[graft.functions.ArrayDot]] fold as the SQL
+    *    oracle's sum), tiebreak centroid_id asc, argmin as the same
+    *    no-expansion projection shape as [[ivfAssign]];
+    *  - update: component means from EXACT long sums of
+    *    [[KmeansQuantScale]]-quantized components divided once at the
+    *    end — double summation order (which differs between engines and
+    *    between Spark partitions) never touches the result.
+    *
+    * Scale shape: per round, one broadcast of the k-centroid array, one
+    * projection argmin over the (sampled) corpus, and one
+    * partial-aggregated groupBy carrying O(k × dim) longs through the
+    * exchange; round frames are lazily checkpointed (the dd36 iterative
+    * discipline) so lineage stays flat across iterations. `samplePred`
+    * is the production knob: fit on a hash-seeded sample, then assign
+    * the full corpus once with [[ivfAssign]].
+    */
+  def kmeansFit(emb: DataFrame, idCol: String, embCol: String, k: Int,
+      iters: Int, dim: Int, samplePred: Column = lit(true)): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sample = emb.filter(samplePred)
+      .select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+      .withColumn("__ee", dot(col("emb"), col("emb")))
+      .withColumn("__q", transform(col("emb"), x =>
+        floor(x * lit(KmeansQuantScale) + lit(0.5)).cast("long")))
+    // seed: TakeOrderedAndProject (no global sort) down to k rows, then a
+    // one-task window over those k rows for the dense 0..k-1 ids
+    val seedW = Window.orderBy(col("__h"), col("vec_id"))
+    val init = sample
+      .withColumn("__h", md5(col("vec_id").cast("string")))
+      .orderBy(col("__h"), col("vec_id")).limit(k)
+      .withColumn("centroid_id", (row_number().over(seedW) - 1).cast("int"))
+      .select(col("centroid_id"), col("emb").as("c_emb"))
+    def step(cents: DataFrame): DataFrame = {
+      val one = cents
+        .withColumn("c_dot", dot(col("c_emb"), col("c_emb")))
+        .agg(collect_list(
+          struct(col("centroid_id"), col("c_emb"), col("c_dot"))).as("__cents"))
+      val best = array_min(transform(col("__cents"), c =>
+        struct(
+          (col("__ee") - lit(2.0) * dot(col("emb"), c("c_emb")) + c("c_dot"))
+            .as("d2"),
+          c("centroid_id").as("centroid_id"))))
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("__q"), i + 1)).as(s"__s$i"))
+      sample.crossJoin(broadcast(one))
+        .withColumn("__best", best)
+        .select(col("__best.centroid_id").as("centroid_id"), col("__q"))
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("centroid_id"), col("n"),
+          array((0 until dim).map(i =>
+            col(s"__s$i").cast("double") /
+              (col("n").cast("double") * lit(KmeansQuantScale))): _*).as("c_emb"))
+        .localCheckpoint(false)
+    }
+    (1 to iters).foldLeft(init.select(col("centroid_id"),
+        lit(0L).as("n"), col("c_emb")))((c, _) => step(c))
+  }
+
+  /** [[kmeansFit]] output shaped as the centroid frame [[ivfAssign]] /
+    * [[semanticDedup]] consume: (centroid_id, c_emb, c_norm).
+    */
+  def kmeansCentroids(fit: DataFrame): DataFrame =
+    fit.select(col("centroid_id"), col("c_emb"),
+      sqrt(dot(col("c_emb"), col("c_emb"))).as("c_norm"))
+
   /** Deterministic PQ codebook: centroid value for (subspace, centroid,
     * component) = firstHexDigit(md5("pq-s-c-i")) / 8 - 1 — dyadic rationals
     * in [-1, 0.875], exactly representable in double and printing short, so
@@ -287,13 +379,16 @@ object Ann {
     * arithmetic expression (left-associated sum, the same evaluation order
     * the SQL oracle uses, so distances are bit-identical across engines).
     */
-  def pqEncode(emb: DataFrame, idCol: String, embCol: String,
-      subspaces: Int, centroidsPerSub: Int, dim: Int): DataFrame = {
+  /** Per-subspace PQ code columns (`c0..c{subspaces-1}`) for an embedding
+    * column — shared by [[pqEncode]], [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private def pqCodeCols(embCol: String, subspaces: Int,
+      centroidsPerSub: Int, dim: Int): Seq[Column] = {
     require(dim % subspaces == 0,
       s"dim $dim must divide evenly into $subspaces subspaces")
     val subDim = dim / subspaces
     val book = pqCodebook(subspaces, centroidsPerSub, subDim)
-    val codeCols = (0 until subspaces).map { s =>
+    (0 until subspaces).map { s =>
       val ds = array((0 until centroidsPerSub).map { c =>
         (0 until subDim).map { i =>
           val x = element_at(col(embCol), s * subDim + i + 1) - lit(book(s)(c)(i))
@@ -302,8 +397,31 @@ object Ann {
       }: _*)
       (array_position(ds, array_min(ds)) - 1).cast("int").as(s"c$s")
     }
-    emb.select(col(idCol) +: codeCols: _*)
   }
+
+  /** Per-query ADC sum: each subspace's exact distance LUT to the codebook
+    * centroids, indexed by the corpus row's code column — shared by
+    * [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private def pqAdcExpr(qEmbCol: String, subspaces: Int,
+      centroidsPerSub: Int, dim: Int): Column = {
+    val subDim = dim / subspaces
+    val book = pqCodebook(subspaces, centroidsPerSub, subDim)
+    (0 until subspaces).map { s =>
+      val lut = array((0 until centroidsPerSub).map { c =>
+        (0 until subDim).map { i =>
+          val x = element_at(col(qEmbCol), s * subDim + i + 1) - lit(book(s)(c)(i))
+          x * x
+        }.reduce(_ + _)
+      }: _*)
+      element_at(lut, col(s"c$s") + 1)
+    }.reduce(_ + _)
+  }
+
+  def pqEncode(emb: DataFrame, idCol: String, embCol: String,
+      subspaces: Int, centroidsPerSub: Int, dim: Int): DataFrame =
+    emb.select(col(idCol) +:
+      pqCodeCols(embCol, subspaces, centroidsPerSub, dim): _*)
 
   /** PQ asymmetric-distance (ADC) top-k search — the companion of
     * [[pqEncode]] and the way a PQ index is actually queried: the corpus
@@ -326,10 +444,6 @@ object Ann {
   def pqTopK(emb: DataFrame, idCol: String, embCol: String,
       queryPred: Column, k: Int, subspaces: Int, centroidsPerSub: Int,
       dim: Int, maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
-    require(dim % subspaces == 0,
-      s"dim $dim must divide evenly into $subspaces subspaces")
-    val subDim = dim / subspaces
-    val book = pqCodebook(subspaces, centroidsPerSub, subDim)
     val codes = pqEncode(emb, idCol, embCol, subspaces, centroidsPerSub, dim)
       .withColumnRenamed(idCol, "vec_id")
     val q = emb.filter(queryPred)
@@ -337,23 +451,63 @@ object Ann {
     requireSmallQuerySet(q, "pqTopK", maxQueryRows)
     // per subspace: the query's exact distance to each of the centroids,
     // as an array the code column indexes into
-    val adc = (0 until subspaces).map { s =>
-      val lut = array((0 until centroidsPerSub).map { c =>
-        (0 until subDim).map { i =>
-          val x = element_at(col("q_emb"), s * subDim + i + 1) - lit(book(s)(c)(i))
-          x * x
-        }.reduce(_ + _)
-      }: _*)
-      element_at(lut, col(s"c$s") + 1)
-    }.reduce(_ + _)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("vec_id").asc)
     codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("adc", adc)
+      .withColumn("adc", pqAdcExpr("q_emb", subspaces, centroidsPerSub, dim))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("adc"))
+  }
+
+  /** IVF-PQ top-k — the production ANN index shape (Jégou et al. 2011's
+    * IVFADC), composed from the verified parts the way [[TextDedup
+    * .nearDedupPipeline]] composes the dedup stages: [[ivfAssign]] (the
+    * no-expansion projection argmin) partitions the corpus into cells,
+    * each query ranks the broadcast centroid frame to pick its `nprobe`
+    * cells, and candidates inside probed cells are scored by PQ
+    * asymmetric distance over their CODES only ([[pqTopK]]'s LUT form).
+    * So the corpus is touched exactly twice, both times shuffle-free: one
+    * projection pass to (cell, codes) — the 4-byte-per-vector index a
+    * 100 TB embedding table persists, bucketed by cell — and one
+    * broadcast-join scan of the probed cells; the only exchange is the
+    * per-query top-k window over candidate rows (nprobe × mean cell size
+    * per query). Approximate on two axes by construction: cell recall
+    * (nprobe) and code quantization (ADC) — the standard speed/recall
+    * trade, both knobs explicit.
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, queryPred: Column, k: Int, nprobe: Int,
+      subspaces: Int, centroidsPerSub: Int, dim: Int,
+      maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val assigned = ivfAssign(emb, idCol, embCol, centroids)
+    // corpus index: cell + codes ONLY — raw embeddings never leave the
+    // projection that encodes them
+    val codes = assigned.select(col("vec_id") +: col("centroid_id") +:
+      pqCodeCols("emb", subspaces, centroidsPerSub, dim): _*)
+    val q = assigned.filter(queryPred).select(col("vec_id").as("query_id"),
+      col("emb").as("q_emb"), col("norm").as("q_norm"))
+    // the broadcast frame is queries × nprobe probe rows — bound the product
+    requireSmallQuerySet(q, "ivfPqTopK", math.max(1L, maxQueryRows / nprobe))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("c_cos").desc, col("centroid_id").asc)
+    val probeCells = q.crossJoin(broadcast(centroids))
+      .withColumn("c_cos",
+        dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("cell_rank", row_number().over(wc))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id").as("q_cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    codes.join(broadcast(probeCells),
+        col("centroid_id") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("adc", pqAdcExpr("q_emb", subspaces, centroidsPerSub, dim))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("centroid_id").as("cell"), col("adc"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

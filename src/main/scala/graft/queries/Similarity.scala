@@ -124,6 +124,37 @@ object Similarity extends QuerySet {
     Ann.pqTopK(embD(s0, dir), "vec_id", "emb", queryPred = col("vec_id") < 3,
       k = 5, subspaces = 4, centroidsPerSub = 8, dim = 64)
 
+  /** k-means fit (k=8, 2 Lloyd's rounds, ~half the fixture via an
+    * md5-prefix sample) — the ANN family's self-containment step: fitted
+    * centroids feed ivfAssign/semanticDedup instead of caller-supplied
+    * ones. Deterministic in both engines (hash seeding, exact quantized
+    * mean sums — see Ann.kmeansFit), so fully hash-oracled; the
+    * `array<double>` centroid is emitted as 64 scalar columns because the
+    * driver canonicalizer cannot sort raw arrays (q09 convention), and
+    * the components are bit-identical doubles, not strings.
+    */
+  def sim46(s0: SparkSession, dir: String): DataFrame = {
+    val s = withDot(s0)
+    val fit = Ann.kmeansFit(embD(s, dir), "vec_id", "emb", k = 8, iters = 2,
+      dim = 64,
+      samplePred = substring(md5(col("vec_id").cast("string")), 1, 1) < "8")
+    fit.select(col("centroid_id") +: col("n") +:
+      (0 until 64).map(i => element_at(col("c_emb"), i + 1).as(s"c$i")): _*)
+  }
+
+  /** IVF-PQ composed search (Jégou 2011 IVFADC): nprobe=2 cells over the
+    * 8 fixed centroids, PQ 4×8 ADC within candidates, top-5 for 3 queries
+    * — the parts-to-pipeline step for ANN (dd45's pattern). Candidates
+    * are touched through codes only; adc unrounded (dyadic-literal
+    * arithmetic is bit-identical across engines).
+    */
+  def sim47(s0: SparkSession, dir: String): DataFrame = {
+    val s = withDot(s0)
+    Ann.ivfPqTopK(embD(s, dir), "vec_id", "emb", centroids(s, dir),
+      queryPred = col("vec_id") < 3, k = 5, nprobe = 2,
+      subspaces = 4, centroidsPerSub = 8, dim = 64)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
     "sim37_lsh_buckets" -> (sim37 _),
@@ -134,7 +165,9 @@ object Similarity extends QuerySet {
     "sim42_lsh_neardup_capped" -> (sim42 _),
     "sim43_quantize_int8" -> (sim43 _),
     "sim44_pq_encode" -> (sim44 _),
-    "sim45_pq_topk" -> (sim45 _))
+    "sim45_pq_topk" -> (sim45 _),
+    "sim46_kmeans_fit" -> (sim46 _),
+    "sim47_ivf_pq_topk" -> (sim47 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -167,7 +200,90 @@ object Similarity extends QuerySet {
     s"CAST(list_position($ds, list_min($ds)) - 1 AS INTEGER) AS c$s"
   }
 
+  // --- sim46 k-means oracle SQL generators -------------------------------
+  // Mirrors Ann.kmeansFit's deterministic construction term-for-term:
+  // every dot is the same left-associated sum ArrayDot folds, means are
+  // exact integer sums of 2^20-quantized components divided once, and the
+  // seed order is (md5(id), id) — so both engines produce bit-identical
+  // centroid doubles with no rounding anywhere.
+
+  /** Left-associated dot of a list-typed vector vs centroid scalar cols. */
+  private def kmEc(eRef: String, cRef: String): String =
+    (0 until 64).map(i => s"$eRef[${i + 1}] * $cRef.c$i").mkString(" + ")
+
+  /** Left-associated dot(c, c) over centroid scalar columns. */
+  private def kmCc(cRef: String): String =
+    (0 until 64).map(i => s"$cRef.c$i * $cRef.c$i").mkString(" + ")
+
+  /** One Lloyd's round: assign (argmin d2, id tiebreak) then exact-sum
+    * mean update; `prev` is the previous centroid CTE name.
+    */
+  private def kmRound(t: Int, prev: String): String =
+    s"""a$t AS (SELECT vec_id, q, centroid_id FROM (
+       |  SELECT s.vec_id, s.q, c.centroid_id,
+       |   row_number() OVER (PARTITION BY s.vec_id ORDER BY
+       |    (s.ee - 2 * (${kmEc("s.emb", "c")}) + (${kmCc("c")})) ASC,
+       |    c.centroid_id ASC) AS rn
+       |  FROM s, $prev c) WHERE rn = 1),
+       |g$t AS (SELECT centroid_id, count(*) AS n,
+       |  ${(0 until 64).map(i => s"sum(q[${i + 1}]) AS s$i").mkString(", ")}
+       | FROM a$t GROUP BY 1),
+       |k$t AS (SELECT centroid_id, n,
+       |  ${(0 until 64).map(i =>
+            s"CAST(s$i AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS c$i")
+           .mkString(", ")}
+       | FROM g$t)""".stripMargin
+
+  private def sim46Sql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+       |s AS (SELECT vec_id, emb,
+       |  list_sum([emb[i] * emb[i] for i in range(1, 65)]) AS ee,
+       |  [CAST(floor(emb[i] * 1048576.0 + 0.5) AS BIGINT) for i in range(1, 65)] AS q
+       | FROM e WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'),
+       |k0 AS (SELECT
+       |  CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS INTEGER) AS centroid_id,
+       |  ${(0 until 64).map(i => s"emb[${i + 1}] AS c$i").mkString(", ")}
+       | FROM s ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8),
+       |${kmRound(1, "k0")},
+       |${kmRound(2, "k1")}
+       |SELECT centroid_id, CAST(n AS BIGINT) AS n,
+       | ${(0 until 64).map(i => s"c$i").mkString(", ")}
+       |FROM k2""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sim46_kmeans_fit" -> sim46Sql,
+    "sim47_ivf_pq_topk" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+         |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
+         |c AS (SELECT vec_id AS centroid_id, emb AS c_emb, norm AS c_norm FROM w WHERE vec_id < 8),
+         |scored AS (SELECT w.vec_id, c.centroid_id, w.emb, w.norm,
+         |  list_sum([w.emb[i] * c.c_emb[i] for i in range(1, 65)]) / (w.norm * c.c_norm) AS cos_full
+         | FROM w, c),
+         |a AS (SELECT vec_id, centroid_id, emb, norm FROM (
+         |  SELECT *, row_number() OVER
+         |   (PARTITION BY vec_id ORDER BY cos_full DESC, centroid_id ASC) AS rn FROM scored)
+         | WHERE rn = 1),
+         |cd AS (SELECT vec_id, centroid_id, ${(0 until 4).map(pqCodeSql).mkString(",\n ")}
+         | FROM a),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
+         | FROM a WHERE vec_id < 3),
+         |p AS (SELECT query_id, q_emb, centroid_id AS q_cell FROM (
+         |  SELECT q.query_id, q.q_emb, c.centroid_id,
+         |   row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |    list_sum([q.q_emb[i] * c.c_emb[i] for i in range(1, 65)]) / (q.q_norm * c.c_norm) DESC,
+         |    c.centroid_id ASC) AS cell_rank
+         |  FROM q, c) WHERE cell_rank <= 2),
+         |d AS (SELECT p.query_id, cd.vec_id, cd.centroid_id,
+         |  ${(0 until 4).map(s => s"(${pqDistsSql(s, "p.q_emb")})[cd.c$s + 1]")
+                .mkString(" + ")} AS adc
+         | FROM cd JOIN p ON cd.centroid_id = p.q_cell AND cd.vec_id <> p.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+         | centroid_id AS cell, adc
+         |FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank FROM d)
+         |WHERE rank <= 5""".stripMargin,
     "sim45_pq_topk" ->
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),

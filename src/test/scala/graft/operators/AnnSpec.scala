@@ -160,6 +160,74 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(wide == kept.keySet)
   }
 
+  test("ivfPqTopK equals brute-force ADC restricted to each query's nprobe nearest cells") {
+    val book = Ann.pqCodebook(4, 8, 16)
+    val got = Ann.ivfPqTopK(emb, "vec_id", "emb", centroids,
+      col("vec_id") < 2, k = 5, nprobe = 2, subspaces = 4,
+      centroidsPerSub = 8, dim = 64)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(r => r.getLong(2)).toSeq).toMap
+    // brute force over the composed semantics: exact cosine argmax cell per
+    // vector, each query's two best cells by centroid cosine, ADC rank
+    // within candidates from those cells
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cents = vecs.filter(_._1 < 8)
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val cell = vecs.view.mapValues(v =>
+      cents.toSeq.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .minBy { case (cid, c) => (-c, cid) }._1).toMap
+    val codes = Ann.pqEncode(emb, "vec_id", "emb", 4, 8, 64).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    for (qid <- Seq(0L, 1L)) {
+      val qv = vecs(qid)
+      val probed = cents.toSeq.map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(2).map(_._1).toSet
+      def adc(id: Long): Double = (0 until 4).map { s =>
+        val c = codes(id)(s)
+        (0 until 16).map { i =>
+          val d = qv(s * 16 + i) - book(s)(c)(i); d * d
+        }.sum
+      }.sum
+      val want = vecs.keys
+        .filter(id => id != qid && probed(cell(id))).toSeq
+        .sortBy(id => (adc(id), id)).take(5)
+      assert(got(qid) == want, s"query $qid: ${got(qid)} != $want")
+    }
+  }
+
+  test("kmeansFit is deterministic, exact-count, and its centroids compose with ivfAssign/semanticDedup") {
+    val fit = Ann.kmeansFit(emb, "vec_id", "emb", k = 4, iters = 2, dim = 64)
+    val rows = fit.collect()
+    // every sampled vector lands in exactly one cluster, every round
+    assert(rows.map(_.getAs[Long]("n")).sum == emb.count())
+    assert(rows.length <= 4 && rows.nonEmpty)
+    // bit-identical across a full re-fit: hash seeding + exact quantized
+    // mean sums leave no partition-order dependence anywhere
+    val refit = Ann.kmeansFit(emb, "vec_id", "emb", k = 4, iters = 2, dim = 64)
+    assert(refit.collect().map(_.toString).sorted.sameElements(
+      rows.map(_.toString).sorted))
+    // centroid components stay inside the sampled data's component range
+    val stats = emb.select(
+      min(array_min(col("emb"))).as("lo"), max(array_max(col("emb"))).as("hi"))
+      .head()
+    val (lo, hi) = (stats.getAs[Double]("lo"), stats.getAs[Double]("hi"))
+    rows.foreach(_.getAs[scala.collection.Seq[Double]]("c_emb").foreach(x =>
+      assert(x >= lo - 1e-6 && x <= hi + 1e-6)))
+    // the self-containment composition (r6 verdict #4): fitted centroids
+    // drive assignment and the dd47 semantic screen with no caller-supplied
+    // centroid frame anywhere
+    val fitted = Ann.kmeansCentroids(fit)
+    val assigned = Ann.ivfAssign(emb, "vec_id", "emb", fitted)
+    assert(assigned.count() == emb.count())
+    val kept = Ann.semanticDedup(emb, "vec_id", "emb", fitted,
+      threshold = 0.999)
+    val keptN = kept.count()
+    assert(keptN > 0 && keptN <= emb.count())
+  }
+
   test("quantizeInt8: values span [-127,127], dequantization error <= scale/2, zero vector safe") {
     import spark.implicits._
     val vecs = Seq(
