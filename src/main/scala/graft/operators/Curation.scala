@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** URL/domain-aware curation — where a crawl-derived training corpus
@@ -85,5 +86,62 @@ object Curation {
       .withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
       .withColumn("domain", urlDomain(col(urlCol)))
     Sampling.perKeyCap(canon, "domain", idCol, k)
+  }
+
+  /** Default ceiling on a forced blocklist broadcast (rows). A curated
+    * robots/litigation/opt-out blocklist is small by construction; a
+    * "blocklist" the size of the corpus is a misuse of this operator, not
+    * a bigger broadcast.
+    */
+  val DefaultMaxBlocklistRows: Long = 1000000L
+
+  /** The composed crawl front door — canonicalize → blocklist → per-domain
+    * cap → dedup — as one operator, the [[TextDedup.nearDedupPipeline]]
+    * parts-to-pipeline pattern applied to crawl curation. Stages:
+    *
+    *  1. canonical_url + domain columns (pure projection);
+    *  2. blocklist screen: rows whose domain appears in `blockedDomains`
+    *     (a one-column `domain` frame — robots/litigation/opt-out lists)
+    *     are dropped via a FORCED broadcast anti-join, fail-loud-bounded
+    *     by `maxBlocklistRows` — unlike the cap anti-joins (whose
+    *     heavy-hitter sets are corpus-derived and unbounded, hence
+    *     unhinted), a curated blocklist is bounded by construction;
+    *  3. per-URL collapse: one fetch survives per canonical_url (min id —
+    *     first-crawled wins), so re-fetches and tracking-param variants
+    *     of one page never count against the domain cap;
+    *  4. per-domain cap `k` in the deterministic hash order
+    *     ([[Sampling.perKeyCap]]);
+    *  5. exact content dedup across the survivors (min id per text
+    *     digest — mirror pages on DIFFERENT domains collapse here).
+    *
+    * Scale shape: three single-shuffle stages (canonical_url, domain,
+    * text digest — each with rank-limit map-side pruning via
+    * WindowGroupLimit) plus one broadcast; no stage ever carries more
+    * than the surviving rows of the previous one, so the 100 TB cost is
+    * one pass of the raw crawl and progressively less after.
+    */
+  def crawlFrontDoor(docs: DataFrame, urlCol: String, idCol: String,
+      textCol: String, blockedDomains: DataFrame, perDomainK: Int,
+      maxBlocklistRows: Long = DefaultMaxBlocklistRows): DataFrame = {
+    require(perDomainK >= 1, s"perDomainK must be >= 1, got $perDomainK")
+    val nBlocked = blockedDomains
+      .limit(math.min(maxBlocklistRows + 1, Int.MaxValue.toLong).toInt).count()
+    require(nBlocked <= maxBlocklistRows,
+      s"crawlFrontDoor: blocklist has > $maxBlocklistRows rows (found at " +
+        s"least $nBlocked) — this operator broadcasts the blocklist to " +
+        "every executor; a corpus-sized block set belongs in a shuffled " +
+        "anti-join, not here")
+    val canon = docs
+      .withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+      .withColumn("domain", urlDomain(col(urlCol)))
+    val allowed = canon.join(
+      broadcast(blockedDomains.select(col("domain"))), Seq("domain"), "left_anti")
+    val wUrl = Window.partitionBy("canonical_url").orderBy(col(idCol))
+    val pages = allowed.withColumn("__rn", row_number().over(wUrl))
+      .filter(col("__rn") === 1).drop("__rn")
+    val capped = Sampling.perKeyCap(pages, "domain", idCol, perDomainK)
+    val wTxt = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    capped.withColumn("__rn", row_number().over(wTxt))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 }

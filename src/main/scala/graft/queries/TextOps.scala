@@ -189,6 +189,34 @@ object TextOps extends QuerySet {
     TextAnalysis.gopherScreen(injected, "doc_id", "text")
   }
 
+  /** Composed crawl front door (td38): canonicalize → blocklist →
+    * per-URL collapse → per-domain cap → exact content dedup, as ONE
+    * operator call. The derived URL reuses the td35 noise construction
+    * but keys the path (and the kept `id` param) on `doc_id % 50`, so
+    * tracking-variant and re-fetch collapse actually engages: docs
+    * sharing (source, page, variant class) canonicalize to one URL and
+    * only the lowest doc_id survives to face the domain cap. Two real
+    * domains are blocklisted (plus one absent — a no-op entry must not
+    * drop anything).
+    */
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val page = (col("doc_id") % 50).cast("string")
+    val withUrl = Q.t(s, dir, "documents").select(
+      col("doc_id"), col("source"), col("text"),
+      concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM/Page/"), page,
+        when(col("doc_id") % 4 === 0,
+          concat(lit("?utm_source=feed&id="), page, lit("&utm_campaign=x")))
+          .when(col("doc_id") % 4 === 1, lit("/?gclid=abc123"))
+          .when(col("doc_id") % 4 === 2, lit("#section2"))
+          .otherwise(lit("?page=2&fbclid=zz&sort=asc"))).as("url"))
+    val blocked = Seq("src3.example.com", "src7.example.com",
+      "blocked.invalid").toDF("domain")
+    Curation.crawlFrontDoor(withUrl, "url", "doc_id", "text", blocked,
+      perDomainK = 5)
+      .select("doc_id", "source", "canonical_url", "domain")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
     "q25_array_hof" -> (q25 _),
@@ -203,7 +231,8 @@ object TextOps extends QuerySet {
     "td34_redact_pii" -> (q34 _),
     "td35_domain_cap" -> (q35 _),
     "td36_vocab" -> (q36 _),
-    "td37_gopher_screen" -> (q37 _))
+    "td37_gopher_screen" -> (q37 _),
+    "td38_crawl_front_door" -> (q38 _))
 
   val oracles: Map[String, String] = Map(
     "q20_string_functions" ->
@@ -351,6 +380,49 @@ object TextOps extends QuerySet {
         | SELECT *, row_number() OVER (PARTITION BY domain
         |   ORDER BY md5(domain || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         | FROM cn) WHERE rn <= 5""".stripMargin,
+    "td38_crawl_front_door" ->
+      """WITH u AS (SELECT doc_id, source, text,
+        |  'HTTPS://WWW.' || source || '.Example.COM/Page/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |   WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=x'
+        |   WHEN 1 THEN '/?gclid=abc123'
+        |   WHEN 2 THEN '#section2'
+        |   ELSE '?page=2&fbclid=zz&sort=asc' END AS url
+        | FROM documents),
+        |sp AS (SELECT doc_id, source, text, url,
+        |  string_split(string_split(url, '#')[1], '?') AS bp FROM u),
+        |pr AS (SELECT doc_id, source, text, url, bp[1] AS preq,
+        |  CASE WHEN len(bp) > 1
+        |   THEN array_to_string(list_slice(bp, 2, len(bp)), '?') END AS qs
+        | FROM sp),
+        |lo AS (SELECT doc_id, source, text, url, qs,
+        |  regexp_replace(
+        |   lower(regexp_extract(preq, '^([^/]*//[^/]*)', 1))
+        |    || regexp_extract(preq, '^[^/]*//[^/]*(.*)$', 1),
+        |   '/$', '') AS noslash
+        | FROM pr),
+        |cn AS (SELECT doc_id, source, text,
+        |  noslash || CASE WHEN kept IS NOT NULL AND len(kept) > 0
+        |   THEN '?' || kept ELSE '' END AS canonical_url,
+        |  regexp_replace(regexp_extract(lower(url), '//(?:[^/@]*@)?([^/:?#]+)', 1),
+        |   '^www\.', '') AS domain
+        | FROM (SELECT *, array_to_string(list_filter(string_split(qs, '&'),
+        |    p -> NOT regexp_matches(p, '^(utm_[^=&]*|gclid|fbclid|msclkid|ref)(=|$)')),
+        |   '&') AS kept FROM lo)),
+        |flt AS (SELECT * FROM cn
+        | WHERE domain NOT IN ('src3.example.com', 'src7.example.com', 'blocked.invalid')),
+        |pg AS (SELECT doc_id, source, text, canonical_url, domain FROM (
+        |  SELECT *, row_number() OVER
+        |   (PARTITION BY canonical_url ORDER BY doc_id) AS rn FROM flt)
+        | WHERE rn = 1),
+        |cap AS (SELECT doc_id, source, text, canonical_url, domain FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY domain
+        |    ORDER BY md5(domain || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM pg) WHERE rn <= 5)
+        |SELECT doc_id, source, canonical_url, domain FROM (
+        | SELECT *, row_number() OVER
+        |  (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM cap)
+        |WHERE rn = 1""".stripMargin,
     "td36_vocab" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS freq,
         | CAST(count(DISTINCT doc_id) AS BIGINT) AS df

@@ -412,6 +412,42 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("crawlFrontDoor: blocklist drops, URL variants collapse to first fetch, mirrors dedup, guard fails loud") {
+    import spark.implicits._
+    val docs = Seq(
+      // one page fetched three times behind tracking noise → doc 1 survives
+      (1L, "https://A.com/p1?utm_source=x", "unique page one body"),
+      (2L, "https://a.com/p1#frag", "unique page one body"),
+      (3L, "https://a.com/p1/", "unique page one body"),
+      // distinct page, same host
+      (4L, "https://a.com/p2", "page two body"),
+      // blocklisted host — dropped regardless of content
+      (5L, "https://bad.com/x", "whatever"),
+      // mirror of page two on ANOTHER domain → content dedup keeps doc 4
+      (6L, "https://b.org/mirror", "page two body"),
+      // novel content on b.org
+      (7L, "https://b.org/own", "b's own content")
+    ).toDF("doc_id", "url", "text")
+    val blocked = Seq("bad.com", "absent.example").toDF("domain")
+    val kept = Curation.crawlFrontDoor(docs, "url", "doc_id", "text",
+      blocked, perDomainK = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 7L))
+    // the cap engages on collapsed PAGES, not raw fetches: 3 fetches of p1
+    // + p2 under k=2 keep both pages (collapse happens before the cap)
+    val capped = Curation.crawlFrontDoor(docs, "url", "doc_id", "text",
+      blocked, perDomainK = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(capped == Set(1L, 4L, 7L))
+    // an oversized "blocklist" must fail loud before the forced broadcast
+    val big = (1L to 20L).map(i => s"host$i.com").toDF("domain")
+    val e = intercept[IllegalArgumentException] {
+      Curation.crawlFrontDoor(docs, "url", "doc_id", "text", big,
+        perDomainK = 5, maxBlocklistRows = 10L)
+    }
+    assert(e.getMessage.contains("crawlFrontDoor"))
+  }
+
   test("gopherScreen: each signal trips on its own fixture, keep is the conjunction") {
     import spark.implicits._
     val passing = (Seq.fill(15)("alpha beta gamma delta").mkString(" ")
