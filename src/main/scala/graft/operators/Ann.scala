@@ -351,6 +351,40 @@ object Ann {
     fit.select(col("centroid_id"), col("c_emb"),
       sqrt(dot(col("c_emb"), col("c_emb"))).as("c_norm"))
 
+  /** PQ codebook training — the companion gap-closer to [[kmeansFit]]:
+    * [[pqEncode]]/[[pqTopK]] consume a codebook as given data; this fits
+    * one from the corpus, running the SAME deterministic Lloyd's rounds
+    * independently on each contiguous `dim/subspaces`-component slice
+    * (product quantization trains per-subspace quantizers by definition —
+    * Jégou et al. 2011 §III). Returns one row per (subspace, surviving
+    * centroid): `(subspace int, centroid_id int, n long, c_emb
+    * array<double> of subDim)`. Every determinism property of
+    * [[kmeansFit]] carries over verbatim (same seeding, same exact
+    * quantized mean sums), so the fit is fully hash-oracle-able (sim48).
+    *
+    * Scale shape: `subspaces` independent fits, each one slice-projection
+    * pass per round over the (sampled) corpus — work grows with
+    * subspaces × iters but every stage is the kmeansFit plan (no new
+    * shuffle shapes). A production pipeline feeds the result into a
+    * codebook literal for [[pqEncode]] (the encode side needs plan-time
+    * constants for codegen; the fit side is data).
+    */
+  def pqFit(emb: DataFrame, idCol: String, embCol: String, subspaces: Int,
+      centroidsPerSub: Int, iters: Int, dim: Int,
+      samplePred: Column = lit(true)): DataFrame = {
+    require(dim % subspaces == 0,
+      s"dim $dim must divide evenly into $subspaces subspaces")
+    val subDim = dim / subspaces
+    (0 until subspaces).map { s =>
+      val sub = emb.select(col(idCol),
+        slice(col(embCol), s * subDim + 1, subDim).as("__sub"))
+      kmeansFit(sub, idCol, "__sub", centroidsPerSub, iters, subDim,
+        samplePred)
+        .select(lit(s).as("subspace"), col("centroid_id"), col("n"),
+          col("c_emb"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Deterministic PQ codebook: centroid value for (subspace, centroid,
     * component) = firstHexDigit(md5("pq-s-c-i")) / 8 - 1 — dyadic rationals
     * in [-1, 0.875], exactly representable in double and printing short, so

@@ -155,6 +155,19 @@ object Similarity extends QuerySet {
       subspaces = 4, centroidsPerSub = 8, dim = 64)
   }
 
+  /** PQ codebook fit (sim48): Lloyd's per 16-dim subspace over the whole
+    * fixture, k=8 / 2 rounds — the codebook-training companion of sim46
+    * (missing-item #3 closure: IVF centroids AND PQ codebooks now both
+    * trainable in-engine). Same determinism machinery, fully hash-oracled.
+    */
+  def sim48(s0: SparkSession, dir: String): DataFrame = {
+    val s = withDot(s0)
+    val fit = Ann.pqFit(embD(s, dir), "vec_id", "emb", subspaces = 4,
+      centroidsPerSub = 8, iters = 2, dim = 64)
+    fit.select(col("subspace") +: col("centroid_id") +: col("n") +:
+      (0 until 16).map(i => element_at(col("c_emb"), i + 1).as(s"c$i")): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
     "sim37_lsh_buckets" -> (sim37 _),
@@ -167,7 +180,8 @@ object Similarity extends QuerySet {
     "sim44_pq_encode" -> (sim44 _),
     "sim45_pq_topk" -> (sim45 _),
     "sim46_kmeans_fit" -> (sim46 _),
-    "sim47_ivf_pq_topk" -> (sim47 _))
+    "sim47_ivf_pq_topk" -> (sim47 _),
+    "sim48_pq_fit" -> (sim48 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -207,52 +221,80 @@ object Similarity extends QuerySet {
   // seed order is (md5(id), id) — so both engines produce bit-identical
   // centroid doubles with no rounding anywhere.
 
-  /** Left-associated dot of a list-typed vector vs centroid scalar cols. */
-  private def kmEc(eRef: String, cRef: String): String =
-    (0 until 64).map(i => s"$eRef[${i + 1}] * $cRef.c$i").mkString(" + ")
+  /** Left-associated dot of the (absolute-indexed) vector slice vs
+    * centroid scalar cols; `off`/`d` select the subspace slice (0/64 =
+    * whole vector).
+    */
+  private def kmEc(eRef: String, cRef: String, off: Int, d: Int): String =
+    (0 until d).map(i => s"$eRef[${off + i + 1}] * $cRef.c$i").mkString(" + ")
 
   /** Left-associated dot(c, c) over centroid scalar columns. */
-  private def kmCc(cRef: String): String =
-    (0 until 64).map(i => s"$cRef.c$i * $cRef.c$i").mkString(" + ")
+  private def kmCc(cRef: String, d: Int): String =
+    (0 until d).map(i => s"$cRef.c$i * $cRef.c$i").mkString(" + ")
+
+  /** Sample CTE for one fit chain: slice quantization + slice self-dot;
+    * `p` prefixes every CTE name so chains compose (sim48 runs four).
+    */
+  private def kmSample(p: String, off: Int, d: Int, where: String): String =
+    s"""${p}s AS (SELECT vec_id, emb,
+       |  list_sum([emb[i] * emb[i] for i in range(${off + 1}, ${off + d + 1})]) AS ee,
+       |  [CAST(floor(emb[i] * 1048576.0 + 0.5) AS BIGINT) for i in range(${off + 1}, ${off + d + 1})] AS q
+       | FROM e$where),
+       |${p}k0 AS (SELECT
+       |  CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS INTEGER) AS centroid_id,
+       |  ${(0 until d).map(i => s"emb[${off + i + 1}] AS c$i").mkString(", ")}
+       | FROM ${p}s ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8)""".stripMargin
 
   /** One Lloyd's round: assign (argmin d2, id tiebreak) then exact-sum
     * mean update; `prev` is the previous centroid CTE name.
     */
-  private def kmRound(t: Int, prev: String): String =
-    s"""a$t AS (SELECT vec_id, q, centroid_id FROM (
+  private def kmRound(p: String, t: Int, prev: String, off: Int, d: Int): String =
+    s"""${p}a$t AS (SELECT vec_id, q, centroid_id FROM (
        |  SELECT s.vec_id, s.q, c.centroid_id,
        |   row_number() OVER (PARTITION BY s.vec_id ORDER BY
-       |    (s.ee - 2 * (${kmEc("s.emb", "c")}) + (${kmCc("c")})) ASC,
+       |    (s.ee - 2 * (${kmEc("s.emb", "c", off, d)}) + (${kmCc("c", d)})) ASC,
        |    c.centroid_id ASC) AS rn
-       |  FROM s, $prev c) WHERE rn = 1),
-       |g$t AS (SELECT centroid_id, count(*) AS n,
-       |  ${(0 until 64).map(i => s"sum(q[${i + 1}]) AS s$i").mkString(", ")}
-       | FROM a$t GROUP BY 1),
-       |k$t AS (SELECT centroid_id, n,
-       |  ${(0 until 64).map(i =>
+       |  FROM ${p}s s, $prev c) WHERE rn = 1),
+       |${p}g$t AS (SELECT centroid_id, count(*) AS n,
+       |  ${(0 until d).map(i => s"sum(q[${i + 1}]) AS s$i").mkString(", ")}
+       | FROM ${p}a$t GROUP BY 1),
+       |${p}k$t AS (SELECT centroid_id, n,
+       |  ${(0 until d).map(i =>
             s"CAST(s$i AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS c$i")
            .mkString(", ")}
-       | FROM g$t)""".stripMargin
+       | FROM ${p}g$t)""".stripMargin
+
+  /** Full two-round fit chain for one slice, ending in CTE `${p}k2`. */
+  private def kmChain(p: String, off: Int, d: Int, where: String): String =
+    s"""${kmSample(p, off, d, where)},
+       |${kmRound(p, 1, s"${p}k0", off, d)},
+       |${kmRound(p, 2, s"${p}k1", off, d)}""".stripMargin
 
   private def sim46Sql: String =
     s"""WITH e AS (SELECT vec_id,
        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
-       |s AS (SELECT vec_id, emb,
-       |  list_sum([emb[i] * emb[i] for i in range(1, 65)]) AS ee,
-       |  [CAST(floor(emb[i] * 1048576.0 + 0.5) AS BIGINT) for i in range(1, 65)] AS q
-       | FROM e WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'),
-       |k0 AS (SELECT
-       |  CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS INTEGER) AS centroid_id,
-       |  ${(0 until 64).map(i => s"emb[${i + 1}] AS c$i").mkString(", ")}
-       | FROM s ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8),
-       |${kmRound(1, "k0")},
-       |${kmRound(2, "k1")}
+       |${kmChain("", 0, 64,
+          " WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'")}
        |SELECT centroid_id, CAST(n AS BIGINT) AS n,
        | ${(0 until 64).map(i => s"c$i").mkString(", ")}
        |FROM k2""".stripMargin
 
+  /** sim48: four independent 16-dim fit chains (one per PQ subspace),
+    * unioned with the subspace tag — the exact mirror of Ann.pqFit.
+    */
+  private def sim48Sql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+       |${(0 until 4).map(s => kmChain(s"p$s", s * 16, 16, "")).mkString(",\n")}
+       |${(0 until 4).map(s =>
+          s"""SELECT CAST($s AS INTEGER) AS subspace, centroid_id,
+             | CAST(n AS BIGINT) AS n,
+             | ${(0 until 16).map(i => s"c$i").mkString(", ")}
+             |FROM p${s}k2""".stripMargin).mkString("\nUNION ALL\n")}""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim46_kmeans_fit" -> sim46Sql,
+    "sim48_pq_fit" -> sim48Sql,
     "sim47_ivf_pq_topk" ->
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),

@@ -228,6 +228,29 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(keptN > 0 && keptN <= emb.count())
   }
 
+  test("pqFit: per-subspace fits are independent slices of the kmeans machinery") {
+    val fit = Ann.pqFit(emb, "vec_id", "emb", subspaces = 4,
+      centroidsPerSub = 8, iters = 2, dim = 64).collect()
+    // each subspace conserves the corpus mass independently
+    val n = emb.count()
+    fit.groupBy(_.getAs[Int]("subspace")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("n")).sum == n)
+      assert(rows.length <= 8 && rows.nonEmpty)
+      rows.foreach(r => assert(r.getAs[scala.collection.Seq[Double]]("c_emb").size == 16))
+    }
+    // subspace 0's fit IS kmeansFit on the first 16 components — the
+    // product structure, pinned
+    val sub0 = Ann.kmeansFit(
+      emb.select(col("vec_id"), slice(col("emb"), 1, 16).as("sub")),
+      "vec_id", "sub", k = 8, iters = 2, dim = 16).collect()
+      .map(r => (r.getAs[Int]("centroid_id"), r.getAs[Long]("n"),
+        r.getAs[scala.collection.Seq[Double]]("c_emb"))).sortBy(_._1)
+    val got0 = fit.filter(_.getAs[Int]("subspace") == 0)
+      .map(r => (r.getAs[Int]("centroid_id"), r.getAs[Long]("n"),
+        r.getAs[scala.collection.Seq[Double]]("c_emb"))).sortBy(_._1)
+    assert(got0.toSeq == sub0.toSeq)
+  }
+
   test("quantizeInt8: values span [-127,127], dequantization error <= scale/2, zero vector safe") {
     import spark.implicits._
     val vecs = Seq(
