@@ -259,6 +259,26 @@ object Dedup extends QuerySet {
   def dd48(s: SparkSession, dir: String): DataFrame =
     semanticDedupQ(s, dir, maxClusterSize = 60L)
 
+  /** Self-contained semantic dedup (dd49): the dd47 screen driven by
+    * centroids FITTED in-engine (`Ann.kmeansFit`, k=8, 2 Lloyd's rounds
+    * over the full fixture) instead of the fixed vec_id<8 convention —
+    * the end-to-end SemDeDup pipeline with no caller-supplied index
+    * input anywhere, oracled as one hash (the kmeans CTE chain feeding
+    * the dd47 screen CTEs). Composition previously only spec-pinned
+    * (AnnSpec); this makes it oracle-proven.
+    */
+  def dd49(s0: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s0)
+    val e = Q.t(s0, dir, "embeddings").select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val fitted = graft.operators.Ann.kmeansCentroids(
+      graft.operators.Ann.kmeansFit(e, "vec_id", "emb", k = 8, iters = 2,
+        dim = 64))
+    graft.operators.Ann.semanticDedup(e, "vec_id", "emb", fitted,
+      threshold = 0.3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
@@ -278,7 +298,8 @@ object Dedup extends QuerySet {
     "dd45_neardedup_pipeline" -> (dd45 _),
     "dd46_dedup_incremental" -> (dd46 _),
     "dd47_semantic_dedup" -> (dd47 _),
-    "dd48_semantic_dedup_capped" -> (dd48 _))
+    "dd48_semantic_dedup_capped" -> (dd48 _),
+    "dd49_semantic_dedup_selftrained" -> (dd49 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -576,6 +597,27 @@ object Dedup extends QuerySet {
          |WHERE doc_id % 2 = 1
          | AND doc_id NOT IN (SELECT doc_id FROM ex)
          | AND doc_id NOT IN (SELECT b_id FROM m)""".stripMargin,
+    "dd49_semantic_dedup_selftrained" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+         |${Similarity.kmChain("f", 0, 64, "")},
+         |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
+         |c AS (SELECT centroid_id,
+         |  [${(0 until 64).map(i => s"c$i").mkString(", ")}] AS c_emb,
+         |  sqrt(${(0 until 64).map(i => s"c$i * c$i").mkString(" + ")}) AS c_norm
+         | FROM fk2),
+         |scored AS (SELECT w.vec_id, c.centroid_id, w.emb, w.norm,
+         |  list_sum([w.emb[i] * c.c_emb[i] for i in range(1, 65)]) / (w.norm * c.c_norm) AS cos_full
+         | FROM w, c),
+         |a AS (SELECT vec_id, centroid_id, emb, norm FROM (
+         |  SELECT *, row_number() OVER
+         |   (PARTITION BY vec_id ORDER BY cos_full DESC, centroid_id ASC) AS rn FROM scored)
+         | WHERE rn = 1),
+         |dup AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y
+         |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+         |  WHERE round($cosSql, 4) >= 0.3)
+         |SELECT vec_id, centroid_id FROM a
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
     "dd47_semantic_dedup" ->
       s"""WITH $ivfAssignCte,
          |dup AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y

@@ -225,17 +225,17 @@ object Similarity extends QuerySet {
     * centroid scalar cols; `off`/`d` select the subspace slice (0/64 =
     * whole vector).
     */
-  private def kmEc(eRef: String, cRef: String, off: Int, d: Int): String =
+  private[queries] def kmEc(eRef: String, cRef: String, off: Int, d: Int): String =
     (0 until d).map(i => s"$eRef[${off + i + 1}] * $cRef.c$i").mkString(" + ")
 
   /** Left-associated dot(c, c) over centroid scalar columns. */
-  private def kmCc(cRef: String, d: Int): String =
+  private[queries] def kmCc(cRef: String, d: Int): String =
     (0 until d).map(i => s"$cRef.c$i * $cRef.c$i").mkString(" + ")
 
   /** Sample CTE for one fit chain: slice quantization + slice self-dot;
     * `p` prefixes every CTE name so chains compose (sim48 runs four).
     */
-  private def kmSample(p: String, off: Int, d: Int, where: String): String =
+  private[queries] def kmSample(p: String, off: Int, d: Int, where: String): String =
     s"""${p}s AS (SELECT vec_id, emb,
        |  list_sum([emb[i] * emb[i] for i in range(${off + 1}, ${off + d + 1})]) AS ee,
        |  [CAST(floor(emb[i] * 1048576.0 + 0.5) AS BIGINT) for i in range(${off + 1}, ${off + d + 1})] AS q
@@ -248,7 +248,7 @@ object Similarity extends QuerySet {
   /** One Lloyd's round: assign (argmin d2, id tiebreak) then exact-sum
     * mean update; `prev` is the previous centroid CTE name.
     */
-  private def kmRound(p: String, t: Int, prev: String, off: Int, d: Int): String =
+  private[queries] def kmRound(p: String, t: Int, prev: String, off: Int, d: Int): String =
     s"""${p}a$t AS (SELECT vec_id, q, centroid_id FROM (
        |  SELECT s.vec_id, s.q, c.centroid_id,
        |   row_number() OVER (PARTITION BY s.vec_id ORDER BY
@@ -265,7 +265,7 @@ object Similarity extends QuerySet {
        | FROM ${p}g$t)""".stripMargin
 
   /** Full two-round fit chain for one slice, ending in CTE `${p}k2`. */
-  private def kmChain(p: String, off: Int, d: Int, where: String): String =
+  private[queries] def kmChain(p: String, off: Int, d: Int, where: String): String =
     s"""${kmSample(p, off, d, where)},
        |${kmRound(p, 1, s"${p}k0", off, d)},
        |${kmRound(p, 2, s"${p}k1", off, d)}""".stripMargin
