@@ -746,6 +746,72 @@ object TextDedup {
     fresh.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Cross-document exact-substring span removal (the Spark-native form
+    * of Lee et al. 2021, arXiv:2107.06499 "Deduplicating Training Data
+    * Makes Language Models Better", which removes repeated ≥50-token
+    * substrings via a corpus suffix array): every token covered by an
+    * `n`-token window whose content appears in at least `minDocs`
+    * DISTINCT documents is dropped, and each document's surviving tokens
+    * are reassembled in order. The granularity the other dedup operators
+    * miss — document-level ([[exactDedup]]/[[nearDedupPipeline]]) keeps a
+    * whole near-copy, line-level ([[lineDedup]]) only catches repeats
+    * that align to line boundaries; this catches boilerplate SPANS inside
+    * otherwise-unique prose. Returns (idCol, textCol cleaned — empty
+    * string when everything was repeated, rows never dropped,
+    * n_removed).
+    *
+    * Note the Lee semantics: ALL copies of a repeated span are removed
+    * (there is no canonical keeper) — run [[exactDedup]] first, as a
+    * production pipeline does, so full-document duplicates don't vaporize
+    * both copies.
+    *
+    * Scale shape (the [[lineDedup]] economics at token-window grain): the
+    * window frame carries (doc_id, start, 16-byte digest) — never window
+    * text — and feeds both the census and the coverage expansion, so it
+    * is lazily checkpoint-materialized once; the hot-window set is
+    * O(windows/minDocs), unbounded on template-heavy corpora, so it joins
+    * back UNHINTED (AQE broadcasts only when the runtime size fits);
+    * coverage positions dedup to O(tokens); reassembly is one
+    * partial-aggregated groupBy per doc. Total: three digest/position
+    * shuffles, all linear in corpus tokens.
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Long = 2L): DataFrame = {
+    require(n >= 1, s"window length must be >= 1 token, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__tk", split(col("__text"), " "))
+    // sequence(1, m) DESCENDS when m < 1 — guard short docs to no windows
+    val win = base.select(col("doc_id"),
+      when(size(col("__tk")) >= n,
+        transform(sequence(lit(1), size(col("__tk")) - n + 1),
+          j => md5(array_join(slice(col("__tk"), j, lit(n)), " "))))
+        .otherwise(array().cast("array<string>")).as("__ws"))
+      .select(col("doc_id"), posexplode(col("__ws")).as(Seq("__p0", "__h")))
+      .localCheckpoint(false)
+    val hot = win.groupBy("__h")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDocs).select("__h")
+    val covered = win.join(hot, Seq("__h"))
+      .select(col("doc_id"),
+        explode(sequence(col("__p0") + 1, col("__p0") + n)).as("__p"))
+      .distinct()
+    val tok = base.select(col("doc_id"),
+        posexplode(col("__tk")).as(Seq("__tp0", "__token")))
+      .select(col("doc_id"), (col("__tp0") + 1).as("__p"), col("__token"))
+    val kept = tok.join(covered, Seq("doc_id", "__p"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__p"), col("__token")))),
+        s => s("__token")), " ").as("__newtext"),
+      count(lit(1)).as("__kept"))
+    base.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        coalesce(col("__newtext"), lit("")).as(textCol),
+        (size(col("__tk")).cast("long") - coalesce(col("__kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
   /** Audit companion to [[minhashLshPairs]]: per-bucket population and
     * whether the cap would drop it — the "dropped bucket" metric a 100 TB
     * run monitors (dropped buckets ⇒ candidate recall loss on boilerplate).

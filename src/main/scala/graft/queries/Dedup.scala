@@ -279,6 +279,26 @@ object Dedup extends QuerySet {
       threshold = 0.3)
   }
 
+  /** Exact-substring span dedup (dd50, Lee 2021-style): tokens covered by
+    * any 5-token window repeated across >= 2 distinct documents are
+    * removed. A third of the corpus gets a SHARED 12-token boilerplate
+    * tail (the td34 injection pattern, same construction in both
+    * engines), so in-tail windows go hot and exactly the tail strips —
+    * windows straddling the splice point stay unique per doc and pin the
+    * partial-coverage boundary; pre-existing exact-duplicate texts
+    * vaporize on all copies, the documented Lee semantics.
+    */
+  def dd50(s: SparkSession, dir: String): DataFrame = {
+    val injected = Q.t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" subscribe to our newsletter for daily updates and exclusive offers today"))
+          .otherwise(lit(""))).as("text"))
+    graft.operators.TextDedup.substringDedup(injected, "doc_id", "text",
+      n = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
@@ -299,7 +319,8 @@ object Dedup extends QuerySet {
     "dd46_dedup_incremental" -> (dd46 _),
     "dd47_semantic_dedup" -> (dd47 _),
     "dd48_semantic_dedup_capped" -> (dd48 _),
-    "dd49_semantic_dedup_selftrained" -> (dd49 _))
+    "dd49_semantic_dedup_selftrained" -> (dd49 _),
+    "dd50_substring_dedup" -> (dd50 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -597,6 +618,31 @@ object Dedup extends QuerySet {
          |WHERE doc_id % 2 = 1
          | AND doc_id NOT IN (SELECT doc_id FROM ex)
          | AND doc_id NOT IN (SELECT b_id FROM m)""".stripMargin,
+    "dd50_substring_dedup" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0
+        |   THEN ' subscribe to our newsletter for daily updates and exclusive offers today'
+        |   ELSE '' END AS text FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM d),
+        |wj AS (SELECT doc_id, unnest(range(1, greatest(len(tk) - 5 + 1, 0) + 1)) AS j FROM t),
+        |w AS (SELECT wj.doc_id, j,
+        |  md5(array_to_string(list_slice(t.tk, j, j + 4), ' ')) AS h
+        | FROM wj JOIN t USING (doc_id)),
+        |hot AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |ks AS (SELECT unnest(range(0, 5)) AS k),
+        |cov AS (SELECT DISTINCT w.doc_id, w.j + ks.k AS p
+        | FROM w JOIN hot USING (h) CROSS JOIN ks),
+        |pos AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS p FROM t),
+        |tok AS (SELECT pos.doc_id, p, t.tk[p] AS token
+        | FROM pos JOIN t USING (doc_id)),
+        |kept AS (SELECT tok.doc_id, tok.p, tok.token
+        | FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        | WHERE cov.p IS NULL),
+        |reb AS (SELECT doc_id, array_to_string(list(token ORDER BY p), ' ') AS text,
+        |  count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(reb.text, '') AS text,
+        | CAST(len(t.tk) AS BIGINT) - CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN reb USING (doc_id)""".stripMargin,
     "dd49_semantic_dedup_selftrained" ->
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),

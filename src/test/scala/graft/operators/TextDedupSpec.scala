@@ -345,6 +345,32 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
         "the index must materialize from ONE pass and be reused by later batches")
   }
 
+  test("substringDedup removes exactly the cross-doc repeated span, all copies, short docs safe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c one two three four five x"),
+      (2L, "p q one two three four five y z"),
+      (3L, "completely unrelated words only here now"),
+      (4L, "four tokens only here") // < n, no windows, untouched
+    ).toDF("doc_id", "text")
+    val out = TextDedup.substringDedup(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // the shared 5-gram strips from BOTH docs (Lee semantics — no keeper);
+    // straddling windows are unique per doc, so surrounding prose survives
+    assert(out(1L) == ("a b c x", 5L))
+    assert(out(2L) == ("p q y z", 5L))
+    assert(out(3L) == ("completely unrelated words only here now", 0L))
+    assert(out(4L) == ("four tokens only here", 0L))
+    // a fully-repeated doc pair vaporizes on both sides, rows kept
+    val dup = Seq(
+      (1L, "same text appears twice in this corpus body"),
+      (2L, "same text appears twice in this corpus body")
+    ).toDF("doc_id", "text")
+    val gone = TextDedup.substringDedup(dup, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(gone(1L) == ("", 8L) && gone(2L) == ("", 8L))
+  }
+
   test("simhash of identical texts is identical") {
     val sh = TextDedup.simhash(docs, "doc_id", "text", 16)
     val joined = docs.select(col("doc_id").as("id_a"), md5(col("text")).as("fp"))
