@@ -588,6 +588,50 @@ object Ann {
       .select("vec_id", "centroid_id")
   }
 
+  /** Prebuilt reference-side cell index for [[semanticScreen]] — the
+    * embedding-space analogue of [[TextDedup.buildReferenceIndex]],
+    * applying the same one-scan lesson from the start: the reference
+    * corpus is cell-assigned ONCE (the [[ivfAssign]] projection, lazily
+    * checkpoint-materialized) and every screened batch — including every
+    * stream micro-batch (st51) — reads the materialized cells instead of
+    * re-assigning a 100 TB reference per call. A production pipeline
+    * persists this frame as parquet bucketed by centroid_id.
+    */
+  def buildSemanticIndex(refEmb: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame): DataFrame =
+    ivfAssign(refEmb, idCol, embCol, centroids)
+      .select(col("vec_id").as("r_id"), col("centroid_id"),
+        col("emb").as("r_emb"), col("norm").as("r_norm"))
+      .localCheckpoint(false)
+
+  /** Incremental SemDeDup-style screen of a NEW batch against an
+    * existing REFERENCE corpus — the embedding-space twin of
+    * [[TextDedup.dedupAgainstIndex]], and the production ingest form of
+    * [[semanticDedup]] (which dedups a corpus against itself): a batch
+    * vector is dropped iff SOME reference vector in its assigned cell has
+    * cosine ≥ `threshold` (an EXISTS against the reference, no closure,
+    * no batch-internal comparison — run [[semanticDedup]] on the
+    * survivors for that). Returns surviving batch rows as
+    * (vec_id, centroid_id).
+    *
+    * Scale shape: batch assignment is the no-expansion projection argmin;
+    * the screen joins the O(batch) assigned frame to the index on the
+    * cell id, so candidates are batch × mean-cell-size — proportional to
+    * the BATCH, never the reference; the dominated-id set anti-joins
+    * back unhinted.
+    */
+  def semanticScreen(index: DataFrame, batch: DataFrame, idCol: String,
+      embCol: String, centroids: DataFrame, threshold: Double): DataFrame = {
+    val b = ivfAssign(batch, idCol, embCol, centroids)
+      .select("vec_id", "centroid_id", "emb", "norm")
+    val cosine = dot(col("emb"), col("r_emb")) / (col("norm") * col("r_norm"))
+    val dominated = b.join(index, Seq("centroid_id"))
+      .filter(round(cosine, 4) >= threshold)
+      .select(col("vec_id")).distinct()
+    b.join(dominated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
   /** Symmetric per-vector int8 scalar quantization — the 4× memory
     * compression an ANN index applies before a 100 TB corpus fits in
     * executor/SSD budgets. Each vector is scaled by its own max-abs so

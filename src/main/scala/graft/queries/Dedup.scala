@@ -299,6 +299,30 @@ object Dedup extends QuerySet {
       n = 5)
   }
 
+  /** Incremental semantic screen vs a reference corpus (dd51): the odd
+    * half of the embeddings arrives as the batch and is screened against
+    * the even half (the dd46/st50 split convention) inside the sim39
+    * centroid cells at threshold 0.3 — a batch vector drops iff some
+    * same-cell reference vector dominates it. The index is prebuilt
+    * (`Ann.buildSemanticIndex`), so the reference is assigned once;
+    * st51 is the streaming twin.
+    */
+  def dd51(s0: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s0)
+    val e = Q.t(s0, dir, "embeddings").select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val centroids = e.filter(col("vec_id") < 8).select(
+      col("vec_id").as("centroid_id"), col("emb").as("c_emb"),
+      sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb")))
+        .as("c_norm"))
+    val index = graft.operators.Ann.buildSemanticIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "emb", centroids)
+    graft.operators.Ann.semanticScreen(index,
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "emb", centroids,
+      threshold = 0.3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
@@ -320,7 +344,8 @@ object Dedup extends QuerySet {
     "dd47_semantic_dedup" -> (dd47 _),
     "dd48_semantic_dedup_capped" -> (dd48 _),
     "dd49_semantic_dedup_selftrained" -> (dd49 _),
-    "dd50_substring_dedup" -> (dd50 _))
+    "dd50_substring_dedup" -> (dd50 _),
+    "dd51_semantic_screen_incremental" -> (dd51 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -618,6 +643,16 @@ object Dedup extends QuerySet {
          |WHERE doc_id % 2 = 1
          | AND doc_id NOT IN (SELECT doc_id FROM ex)
          | AND doc_id NOT IN (SELECT b_id FROM m)""".stripMargin,
+    "dd51_semantic_screen_incremental" ->
+      s"""WITH $ivfAssignCte,
+         |r AS (SELECT * FROM a WHERE vec_id % 2 = 0),
+         |b AS (SELECT * FROM a WHERE vec_id % 2 = 1),
+         |dom AS (SELECT DISTINCT b.vec_id FROM b JOIN r
+         |  ON b.centroid_id = r.centroid_id
+         |  WHERE round(list_sum([b.emb[i] * r.emb[i] for i in range(1, 65)])
+         |    / (b.norm * r.norm), 4) >= 0.3)
+         |SELECT vec_id, centroid_id FROM b
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dom)""".stripMargin,
     "dd50_substring_dedup" ->
       """WITH d AS (SELECT doc_id, text ||
         |  CASE WHEN doc_id % 3 = 0

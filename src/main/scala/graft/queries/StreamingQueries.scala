@@ -194,11 +194,67 @@ object StreamingQueries extends QuerySet {
     streamed
   }
 
+  /** Streaming incremental SEMANTIC screen (st51): the odd-half embedding
+    * feed screened per micro-batch against the static even half with
+    * `Ann.semanticScreen` inside `foreachBatch` — the embedding-space
+    * twin of st50, riding a `buildSemanticIndex` built ONCE outside the
+    * stream (the reference corpus is cell-assigned on the first trigger
+    * and read from the checkpoint by every later one). The per-vector
+    * decision depends only on the REFERENCE, so any micro-batch
+    * partitioning yields the same union — asserted by identity-set
+    * parity against the ORACLED dd51 batch twin.
+    */
+  def st51(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val src = Paths.get(s"$dir/embeddings.parquet")
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val staged = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_st51_emb_$key")
+    Files.createDirectories(staged)
+    Files.copy(src, staged.resolve("embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    def embD(df: DataFrame): DataFrame = df.select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val all = embD(Q.t(s, dir, "embeddings"))
+    val centroids = all.filter(col("vec_id") < 8).select(
+      col("vec_id").as("centroid_id"), col("emb").as("c_emb"),
+      sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb")))
+        .as("c_norm"))
+    val index = graft.operators.Ann.buildSemanticIndex(
+      all.filter(col("vec_id") % 2 === 0), "vec_id", "emb", centroids)
+    val schema = s.read.parquet(staged.toString).schema
+    val feed = s.readStream.schema(schema).parquet(staged.toString)
+      .filter(col("vec_id") % 2 === 1)
+    val out = tmp("graft_st51_out")
+    val q = feed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Ann.semanticScreen(index, embD(batch),
+            "vec_id", "emb", centroids, threshold = 0.3)
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", tmp("graft_st51_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = s.read.parquet(out)
+    val batchTwin = Dedup.dd51(s, dir)
+    val missing = batchTwin.select("vec_id")
+      .except(streamed.select("vec_id")).count()
+    val extra = streamed.select("vec_id")
+      .except(batchTwin.select("vec_id")).count()
+    require(missing == 0 && extra == 0,
+      s"streamed semantic screen diverged from the batch twin: " +
+        s"missing=$missing extra=$extra")
+    streamed
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st47_stream_silver_drain" -> (st47 _),
     "st48_stream_dedup_replay" -> (st48 _),
     "st49_stream_hourly_health" -> (st49 _),
-    "st50_stream_incremental_dedup" -> (st50 _))
+    "st50_stream_incremental_dedup" -> (st50 _),
+    "st51_stream_semantic_screen" -> (st51 _))
 
   // no DuckDB oracles: streaming drains are rows-only by design; the parity
   // require()s above carry the correctness assertion
