@@ -45,7 +45,7 @@ object Bench {
       .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        BenchHarness.executeFully(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       val t = try {

@@ -9,6 +9,20 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchHarness {
 
+  /** The timed action for every benched query: execute the query's OWN
+    * physical plan and drain every output row (r7 measurement-basis fix).
+    * `df.count()` plants an Aggregate on top and lets Catalyst prune
+    * everything the count doesn't need — a pure projection degenerates to
+    * a parquet row count, and a left-join rebuild (dd50) loses its entire
+    * compute (measured: 0.14 s counted vs 43 s real) — while the DuckDB
+    * sidecar `fetchall()`s full results, biasing every affected ratio in
+    * Spark's favor. `toRdd.count()` consumes the compiled plan's row
+    * iterator with no count pushdown and no driver materialization: what
+    * the query computes is what gets timed, same as the oracle side.
+    */
+  def executeFully(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def escJson(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"

@@ -37,6 +37,7 @@ object BenchHeavy {
     "q33_token_budget",
     "q35_weighted_mix",
     "dd44_line_dedup",
+    "dd50_substring_dedup",
     "td29_fingerprint")
   // dd45 composes the same recursive-CTE closure as dd36 — both oracles
   // are infeasible at the 10x tier (which is itself the scale point)
@@ -93,7 +94,7 @@ object BenchHeavy {
     val results = heavySpark.map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).count()
+        BenchHarness.executeFully(SparkEntry.queries(name)(spark, dir))
         (System.nanoTime() - t0) / 1e9
       }
       val t = try math.min(once(), once())

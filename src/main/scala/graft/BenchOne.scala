@@ -9,7 +9,7 @@ object BenchOne {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(args(0))(spark, dir).count()
+      val n = BenchHarness.executeFully(SparkEntry.queries(args(0))(spark, dir))
       println(s"RUN$i ${args(0)} rows=$n secs=${(System.nanoTime()-t0)/1e9}")
     }
     spark.stop()

@@ -140,6 +140,19 @@ object GraftFunctions {
     }
   }
 
+  private[functions] val buildNgramDigests: Seq[Expression] => Expression = children => {
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_ngram_digests: " +
+          s"expected 2 (graft_ngram_digests(text, n)), got ${children.length}")
+    children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+        NgramDigests(children(0), n)
+      case other => throw new IllegalArgumentException(
+        s"graft_ngram_digests n must be an integer literal, got $other")
+    }
+  }
+
   private[functions] val buildShingles: Seq[Expression] => Expression = children => {
     if (children.length != 1)
       throw new IllegalArgumentException(
@@ -163,7 +176,10 @@ object GraftFunctions {
       buildNfc),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[BigramShingles].getName, "graft_shingles"),
-      buildShingles))
+      buildShingles),
+    (FunctionIdentifier("graft_ngram_digests"),
+      new ExpressionInfo(classOf[NgramDigests].getName, "graft_ngram_digests"),
+      buildNgramDigests))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>
@@ -193,6 +209,13 @@ object GraftFunctions {
     */
   def shingles(text: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_shingles", text)
+
+  /** md5 digests of all sliding n-token windows, one fused codegen loop
+    * (parity with the composable HOF form is spec-pinned).
+    */
+  def ngramDigests(text: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_ngram_digests", text,
+      org.apache.spark.sql.functions.lit(n))
 }
 
 /** Extensions entry point: inject graft functions into every session built
@@ -220,5 +243,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_shingles"),
         new ExpressionInfo(classOf[BigramShingles].getName, "graft_shingles"),
         GraftFunctions.buildShingles))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_ngram_digests"),
+        new ExpressionInfo(classOf[NgramDigests].getName, "graft_ngram_digests"),
+        GraftFunctions.buildNgramDigests))
   }
 }

@@ -776,17 +776,24 @@ object TextDedup {
     * shuffles, all linear in corpus tokens.
     */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minDocs: Long = 2L): DataFrame = {
+      n: Int, minDocs: Long = 2L, fast: Boolean = false): DataFrame = {
     require(n >= 1, s"window length must be >= 1 token, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .withColumn("__tk", split(col("__text"), " "))
+    // `fast` computes the window digests in one fused codegen loop
+    // (graft_ngram_digests — identical output, spec-pinned parity,
+    // requires GraftFunctions.register); the composable form interprets a
+    // lambda and allocates a slice + joined string PER WINDOW, which is
+    // the dominant cost of the whole operator at corpus scale.
     // sequence(1, m) DESCENDS when m < 1 — guard short docs to no windows
-    val win = base.select(col("doc_id"),
-      when(size(col("__tk")) >= n,
+    val windowDigests =
+      if (fast) graft.functions.GraftFunctions.ngramDigests(col("__text"), n)
+      else when(size(col("__tk")) >= n,
         transform(sequence(lit(1), size(col("__tk")) - n + 1),
           j => md5(array_join(slice(col("__tk"), j, lit(n)), " "))))
-        .otherwise(array().cast("array<string>")).as("__ws"))
+        .otherwise(array().cast("array<string>"))
+    val win = base.select(col("doc_id"), windowDigests.as("__ws"))
       .select(col("doc_id"), posexplode(col("__ws")).as(Seq("__p0", "__h")))
       .localCheckpoint(false)
     val hot = win.groupBy("__h")

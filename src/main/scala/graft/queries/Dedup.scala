@@ -289,6 +289,7 @@ object Dedup extends QuerySet {
     * vaporize on all copies, the documented Lee semantics.
     */
   def dd50(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val injected = Q.t(s, dir, "documents").select(
       col("doc_id"),
       concat(col("text"),
@@ -296,7 +297,7 @@ object Dedup extends QuerySet {
           lit(" subscribe to our newsletter for daily updates and exclusive offers today"))
           .otherwise(lit(""))).as("text"))
     graft.operators.TextDedup.substringDedup(injected, "doc_id", "text",
-      n = 5)
+      n = 5, fast = true)
   }
 
   /** Incremental semantic screen vs a reference corpus (dd51): the odd

@@ -371,6 +371,40 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(gone(1L) == ("", 8L) && gone(2L) == ("", 8L))
   }
 
+  test("substringDedup fast path (graft_ngram_digests) is output-identical to the composable form") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // edge shapes: repeated spans, multi-space (empty tokens), short docs,
+    // empty text, unicode
+    val docs = Seq(
+      (1L, "a b c one two three four five x"),
+      (2L, "p q one two three four five y z"),
+      (3L, "double  space  tokens  here repeated body tail one"),
+      (4L, "double  space  tokens  here repeated body tail two"),
+      (5L, "tiny doc"),
+      (6L, ""),
+      (7L, "naïve café über one two three four five emoji 🎉 end")
+    ).toDF("doc_id", "text")
+    val slow = TextDedup.substringDedup(docs, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val fast = TextDedup.substringDedup(docs, "doc_id", "text", n = 5,
+        fast = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(fast == slow)
+    // and the raw digest arrays agree window-for-window
+    val a = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.ngramDigests(col("text"), 3).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val tk = col("text")
+    val b = docs.select(col("doc_id"),
+      when(size(split(tk, " ")) >= 3,
+        transform(sequence(lit(1), size(split(tk, " ")) - 2),
+          j => md5(array_join(slice(split(tk, " "), j, lit(3)), " "))))
+        .otherwise(array().cast("array<string>")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(a == b)
+  }
+
   test("simhash of identical texts is identical") {
     val sh = TextDedup.simhash(docs, "doc_id", "text", 16)
     val joined = docs.select(col("doc_id").as("id_a"), md5(col("text")).as("fp"))
