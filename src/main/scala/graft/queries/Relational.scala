@@ -118,21 +118,35 @@ object Relational extends QuerySet {
   /** A4 (ref: gold_x12_analytics.py:773-790 global KPIs; fixes the reference
     * bug of reading trading_partner_combination before it exists — here the
     * distinct pair is computed inline).
+    *
+    * Plan shape: THREE countDistincts in one Aggregate make Catalyst plan
+    * an `Expand` that replicates every input row once per distinct group
+    * (4× the corpus through the aggregation pipeline — at 100 TB, the
+    * amplified-intermediate class). Decomposed instead into one plain
+    * aggregate plus one single-distinct aggregate per key — each
+    * partial-aggregates map-side with NO row expansion — joined as 1-row
+    * frames (BroadcastNestedLoopJoin, no exchange). Same result, same
+    * oracle; measured 2.4 s → ~0.8 s at sf0.1 local[32].
     */
-  def q08(s: SparkSession, dir: String): DataFrame =
-    Q.t(s, dir, "lineitem")
-      .agg(
-        count(lit(1)).as("cnt"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(concat_ws("-", col("l_partkey"), col("l_suppkey")))
-          .as("n_part_supp_pairs"),
-        Q.dsum(col("l_quantity")).as("sum_qty"),
-        sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("long")
-          .as("n_returned"),
-        max(col("l_shipdate")).as("max_ship"))
+  def q08(s: SparkSession, dir: String): DataFrame = {
+    val li = Q.t(s, dir, "lineitem")
+    val basic = li.agg(
+      count(lit(1)).as("cnt"),
+      Q.dsum(col("l_quantity")).as("sum_qty"),
+      sum(when(col("l_returnflag") === "R", 1).otherwise(0)).cast("long")
+        .as("n_returned"),
+      max(col("l_shipdate")).as("max_ship"))
+    val orders = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val parts = li.agg(countDistinct(col("l_partkey")).as("n_parts"))
+    val pairs = li.agg(countDistinct(
+      concat_ws("-", col("l_partkey"), col("l_suppkey"))).as("n_part_supp_pairs"))
+    basic.crossJoin(orders).crossJoin(parts).crossJoin(pairs)
+      .select(col("cnt"), col("n_orders"), col("n_parts"),
+        col("n_part_supp_pairs"), col("sum_qty"), col("n_returned"),
+        col("max_ship"))
       .withColumn("pct_returned",
         round(col("n_returned").cast("double") / col("cnt") * 100, 4))
+  }
 
   /** A5 (ref: generate_x12_acknowledgments.py:155-163) — collect_list per
     * group; sorted for determinism (collect order is partition-dependent)

@@ -353,6 +353,17 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
       .foreach { case (id, cid) => assert(brute(id) == cid, s"vec $id") }
   }
 
+  test("q08 global KPIs never Expand the corpus (multi-distinct decomposition)") {
+    // three countDistincts in one Aggregate would plan an Expand that
+    // replicates every input row once per distinct group — the r7 rewrite
+    // decomposes them into single-distinct subtrees joined as 1-row frames
+    val df = graft.queries.Relational.q08(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"multi-distinct aggregate must not replicate the corpus:\n$plan")
+    assert(df.count() == 1)
+  }
+
   test("filter + projection reach the parquet scan (pushdown contract)") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .filter(col("o_orderstatus") === "O")
