@@ -101,16 +101,21 @@ object TextAnalysis {
     * docs as clean, not omit them).
     */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
-      benchmark: DataFrame, benchTextCol: String): DataFrame = {
+      benchmark: DataFrame, benchTextCol: String,
+      fast: Boolean = false): DataFrame = {
+    // fast = the native graft_shingles loop (identical output, parity
+    // spec-pinned at TextDedupSpec; requires GraftFunctions.register) —
+    // the shingle computation dominates this scan-shaped screen
     val docSh = docs.select(col(idCol).as("doc_id"),
-      explode(TextDedup.bigramShingles(col(textCol))).as("shingle"))
+      explode(TextDedup.bigramShingles(col(textCol), fast)).as("shingle"))
     val benchSh = benchmark
-      .select(explode(TextDedup.bigramShingles(col(benchTextCol))).as("shingle"))
+      .select(explode(TextDedup.bigramShingles(col(benchTextCol), fast))
+        .as("shingle"))
       .distinct()
     val shared = docSh.join(broadcast(benchSh), "shingle")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     docs.select(col(idCol).as("doc_id"),
-        size(TextDedup.bigramShingles(col(textCol))).as("n_shingles"))
+        size(TextDedup.bigramShingles(col(textCol), fast)).as("n_shingles"))
       .join(shared, Seq("doc_id"), "left")
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .withColumn("contamination_ratio",
@@ -195,12 +200,19 @@ object TextAnalysis {
 
   /** Content fingerprints: normalized md5, token min-hash, head shingle. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-      headTokens: Int = 5): DataFrame = {
+      headTokens: Int = 5, fast: Boolean = false): DataFrame = {
     val t = toks(col(textCol))
+    // a 1-token window's space-joined content IS the token, so the native
+    // n-gram digest loop computes exactly transform(t, md5) with no
+    // interpreted lambda or per-token UTF8String round-trip (fast requires
+    // GraftFunctions.register; parity spec-pinned)
+    val tokenHashes =
+      if (fast) graft.functions.GraftFunctions.ngramDigests(col(textCol), 1)
+      else transform(t, x => md5(x))
     docs.select(
       col(idCol),
       md5(lower(col(textCol))).as("content_fp"),
-      array_min(transform(t, x => md5(x))).as("token_min_hash"),
+      array_min(tokenHashes).as("token_min_hash"),
       md5(concat_ws("|", slice(t, 1, headTokens))).as("head_fp"))
   }
 

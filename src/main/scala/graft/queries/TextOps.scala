@@ -77,17 +77,21 @@ object TextOps extends QuerySet {
     * min-hash (training-data op; the md5-based min over token hashes is the
     * same primitive MinHash builds on).
     */
-  def q29(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.fingerprints(Q.t(s, dir, "documents"), "doc_id", "text")
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    TextAnalysis.fingerprints(Q.t(s, dir, "documents"), "doc_id", "text",
+      fast = true)
+  }
 
   /** Benchmark-contamination screen — distinct-shingle overlap of every
     * document against a (broadcast) benchmark corpus; the pseudo-benchmark
     * here is every 50th document (training-data op: eval-leakage check).
     */
   def q30(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val docs = Q.t(s, dir, "documents")
     TextAnalysis.contamination(docs, "doc_id", "text",
-      docs.filter(col("doc_id") % 50 === 0), "text")
+      docs.filter(col("doc_id") % 50 === 0), "text", fast = true)
   }
 
   /** Canonical normalization (NFC + lower + whitespace collapse) via the

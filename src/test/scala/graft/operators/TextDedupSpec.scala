@@ -403,6 +403,14 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
         .otherwise(array().cast("array<string>")).as("d"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(a == b)
+    // n=1 windows ARE the tokens — the td29 token_min_hash fast path
+    val a1 = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.ngramDigests(col("text"), 1).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val b1 = docs.select(col("doc_id"),
+      transform(split(col("text"), " "), x => md5(x)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(a1 == b1)
   }
 
   test("simhash of identical texts is identical") {
