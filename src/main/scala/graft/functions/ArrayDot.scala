@@ -153,6 +153,14 @@ object GraftFunctions {
     }
   }
 
+  private[functions] val buildTopFreq: Seq[Expression] => Expression = children => {
+    if (children.length != 1)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_top_freq: " +
+          s"expected 1 (graft_top_freq(array<string>)), got ${children.length}")
+    TopFreq(children.head)
+  }
+
   private[functions] val buildShingles: Seq[Expression] => Expression = children => {
     if (children.length != 1)
       throw new IllegalArgumentException(
@@ -179,7 +187,10 @@ object GraftFunctions {
       buildShingles),
     (FunctionIdentifier("graft_ngram_digests"),
       new ExpressionInfo(classOf[NgramDigests].getName, "graft_ngram_digests"),
-      buildNgramDigests))
+      buildNgramDigests),
+    (FunctionIdentifier("graft_top_freq"),
+      new ExpressionInfo(classOf[TopFreq].getName, "graft_top_freq"),
+      buildTopFreq))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>
@@ -216,6 +227,12 @@ object GraftFunctions {
   def ngramDigests(text: Column, n: Int): Column =
     org.apache.spark.sql.functions.call_function("graft_ngram_digests", text,
       org.apache.spark.sql.functions.lit(n))
+
+  /** Highest element multiplicity of an array<string>, one codegen'd
+    * O(n) hash-count pass (parity with the sorted-run fold is spec-pinned).
+    */
+  def topFreq(arr: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_top_freq", arr)
 }
 
 /** Extensions entry point: inject graft functions into every session built
@@ -247,5 +264,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_ngram_digests"),
         new ExpressionInfo(classOf[NgramDigests].getName, "graft_ngram_digests"),
         GraftFunctions.buildNgramDigests))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_top_freq"),
+        new ExpressionInfo(classOf[TopFreq].getName, "graft_top_freq"),
+        GraftFunctions.buildTopFreq))
   }
 }

@@ -172,8 +172,28 @@ object TextAnalysis {
     * single fold — not the naive distinct × filter scan, which is
     * quadratic interpreted-lambda work on long documents. No shuffle.
     */
-  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+      fast: Boolean = false): DataFrame = {
     val t = toks(col(textCol))
+    if (fast) {
+      // graft_top_freq: one codegen'd O(n) hash-count pass instead of the
+      // interpreted O(n log n) sorted-run fold (requires
+      // GraftFunctions.register; parity spec-pinned). Tokens are counted
+      // raw; bigram multiplicity counts the native window DIGESTS
+      // (graft_ngram_digests n=2) — digest-equality-as-content-equality,
+      // the same stance as every digest screen in TextDedup. The bigram
+      // denominator size(t)-1 is the window count (0/0 → NaN exactly as
+      // the composable form's empty-bigram division).
+      val nTok = size(t)
+      val f = graft.functions.GraftFunctions
+      return docs.select(col(idCol),
+        nTok.as("n_tokens"),
+        round(size(array_distinct(t)).cast("double") / nTok, 6)
+          .as("distinct_token_ratio"),
+        round(f.topFreq(t).cast("double") / nTok, 6).as("top_token_share"),
+        round(f.topFreq(f.ngramDigests(col(textCol), 2)).cast("double")
+          / (nTok - 1), 6).as("top_bigram_share"))
+    }
     // NON-distinct bigrams — repetition needs multiplicity
     val bg = zip_with(
       slice(t, lit(1), size(t) - 1),

@@ -105,8 +105,11 @@ object TextOps extends QuerySet {
   /** Within-document repetition screens (Gopher-style): distinct-token
     * ratio and top token/bigram shares.
     */
-  def q32(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.repetition(Q.t(s, dir, "documents"), "doc_id", "text")
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    TextAnalysis.repetition(Q.t(s, dir, "documents"), "doc_id", "text",
+      fast = true)
+  }
 
   /** BPE-style pre-token counting next to the whitespace count — the two
     * token-budget currencies; Java-regex/RE2 parity is the point of the

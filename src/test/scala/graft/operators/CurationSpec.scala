@@ -412,6 +412,32 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("repetition fast path (graft_top_freq) is output-identical to the sorted-run fold") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // no sub-2-token docs: a zero-bigram doc divides by zero under ANSI in
+    // BOTH forms (identical behavior, and the documents fixture is 10-99
+    // tokens throughout)
+    val docs = Seq(
+      (1L, "a a a b b c"),                       // clear top token
+      (2L, "x y x y x y x y"),                   // repeated bigram "x y"/"y x"
+      (5L, "all distinct tokens right here now"),
+      (6L, "t t t t t t t t t t")                // degenerate repetition
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2),
+          r.getDouble(3), Option(r.get(4)).map(_.toString))).toMap
+    val slow = canon(TextAnalysis.repetition(docs, "doc_id", "text"))
+    val fast = canon(TextAnalysis.repetition(docs, "doc_id", "text",
+      fast = true))
+    assert(fast.keySet == slow.keySet)
+    // NaN != NaN under ==, so compare via the stringified option
+    fast.keys.foreach { k =>
+      assert(fast(k).toString == slow(k).toString, s"doc $k: ${fast(k)} vs ${slow(k)}")
+    }
+  }
+
   test("crawlFrontDoor: blocklist drops, URL variants collapse to first fetch, mirrors dedup, guard fails loud") {
     import spark.implicits._
     val docs = Seq(
