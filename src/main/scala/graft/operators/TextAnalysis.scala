@@ -100,6 +100,57 @@ object TextAnalysis {
     * join back onto the corpus (a contamination report must show clean
     * docs as clean, not omit them).
     */
+  /** N-gram familiarity score — the parity-safe form of the CCNet-style
+    * LM-perplexity quality filter (Wenzek et al. 2019 score documents by a
+    * KenLM trained on a trusted corpus; log-prob arithmetic is not
+    * bit-reproducible across engines, so this uses the rational proxy):
+    * each document's word-bigrams are looked up in a bigram census of a
+    * REFERENCE corpus, and the score is the mean reference-count per
+    * bigram — integer counts and ONE unguarded-by-rounding division, so
+    * both engines agree bit-for-bit. High score = prose made of bigrams
+    * the trusted corpus uses constantly; gibberish and boilerplate-free
+    * junk score near zero. Returns every doc:
+    * (doc_id, n_bigrams, n_known, familiarity — null when no bigrams).
+    *
+    * Scale shape: the census is one digest-keyed shuffle of the reference
+    * (built once per reference version in production — persist it); the
+    * doc side explodes to digests and joins the census UNHINTED (it is
+    * O(reference vocabulary), unbounded — AQE broadcasts only when the
+    * runtime size fits), then one partial-aggregated groupBy per doc.
+    * Bigrams travel as 16-byte digests, never text
+    * (digest-equality-as-content-equality, the TextDedup stance).
+    */
+  def familiarity(docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, fast: Boolean = false): DataFrame = {
+    def windows(c: Column): Column =
+      if (fast) graft.functions.GraftFunctions.ngramDigests(c, 2)
+      else {
+        val t = toks(c)
+        when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            j => md5(concat(element_at(t, j), lit(" "), element_at(t, j + 1)))))
+          .otherwise(array().cast("array<string>"))
+      }
+    val census = ref.select(explode(windows(col(refTextCol))).as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("__rc"))
+    val scored = docs
+      .select(col(idCol).as("doc_id"), explode(windows(col(textCol))).as("__h"))
+      .join(census, Seq("__h"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("__rc").isNotNull, 1).otherwise(0)).cast("long")
+          .as("n_known"),
+        sum(coalesce(col("__rc"), lit(0L))).as("__tot"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          col("__tot").cast("double") / col("n_bigrams").cast("double"))
+          .as("familiarity"))
+  }
+
   def contamination(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String,
       fast: Boolean = false): DataFrame = {

@@ -224,6 +224,18 @@ object TextOps extends QuerySet {
       .select("doc_id", "source", "canonical_url", "domain")
   }
 
+  /** N-gram familiarity score (td39): CCNet's LM-quality filter in its
+    * parity-safe rational form — every doc's bigrams looked up in a
+    * census of the every-10th-doc pseudo-reference; score = mean
+    * reference count per bigram (integer sums, one division, no logs).
+    */
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Q.t(s, dir, "documents")
+    TextAnalysis.familiarity(docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 10 === 0), "text", fast = true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
     "q25_array_hof" -> (q25 _),
@@ -239,7 +251,8 @@ object TextOps extends QuerySet {
     "td35_domain_cap" -> (q35 _),
     "td36_vocab" -> (q36 _),
     "td37_gopher_screen" -> (q37 _),
-    "td38_crawl_front_door" -> (q38 _))
+    "td38_crawl_front_door" -> (q38 _),
+    "td39_familiarity" -> (q39 _))
 
   val oracles: Map[String, String] = Map(
     "q20_string_functions" ->
@@ -387,6 +400,22 @@ object TextOps extends QuerySet {
         | SELECT *, row_number() OVER (PARTITION BY domain
         |   ORDER BY md5(domain || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         | FROM cn) WHERE rn <= 5""".stripMargin,
+    "td39_familiarity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |wj AS (SELECT doc_id, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS j FROM t),
+        |w AS (SELECT wj.doc_id, md5(t.tk[j] || ' ' || t.tk[j + 1]) AS h
+        |      FROM wj JOIN t USING (doc_id)),
+        |census AS (SELECT h, count(*) AS rc FROM w WHERE doc_id % 10 = 0 GROUP BY h),
+        |sc AS (SELECT w.doc_id, count(*) AS n_bigrams,
+        |  sum(CASE WHEN c.rc IS NOT NULL THEN 1 ELSE 0 END) AS n_known,
+        |  sum(coalesce(c.rc, 0)) AS tot
+        | FROM w LEFT JOIN census c USING (h) GROUP BY w.doc_id)
+        |SELECT t.doc_id,
+        | CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        | CAST(coalesce(sc.n_known, 0) AS BIGINT) AS n_known,
+        | CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+        |  THEN CAST(sc.tot AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE) END AS familiarity
+        |FROM t LEFT JOIN sc USING (doc_id)""".stripMargin,
     "td38_crawl_front_door" ->
       """WITH u AS (SELECT doc_id, source, text,
         |  'HTTPS://WWW.' || source || '.Example.COM/Page/' || CAST(doc_id % 50 AS VARCHAR) ||
