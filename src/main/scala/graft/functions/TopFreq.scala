@@ -16,10 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *   aggregate(array_sort(arr), struct("" as prev, 0 as run, 0 as best),
   *     (acc, x) => ...longest equal run...).best
   * }}}
-  * — 0 for an empty array, null only for null input (null ELEMENTS do not
-  * occur in the repetition pipeline: split() never yields them). The fold
-  * interprets a lambda per element on top of an O(n log n) sort; this is
-  * one codegen'd O(n) hash-count pass.
+  * — 0 for an empty array, null only for null input. Null ELEMENTS never
+  * occur in the repetition pipeline (split() never yields them), but the
+  * registered SQL function is reachable with them, so they get the fold's
+  * exact treatment: a null never equals anything in the sorted-run
+  * comparison, so each null contributes a run of 1 and nulls never merge.
+  * The fold interprets a lambda per element on top of an O(n log n) sort;
+  * this is one codegen'd O(n) hash-count pass.
   */
 case class TopFreq(child: Expression)
     extends UnaryExpression with Serializable {
@@ -54,14 +57,21 @@ object TopFreqUtil {
     if (n == 0) return 0
     val counts = new java.util.HashMap[UTF8String, Int](n * 2)
     var best = 0
+    var sawNull = false
     var i = 0
     while (i < n) {
-      // copy: getUTF8String may return a pointer into shared row memory
-      val k = arr.getUTF8String(i).clone()
-      val c = counts.merge(k, 1, (a, b) => a + b)
-      if (c > best) best = c
+      if (arr.isNullAt(i)) {
+        // the sorted-run fold never merges nulls (null === x is never
+        // true), so a null element is always a run of exactly 1
+        sawNull = true
+      } else {
+        // copy: getUTF8String may return a pointer into shared row memory
+        val k = arr.getUTF8String(i).clone()
+        val c = counts.merge(k, 1, (a, b) => a + b)
+        if (c > best) best = c
+      }
       i += 1
     }
-    best
+    if (best == 0 && sawNull) 1 else best
   }
 }

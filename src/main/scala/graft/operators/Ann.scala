@@ -36,21 +36,29 @@ object Ann {
     */
   val DefaultMaxQueryRows: Long = 100000L
 
-  /** Fail-loud guard in front of every forced query-set broadcast: the
-    * "small query set" caller contract, enforced instead of assumed. Costs
+  /** Fail-loud guard in front of every forced broadcast of a
+    * caller-supplied frame (query sets, centroid sets, blocklists): the
+    * "small frame" caller contract, enforced instead of assumed. Costs
     * one `limit(max+1).count()` job — CollectLimit executes partitions
     * incrementally and stops as soon as max+1 rows exist, so an oversized
     * set is rejected early and a small set pays ~one filtered scan, noise
-    * next to the search it precedes.
+    * next to the search it precedes. Shared across operator objects
+    * (Curation's blocklist guard rides it too). The probe limit clamps to
+    * Int.MaxValue WITHOUT computing maxRows+1 first — maxRows =
+    * Long.MaxValue must mean "effectively unbounded", not an overflow
+    * that wraps to limit(0) and silently disables the guard.
     */
-  private def requireSmallQuerySet(q: DataFrame, what: String,
+  private[operators] def requireSmallQuerySet(q: DataFrame, what: String,
       maxRows: Long): Unit = {
     require(maxRows >= 1, s"maxQueryRows must be >= 1, got $maxRows")
-    val n = q.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
+    val probe =
+      if (maxRows >= Int.MaxValue.toLong) Int.MaxValue
+      else (maxRows + 1).toInt
+    val n = q.limit(probe).count()
     require(n <= maxRows,
-      s"$what: query set has > $maxRows rows (found at least $n) — this " +
-        "operator broadcasts the query set to every executor; tighten " +
-        "queryPred or raise maxQueryRows if the broadcast is truly intended")
+      s"$what: frame has > $maxRows rows (found at least $n) — this " +
+        "operator broadcasts it to every executor; tighten the input or " +
+        "raise the bound if the broadcast is truly intended")
   }
 
   /** Brute-force cosine top-k of `k` neighbors for each row matching

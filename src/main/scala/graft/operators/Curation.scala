@@ -124,13 +124,10 @@ object Curation {
       textCol: String, blockedDomains: DataFrame, perDomainK: Int,
       maxBlocklistRows: Long = DefaultMaxBlocklistRows): DataFrame = {
     require(perDomainK >= 1, s"perDomainK must be >= 1, got $perDomainK")
-    val nBlocked = blockedDomains
-      .limit(math.min(maxBlocklistRows + 1, Int.MaxValue.toLong).toInt).count()
-    require(nBlocked <= maxBlocklistRows,
-      s"crawlFrontDoor: blocklist has > $maxBlocklistRows rows (found at " +
-        s"least $nBlocked) — this operator broadcasts the blocklist to " +
-        "every executor; a corpus-sized block set belongs in a shuffled " +
-        "anti-join, not here")
+    // shared fail-loud bound (Ann.requireSmallQuerySet): a corpus-sized
+    // "blocklist" belongs in a shuffled anti-join, not a forced broadcast
+    Ann.requireSmallQuerySet(blockedDomains, "crawlFrontDoor: blocklist",
+      maxBlocklistRows)
     val canon = docs
       .withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
       .withColumn("domain", urlDomain(col(urlCol)))

@@ -233,8 +233,10 @@ object TextAnalysis {
       // raw; bigram multiplicity counts the native window DIGESTS
       // (graft_ngram_digests n=2) — digest-equality-as-content-equality,
       // the same stance as every digest screen in TextDedup. The bigram
-      // denominator size(t)-1 is the window count (0/0 → NaN exactly as
-      // the composable form's empty-bigram division).
+      // denominator size(t)-1 is the window count; a 1-token doc divides
+      // 0 by 0 with the SAME outcome as the composable form's
+      // empty-bigram division (error under ANSI, engine default
+      // otherwise) — behavior parity, pinned by the CurationSpec note.
       val nTok = size(t)
       val f = graft.functions.GraftFunctions
       return docs.select(col(idCol),

@@ -679,10 +679,12 @@ object TextDedup {
   def buildReferenceIndex(ref: DataFrame, idCol: String, textCol: String,
       bands: Int, rowsPerBand: Int, fast: Boolean = false): ReferenceDedupIndex = {
     val rGroups = textGroups(ref, idCol, textCol).localCheckpoint(false)
-    // distinct digests fall out of the grouping (one row per distinct
-    // text); the null-text group yields a null digest, which an equi-join
-    // can never match — same semantics as the md5+distinct it replaces
-    val digests = rGroups.select(md5(col("__text")).as("__fp"))
+    // distinct digests fall out of the grouping — and the grouping KEY
+    // (__tkey) already IS md5(__text), so reuse it instead of re-hashing
+    // every distinct text's full body; the null-text group carries a null
+    // key, which an equi-join can never match — same semantics as the
+    // md5+distinct this replaces
+    val digests = rGroups.select(col("__tkey").as("__fp"))
       .localCheckpoint(false)
     val rBands = lshBandBuckets(rGroups, "rep", "__text", bands, rowsPerBand,
       fast, extraCols = Seq("ids"))
