@@ -252,23 +252,28 @@ object TextAnalysis {
       slice(t, lit(1), size(t) - 1),
       slice(t, lit(2), size(t) - 1),
       (x, y) => concat(x, lit(" "), y))
-    def topShare(arr: Column): Column = {
-      val folded = aggregate(array_sort(arr),
-        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-        (acc, x) => {
-          val run = when(x === acc.getField("prev"),
-            acc.getField("run") + 1).otherwise(lit(1))
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc.getField("best"), run).as("best"))
-        })
-      round(folded.getField("best").cast("double") / size(arr), 6)
-    }
     docs.select(col(idCol),
       size(t).as("n_tokens"),
       round(size(array_distinct(t)).cast("double") / size(t), 6)
         .as("distinct_token_ratio"),
-      topShare(t).as("top_token_share"),
-      topShare(bg).as("top_bigram_share"))
+      topRunShare(t).as("top_token_share"),
+      topRunShare(bg).as("top_bigram_share"))
+  }
+
+  /** Composable top-share: longest equal run of the sorted array over its
+    * size, one fold — shared by [[repetition]]'s slow path and
+    * [[curationPipeline]]'s slow path (the fast twin is `graft_top_freq`).
+    */
+  private def topRunShare(arr: Column): Column = {
+    val folded = aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+    round(folded.getField("best").cast("double") / size(arr), 6)
   }
 
   /** Content fingerprints: normalized md5, token min-hash, head shingle. */
@@ -313,13 +318,18 @@ object TextAnalysis {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  def gopherScreen(docs: DataFrame, idCol: String, textCol: String,
-      minWords: Int = 50, maxWords: Int = 100000,
-      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
-      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
-      maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
-      stopwords: Seq[String] = GopherStopwords,
-      minStopHits: Int = 2): DataFrame = {
+  /** The Gopher signal expressions over a text column plus the keep
+    * conjunction, as raw columns — shared by [[gopherScreen]] and the
+    * fused [[curationPipeline]] projection. The keep conjunction is built
+    * from the same raw expressions as the named signals (identical
+    * values, so the td37 oracle is unaffected by where keep is computed).
+    */
+  private def gopherExprs(textCol: String,
+      minWords: Int, maxWords: Int,
+      minMeanWordLen: Double, maxMeanWordLen: Double,
+      maxSymbolRatio: Double, maxBulletRatio: Double,
+      maxEllipsisRatio: Double, minAlphaRatio: Double,
+      stopwords: Seq[String], minStopHits: Int): (Seq[Column], Column) = {
     val words = split(col(textCol), "[ \\t\\n]+")
     val lines = split(col(textCol), "\n")
     val nWords = size(words)
@@ -339,22 +349,80 @@ object TextAnalysis {
         .cast("double") / nWords
     val stopHits = size(filter(
       array(stopwords.map(lit(_)): _*), w => array_contains(words, w)))
-    docs.select(col(idCol),
-        nWords.as("n_words"),
-        meanWordLen.as("mean_word_len"),
-        symbolRatio.as("symbol_ratio"),
-        bulletRatio.as("bullet_ratio"),
-        ellipsisRatio.as("ellipsis_ratio"),
-        alphaRatio.as("alpha_ratio"),
-        stopHits.as("n_stop_hits"))
-      .withColumn("keep",
-        col("n_words").between(minWords, maxWords)
-          && col("mean_word_len").between(minMeanWordLen, maxMeanWordLen)
-          && col("symbol_ratio") < maxSymbolRatio
-          && col("bullet_ratio") < maxBulletRatio
-          && col("ellipsis_ratio") < maxEllipsisRatio
-          && col("alpha_ratio") > minAlphaRatio
-          && col("n_stop_hits") >= minStopHits)
+    val keep = nWords.between(minWords, maxWords) &&
+      meanWordLen.between(minMeanWordLen, maxMeanWordLen) &&
+      symbolRatio < maxSymbolRatio &&
+      bulletRatio < maxBulletRatio &&
+      ellipsisRatio < maxEllipsisRatio &&
+      alphaRatio > minAlphaRatio &&
+      stopHits >= minStopHits
+    (Seq(nWords.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletRatio.as("bullet_ratio"),
+      ellipsisRatio.as("ellipsis_ratio"),
+      alphaRatio.as("alpha_ratio"),
+      stopHits.as("n_stop_hits")), keep)
+  }
+
+  def gopherScreen(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+      stopwords: Seq[String] = GopherStopwords,
+      minStopHits: Int = 2): DataFrame = {
+    val (signals, keep) = gopherExprs(textCol, minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxSymbolRatio, maxBulletRatio,
+      maxEllipsisRatio, minAlphaRatio, stopwords, minStopHits)
+    docs.select(col(idCol) +: signals :+ keep.as("keep"): _*)
+  }
+
+  /** The composed text-curation front door — normalize → Gopher quality
+    * screen → repetition screen → PII redaction as ONE operator, the
+    * [[TextDedup.nearDedupPipeline]] / [[Curation.crawlFrontDoor]]
+    * parts-to-pipeline pattern applied to per-document text curation.
+    * All four stages are row-wise, so the composition is a SINGLE fused
+    * projection — no joins, no shuffle, one corpus pass (plan-contract
+    * pinned): normalization feeds every downstream signal, the keep
+    * verdict is the conjunction of the Gopher screen (over normalized
+    * text) and the repetition screen (rounded top-token share ≤
+    * `maxTopTokenShare`, distinct-token ratio ≥ `minDistinctRatio`), and
+    * the emitted `clean_text` is the PII-redacted normalized text with
+    * the redaction count riding along. Run content dedup (dd45/dd50)
+    * before or after — those are the shuffling stages and compose at the
+    * frame level.
+    */
+  def curationPipeline(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 10, maxTopTokenShare: Double = 0.2,
+      minDistinctRatio: Double = 0.3, fast: Boolean = false): DataFrame = {
+    val normExpr = trim(regexp_replace(
+      lower(graft.functions.GraftFunctions.nfc(col(textCol))), "\\s+", " "))
+    val n = docs.select(col(idCol), normExpr.as("__norm"))
+    val (signals, gopherKeep) = gopherExprs("__norm", minWords, 100000,
+      3.0, 10.0, 0.1, 0.9, 0.3, 0.8, GopherStopwords, 2)
+    val t = toks(col("__norm"))
+    val nTok = size(t)
+    val distinctRatio =
+      round(size(array_distinct(t)).cast("double") / nTok, 6)
+    val topTokenShare =
+      if (fast)
+        round(graft.functions.GraftFunctions.topFreq(t).cast("double") / nTok, 6)
+      else topRunShare(t)
+    val tn = col("__norm")
+    val clean = regexp_replace(regexp_replace(regexp_replace(tn,
+      emailRe, "[EMAIL]"), ipv4Re, "[IP]"), phoneRe, "[PHONE]")
+    val nRedactions = (regexp_count(tn, lit(emailRe))
+      + regexp_count(tn, lit(ipv4Re))
+      + regexp_count(tn, lit(phoneRe))).cast("long")
+    n.select(col(idCol),
+      signals.head, // n_words
+      distinctRatio.as("distinct_token_ratio"),
+      topTokenShare.as("top_token_share"),
+      (gopherKeep && topTokenShare <= maxTopTokenShare
+        && distinctRatio >= minDistinctRatio).as("keep"),
+      clean.as("clean_text"),
+      nRedactions.as("n_redactions"))
   }
 
   /** Corpus vocabulary census — the precursor to tokenizer training and

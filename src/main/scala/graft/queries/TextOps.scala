@@ -236,6 +236,27 @@ object TextOps extends QuerySet {
       docs.filter(col("doc_id") % 10 === 0), "text", fast = true)
   }
 
+  /** Composed per-document curation pipeline (td40): normalize → Gopher
+    * screen → repetition screen → PII redact as ONE fused projection —
+    * the td-family's parts-to-pipeline entry (dd45/td38 pattern). The
+    * oracle composes the proven td31/td37/td32/td34 SQL forms over the
+    * normalized text in one CTE chain.
+    */
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // the fixture's random words carry no Gopher stopwords, so the even
+    // half gets a deterministic stopword-bearing tail (td34/td37 injection
+    // convention — SAME construction in both engines): those docs face the
+    // remaining screens, the odd half pins the stopword-floor rejection
+    val injected = Q.t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          lit(" and so that was the end of it all"))
+          .otherwise(lit(""))).as("text"))
+    TextAnalysis.curationPipeline(injected, "doc_id", "text", fast = true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
     "q25_array_hof" -> (q25 _),
@@ -252,7 +273,8 @@ object TextOps extends QuerySet {
     "td36_vocab" -> (q36 _),
     "td37_gopher_screen" -> (q37 _),
     "td38_crawl_front_door" -> (q38 _),
-    "td39_familiarity" -> (q39 _))
+    "td39_familiarity" -> (q39 _),
+    "td40_curation_pipeline" -> (q40 _))
 
   val oracles: Map[String, String] = Map(
     "q20_string_functions" ->
@@ -400,6 +422,50 @@ object TextOps extends QuerySet {
         | SELECT *, row_number() OVER (PARTITION BY domain
         |   ORDER BY md5(domain || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         | FROM cn) WHERE rn <= 5""".stripMargin,
+    "td40_curation_pipeline" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 2 = 0
+        |   THEN ' and so that was the end of it all' ELSE '' END AS text
+        | FROM documents),
+        |n AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm
+        | FROM d),
+        |m AS (SELECT doc_id, norm,
+        |  string_split_regex(norm, '[ \t\n]+') AS w,
+        |  string_split(norm, chr(10)) AS l,
+        |  string_split(norm, ' ') AS t FROM n),
+        |r AS (SELECT doc_id, norm, t,
+        |  CAST(len(w) AS INTEGER) AS n_words,
+        |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_word_len,
+        |  CAST(len(regexp_extract_all(norm, '#'))
+        |       + len(regexp_extract_all(norm, '\.\.\.|…')) AS DOUBLE) / len(w) AS symbol_ratio,
+        |  CAST(len(list_filter(l, x -> regexp_matches(x, '^[ \t]*[-*•]'))) AS DOUBLE) / len(l) AS bullet_ratio,
+        |  CAST(len(list_filter(l, x -> regexp_matches(x, '(\.\.\.|…)[ \t]*$'))) AS DOUBLE) / len(l) AS ellipsis_ratio,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_ratio,
+        |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |       s -> list_contains(w, s))) AS INTEGER) AS n_stop_hits
+        | FROM m),
+        |rr AS (SELECT doc_id, norm, n_words,
+        |  round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS distinct_token_ratio,
+        |  round(CAST(list_max(list_transform(list_distinct(t),
+        |    x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t), 6) AS top_token_share,
+        |  (n_words BETWEEN 10 AND 100000
+        |   AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
+        |   AND ellipsis_ratio < 0.3 AND alpha_ratio > 0.8
+        |   AND n_stop_hits >= 2) AS gopher_keep
+        | FROM r)
+        |SELECT doc_id, n_words, distinct_token_ratio, top_token_share,
+        | (gopher_keep AND top_token_share <= 0.2
+        |  AND distinct_token_ratio >= 0.3) AS keep,
+        | regexp_replace(regexp_replace(regexp_replace(norm,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |   '\+?\d{3}[ .-]\d{3}[ .-]\d{4}', '[PHONE]', 'g') AS clean_text,
+        | CAST(len(regexp_extract_all(norm, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(norm, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |  + len(regexp_extract_all(norm, '\+?\d{3}[ .-]\d{3}[ .-]\d{4}')) AS BIGINT) AS n_redactions
+        |FROM rr""".stripMargin,
     "td39_familiarity" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |wj AS (SELECT doc_id, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS j FROM t),

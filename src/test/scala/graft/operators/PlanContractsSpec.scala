@@ -353,6 +353,18 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
       .foreach { case (id, cid) => assert(brute(id) == cid, s"vec $id") }
   }
 
+  test("curationPipeline is one fused projection: no exchange, no join") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.curationPipeline(docs, "doc_id", "text",
+      fast = true)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"four row-wise stages must compose into one map stage:\n$plan")
+    assert(!plan.contains("Join"), s"no id-joins between stages:\n$plan")
+    assert(out.count() == docs.count())
+  }
+
   test("q08 global KPIs never Expand the corpus (multi-distinct decomposition)") {
     // three countDistincts in one Aggregate would plan an Expand that
     // replicates every input row once per distinct group — the r7 rewrite
