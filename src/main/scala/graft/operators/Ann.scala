@@ -596,6 +596,29 @@ object Ann {
       .select("vec_id", "centroid_id")
   }
 
+  /** Brute-force cosine top-k over the int8-QUANTIZED vectors — the
+    * memory-tight exact-scan path that closes the loop on
+    * [[quantizeInt8]] (which compresses but, alone, searches nothing):
+    * a deployment holding 4×-compressed vectors scans THEM, not the
+    * original floats. Cosine is scale-invariant, so each vector's
+    * dequantization scale cancels and ranking quantized vectors directly
+    * approximates the full-precision ranking with only quantization
+    * error — no dequantization multiply anywhere in the scan.
+    * Deterministic across engines by construction: quantized components
+    * are exact small integers (|q| ≤ 127), so every dot is an exact
+    * integer-valued double sum. Composed from the verified parts:
+    * [[quantizeInt8]] feeding [[cosineTopK]] — same guarded broadcast,
+    * same per-query top-k window.
+    */
+  def quantizedTopK(emb: DataFrame, idCol: String, embCol: String,
+      queryPred: Column, k: Int,
+      maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
+    val q8 = quantizeInt8(emb, idCol, embCol)
+      .select(col(idCol),
+        transform(col("qvec"), x => x.cast("double")).as("__qemb"))
+    cosineTopK(q8, idCol, "__qemb", queryPred, k, maxQueryRows)
+  }
+
   /** Prebuilt reference-side cell index for [[semanticScreen]] — the
     * embedding-space analogue of [[TextDedup.buildReferenceIndex]],
     * applying the same one-scan lesson from the start: the reference

@@ -168,6 +168,16 @@ object Similarity extends QuerySet {
       (0 until 16).map(i => element_at(col("c_emb"), i + 1).as(s"c$i")): _*)
   }
 
+  /** Quantized exact-scan top-k (sim49): brute-force cosine over the
+    * int8-quantized vectors — closes the loop on sim43 (quantize) by
+    * actually SEARCHING the compressed representation; per-vector scales
+    * cancel in cosine, and quantized components are exact small
+    * integers, so every score is bit-identical across engines.
+    */
+  def sim49(s0: SparkSession, dir: String): DataFrame =
+    Ann.quantizedTopK(embD(withDot(s0), dir), "vec_id", "emb",
+      queryPred = col("vec_id") < 5, k = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
     "sim37_lsh_buckets" -> (sim37 _),
@@ -181,7 +191,8 @@ object Similarity extends QuerySet {
     "sim45_pq_topk" -> (sim45 _),
     "sim46_kmeans_fit" -> (sim46 _),
     "sim47_ivf_pq_topk" -> (sim47 _),
-    "sim48_pq_fit" -> (sim48 _))
+    "sim48_pq_fit" -> (sim48 _),
+    "sim49_quantized_topk" -> (sim49 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -294,6 +305,26 @@ object Similarity extends QuerySet {
 
   val oracles: Map[String, String] = Map(
     "sim46_kmeans_fit" -> sim46Sql,
+    "sim49_quantized_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |  list_max(list_transform(emb, x -> abs(x))) AS ma FROM e),
+        |qv AS (SELECT vec_id,
+        |  CASE WHEN ma = 0 THEN list_transform(emb, x -> CAST(0 AS DOUBLE))
+        |   ELSE list_transform(emb,
+        |    x -> CAST(CAST(floor(x * 127.0 / ma + 0.5) AS INTEGER) AS DOUBLE))
+        |  END AS emb FROM m),
+        |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM qv),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm FROM w WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, w.vec_id,
+        |  list_sum([w.emb[i] * q.q_emb[i] for i in range(1, 65)]) / (w.norm * q.q_norm) AS cos_full
+        | FROM w, q WHERE w.vec_id <> q.query_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+        | round(cos_full, 4) AS cos
+        |FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos_full DESC, vec_id ASC) AS rank FROM scored)
+        |WHERE rank <= 5""".stripMargin,
     "sim48_pq_fit" -> sim48Sql,
     "sim47_ivf_pq_topk" ->
       s"""WITH e AS (SELECT vec_id,
