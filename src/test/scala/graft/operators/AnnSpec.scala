@@ -251,6 +251,39 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(got0.toSeq == sub0.toSeq)
   }
 
+  test("semanticScreen drops exactly the reference-dominated batch vectors, and the index is reusable") {
+    import spark.implicits._
+    // two well-separated directions; centroids = one per direction
+    def v(main: Int, seed: Int): Array[Double] =
+      Array.tabulate(8)(d => if (d == main) 10.0 else 0.01 * ((seed + d) % 3))
+    val ref = Seq(
+      (100L, v(0, 1)), (101L, v(0, 2)), // cell 0 members
+      (102L, v(4, 1))                    // cell 1 member
+    ).toDF("vec_id", "emb")
+    val batch = Seq(
+      (1L, v(0, 1)), // identical to ref 100 -> dominated, dropped
+      (2L, v(4, 2)), // near ref 102 in cell 1 -> dominated, dropped
+      (3L, Array.tabulate(8)(d => if (d == 4) -10.0 else 0.0)) // anti-aligned: same cell best, cos < 0 -> kept
+    ).toDF("vec_id", "emb")
+    val centroids = Seq((0L, v(0, 0)), (1L, v(4, 0))).toDF("centroid_id", "c_emb")
+      .withColumn("c_norm",
+        sqrt(graft.functions.GraftFunctions.dot(col("c_emb"), col("c_emb"))))
+    val index = Ann.buildSemanticIndex(ref, "vec_id", "emb", centroids)
+    val kept = Ann.semanticScreen(index, batch, "vec_id", "emb", centroids,
+      threshold = 0.9).select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+    // the index is a frame, not a consumable: a second batch sees the
+    // same reference state
+    val kept2 = Ann.semanticScreen(index, batch.filter(col("vec_id") =!= 1),
+      "vec_id", "emb", centroids, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept2 == Set(3L))
+    // lowering the threshold can only drop MORE
+    val keptLow = Ann.semanticScreen(index, batch, "vec_id", "emb", centroids,
+      threshold = -1.0).select("vec_id").as[Long].collect().toSet
+    assert(keptLow.subsetOf(kept))
+  }
+
   test("quantizeInt8: values span [-127,127], dequantization error <= scale/2, zero vector safe") {
     import spark.implicits._
     val vecs = Seq(
