@@ -54,4 +54,40 @@ object Skew {
       .agg(aggs.head match { case (fn, c) => mergeExpr(fn, c).as(s"${fn}_$c") },
         aggs.tail.map { case (fn, c) => mergeExpr(fn, c).as(s"${fn}_$c") }: _*)
   }
+
+  /** Salted equi-join for a skewed fact side. A shuffle join hashes on the
+    * join keys alone, so a hot key's entire fact row set lands in one task
+    * — AQE's skew-join split repairs that for sort-merge joins it can see,
+    * but not for plans where the skewed exchange is reused downstream or
+    * the join is produced by an operator AQE won't split. The explicit
+    * form: the fact side gets a deterministic salt in [0, salts) hashed
+    * from `saltBy` (any column spreading rows WITHIN a key — never affects
+    * the result), the other side replicates each row `salts` times, and
+    * the join runs on (keys, salt) so a hot key spreads over `salts` tasks.
+    *
+    * Row-for-row identical to `fact.join(other, keys, joinType)`: every
+    * fact row matches exactly the one replica of each matching `other` row
+    * that carries its salt ("inner"), and an unmatched fact row survives a
+    * "left" join unchanged (its salted key matches no replica at all).
+    * Cost: `other` is scanned once but shuffled ×salts — the knob trades
+    * replication for per-task balance, so keep `salts` small (8-32) and
+    * the replicated side the narrow one. Only fact-side keys may be
+    * skewed; "right"/"full" would need the mirror construction.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      other: DataFrame,
+      keys: Seq[String],
+      saltBy: Column,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    require(Set("inner", "left", "left_outer", "leftouter")(joinType),
+      s"saltedJoin spreads fact-side (left) skew; joinType must be inner " +
+        s"or left, got '$joinType'")
+    val f = fact.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
+    val o = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    f.join(o, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -175,6 +175,27 @@ object Extended extends QuerySet {
       seqLen = 512L)
   }
 
+  /** Skewed-join pattern (SURVEY §7.4.4, the join-side complement of q30):
+    * lineitem⋈orders through [[graft.operators.Skew.saltedJoin]] with 8
+    * salts — the orders side replicates ×8, the fact side salts on
+    * l_linenumber, and no task ever owns a hot orderkey's full fact rows.
+    * The aggregate on top keeps the oracle output bounded; the oracle
+    * computes the plain join, so the hash-match IS the proof that salting
+    * never changes semantics.
+    */
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    val li = Q.t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    val ord = Q.t(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.Skew.saltedJoin(li, ord, Seq("l_orderkey"),
+      saltBy = col("l_linenumber"), salts = 8)
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(
+        Q.dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
@@ -186,7 +207,8 @@ object Extended extends QuerySet {
     "q33_token_budget" -> (q33 _),
     "q34_per_key_cap" -> (q34 _),
     "q35_weighted_mix" -> (q35 _),
-    "q36_pack_sequences" -> (q36 _))
+    "q36_pack_sequences" -> (q36 _),
+    "q37_salted_join" -> (q37 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -281,5 +303,11 @@ object Extended extends QuerySet {
         | CAST(floor((start_offset + greatest(CAST(n_tokens AS BIGINT), 1) - 1)
         |   / 512.0) AS BIGINT)
         |  - CAST(floor(start_offset / 512.0) AS BIGINT) + 1 AS n_seqs
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+    "q37_salted_join" ->
+      """SELECT o_orderpriority, l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin)
 }

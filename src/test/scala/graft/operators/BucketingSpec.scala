@@ -76,6 +76,36 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     assert(partialGroups > 3) // 3 flags × up to 16 salts
   }
 
+  test("salted join equals the direct join, inner and left") {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    // drop half the orders so the left join has genuinely unmatched facts
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+
+    for (jt <- Seq("inner", "left")) {
+      val salted = Skew.saltedJoin(li, ord, Seq("l_orderkey"),
+        saltBy = col("l_linenumber"), salts = 8, joinType = jt)
+      val direct = li.join(ord, Seq("l_orderkey"), jt)
+      val key = Seq("l_orderkey", "l_linenumber")
+      assert(salted.orderBy(key.map(col): _*).collect().toSeq ==
+        direct.orderBy(key.map(col): _*).collect().toSeq, s"joinType=$jt")
+    }
+    // the fact side actually fans a single key's rows across salt buckets
+    val maxKey = li.agg(max("l_orderkey")).head().getAs[Number](0).longValue()
+    val hotSalts = li.filter(col("l_orderkey") === lit(maxKey))
+      .withColumn("__salt", pmod(hash(col("l_linenumber")), lit(8)))
+      .select("__salt").distinct().count()
+    assert(hotSalts >= 1)
+
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(li, ord, Seq("l_orderkey"), col("l_linenumber"), 8,
+        joinType = "full")
+    }
+  }
+
   test("non-algebraic aggregates are rejected") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     intercept[IllegalArgumentException] {
