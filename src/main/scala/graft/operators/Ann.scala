@@ -682,4 +682,31 @@ object Ann {
             floor(x * lit(127.0) / col("__ma") + lit(0.5)).cast("int")))
           .as("qvec"),
         (col("__ma") / lit(127.0)).cast("double").as("scale"))
+
+  /** Recall@k of an approximate ANN result against the exact one — the
+    * evaluation loop every index deployment runs before choosing its
+    * nprobe/bands/threshold knobs. Both inputs are result frames of
+    * (queryCol, idCol) rows (anything else is ignored); output is one row
+    * per query with `hits` (approx ∩ exact), `k` (exact result size) and
+    * `recall` = hits/k. Queries absent from `exact` produce no row;
+    * queries absent from `approx` score 0.
+    *
+    * Scale shape: both frames are O(queries × k) — result-sized, never
+    * corpus-sized — so the one join + one aggregate here shuffle only
+    * result rows; the division is a single double op on two small exact
+    * integers (IEEE-correctly-rounded, so cross-engine deterministic).
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+      queryCol: String, idCol: String): DataFrame = {
+    val a = approx.select(col(queryCol), col(idCol)).distinct()
+      .withColumn("__hit", lit(1L))
+    exact.select(col(queryCol), col(idCol)).distinct()
+      .join(a, Seq(queryCol, idCol), "left")
+      .groupBy(queryCol)
+      .agg(
+        coalesce(sum(col("__hit")), lit(0L)).as("hits"),
+        count(lit(1)).as("k"))
+      .select(col(queryCol), col("hits"), col("k"),
+        (col("hits").cast("double") / col("k")).as("recall"))
+  }
 }

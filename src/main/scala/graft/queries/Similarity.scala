@@ -178,6 +178,23 @@ object Similarity extends QuerySet {
     Ann.quantizedTopK(embD(withDot(s0), dir), "vec_id", "emb",
       queryPred = col("vec_id") < 5, k = 5)
 
+  /** ANN recall@k evaluation (sim50): recall of the nprobe=1 IVF probe
+    * (sim40's exact configuration) against the brute-force cosine top-3
+    * ground truth — the measurement that justifies (or rejects) an index's
+    * recall knobs before a production rollout. Fully oracled: DuckDB
+    * recomputes both result sets and the same hits/k division.
+    */
+  def sim50(s0: SparkSession, dir: String): DataFrame = {
+    val s = withDot(s0)
+    val e = embD(s, dir)
+    val approx = Ann.ivfProbe(
+      Ann.ivfAssign(e, "vec_id", "emb", centroids(s, dir)),
+      queryPred = col("vec_id") < 5, k = 3)
+    val exact = Ann.cosineTopK(e, "vec_id", "emb",
+      queryPred = col("vec_id") < 5, k = 3)
+    Ann.recallAtK(approx, exact, "query_id", "neighbor_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
     "sim37_lsh_buckets" -> (sim37 _),
@@ -192,7 +209,8 @@ object Similarity extends QuerySet {
     "sim46_kmeans_fit" -> (sim46 _),
     "sim47_ivf_pq_topk" -> (sim47 _),
     "sim48_pq_fit" -> (sim48 _),
-    "sim49_quantized_topk" -> (sim49 _))
+    "sim49_quantized_topk" -> (sim49 _),
+    "sim50_recall_at_k" -> (sim50 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -305,6 +323,39 @@ object Similarity extends QuerySet {
 
   val oracles: Map[String, String] = Map(
     "sim46_kmeans_fit" -> sim46Sql,
+    "sim50_recall_at_k" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+        |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
+        |c AS (SELECT vec_id AS centroid_id, emb AS c_emb, norm AS c_norm FROM w WHERE vec_id < 8),
+        |scored AS (SELECT w.vec_id, c.centroid_id, w.emb, w.norm,
+        |  list_sum([w.emb[i] * c.c_emb[i] for i in range(1, 65)]) / (w.norm * c.c_norm) AS cos_full
+        | FROM w, c),
+        |a AS (SELECT vec_id, centroid_id, emb, norm FROM (
+        |  SELECT *, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY cos_full DESC, centroid_id ASC) AS rn FROM scored)
+        | WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, centroid_id AS q_cell, emb AS q_emb, norm AS q_norm
+        | FROM a WHERE vec_id < 5),
+        |cand AS (SELECT q.query_id, a.vec_id,
+        |  list_sum([a.emb[i] * q.q_emb[i] for i in range(1, 65)]) / (a.norm * q.q_norm) AS cand_cos
+        | FROM a JOIN q ON a.centroid_id = q.q_cell AND a.vec_id <> q.query_id),
+        |apx AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cand_cos DESC, vec_id ASC) AS rank FROM cand)
+        | WHERE rank <= 3),
+        |ex0 AS (SELECT q.query_id, w.vec_id,
+        |  list_sum([w.emb[i] * q.q_emb[i] for i in range(1, 65)]) / (w.norm * q.q_norm) AS cos_full
+        | FROM w, q WHERE w.vec_id <> q.query_id),
+        |ext AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos_full DESC, vec_id ASC) AS rank FROM ex0)
+        | WHERE rank <= 3)
+        |SELECT ext.query_id,
+        | CAST(count(apx.vec_id) AS BIGINT) AS hits,
+        | count(*) AS k,
+        | CAST(count(apx.vec_id) AS DOUBLE) / count(*) AS recall
+        |FROM ext LEFT JOIN apx
+        | ON ext.query_id = apx.query_id AND ext.vec_id = apx.vec_id
+        |GROUP BY ext.query_id""".stripMargin,
     "sim49_quantized_topk" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),

@@ -284,6 +284,25 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(keptLow.subsetOf(kept))
   }
 
+  test("recallAtK: exact self-recall is 1, disjoint is 0, partial counts hits/k") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    // query 1 finds 2 of 3; query 2 finds none; query 3 (not in exact) ignored
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 98L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val r = Ann.recallAtK(approx, exact, "query_id", "neighbor_id")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L) == ((2L, 3L, 2.0 / 3.0)))
+    assert(r(2L) == ((0L, 2L, 0.0)))
+    // identity: an exact result evaluated against itself scores 1.0 everywhere
+    val self = Ann.recallAtK(exact, exact, "query_id", "neighbor_id")
+      .select("recall").as[Double].collect()
+    assert(self.length == 2 && self.forall(_ == 1.0))
+  }
+
   test("quantizeInt8: values span [-127,127], dequantization error <= scale/2, zero vector safe") {
     import spark.implicits._
     val vecs = Seq(
