@@ -169,6 +169,35 @@ object GraftFunctions {
     BigramShingles(children.head)
   }
 
+  /** graft_bloom_contains(sketchBytes, long): Spark's own codegen'd
+    * `BloomFilterMightContain` — the engine's runtime-row-filter probe —
+    * exposed as a registered function so library operators
+    * (TextDedup.bloomScreen) can apply an explicit Bloom prune with a
+    * plan-embedded literal sketch. The sketch argument must be foldable
+    * (the expression's own contract); the value side is an xxhash64 long.
+    */
+  private[functions] val buildBloomContains: Seq[Expression] => Expression = children => {
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_bloom_contains: " +
+          s"expected 2 (graft_bloom_contains(binary, bigint)), got ${children.length}")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      children(0), children(1))
+  }
+
+  /** graft_bloom_agg(longCol, items, numBits): Spark's distributed Bloom
+    * sketch build (`BloomFilterAggregate` — partial sketches merge
+    * map-side, one binary row out). items/numBits must be long literals.
+    */
+  private[functions] val buildBloomAgg: Seq[Expression] => Expression = children => {
+    if (children.length != 3)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_bloom_agg: " +
+          s"expected 3 (graft_bloom_agg(bigint, items, numBits)), got ${children.length}")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      children(0), children(1), children(2)).toAggregateExpression()
+  }
+
   private val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
@@ -190,7 +219,17 @@ object GraftFunctions {
       buildNgramDigests),
     (FunctionIdentifier("graft_top_freq"),
       new ExpressionInfo(classOf[TopFreq].getName, "graft_top_freq"),
-      buildTopFreq))
+      buildTopFreq),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      buildBloomContains),
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      buildBloomAgg))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>
@@ -233,6 +272,19 @@ object GraftFunctions {
     */
   def topFreq(arr: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_top_freq", arr)
+
+  /** Bloom-sketch membership probe (no false negatives); `sketch` must be
+    * a literal/foldable binary, `value` the xxhash64 long that was put in.
+    */
+  def bloomContains(sketch: Column, value: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_bloom_contains",
+      sketch, value)
+
+  /** Distributed Bloom sketch over a long column → one binary row. */
+  def bloomAgg(value: Column, items: Long, numBits: Long): Column =
+    org.apache.spark.sql.functions.call_function("graft_bloom_agg", value,
+      org.apache.spark.sql.functions.lit(items),
+      org.apache.spark.sql.functions.lit(numBits))
 }
 
 /** Extensions entry point: inject graft functions into every session built

@@ -954,4 +954,59 @@ object TextDedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Bloom-pruned exact-content screen of a small BATCH against a huge
+    * REFERENCE digest set — the runtime-row-filter pattern made explicit:
+    * the exact screen in [[dedupAgainstIndex]] anti-joins batch digests
+    * against O(corpus) reference digests, which shuffles the full
+    * reference digest frame on every exchange-less-miss; here a Bloom
+    * sketch of the BATCH digests (bounded — fail-loud `maxBatchDigests`)
+    * is embedded in the plan as a literal, so the reference scan drops
+    * every definitely-not-in-batch digest MAP-SIDE via Spark's native
+    * codegen'd `might_contain` before anything shuffles. Only true
+    * duplicates plus an fpp-fraction of the reference cross the exchange:
+    * at 1 B reference digests and fpp=0.01, ~10 M rows shuffle instead of
+    * 1 B. False positives are removed by the exact confirm join (the
+    * sketch is built and probed over xxhash64 of the md5 digest, and a
+    * Bloom filter has no false negatives), so the result is EXACTLY the
+    * plain anti-join's.
+    *
+    * `refDigests` is a one-column `__fp` frame of distinct reference md5
+    * digests — [[ReferenceDedupIndex.digests]] is exactly this frame, so
+    * a prebuilt dd46 index plugs in directly. Returns surviving batch
+    * rows (all caller columns); null-text rows survive, as everywhere in
+    * this family. Building the sketch runs one eager job over the batch
+    * digests (the same contract as Spark's own `df.stat.bloomFilter`,
+    * which this rides) — batch-proportional, the frame the operator must
+    * bound anyway.
+    */
+  def bloomScreen(refDigests: DataFrame, batch: DataFrame, textCol: String,
+      fpp: Double = 0.01, maxBatchDigests: Long = 4L * 1000 * 1000): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val b = batch.withColumn("__fp", md5(col(textCol)))
+    val bDig = b.select("__fp").filter(col("__fp").isNotNull).distinct()
+      .localCheckpoint(false)
+    val n = bDig.count()
+    require(n <= maxBatchDigests,
+      s"bloomScreen: batch has $n distinct digests > $maxBatchDigests — " +
+        "the sketch (and the confirm join's small side) must stay " +
+        "driver/broadcast-sized; screen a bounded batch or raise the limit")
+    if (n == 0) return b.drop("__fp") // all-null batch: nothing can match
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val numBits = math.max(64L,
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp))
+    // distributed sketch build (partial sketches OR-merge map-side); the
+    // single binary row materializes here — bounded bytes, the same
+    // driver-holds-sketch contract as Spark's df.stat.bloomFilter
+    val sketchBytes = bDig
+      .agg(graft.functions.GraftFunctions
+        .bloomAgg(xxhash64(col("__fp")), n, numBits).as("__sketch"))
+      .head().getAs[Array[Byte]]("__sketch")
+    val mightContain = graft.functions.GraftFunctions.bloomContains(
+      lit(sketchBytes), xxhash64(col("__fp")))
+    // map-side prune of the reference scan; only bloom hits reach the join
+    val dupFps = refDigests.filter(mightContain)
+      .join(bDig, Seq("__fp"), "left_semi")
+    b.join(dupFps, Seq("__fp"), "left_anti").drop("__fp")
+  }
 }

@@ -324,6 +324,25 @@ object Dedup extends QuerySet {
       threshold = 0.3)
   }
 
+  /** Bloom-pruned incremental exact screen (dd52): the dd46 split (odd
+    * doc_ids = arriving batch, even = reference), but the reference
+    * digest scan is pruned MAP-SIDE by a Bloom sketch of the batch
+    * digests before anything shuffles — the explicit form of Spark's
+    * runtime row-level filter, and the shape that keeps a 100 TB
+    * reference's exact screen exchange batch-proportional. The result is
+    * exactly the plain anti-join's (the confirm join removes the sketch's
+    * false positives), which is what the oracle computes.
+    */
+  def dd52(s: SparkSession, dir: String): DataFrame = {
+    val all = Q.t(s, dir, "documents")
+    val refDigests = all.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("__fp"))
+      .filter(col("__fp").isNotNull).distinct()
+    TextDedup.bloomScreen(refDigests, all.filter(col("doc_id") % 2 === 1),
+      "text")
+      .select("doc_id", "source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
@@ -346,7 +365,8 @@ object Dedup extends QuerySet {
     "dd48_semantic_dedup_capped" -> (dd48 _),
     "dd49_semantic_dedup_selftrained" -> (dd49 _),
     "dd50_substring_dedup" -> (dd50 _),
-    "dd51_semantic_screen_incremental" -> (dd51 _))
+    "dd51_semantic_screen_incremental" -> (dd51 _),
+    "dd52_bloom_screen" -> (dd52 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -644,6 +664,11 @@ object Dedup extends QuerySet {
          |WHERE doc_id % 2 = 1
          | AND doc_id NOT IN (SELECT doc_id FROM ex)
          | AND doc_id NOT IN (SELECT b_id FROM m)""".stripMargin,
+    "dd52_bloom_screen" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id % 2 = 1 AND (text IS NULL OR md5(text) NOT IN
+        | (SELECT md5(text) FROM documents
+        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL))""".stripMargin,
     "dd51_semantic_screen_incremental" ->
       s"""WITH $ivfAssignCte,
          |r AS (SELECT * FROM a WHERE vec_id % 2 = 0),

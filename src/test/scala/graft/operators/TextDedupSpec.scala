@@ -345,6 +345,37 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
         "the index must materialize from ONE pass and be reused by later batches")
   }
 
+  test("bloomScreen equals the plain anti-join at any fpp, prunes map-side, bounds the batch") {
+    import spark.implicits._
+    val ref = (0L until 50L)
+      .map(i => s"reference corpus document number $i with its own body")
+    val refDigests = ref.toDF("text").select(md5(col("text")).as("__fp")).distinct()
+    val batch = Seq(
+      (1L, "reference corpus document number 7 with its own body"),  // dup
+      (2L, "reference corpus document number 33 with its own body"), // dup
+      (3L, "a brand new arrival the reference has never seen"),
+      (4L, null.asInstanceOf[String])                                // null survives
+    ).toDF("doc_id", "text")
+
+    def kept(fpp: Double): Set[Long] =
+      TextDedup.bloomScreen(refDigests, batch, "text", fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact at a tight fpp AND at one so loose the sketch passes nearly
+    // everything — false positives must die in the confirm join
+    assert(kept(0.01) == Set(3L, 4L))
+    assert(kept(0.9) == Set(3L, 4L))
+
+    // the might_contain prune sits in the plan (map-side, native codegen)
+    val plan = TextDedup.bloomScreen(refDigests, batch, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected bloom prune:\n$plan")
+
+    // fail-loud batch bound: the sketch side must stay small
+    intercept[IllegalArgumentException] {
+      TextDedup.bloomScreen(refDigests, batch, "text", maxBatchDigests = 1L)
+    }
+  }
+
   test("substringDedup removes exactly the cross-doc repeated span, all copies, short docs safe") {
     import spark.implicits._
     val docs = Seq(
