@@ -249,12 +249,59 @@ object StreamingQueries extends QuerySet {
     streamed
   }
 
+  /** Streaming sessionization (st52): the events fixture drained through
+    * `EventStreaming.sessions` (native `session_window`, 30-minute gap,
+    * state per OPEN session — the 100 TB continuous-sessionization path),
+    * then parity-`require`d against the ORACLED q31 batch twin
+    * (`Sessions.sessionStats`, the gaps-and-islands form): identical
+    * (user_id, session_start, n_events) identity sets, and every
+    * streamed session_end is the batch session's last-event ts + gap
+    * (`session_window`'s end convention). The fixtures contain no
+    * exact-gap boundary events (verified across SFs), so the two gap
+    * semantics (strict overlap vs diff > gap) agree exactly.
+    */
+  def st52(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Paths.get(s"$dir/events.parquet")
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val staged = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_st52_events_$key")
+    Files.createDirectories(staged)
+    Files.copy(src, staged.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = s.read.parquet(staged.toString).schema
+    val streamRaw = s.readStream.schema(schema).parquet(staged.toString)
+    val stream = streamRaw.withColumn("ts", Q.normTs(streamRaw, "ts"))
+    val q = EventStreaming.sessions(stream).writeStream
+      .format("memory").queryName("st52_sessions")
+      .option("checkpointLocation", tmp("graft_st52_ckpt"))
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = s.table("st52_sessions")
+    val twin = Extended.q31(s, dir).select(
+      col("user_id"), col("session_start"),
+      // session_window's end = last event ts + gap
+      (col("session_end") + expr("INTERVAL 30 MINUTES")).as("session_end"),
+      col("n_events"))
+    val proj = streamed.select("user_id", "session_start", "session_end",
+      "n_events")
+    val missing = twin.except(proj).count()
+    val extra = proj.except(twin).count()
+    require(missing == 0 && extra == 0,
+      s"streamed sessions diverged from the oracled q31 twin: " +
+        s"missing=$missing extra=$extra")
+    streamed
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st47_stream_silver_drain" -> (st47 _),
     "st48_stream_dedup_replay" -> (st48 _),
     "st49_stream_hourly_health" -> (st49 _),
     "st50_stream_incremental_dedup" -> (st50 _),
-    "st51_stream_semantic_screen" -> (st51 _))
+    "st51_stream_semantic_screen" -> (st51 _),
+    "st52_stream_sessions" -> (st52 _))
 
   // no DuckDB oracles: streaming drains are rows-only by design; the parity
   // require()s above carry the correctness assertion
