@@ -552,6 +552,61 @@ object Ann {
         col("centroid_id").as("cell"), col("adc"))
   }
 
+  /** Residual IVF-PQ top-k — the faithful IVFADC of Jégou et al. 2011
+    * §IV: PQ encodes the RESIDUAL `x − c(x)` (each vector minus its
+    * assigned cell's centroid) instead of the raw vector, and each query
+    * builds its lookup tables from `q − c` PER PROBED CELL — residuals
+    * concentrate around 0 far more tightly than raw vectors, so the same
+    * codebook budget quantizes them with much lower distortion (the
+    * reason production IVFADC always encodes residuals). Same two-pass
+    * shuffle-free corpus shape as [[ivfPqTopK]]: one projection to
+    * (cell, residual codes) — the centroid join is a guarded broadcast,
+    * never an exchange — and one broadcast-probe scan; the per-cell query
+    * LUT means probe rows carry `q_res` instead of `q_emb`, everything
+    * else identical. Distances stay bit-identical cross-engine: the
+    * residual is an element-wise double subtraction and the ADC terms are
+    * the same left-associated sums over it.
+    */
+  def ivfPqResidualTopK(emb: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, queryPred: Column, k: Int, nprobe: Int,
+      subspaces: Int, centroidsPerSub: Int, dim: Int,
+      maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val assigned = ivfAssign(emb, idCol, embCol, centroids)
+    val cSlim = centroids.select(col("centroid_id"), col("c_emb"))
+    // corpus index: cell + residual codes only; the residual is computed
+    // once in the same projection that encodes it
+    val withRes = assigned.join(broadcast(cSlim), Seq("centroid_id"))
+      .withColumn("__res", zip_with(col("emb"), col("c_emb"), (x, c) => x - c))
+    val codes = withRes.select(col("vec_id") +: col("centroid_id") +:
+      pqCodeCols("__res", subspaces, centroidsPerSub, dim): _*)
+    val q = assigned.filter(queryPred).select(col("vec_id").as("query_id"),
+      col("emb").as("q_emb"), col("norm").as("q_norm"))
+    requireSmallQuerySet(q, "ivfPqResidualTopK",
+      math.max(1L, maxQueryRows / nprobe))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("c_cos").desc, col("centroid_id").asc)
+    // probe rows carry the query's PER-CELL residual — LUTs are built
+    // against the same centroid the candidate codes are relative to
+    val probeCells = q.crossJoin(broadcast(centroids))
+      .withColumn("c_cos",
+        dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("cell_rank", row_number().over(wc))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"),
+        zip_with(col("q_emb"), col("c_emb"), (x, c) => x - c).as("__q_res"),
+        col("centroid_id").as("q_cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    codes.join(broadcast(probeCells),
+        col("centroid_id") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("adc", pqAdcExpr("__q_res", subspaces, centroidsPerSub, dim))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("centroid_id").as("cell"), col("adc"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus by nearest centroid, then inside
     * each cluster drop every vector that has a LOWER-id neighbor above the

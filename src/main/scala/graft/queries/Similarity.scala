@@ -195,6 +195,19 @@ object Similarity extends QuerySet {
     Ann.recallAtK(approx, exact, "query_id", "neighbor_id")
   }
 
+  /** Residual IVF-PQ search (sim51): sim47's configuration but with PQ
+    * over residuals (`x − c(x)`, per-probed-cell query LUTs) — the
+    * faithful Jégou 2011 IVFADC, and the form whose quantization error a
+    * production index actually ships. Fully oracled: DuckDB recomputes
+    * the residuals, codes and ADC sums with identical arithmetic.
+    */
+  def sim51(s0: SparkSession, dir: String): DataFrame = {
+    val s = withDot(s0)
+    Ann.ivfPqResidualTopK(embD(s, dir), "vec_id", "emb", centroids(s, dir),
+      queryPred = col("vec_id") < 3, k = 5, nprobe = 2,
+      subspaces = 4, centroidsPerSub = 8, dim = 64)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
     "sim37_lsh_buckets" -> (sim37 _),
@@ -210,7 +223,8 @@ object Similarity extends QuerySet {
     "sim47_ivf_pq_topk" -> (sim47 _),
     "sim48_pq_fit" -> (sim48 _),
     "sim49_quantized_topk" -> (sim49 _),
-    "sim50_recall_at_k" -> (sim50 _))
+    "sim50_recall_at_k" -> (sim50 _),
+    "sim51_ivf_pq_residual_topk" -> (sim51 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -238,8 +252,8 @@ object Similarity extends QuerySet {
     }.mkString("[", ", ", "]")
   }
 
-  private def pqCodeSql(s: Int): String = {
-    val ds = pqDistsSql(s, "emb")
+  private def pqCodeSql(s: Int, embRef: String = "emb"): String = {
+    val ds = pqDistsSql(s, embRef)
     s"CAST(list_position($ds, list_min($ds)) - 1 AS INTEGER) AS c$s"
   }
 
@@ -377,6 +391,42 @@ object Similarity extends QuerySet {
         |  (PARTITION BY query_id ORDER BY cos_full DESC, vec_id ASC) AS rank FROM scored)
         |WHERE rank <= 5""".stripMargin,
     "sim48_pq_fit" -> sim48Sql,
+    "sim51_ivf_pq_residual_topk" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+         |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
+         |c AS (SELECT vec_id AS centroid_id, emb AS c_emb, norm AS c_norm FROM w WHERE vec_id < 8),
+         |scored AS (SELECT w.vec_id, c.centroid_id, w.emb, w.norm,
+         |  list_sum([w.emb[i] * c.c_emb[i] for i in range(1, 65)]) / (w.norm * c.c_norm) AS cos_full
+         | FROM w, c),
+         |a AS (SELECT vec_id, centroid_id, emb, norm FROM (
+         |  SELECT *, row_number() OVER
+         |   (PARTITION BY vec_id ORDER BY cos_full DESC, centroid_id ASC) AS rn FROM scored)
+         | WHERE rn = 1),
+         |rr AS (SELECT a.vec_id, a.centroid_id,
+         |  [a.emb[i] - c.c_emb[i] for i in range(1, 65)] AS res
+         | FROM a JOIN c ON a.centroid_id = c.centroid_id),
+         |cd AS (SELECT vec_id, centroid_id,
+         |  ${(0 until 4).map(s => pqCodeSql(s, "res")).mkString(",\n ")}
+         | FROM rr),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
+         | FROM a WHERE vec_id < 3),
+         |p AS (SELECT query_id, q_res, q_cell FROM (
+         |  SELECT q.query_id, c.centroid_id AS q_cell,
+         |   [q.q_emb[i] - c.c_emb[i] for i in range(1, 65)] AS q_res,
+         |   row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |    list_sum([q.q_emb[i] * c.c_emb[i] for i in range(1, 65)]) / (q.q_norm * c.c_norm) DESC,
+         |    c.centroid_id ASC) AS cell_rank
+         |  FROM q, c) WHERE cell_rank <= 2),
+         |d AS (SELECT p.query_id, cd.vec_id, cd.centroid_id,
+         |  ${(0 until 4).map(s => s"(${pqDistsSql(s, "p.q_res")})[cd.c$s + 1]")
+                .mkString(" + ")} AS adc
+         | FROM cd JOIN p ON cd.centroid_id = p.q_cell AND cd.vec_id <> p.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+         | centroid_id AS cell, adc
+         |FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank FROM d)
+         |WHERE rank <= 5""".stripMargin,
     "sim47_ivf_pq_topk" ->
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
@@ -389,7 +439,7 @@ object Similarity extends QuerySet {
          |  SELECT *, row_number() OVER
          |   (PARTITION BY vec_id ORDER BY cos_full DESC, centroid_id ASC) AS rn FROM scored)
          | WHERE rn = 1),
-         |cd AS (SELECT vec_id, centroid_id, ${(0 until 4).map(pqCodeSql).mkString(",\n ")}
+         |cd AS (SELECT vec_id, centroid_id, ${(0 until 4).map(s => pqCodeSql(s)).mkString(",\n ")}
          | FROM a),
          |q AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
          | FROM a WHERE vec_id < 3),
@@ -411,7 +461,7 @@ object Similarity extends QuerySet {
     "sim45_pq_topk" ->
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
-         |c AS (SELECT vec_id, ${(0 until 4).map(pqCodeSql).mkString(",\n ")}
+         |c AS (SELECT vec_id, ${(0 until 4).map(s => pqCodeSql(s)).mkString(",\n ")}
          | FROM e),
          |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 3),
          |d AS (SELECT q.query_id, c.vec_id,
@@ -425,7 +475,7 @@ object Similarity extends QuerySet {
     "sim44_pq_encode" ->
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings)
-         |SELECT vec_id, ${(0 until 4).map(pqCodeSql).mkString(",\n ")}
+         |SELECT vec_id, ${(0 until 4).map(s => pqCodeSql(s)).mkString(",\n ")}
          |FROM e""".stripMargin,
     "sim36_cosine_topk" ->
       """WITH e AS (SELECT vec_id,

@@ -198,6 +198,78 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ivfPqResidualTopK equals brute-force residual ADC and beats raw-vector PQ distortion") {
+    val book = Ann.pqCodebook(4, 8, 16)
+    val got = Ann.ivfPqResidualTopK(emb, "vec_id", "emb", centroids,
+      col("vec_id") < 2, k = 5, nprobe = 2, subspaces = 4,
+      centroidsPerSub = 8, dim = 64)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(r => r.getLong(2)).toSeq).toMap
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cents = vecs.filter(_._1 < 8)
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val cell = vecs.view.mapValues(v =>
+      cents.toSeq.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .minBy { case (cid, c) => (-c, cid) }._1).toMap
+    // residual codes: argmin per subspace over (x - c(x)) against the book
+    def encode(v: Seq[Double], cid: Long): Seq[Int] = {
+      val res = v.zip(cents(cid)).map { case (x, c) => x - c }
+      (0 until 4).map { s =>
+        (0 until 8).minBy { c =>
+          ((0 until 16).map { i =>
+            val d = res(s * 16 + i) - book(s)(c)(i); d * d
+          }.sum, c)
+        }
+      }
+    }
+    for (qid <- Seq(0L, 1L)) {
+      val qv = vecs(qid)
+      val probed = cents.toSeq.map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(2).map(_._1).toSet
+      // ADC against the PER-CELL query residual
+      def adc(id: Long): Double = {
+        val cid = cell(id)
+        val qres = qv.zip(cents(cid)).map { case (x, c) => x - c }
+        val cs = encode(vecs(id), cid)
+        (0 until 4).map { s =>
+          val c = cs(s)
+          (0 until 16).map { i =>
+            val d = qres(s * 16 + i) - book(s)(c)(i); d * d
+          }.sum
+        }.sum
+      }
+      val want = vecs.keys
+        .filter(id => id != qid && probed(cell(id))).toSeq
+        .sortBy(id => (adc(id), id)).take(5)
+      assert(got(qid) == want, s"query $qid: ${got(qid)} != $want")
+    }
+    // residuals quantize tighter than raw vectors against the same book:
+    // mean squared reconstruction error must not increase
+    def sqErr(v: Seq[Double], codes: Seq[Int]): Double =
+      (0 until 4).map { s =>
+        (0 until 16).map { i =>
+          val d = v(s * 16 + i) - book(s)(codes(s))(i); d * d
+        }.sum
+      }.sum
+    def rawEncode(v: Seq[Double]): Seq[Int] = (0 until 4).map { s =>
+      (0 until 8).minBy { c =>
+        ((0 until 16).map { i =>
+          val d = v(s * 16 + i) - book(s)(c)(i); d * d
+        }.sum, c)
+      }
+    }
+    val rawMse = vecs.map { case (_, v) => sqErr(v, rawEncode(v)) }.sum
+    val resMse = vecs.map { case (id, v) =>
+      val res = v.zip(cents(cell(id))).map { case (x, c) => x - c }
+      sqErr(res, encode(v, cell(id)))
+    }.sum
+    assert(resMse <= rawMse,
+      s"residual MSE $resMse should not exceed raw MSE $rawMse")
+  }
+
   test("kmeansFit is deterministic, exact-count, and its centroids compose with ivfAssign/semanticDedup") {
     val fit = Ann.kmeansFit(emb, "vec_id", "emb", k = 4, iters = 2, dim = 64)
     val rows = fit.collect()
