@@ -202,6 +202,41 @@ object MediaCodec {
     */
   def sampleFrameOffsets(byteLen: Long, stride: Long, maxFrames: Int): Seq[Long] =
     (0L until byteLen by stride).take(maxFrames)
+
+  /** Perceptual average-hash (aHash) over a decoded image: nearest-neighbor
+    * subsample to an 8×8 grid (source pixel at (gx·w/8, gy·h/8), integer
+    * division — no averaging, so every step is exact), integer luminance
+    * per sample (the [[imageStats]] convention), bit k = gy·8+gx set iff
+    * 64·lum(k) > Σlum (strictly — ties clear the bit; the scale-free
+    * integer form of lum > mean). Returned as two non-negative 32-bit
+    * halves (hi = bits 32-63, lo = bits 0-31) so SQL engines reproduce it
+    * without signed-shift edge cases. Identical images always collide;
+    * small brightness/scale edits land within a few bits — the standard
+    * image near-dup fingerprint.
+    */
+  def aHash(img: BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val lums = new Array[Long](64)
+    var total = 0L
+    var k = 0
+    while (k < 64) {
+      val gx = k % 8; val gy = k / 8
+      val rgb = img.getRGB(gx * w / 8, gy * h / 8)
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      val lum = (299L * r + 587L * g + 114L * b) / 1000L
+      lums(k) = lum; total += lum
+      k += 1
+    }
+    var hi = 0L; var lo = 0L
+    k = 0
+    while (k < 64) {
+      if (64L * lums(k) > total) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
 }
 
 object Multimodal {

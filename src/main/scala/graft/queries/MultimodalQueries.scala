@@ -94,12 +94,44 @@ object MultimodalQueries extends QuerySet {
     }.toDF("media_id", "resized_w", "resized_h", "r_sum", "g_sum", "b_sum")
   }
 
+  /** Perceptual-hash image dedup (mm47): 64 images whose parameters key on
+    * doc_id % 32, so each image arrives exactly twice under different ids
+    * — the re-hosted-image case a crawl corpus is full of. Spark decodes
+    * the REAL PNGs and computes [[MediaCodec.aHash]] from decoded pixels;
+    * identical images collide, and the hash-equality groupBy elects the
+    * min-id canonical per perceptual identity (the exactDedup shape on a
+    * 16-byte fingerprint instead of a text digest — at 100 TB only the
+    * two hash longs shuffle, never pixels). DuckDB recomputes the same
+    * subsample/luminance/threshold integer arithmetic from the synthetic
+    * pixel formula, so a wrong decode OR a wrong hash bit diverges.
+    */
+  def mm47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Q.t(s, dir, "documents")
+      .filter(col("doc_id") < 64)
+      .select(col("doc_id").cast("long")).as[Long]
+    val hashes = ids.map { i =>
+      val j = i % 32
+      val w = (8 + j % 9).toInt
+      val h = (8 + (j * 3) % 9).toInt
+      val img = MediaCodec.decodeImage(SyntheticImages.gradientPng(j, w, h)).get
+      val (hi, lo) = MediaCodec.aHash(img)
+      (i, hi, lo)
+    }.toDF("media_id", "ahash_hi", "ahash_lo")
+    val canon = hashes.groupBy("ahash_hi", "ahash_lo")
+      .agg(min(col("media_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+    hashes.join(canon, Seq("ahash_hi", "ahash_lo"))
+      .select("media_id", "ahash_hi", "ahash_lo", "canonical_id", "n_copies")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm39_media_features" -> (mm39 _),
     "mm43_media_resize" -> (mm43 _),
     "mm44_frame_offsets" -> (mm44 _),
     "mm45_image_decode" -> (mm45 _),
-    "mm46_image_resize" -> (mm46 _))
+    "mm46_image_resize" -> (mm46 _),
+    "mm47_image_phash_dedup" -> (mm47 _))
 
   val oracles: Map[String, String] = Map(
     "mm39_media_features" ->
@@ -146,6 +178,37 @@ object MultimodalQueries extends QuerySet {
         |    count(*) FILTER (WHERE bin = 4), count(*) FILTER (WHERE bin = 5),
         |    count(*) FILTER (WHERE bin = 6), count(*) FILTER (WHERE bin = 7)) AS lum_hist
         |FROM lum GROUP BY i""".stripMargin,
+    // recomputes MediaCodec.aHash from the gradient pixel formula: 8x8
+    // nearest-neighbor subsample (integer-division coordinates), integer
+    // luminance, strict 64*lum > total threshold, two 32-bit halves
+    "mm47_image_phash_dedup" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 64),
+        |p AS (SELECT i, i % 32 AS j,
+        |    8 + (i % 32) % 9 AS w, 8 + ((i % 32)*3) % 9 AS h FROM ids),
+        |g AS (SELECT p.i, p.j, gy.gy*8 + gx.gx AS k,
+        |    (gx.gx * p.w // 8) AS sx, (gy.gy * p.h // 8) AS sy
+        |  FROM p, generate_series(0,7) gx(gx), generate_series(0,7) gy(gy)),
+        |l AS (SELECT i, k,
+        |    ((299*((sx*7 + sy*13 + j*31) % 256)
+        |      + 587*((sx*11 + sy*3 + j*17) % 256)
+        |      + 114*((sx*5 + sy*19 + j*7) % 256)) // 1000) AS lum
+        |  FROM g),
+        |t AS (SELECT i, SUM(lum) AS total FROM l GROUP BY i),
+        |b AS (SELECT l.i, l.k,
+        |    CASE WHEN 64 * l.lum > t.total THEN 1 ELSE 0 END AS bit
+        |  FROM l JOIN t ON l.i = t.i),
+        |hs AS (SELECT i,
+        |    CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+        |      ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |    CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+        |      ELSE 0 END) AS BIGINT) AS ahash_lo
+        |  FROM b GROUP BY i),
+        |c AS (SELECT ahash_hi, ahash_lo, MIN(i) AS canonical_id,
+        |    COUNT(*) AS n_copies
+        |  FROM hs GROUP BY 1, 2)
+        |SELECT hs.i AS media_id, hs.ahash_hi, hs.ahash_lo,
+        | c.canonical_id, c.n_copies
+        |FROM hs JOIN c USING (ahash_hi, ahash_lo)""".stripMargin,
     // solid color survives nearest-neighbor resampling exactly, so the
     // resized channel sums are rw*rh*color; dims follow the mm43 fit formula
     "mm46_image_resize" ->

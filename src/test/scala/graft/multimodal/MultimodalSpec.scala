@@ -111,6 +111,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       assert(math.rint(feat(3 + k) * n).toLong == hist(k), s"lum bin $k")
   }
 
+  test("aHash: identical images collide, distinct differ, uniform image hashes to zero") {
+    def hashOf(id: Long, w: Int, h: Int): (Long, Long) =
+      MediaCodec.aHash(
+        MediaCodec.decodeImage(SyntheticImages.gradientPng(id, w, h)).get)
+    // same parameters -> bit-identical hash (the mm47 collision contract)
+    assert(hashOf(3L, 13, 11) == hashOf(3L, 13, 11))
+    // different content -> different fingerprints on the gradient family
+    assert(hashOf(3L, 13, 11) != hashOf(4L, 13, 11))
+    // halves are non-negative 32-bit values (SQL-safe, no sign games)
+    val (hi, lo) = hashOf(9L, 16, 16)
+    assert(hi >= 0L && hi <= 0xffffffffL && lo >= 0L && lo <= 0xffffffffL)
+    // strict > threshold: a uniform image (every lum == mean) sets NO bits
+    val solid = MediaCodec.decodeImage(
+      SyntheticImages.solidPng(120, 90, 33, 10, 10)).get
+    assert(MediaCodec.aHash(solid) == ((0L, 0L)))
+    // brute-force the bit convention against the formula for one image
+    val (id, w, h) = (7L, 13, 11)
+    val lums = (0 until 64).map { k =>
+      val gx = k % 8; val gy = k / 8
+      val rgb = SyntheticImages.gradientRgb(id, gx * w / 8, gy * h / 8)
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      (299L * r + 587L * g + 114L * b) / 1000L
+    }
+    val total = lums.sum
+    var eHi = 0L; var eLo = 0L
+    for (k <- 0 until 64 if 64L * lums(k) > total)
+      if (k < 32) eLo |= 1L << k else eHi |= 1L << (k - 32)
+    assert(hashOf(id, w, h) == ((eHi, eLo)))
+  }
+
   test("real decode engages for JPEG too (lossy: dims exact, stats real floats)") {
     val (w, h, feat) = MediaCodec.decode(imageBytes("jpg", 32, 24))
     assert((w, h) == (32, 24))
