@@ -38,6 +38,8 @@ object BenchHeavy {
     "q35_weighted_mix",
     "dd44_line_dedup",
     "dd50_substring_dedup",
+    "dd52_bloom_screen",
+    "sim51_ivf_pq_residual_topk",
     "td29_fingerprint")
   // dd45 composes the same recursive-CTE closure as dd36 — both oracles
   // are infeasible at the 10x tier (which is itself the scale point)

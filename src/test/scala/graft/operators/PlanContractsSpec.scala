@@ -353,6 +353,33 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
       .foreach { case (id, cid) => assert(brute(id) == cid, s"vec $id") }
   }
 
+  test("bloomScreen prunes the reference scan map-side: might_contain below any exchange") {
+    graft.functions.GraftFunctions.register(spark)
+    val all = graft.queries.Q.t(spark, dir, "documents")
+    val refDigests = all.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("__fp"))
+      .filter(col("__fp").isNotNull).distinct()
+    val out = TextDedup.bloomScreen(refDigests,
+      all.filter(col("doc_id") % 2 === 1), "text")
+    val plan = out.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val fis = lines.indices.filter(i => lines(i).contains("might_contain")
+      && lines(i).contains("Filter"))
+    // Catalyst pushes the prune onto the reference scan AND (via equi-join
+    // constraint propagation) onto the sketch-side frame — every instance
+    // must sit directly on its scan: the lines between a prune filter and
+    // its child scan contain NO exchange, so definite-non-matches die
+    // before anything shuffles
+    assert(fis.nonEmpty, s"expected a might_contain prune in the plan:\n$plan")
+    fis.foreach { fi =>
+      val below = lines.drop(fi + 1).takeWhile(l => !l.contains("Scan"))
+      assert(!below.exists(_.contains("Exchange")),
+        s"bloom prune at line $fi must sit directly on the scan side, " +
+          s"found exchange between filter and scan:\n$plan")
+    }
+    assert(out.count() > 0)
+  }
+
   test("curationPipeline is one fused projection: no exchange, no join") {
     graft.functions.GraftFunctions.register(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
