@@ -552,6 +552,51 @@ object Ann {
         col("centroid_id").as("cell"), col("adc"))
   }
 
+  /** Bulk kNN graph over the WHOLE corpus — every vector is a query. The
+    * top-k searches above broadcast a GUARDED small query frame; a corpus
+    * that needs its full kNN graph (SemDeDup's per-cluster neighbor
+    * structure, graph-based clustering, dedup-by-nearest-neighbor) cannot
+    * broadcast anything: this is the join form. Both sides of the
+    * self-join are the [[ivfAssign]] cell assignment (one projection pass,
+    * checkpoint-shared), joined on the cell id — a plain hash-partitioned
+    * equi-join whose exchange carries O(corpus) rows, never a broadcast
+    * and never an all-pairs product; candidate volume is Σ cell², so the
+    * centroid count is the scale knob exactly as in [[semanticDedup]],
+    * and `maxCellSize` (0 = off) skips degenerate cells
+    * (recall-for-boundedness, audit via the absent rows). Neighbors
+    * within the same cell only — nprobe>1 bulk form would union shifted
+    * assignments; compose if needed. Output: (query_id, rank,
+    * neighbor_id, cell, cos), rank 1..k by cos desc / id asc.
+    */
+  def knnGraph(emb: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, k: Int, maxCellSize: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val assigned0 = ivfAssign(emb, idCol, embCol, centroids)
+      .select("vec_id", "centroid_id", "emb", "norm")
+      .localCheckpoint(false)
+    val assigned =
+      if (maxCellSize <= 0) assigned0
+      else {
+        val ok = assigned0.groupBy("centroid_id")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxCellSize)
+          .select("centroid_id")
+        assigned0.join(ok, Seq("centroid_id"))
+      }
+    val q = assigned.select(col("centroid_id"),
+      col("vec_id").as("query_id"), col("emb").as("q_emb"),
+      col("norm").as("q_norm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cand_cos").desc, col("vec_id").asc)
+    assigned.join(q, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cand_cos",
+        dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("centroid_id").as("cell"), round(col("cand_cos"), 4).as("cos"))
+  }
+
   /** Residual IVF-PQ top-k — the faithful IVFADC of Jégou et al. 2011
     * §IV: PQ encodes the RESIDUAL `x − c(x)` (each vector minus its
     * assigned cell's centroid) instead of the raw vector, and each query

@@ -208,6 +208,17 @@ object Similarity extends QuerySet {
       subspaces = 4, centroidsPerSub = 8, dim = 64)
   }
 
+  /** Bulk kNN graph (sim52): the whole embeddings table is the query set —
+    * top-3 same-cell neighbors for EVERY vector via the cell self-join
+    * (no broadcast anywhere; the shape a corpus-wide kNN graph build
+    * needs at 100 TB). Fully oracled: DuckDB runs the same
+    * assign-join-rank chain over all vectors.
+    */
+  def sim52(s0: SparkSession, dir: String): DataFrame = {
+    val s = withDot(s0)
+    Ann.knnGraph(embD(s, dir), "vec_id", "emb", centroids(s, dir), k = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
     "sim37_lsh_buckets" -> (sim37 _),
@@ -224,7 +235,8 @@ object Similarity extends QuerySet {
     "sim48_pq_fit" -> (sim48 _),
     "sim49_quantized_topk" -> (sim49 _),
     "sim50_recall_at_k" -> (sim50 _),
-    "sim51_ivf_pq_residual_topk" -> (sim51 _))
+    "sim51_ivf_pq_residual_topk" -> (sim51 _),
+    "sim52_knn_graph" -> (sim52 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -337,6 +349,27 @@ object Similarity extends QuerySet {
 
   val oracles: Map[String, String] = Map(
     "sim46_kmeans_fit" -> sim46Sql,
+    "sim52_knn_graph" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+        |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
+        |c AS (SELECT vec_id AS centroid_id, emb AS c_emb, norm AS c_norm FROM w WHERE vec_id < 8),
+        |scored AS (SELECT w.vec_id, c.centroid_id, w.emb, w.norm,
+        |  list_sum([w.emb[i] * c.c_emb[i] for i in range(1, 65)]) / (w.norm * c.c_norm) AS cos_full
+        | FROM w, c),
+        |a AS (SELECT vec_id, centroid_id, emb, norm FROM (
+        |  SELECT *, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY cos_full DESC, centroid_id ASC) AS rn FROM scored)
+        | WHERE rn = 1),
+        |cand AS (SELECT q.vec_id AS query_id, x.vec_id, x.centroid_id,
+        |  list_sum([x.emb[i] * q.emb[i] for i in range(1, 65)]) / (x.norm * q.norm) AS cand_cos
+        | FROM a x JOIN a q ON x.centroid_id = q.centroid_id
+        |  AND x.vec_id <> q.vec_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+        | centroid_id AS cell, round(cand_cos, 4) AS cos
+        |FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cand_cos DESC, vec_id ASC) AS rank FROM cand)
+        |WHERE rank <= 3""".stripMargin,
     "sim50_recall_at_k" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),

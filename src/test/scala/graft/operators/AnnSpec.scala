@@ -356,6 +356,37 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(keptLow.subsetOf(kept))
   }
 
+  test("knnGraph: every vector gets its same-cell brute-force top-k; cap skips oversize cells") {
+    val got = Ann.knnGraph(emb, "vec_id", "emb", centroids, k = 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(r => r.getLong(2)).toSeq).toMap
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cents = vecs.filter(_._1 < 8)
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val cell = vecs.view.mapValues(v =>
+      cents.toSeq.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .minBy { case (cid, c) => (-c, cid) }._1).toMap
+    for ((qid, qv) <- vecs) {
+      val want = vecs.keys
+        .filter(id => id != qid && cell(id) == cell(qid)).toSeq
+        .sortBy(id => (-cos(qv, vecs(id)), id)).take(3)
+      assert(got.getOrElse(qid, Nil) == want, s"query $qid")
+    }
+    // every vector with a non-singleton cell appears as a query
+    val nonSingleton = vecs.keys.count(id => vecs.keys.exists(o =>
+      o != id && cell(o) == cell(id)))
+    assert(got.size == nonSingleton)
+    // a cap below the largest cell size drops that cell's rows entirely
+    val largest = cell.values.groupBy(identity).map(_._2.size).max
+    val capped = Ann.knnGraph(emb, "vec_id", "emb", centroids, k = 3,
+      maxCellSize = largest - 1)
+      .select("query_id").collect().map(_.getLong(0)).toSet
+    assert(capped.subsetOf(got.keySet) && capped.size < got.size)
+  }
+
   test("recallAtK: exact self-recall is 1, disjoint is 0, partial counts hits/k") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
