@@ -196,6 +196,25 @@ object Extended extends QuerySet {
         count(lit(1)).as("cnt"))
   }
 
+  /** Native CUBE grouping sets (q38, the A18 rollup family's direct
+    * operator form): per-(source, lang) counts with all subtotal
+    * combinations in one pass, `grouping()` flags disambiguating
+    * subtotal nulls from data nulls. Scale shape: cube Expands each row
+    * ×4 (one per grouping set) but partial aggregation collapses the
+    * expansion map-side before the one exchange — unlike q08's
+    * multi-distinct Expand (which carried distinct VALUES through the
+    * shuffle), the carried state here is one count+sum per group, so the
+    * exchange stays group-bounded at any corpus size.
+    */
+  def q38(s: SparkSession, dir: String): DataFrame =
+    Q.t(s, dir, "documents")
+      .cube(col("source"), col("lang"))
+      .agg(
+        grouping(col("source")).cast("int").as("g_source"),
+        grouping(col("lang")).cast("int").as("g_lang"),
+        count(lit(1)).as("cnt"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
@@ -208,7 +227,8 @@ object Extended extends QuerySet {
     "q34_per_key_cap" -> (q34 _),
     "q35_weighted_mix" -> (q35 _),
     "q36_pack_sequences" -> (q36 _),
-    "q37_salted_join" -> (q37 _))
+    "q37_salted_join" -> (q37 _),
+    "q38_cube_rollup" -> (q38 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -309,5 +329,12 @@ object Extended extends QuerySet {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | count(*) AS cnt
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+    "q38_cube_rollup" ->
+      """SELECT source, lang,
+        | CAST(GROUPING(source) AS INTEGER) AS g_source,
+        | CAST(GROUPING(lang) AS INTEGER) AS g_lang,
+        | count(*) AS cnt,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE (source, lang)""".stripMargin)
 }

@@ -295,13 +295,65 @@ object StreamingQueries extends QuerySet {
     streamed
   }
 
+  /** Streaming curation screen (st53): the documents feed pushed through
+    * `TextAnalysis.curationPipeline` (normalize → Gopher → repetition →
+    * PII redact, ONE fused projection) per micro-batch — the ingest-time
+    * quality gate of a crawl pipeline, riding the T2 foreachBatch
+    * mechanism. The pipeline is a pure per-row projection, so any
+    * micro-batch partitioning yields the same union — asserted by
+    * identity-set parity (doc_id + keep verdict + redaction count)
+    * against the ORACLED td40 batch twin.
+    */
+  def st53(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val src = Paths.get(s"$dir/documents.parquet")
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val staged = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_st53_docs_$key")
+    Files.createDirectories(staged)
+    Files.copy(src, staged.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = s.read.parquet(staged.toString).schema
+    val feed = s.readStream.schema(schema).parquet(staged.toString)
+    val out = tmp("graft_st53_out")
+    val q = feed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // same stopword-injection convention as the td40 twin
+        val injected = batch.select(
+          col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 2 === 0,
+              lit(" and so that was the end of it all"))
+              .otherwise(lit(""))).as("text"))
+        graft.operators.TextAnalysis
+          .curationPipeline(injected, "doc_id", "text", fast = true)
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", tmp("graft_st53_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = s.read.parquet(out)
+    val batchTwin = TextOps.q40(s, dir)
+    val idCols = Seq("doc_id", "keep", "n_redactions")
+    val missing = batchTwin.select(idCols.map(col): _*)
+      .except(streamed.select(idCols.map(col): _*)).count()
+    val extra = streamed.select(idCols.map(col): _*)
+      .except(batchTwin.select(idCols.map(col): _*)).count()
+    require(missing == 0 && extra == 0,
+      s"streamed curation diverged from the td40 twin: " +
+        s"missing=$missing extra=$extra")
+    streamed
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st47_stream_silver_drain" -> (st47 _),
     "st48_stream_dedup_replay" -> (st48 _),
     "st49_stream_hourly_health" -> (st49 _),
     "st50_stream_incremental_dedup" -> (st50 _),
     "st51_stream_semantic_screen" -> (st51 _),
-    "st52_stream_sessions" -> (st52 _))
+    "st52_stream_sessions" -> (st52 _),
+    "st53_stream_curation" -> (st53 _))
 
   // no DuckDB oracles: streaming drains are rows-only by design; the parity
   // require()s above carry the correctness assertion
