@@ -380,6 +380,40 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() > 0)
   }
 
+  test("knnGraph self-join shuffles on the cell id only — no query-side broadcast at scale") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.queries.Q.t(spark, dir, "embeddings").select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val cents = e.filter(col("vec_id") < 8).select(
+      col("vec_id").as("centroid_id"), col("emb").as("c_emb"),
+      sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb")))
+        .as("c_norm"))
+    // at fixture size AQE would broadcast the self-join side; disable the
+    // threshold to see the plan a corpus-scale build takes
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val g = Ann.knnGraph(e, "vec_id", "emb", cents, k = 3)
+      assert(g.count() > 0) // materialize with AQE final plan
+      val plan = g.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") ||
+        countOf(plan, "BroadcastHashJoin") == countOf(plan, "__cents"),
+        s"the corpus self-join must not broadcast a corpus side " +
+          s"(the only allowed broadcast is ivfAssign's one-row centroid " +
+          s"array):\n$plan")
+      // every hash exchange keys on centroid_id (the join) or query_id
+      // (the top-k window) — never an expanded or all-pairs frame
+      val exchanges = plan.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toVector
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { l =>
+        assert(l.contains("centroid_id") || l.contains("query_id"),
+          s"unexpected exchange key: $l")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("curationPipeline is one fused projection: no exchange, no join") {
     graft.functions.GraftFunctions.register(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
