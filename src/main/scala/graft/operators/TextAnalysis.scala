@@ -453,4 +453,97 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(topK)
   }
+
+  // ---- BPE merge training ------------------------------------------------
+
+  /** Symbol separator inside the SEP-joined word representation. A control
+    * character that never appears in text symbols, so symbol boundaries
+    * survive any number of merges (merged symbols are plain
+    * concatenations).
+    */
+  private val BpeSep = "\u0001"
+
+  /** Whitespace word census: (word, corpus count). THE scale move of BPE
+    * training: every later stage runs over the DISTINCT-WORD frame
+    * (vocabulary-sized) weighted by these counts, never over the corpus
+    * again — the classic Sennrich 2016 formulation. One corpus shuffle.
+    */
+  def bpeWordCensus(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Initial symbol state for BPE training: each census word split to
+    * characters, SEP-joined → (w, cnt). The frame [[bpePairCensus]] and
+    * the [[bpeTrain]] loop operate on.
+    */
+  def bpeInitWords(census: DataFrame): DataFrame =
+    census.select(array_join(split(col("word"), ""), BpeSep).as("w"),
+      col("cnt"))
+
+  /** Adjacent symbol-pair census over a (w = SEP-joined symbols, cnt)
+    * frame → (l, r, cnt). The one shuffle per training round, keyed on
+    * the pair — O(vocab × avg symbols/word) rows in, pair-vocabulary rows
+    * out, partial aggregation collapsing map-side.
+    */
+  def bpePairCensus(words: DataFrame): DataFrame = {
+    val s = split(col("w"), BpeSep)
+    words
+      .select(s.as("s"), col("cnt"))
+      .filter(size(col("s")) >= 2)
+      .select(explode(transform(slice(col("s"), lit(1), size(col("s")) - 1),
+        (x, i) => struct(x.as("l"), element_at(col("s"), i + 2).as("r"))))
+        .as("p"), col("cnt"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+  }
+
+  /** In-engine BPE merge training (Sennrich et al. 2016): learn `merges`
+    * merge rules over the whitespace-word census — the census (td36) and
+    * token counting (td33) side of the tokenizer loop gets its training
+    * step. Each round: pair census → highest-count pair (deterministic
+    * tiebreak cnt desc / l asc / r asc) → apply the merge to every word.
+    * The merge application is a literal `replace` of `l SEP r` with `lr`
+    * on the SEP-joined symbol string — left-to-right, non-overlapping,
+    * which IS greedy pairwise BPE merging ("aaa" + (a,a) → [aa, a]) and
+    * is reproducible verbatim in any SQL engine, so a fixed-k run is
+    * fully hash-oracled (td42 unrolls the same three rounds in DuckDB).
+    * Returns (iteration, l, r, cnt), one row per learned rule; stops
+    * early when no pair remains.
+    *
+    * Scale shape: after the one corpus shuffle in [[bpeWordCensus]],
+    * every round touches only the vocabulary frame (checkpointed per
+    * round — the iterative-frame discipline of dupClusters/kmeansFit);
+    * the per-round driver collect is ONE row — the learned rule, i.e.
+    * the model, not data. k merges are inherently sequential (each
+    * census depends on the prior merge), so k rounds = k vocab-sized
+    * jobs, corpus-independent.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val spark = docs.sparkSession
+    var words = bpeInitWords(bpeWordCensus(docs, textCol))
+      .localCheckpoint(false)
+    val rules = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var it = 1
+    var exhausted = false
+    while (it <= merges && !exhausted) {
+      val top = bpePairCensus(words)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        rules += ((it, l, r, top(0).getLong(2)))
+        words = words.select(
+          call_function("replace", col("w"),
+            lit(l + BpeSep + r), lit(l + r)).as("w"),
+          col("cnt")).localCheckpoint(false)
+        it += 1
+      }
+    }
+    import spark.implicits._
+    rules.toSeq.toDF("iteration", "l", "r", "cnt")
+  }
 }

@@ -257,6 +257,28 @@ object TextOps extends QuerySet {
     TextAnalysis.curationPipeline(injected, "doc_id", "text", fast = true)
   }
 
+  /** BPE pair census (td41): the top-10 adjacent character pairs over the
+    * whitespace-word census, weighted by word counts — one training
+    * round's shuffle, isolated and fully oracled (deterministic
+    * cnt-desc/l/r cut via TakeOrderedAndProject, never a global sort).
+    */
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    TextAnalysis.bpePairCensus(TextAnalysis.bpeInitWords(
+      TextAnalysis.bpeWordCensus(Q.t(s, dir, "documents"), "text")))
+      .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+      .limit(10)
+  }
+
+  /** BPE merge training (td42): three Sennrich merge rounds learned
+    * in-engine over the word census — the tokenizer-training step that
+    * closes the census (td36) / token-counting (td33) loop. Fixed k keeps
+    * the DuckDB oracle an unrolled three-round CTE chain computing the
+    * SAME census → top pair → literal-replace merge per round, so the
+    * learned rules hash-match bit-for-bit.
+    */
+  def q42(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrain(Q.t(s, dir, "documents"), "text", merges = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
     "q25_array_hof" -> (q25 _),
@@ -274,9 +296,43 @@ object TextOps extends QuerySet {
     "td37_gopher_screen" -> (q37 _),
     "td38_crawl_front_door" -> (q38 _),
     "td39_familiarity" -> (q39 _),
-    "td40_curation_pipeline" -> (q40 _))
+    "td40_curation_pipeline" -> (q40 _),
+    "td41_bpe_pair_census" -> (q41 _),
+    "td42_bpe_train" -> (q42 _))
+
+  /** One BPE round's census/top-pair/merge as DuckDB CTEs (shared by the
+    * td41/td42 oracles): `wn` = the (w, cnt) state, producing pair census
+    * `pn` and its deterministic winner `tn`.
+    */
+  private def bpeRoundSql(wn: String, pn: String, tn: String): String =
+    s"""$pn AS (SELECT sy[i] AS l, sy[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS cnt FROM
+       |  (SELECT string_split(w, chr(1)) AS sy, cnt FROM $wn) t,
+       |  generate_series(1, 128) g(i) WHERE i <= len(sy) - 1 GROUP BY 1, 2),
+       |$tn AS (SELECT l, r, cnt FROM $pn ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+
+  private val bpeBaseSql =
+    """wd AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT word, count(*) AS cnt FROM wd WHERE len(word) >= 1 GROUP BY 1),
+      |w0 AS (SELECT array_to_string(string_split(word, ''), chr(1)) AS w, cnt FROM c)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "td41_bpe_pair_census" ->
+      s"""WITH $bpeBaseSql,
+         |${bpeRoundSql("w0", "p1", "t1")}
+         |SELECT l, r, cnt FROM p1
+         |ORDER BY cnt DESC, l, r LIMIT 10""".stripMargin,
+    "td42_bpe_train" ->
+      s"""WITH $bpeBaseSql,
+         |${bpeRoundSql("w0", "p1", "t1")},
+         |w1 AS (SELECT replace(w, (SELECT l || chr(1) || r FROM t1),
+         |  (SELECT l || r FROM t1)) AS w, cnt FROM w0),
+         |${bpeRoundSql("w1", "p2", "t2")},
+         |w2 AS (SELECT replace(w, (SELECT l || chr(1) || r FROM t2),
+         |  (SELECT l || r FROM t2)) AS w, cnt FROM w1),
+         |${bpeRoundSql("w2", "p3", "t3")}
+         |SELECT CAST(1 AS INTEGER) AS iteration, l, r, cnt FROM t1
+         |UNION ALL SELECT 2, l, r, cnt FROM t2
+         |UNION ALL SELECT 3, l, r, cnt FROM t3""".stripMargin,
     "q20_string_functions" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

@@ -504,4 +504,22 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("bpeTrain learns composite merges with greedy left-to-right application") {
+    import spark.implicits._
+    // census: "aab"×3, "aaaa"×1.
+    // round 1: (a,a) = 3 (from aab) + 3 (from aaaa) = 6 beats (a,b) = 3
+    // round 2: aab → [aa,b], aaaa → [aa,aa] (GREEDY: "aaa" would be [aa,a]),
+    //          so (aa,b) = 3 beats (aa,aa) = 1 — a COMPOSITE symbol merges
+    // round 3: only (aa,aa) = 1 remains
+    val docs = Seq((1L, "aab aab aaaa"), (2L, "aab")).toDF("doc_id", "text")
+    val rules = TextAnalysis.bpeTrain(docs, "text", merges = 3)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    assert(rules == List((1, "a", "a", 6L), (2, "aa", "b", 3L),
+      (3, "aa", "aa", 1L)))
+    // exhaustion: asking for more merges than exist stops early
+    val fewer = TextAnalysis.bpeTrain(docs, "text", merges = 10).count()
+    assert(fewer == 3) // after (aab) and (aaaa) fuse there are no pairs left
+  }
 }
