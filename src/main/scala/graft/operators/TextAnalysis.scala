@@ -546,4 +546,31 @@ object TextAnalysis {
     import spark.implicits._
     rules.toSeq.toDF("iteration", "l", "r", "cnt")
   }
+
+  /** Tokenize with learned merges — the apply side of [[bpeTrain]]: per
+    * document, every whitespace word is char-split and the merge rules
+    * replay IN TRAINING ORDER (the same literal-replace semantics the
+    * trainer used, so encode(train corpus) reproduces training's final
+    * symbol state); output is the whitespace word count next to the BPE
+    * symbol count — the real token-budget currency once a tokenizer is
+    * trained (td33's regex count is the upper-bound proxy). Rules arrive
+    * as driver values (they ARE the model, k entries) and inline into one
+    * fused projection: no join, no shuffle, no UDF — a k-deep replace
+    * chain inside whole-stage codegen.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    def wordSymbols(w: Column): Column = {
+      val joined = array_join(split(w, ""), BpeSep)
+      val merged = rules.foldLeft(joined) { case (acc, (l, r)) =>
+        call_function("replace", acc, lit(l + BpeSep + r), lit(l + r))
+      }
+      size(split(merged, BpeSep))
+    }
+    val words = filter(toks(col(textCol)), w => length(w) > 0)
+    docs.select(col(idCol),
+      size(words).as("n_words"),
+      aggregate(words, lit(0), (acc, w) => acc + wordSymbols(w))
+        .cast("long").as("n_bpe_symbols"))
+  }
 }

@@ -279,6 +279,19 @@ object TextOps extends QuerySet {
   def q42(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTrain(Q.t(s, dir, "documents"), "text", merges = 3)
 
+  /** BPE encode (td43): tokenize the corpus with the td42-trained rules —
+    * train → encode closes the tokenizer loop end-to-end in-engine. The
+    * oracle re-derives the same three rules and replays the same replace
+    * chain per word, so the per-document symbol counts hash-match.
+    */
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(s, dir, "documents")
+    val rules = TextAnalysis.bpeTrain(docs, "text", merges = 3)
+      .orderBy("iteration").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextAnalysis.bpeEncode(docs, "doc_id", "text", rules)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
     "q25_array_hof" -> (q25 _),
@@ -298,7 +311,8 @@ object TextOps extends QuerySet {
     "td39_familiarity" -> (q39 _),
     "td40_curation_pipeline" -> (q40 _),
     "td41_bpe_pair_census" -> (q41 _),
-    "td42_bpe_train" -> (q42 _))
+    "td42_bpe_train" -> (q42 _),
+    "td43_bpe_encode" -> (q43 _))
 
   /** One BPE round's census/top-pair/merge as DuckDB CTEs (shared by the
     * td41/td42 oracles): `wn` = the (w, cnt) state, producing pair census
@@ -333,6 +347,28 @@ object TextOps extends QuerySet {
          |SELECT CAST(1 AS INTEGER) AS iteration, l, r, cnt FROM t1
          |UNION ALL SELECT 2, l, r, cnt FROM t2
          |UNION ALL SELECT 3, l, r, cnt FROM t3""".stripMargin,
+    "td43_bpe_encode" ->
+      s"""WITH $bpeBaseSql,
+         |${bpeRoundSql("w0", "p1", "t1")},
+         |w1 AS (SELECT replace(w, (SELECT l || chr(1) || r FROM t1),
+         |  (SELECT l || r FROM t1)) AS w, cnt FROM w0),
+         |${bpeRoundSql("w1", "p2", "t2")},
+         |w2 AS (SELECT replace(w, (SELECT l || chr(1) || r FROM t2),
+         |  (SELECT l || r FROM t2)) AS w, cnt FROM w1),
+         |${bpeRoundSql("w2", "p3", "t3")},
+         |rr AS (SELECT t1.l AS l1, t1.r AS r1, t2.l AS l2, t2.r AS r2,
+         |  t3.l AS l3, t3.r AS r3 FROM t1, t2, t3),
+         |d AS (SELECT doc_id, list_filter(string_split(text, ' '),
+         |  w -> len(w) >= 1) AS ws FROM documents)
+         |SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words,
+         | CAST(COALESCE(list_sum(list_transform(ws, w ->
+         |  len(string_split(
+         |   replace(replace(replace(array_to_string(string_split(w, ''), chr(1)),
+         |    l1 || chr(1) || r1, l1 || r1),
+         |    l2 || chr(1) || r2, l2 || r2),
+         |    l3 || chr(1) || r3, l3 || r3),
+         |   chr(1))))), 0) AS BIGINT) AS n_bpe_symbols
+         |FROM d, rr""".stripMargin,
     "q20_string_functions" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
