@@ -215,6 +215,30 @@ object Extended extends QuerySet {
         count(lit(1)).as("cnt"),
         sum(col("n_chars")).cast("long").as("sum_chars"))
 
+  /** Funnel / conversion analysis (q44): per user, the first `view` and
+    * the first `purchase` strictly after it, plus the conversion lag —
+    * the ordered-step sequence query an events product analytics surface
+    * runs. One shuffle: the per-user first-view window and the final
+    * aggregate share the user_id hash partitioning; the purchase step is
+    * a conditional aggregate over the SAME pass (no self-join, no second
+    * corpus scan). Users with no view (or no qualifying purchase) keep a
+    * row with nulls — a funnel report must show drop-off, not omit it.
+    */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    Q.t(s, dir, "events")
+      .withColumn("first_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "purchase"
+          && col("ts") > col("first_view"), col("ts"))).as("first_purchase"))
+      .select(col("user_id"), col("first_view"), col("first_purchase"),
+        (unix_timestamp(col("first_purchase"))
+          - unix_timestamp(col("first_view"))).as("seconds_to_convert"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
@@ -228,7 +252,8 @@ object Extended extends QuerySet {
     "q35_weighted_mix" -> (q35 _),
     "q36_pack_sequences" -> (q36 _),
     "q37_salted_join" -> (q37 _),
-    "q38_cube_rollup" -> (q38 _))
+    "q38_cube_rollup" -> (q38 _),
+    "q44_funnel_steps" -> (q44 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -336,5 +361,17 @@ object Extended extends QuerySet {
         | CAST(GROUPING(lang) AS INTEGER) AS g_lang,
         | count(*) AS cnt,
         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY CUBE (source, lang)""".stripMargin)
+        |FROM documents GROUP BY CUBE (source, lang)""".stripMargin,
+    "q44_funnel_steps" ->
+      """WITH v AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+        | FROM events GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+        | FROM events e JOIN v ON e.user_id = v.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+        | GROUP BY 1)
+        |SELECT v.user_id, v.first_view, p.first_purchase,
+        | CAST(date_diff('second', v.first_view, p.first_purchase) AS BIGINT)
+        |  AS seconds_to_convert
+        |FROM v LEFT JOIN p ON v.user_id = p.user_id""".stripMargin)
 }
