@@ -198,6 +198,20 @@ object GraftFunctions {
       children(0), children(1), children(2)).toAggregateExpression()
   }
 
+  /** graft_cms_agg(col, eps, confidence, seed): Spark's distributed
+    * count-min sketch build (`CountMinSketchAgg` — the engine's own
+    * mergeable heavy-hitter state, also behind df.stat.countMinSketch).
+    * eps/confidence/seed must be foldable literals.
+    */
+  private[functions] val buildCmsAgg: Seq[Expression] => Expression = children => {
+    if (children.length != 4)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_cms_agg: " +
+          s"expected 4 (graft_cms_agg(col, eps, confidence, seed)), got ${children.length}")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.CountMinSketchAgg(
+      children(0), children(1), children(2), children(3)).toAggregateExpression()
+  }
+
   private val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
@@ -229,7 +243,12 @@ object GraftFunctions {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "graft_bloom_agg"),
-      buildBloomAgg))
+      buildBloomAgg),
+    (FunctionIdentifier("graft_cms_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.CountMinSketchAgg].getName,
+        "graft_cms_agg"),
+      buildCmsAgg))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (id, info, builder) =>
@@ -285,6 +304,14 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("graft_bloom_agg", value,
       org.apache.spark.sql.functions.lit(items),
       org.apache.spark.sql.functions.lit(numBits))
+
+  /** Distributed count-min sketch over a column → one binary row. */
+  def cmsAgg(value: Column, eps: Double, confidence: Double,
+      seed: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_cms_agg", value,
+      org.apache.spark.sql.functions.lit(eps),
+      org.apache.spark.sql.functions.lit(confidence),
+      org.apache.spark.sql.functions.lit(seed))
 }
 
 /** Extensions entry point: inject graft functions into every session built

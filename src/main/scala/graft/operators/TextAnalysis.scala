@@ -547,6 +547,33 @@ object TextAnalysis {
     rules.toSeq.toDF("iteration", "l", "r", "cnt")
   }
 
+  /** Distributed count-min token sketch — the mergeable approximate
+    * counterpart of [[vocab]] for when the distinct-token universe is too
+    * wide to census exactly (billions of tokens at web scale): per-task
+    * partial sketches merge map-side into ONE fixed-size array (width
+    * ceil(2/eps) × depth ln(1/(1-confidence)) counters), so the shuffle
+    * carries kilobytes regardless of corpus size, and any token's count
+    * is answerable afterwards without touching the corpus again. Rides
+    * Spark's own `CountMinSketchAgg` (the machinery behind
+    * df.stat.countMinSketch); deterministic for a fixed seed. The
+    * returned sketch guarantees estimate ≥ true count always, and
+    * estimate ≤ true + eps·N with probability `confidence` per query —
+    * the td44 entry pins both bounds as oracle-checked booleans.
+    */
+  def cmsTokenSketch(docs: DataFrame, textCol: String, eps: Double,
+      confidence: Double, seed: Int): org.apache.spark.util.sketch.CountMinSketch = {
+    require(eps > 0 && eps < 1, s"eps must be in (0,1), got $eps")
+    require(confidence > 0 && confidence < 1,
+      s"confidence must be in (0,1), got $confidence")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val bytes = docs.select(explode(toks(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .agg(graft.functions.GraftFunctions
+        .cmsAgg(col("token"), eps, confidence, seed).as("__s"))
+      .head().getAs[Array[Byte]]("__s")
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+  }
+
   /** Tokenize with learned merges — the apply side of [[bpeTrain]]: per
     * document, every whitespace word is char-split and the merge rules
     * replay IN TRAINING ORDER (the same literal-replace semantics the

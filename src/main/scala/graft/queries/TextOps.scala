@@ -292,6 +292,30 @@ object TextOps extends QuerySet {
     TextAnalysis.bpeEncode(docs, "doc_id", "text", rules)
   }
 
+  /** Count-min heavy hitters (td44): the exact top-20 tokens (td36's
+    * census cut) probed against the distributed count-min sketch, with
+    * both sketch guarantees emitted as oracle-checked booleans — est ≥
+    * true always, est ≤ true + eps·N at the sketch's confidence (the q28
+    * sketch-verification idiom: the oracle's TRUE literals fail the gate
+    * if the sketch drifts). The report is K driver rows; the corpus work
+    * — census + sketch — is two distributed passes whose shuffles carry
+    * the vocabulary and the fixed-size sketch respectively.
+    */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(s, dir, "documents")
+    val top = TextAnalysis.vocab(docs, "doc_id", "text", topK = 20)
+      .select("token", "freq").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sketch = TextAnalysis.cmsTokenSketch(docs, "text",
+      eps = 0.0001, confidence = 0.999, seed = 42)
+    val slack = math.ceil(0.0001 * sketch.totalCount()).toLong
+    import s.implicits._
+    top.toSeq.map { case (tok, freq) =>
+      val est = sketch.estimateCount(tok)
+      (tok, freq, est >= freq, est <= freq + slack)
+    }.toDF("token", "freq", "est_at_least_true", "est_within_eps")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
     "q25_array_hof" -> (q25 _),
@@ -312,7 +336,8 @@ object TextOps extends QuerySet {
     "td40_curation_pipeline" -> (q40 _),
     "td41_bpe_pair_census" -> (q41 _),
     "td42_bpe_train" -> (q42 _),
-    "td43_bpe_encode" -> (q43 _))
+    "td43_bpe_encode" -> (q43 _),
+    "td44_cms_heavy_hitters" -> (q44 _))
 
   /** One BPE round's census/top-pair/merge as DuckDB CTEs (shared by the
     * td41/td42 oracles): `wn` = the (w, cnt) state, producing pair census
@@ -330,6 +355,14 @@ object TextOps extends QuerySet {
       |w0 AS (SELECT array_to_string(string_split(word, ''), chr(1)) AS w, cnt FROM c)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "td44_cms_heavy_hitters" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS freq,
+        | TRUE AS est_at_least_true, TRUE AS est_within_eps
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE len(token) > 0
+        |GROUP BY token
+        |ORDER BY freq DESC, token ASC
+        |LIMIT 20""".stripMargin,
     "td41_bpe_pair_census" ->
       s"""WITH $bpeBaseSql,
          |${bpeRoundSql("w0", "p1", "t1")}
