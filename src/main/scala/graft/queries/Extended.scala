@@ -239,6 +239,20 @@ object Extended extends QuerySet {
           - unix_timestamp(col("first_view"))).as("seconds_to_convert"))
   }
 
+  /** Batch twin of the st54 stream-stream join (q45): every (view,
+    * purchase) pair of the same user with the purchase inside the hour
+    * after the view — the time-range correlation join, oracled so the
+    * streaming entry's parity `require` chains to DuckDB. One user-keyed
+    * shuffle joins the two filtered sides; the time-range predicate
+    * bounds the per-user pair expansion.
+    */
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val ev = Q.t(s, dir, "events")
+    graft.streaming.EventStreaming.viewPurchaseJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
@@ -253,7 +267,8 @@ object Extended extends QuerySet {
     "q36_pack_sequences" -> (q36 _),
     "q37_salted_join" -> (q37 _),
     "q38_cube_rollup" -> (q38 _),
-    "q44_funnel_steps" -> (q44 _))
+    "q44_funnel_steps" -> (q44 _),
+    "q45_view_purchase_join" -> (q45 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -373,5 +388,13 @@ object Extended extends QuerySet {
         |SELECT v.user_id, v.first_view, p.first_purchase,
         | CAST(date_diff('second', v.first_view, p.first_purchase) AS BIGINT)
         |  AS seconds_to_convert
-        |FROM v LEFT JOIN p ON v.user_id = p.user_id""".stripMargin)
+        |FROM v LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "q45_view_purchase_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+        | p.event_id AS purchase_id, p.ts AS purchase_ts
+        |FROM events v JOIN events p
+        | ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts > v.ts
+        | AND p.ts <= v.ts + INTERVAL 3600 SECONDS""".stripMargin)
 }

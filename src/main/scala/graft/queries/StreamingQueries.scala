@@ -346,6 +346,51 @@ object StreamingQueries extends QuerySet {
     streamed
   }
 
+  /** Stream-stream join (st54): views and purchases of the events fixture
+    * arrive as two streams and correlate per user inside a 1-hour
+    * time-range join — watermark-bounded state on BOTH sides, the one
+    * streaming shape (beyond windows/state/sessions) the suite had not
+    * yet exercised. The join predicate is deterministic row arithmetic,
+    * so the streamed pair set must equal the batch join of the same
+    * frames — asserted by identity-set parity on (view_id, purchase_id).
+    */
+  def st54(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Paths.get(s"$dir/events.parquet")
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val staged = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_st54_events_$key")
+    Files.createDirectories(staged)
+    Files.copy(src, staged.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = s.read.parquet(staged.toString).schema
+    def feed(): DataFrame = {
+      val raw = s.readStream.schema(schema).parquet(staged.toString)
+      raw.withColumn("ts", Q.normTs(raw, "ts"))
+    }
+    val joined = EventStreaming.viewPurchaseJoin(
+      feed().filter(col("event_type") === "view"),
+      feed().filter(col("event_type") === "purchase"))
+    val out = tmp("graft_st54_out")
+    val q = joined.writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmp("graft_st54_ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = s.read.parquet(out)
+    val twin = Extended.q45(s, dir) // the ORACLED batch twin
+    val ids = Seq("view_id", "purchase_id")
+    val missing = twin.select(ids.map(col): _*)
+      .except(streamed.select(ids.map(col): _*)).count()
+    val extra = streamed.select(ids.map(col): _*)
+      .except(twin.select(ids.map(col): _*)).count()
+    require(missing == 0 && extra == 0,
+      s"stream-stream join diverged from the batch twin: " +
+        s"missing=$missing extra=$extra")
+    streamed
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st47_stream_silver_drain" -> (st47 _),
     "st48_stream_dedup_replay" -> (st48 _),
@@ -353,7 +398,8 @@ object StreamingQueries extends QuerySet {
     "st50_stream_incremental_dedup" -> (st50 _),
     "st51_stream_semantic_screen" -> (st51 _),
     "st52_stream_sessions" -> (st52 _),
-    "st53_stream_curation" -> (st53 _))
+    "st53_stream_curation" -> (st53 _),
+    "st54_stream_stream_join" -> (st54 _))
 
   // no DuckDB oracles: streaming drains are rows-only by design; the parity
   // require()s above carry the correctness assertion

@@ -148,6 +148,34 @@ object EventStreaming {
         round((col("cnt") - col("n_errors")).cast("double") / col("cnt") * 100, 4)
           .as("success_rate"))
 
+  /** Stream-stream inner join with watermark-bounded state (the T-family's
+    * correlation shape as a CONTINUOUS computation): view events join
+    * purchase events of the same user where the purchase lands within
+    * `withinSeconds` AFTER the view. Both sides carry watermarks and the
+    * join condition carries the time range, so Spark can bound each
+    * side's state buffer (a view older than watermark + range can never
+    * match a future purchase and is evicted) — the requirement for a
+    * stream-stream join to run indefinitely; without the range the state
+    * grows forever. Emits one row per qualifying (view, purchase) pair.
+    */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame,
+      withinSeconds: Long = 3600L): DataFrame = {
+    val v = views
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val p = purchases
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    v.join(p,
+      col("user_id") === col("p_user")
+        && col("purchase_ts") > col("view_ts")
+        && col("purchase_ts") <=
+          col("view_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select("user_id", "view_id", "view_ts", "purchase_id", "purchase_ts")
+  }
+
   /** Streaming twin of the batch sessionizer (graft.operators.Sessions):
     * Spark's native `session_window` merges events of one key into sessions
     * separated by `gap` of inactivity, with watermark-bounded state — the
