@@ -253,6 +253,21 @@ object Extended extends QuerySet {
       ev.filter(col("event_type") === "purchase"))
   }
 
+  /** Z-order layout key (q46): Morton-interleave of (user_id % 256,
+    * hour-of-day) over the events table — the multi-dimensional
+    * clustering key a 100 TB write would range-partition on so parquet
+    * min/max stats stay tight in BOTH predicate dimensions (see
+    * [[graft.operators.Layout]]). The key is pure shift/mask arithmetic,
+    * bit-identical in any engine, hence fully oracled.
+    */
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    val ev = Q.t(s, dir, "events")
+    ev.select(col("event_id"),
+      graft.operators.Layout.mortonKey(
+        (col("user_id") % 256).cast("int"),
+        hour(col("ts")).cast("int"), bits = 8).as("zkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
@@ -268,7 +283,8 @@ object Extended extends QuerySet {
     "q37_salted_join" -> (q37 _),
     "q38_cube_rollup" -> (q38 _),
     "q44_funnel_steps" -> (q44 _),
-    "q45_view_purchase_join" -> (q45 _))
+    "q45_view_purchase_join" -> (q45 _),
+    "q46_zorder_key" -> (q46 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -396,5 +412,12 @@ object Extended extends QuerySet {
         | ON v.user_id = p.user_id
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
         | AND p.ts > v.ts
-        | AND p.ts <= v.ts + INTERVAL 3600 SECONDS""".stripMargin)
+        | AND p.ts <= v.ts + INTERVAL 3600 SECONDS""".stripMargin,
+    "q46_zorder_key" -> {
+      val terms = (0 until 8).map { i =>
+        s"(((user_id % 256) >> $i) & 1) * ${1L << (2 * i)}" +
+          s" + ((hour(ts) >> $i) & 1) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""SELECT event_id, CAST($terms AS BIGINT) AS zkey FROM events"""
+    })
 }
