@@ -268,6 +268,24 @@ object Extended extends QuerySet {
         hour(col("ts")).cast("int"), bits = 8).as("zkey"))
   }
 
+  /** PageRank (q47): three fixed-point rounds over a deterministic
+    * synthetic link graph (one bijective edge family + one quadratic,
+    * skewed family per document — the in-degree skew makes authority
+    * genuinely uneven). Ranks travel as exact 2^-40 fixed-point longs so
+    * every summation is integer-exact (see
+    * [[graft.operators.Graphs.pageRank]]), which is what lets an
+    * iterative double-damped computation hash-match DuckDB bit-for-bit.
+    */
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(s, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val edges = docs.select(col("doc_id").as("src"), explode(array(
+      (col("doc_id") * 7 + 1) % n,
+      (col("doc_id") * col("doc_id") * 13 + 3) % n)).as("dst"))
+    graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 3)
+      .withColumnRenamed("node", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
@@ -284,7 +302,8 @@ object Extended extends QuerySet {
     "q38_cube_rollup" -> (q38 _),
     "q44_funnel_steps" -> (q44 _),
     "q45_view_purchase_join" -> (q45 _),
-    "q46_zorder_key" -> (q46 _))
+    "q46_zorder_key" -> (q46 _),
+    "q47_pagerank" -> (q47 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -419,5 +438,28 @@ object Extended extends QuerySet {
           s" + ((hour(ts) >> $i) & 1) * ${1L << (2 * i + 1)}"
       }.mkString(" + ")
       s"""SELECT event_id, CAST($terms AS BIGINT) AS zkey FROM events"""
+    },
+    "q47_pagerank" -> {
+      def round(i: Int): String =
+        s"""c$i AS (SELECT e.dst,
+           |  CAST(SUM(CAST(floor((0.85 * r.rank_q) / od.outdeg) AS BIGINT)) AS BIGINT) AS inq
+           | FROM e JOIN r${i - 1} r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY 1),
+           |r$i AS (SELECT nd.node,
+           |  CAST(CAST(floor(((1.0 - 0.85) * 1099511627776.0) / (SELECT n FROM nn)) AS BIGINT)
+           |   + COALESCE(c.inq, 0) AS BIGINT) AS rank_q
+           | FROM nodes nd LEFT JOIN c$i c ON nd.node = c.dst)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e AS (SELECT doc_id AS src, (doc_id*7+1) % (SELECT n FROM nn) AS dst FROM documents
+         |      UNION ALL SELECT doc_id, (doc_id*doc_id*13+3) % (SELECT n FROM nn) FROM documents),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT node,
+         |  CAST(floor(1099511627776.0 / (SELECT n FROM nn)) AS BIGINT) AS rank_q
+         | FROM nodes),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node AS doc_id, rank_q FROM r3""".stripMargin
     })
 }
