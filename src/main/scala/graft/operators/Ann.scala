@@ -763,6 +763,37 @@ object Ann {
       .select(col("vec_id"), col("centroid_id"))
   }
 
+  /** Exact rerank of a candidate list — the second stage of two-stage
+    * retrieval: a compressed index (int8 scan, PQ ADC, IVF cells) returns
+    * a generous candidate set cheaply, then only those candidates are
+    * rescored against the FULL-precision vectors and cut to the final k.
+    * `candidates` is (query_id, neighbor_id) — result-frame-sized, so
+    * both vector joins here carry O(queries × candidateK) rows; the
+    * corpus is touched only through those lookups (at 100 TB: a
+    * broadcast-hash or shuffled-hash join against the id-keyed vector
+    * table, AQE's call). Output matches the cosineTopK shape
+    * (query_id, rank, neighbor_id, cos).
+    */
+  def rerankTopK(emb: DataFrame, idCol: String, embCol: String,
+      candidates: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val full = withNorm(emb.select(col(idCol).as("vec_id"),
+      col(embCol).as("emb")), "emb")
+    val q = full.select(col("vec_id").as("query_id"),
+      col("emb").as("q_emb"), col("norm").as("q_norm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_full").desc, col("neighbor_id").asc)
+    candidates.select("query_id", "neighbor_id")
+      .join(full.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cos_full",
+        dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_full"), 4).as("cos"))
+  }
+
   /** Symmetric per-vector int8 scalar quantization — the 4× memory
     * compression an ANN index applies before a 100 TB corpus fits in
     * executor/SSD budgets. Each vector is scaled by its own max-abs so

@@ -219,6 +219,20 @@ object Similarity extends QuerySet {
     Ann.knnGraph(embD(s, dir), "vec_id", "emb", centroids(s, dir), k = 3)
   }
 
+  /** Two-stage retrieval (sim53): the int8 quantized scan proposes 20
+    * candidates per query (sim49's machinery), the exact full-precision
+    * rerank cuts them to 5 — the compressed-retrieve / exact-rerank shape
+    * every production vector search runs. Fully oracled end-to-end.
+    */
+  def sim53(s0: SparkSession, dir: String): DataFrame = {
+    val s = withDot(s0)
+    val e = embD(s, dir)
+    val coarse = Ann.quantizedTopK(e, "vec_id", "emb",
+      queryPred = col("vec_id") < 5, k = 20)
+    Ann.rerankTopK(e, "vec_id", "emb",
+      coarse.select(col("query_id"), col("neighbor_id")), k = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
     "sim37_lsh_buckets" -> (sim37 _),
@@ -236,7 +250,8 @@ object Similarity extends QuerySet {
     "sim49_quantized_topk" -> (sim49 _),
     "sim50_recall_at_k" -> (sim50 _),
     "sim51_ivf_pq_residual_topk" -> (sim51 _),
-    "sim52_knn_graph" -> (sim52 _))
+    "sim52_knn_graph" -> (sim52 _),
+    "sim53_rerank_two_stage" -> (sim53 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -349,6 +364,37 @@ object Similarity extends QuerySet {
 
   val oracles: Map[String, String] = Map(
     "sim46_kmeans_fit" -> sim46Sql,
+    "sim53_rerank_two_stage" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |  list_max(list_transform(emb, x -> abs(x))) AS ma FROM e),
+        |qv AS (SELECT vec_id,
+        |  CASE WHEN ma = 0 THEN list_transform(emb, x -> CAST(0 AS DOUBLE))
+        |   ELSE list_transform(emb,
+        |    x -> CAST(CAST(floor(x * 127.0 / ma + 0.5) AS INTEGER) AS DOUBLE))
+        |  END AS emb FROM m),
+        |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM qv),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm FROM w WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, w.vec_id,
+        |  list_sum([w.emb[i] * q.q_emb[i] for i in range(1, 65)]) / (w.norm * q.q_norm) AS qcos
+        | FROM w, q WHERE w.vec_id <> q.query_id),
+        |cand AS (SELECT query_id, vec_id AS neighbor_id
+        | FROM (SELECT *, row_number() OVER
+        |   (PARTITION BY query_id ORDER BY qcos DESC, vec_id ASC) AS rank FROM scored)
+        | WHERE rank <= 20),
+        |fw AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
+        |fq AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm FROM fw),
+        |rer AS (SELECT c.query_id, c.neighbor_id,
+        |  list_sum([n.emb[i] * fq.q_emb[i] for i in range(1, 65)]) / (n.norm * fq.q_norm) AS cos_full
+        | FROM cand c
+        | JOIN fw n ON c.neighbor_id = n.vec_id
+        | JOIN fq ON c.query_id = fq.query_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+        | round(cos_full, 4) AS cos
+        |FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id ASC) AS rank FROM rer)
+        |WHERE rank <= 5""".stripMargin,
     "sim52_knn_graph" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
