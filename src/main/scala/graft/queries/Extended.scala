@@ -286,6 +286,26 @@ object Extended extends QuerySet {
       .withColumnRenamed("node", "doc_id")
   }
 
+  /** As-of join (q48): each purchase picks up the latest view at-or-before
+    * it per user — the nearest-prior-event lookup Spark has no operator
+    * for, built as [[graft.operators.Temporal.asofJoin]]'s
+    * union-and-window (ONE user-keyed shuffle, O(left+right) rows, no
+    * join expansion). The right side is deduped to one view per
+    * (user, ts) so the as-of pick is well-defined; the oracle is DuckDB's
+    * NATIVE `ASOF LEFT JOIN` — the two implementations share no code
+    * path at all, which is the point of the check.
+    */
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val ev = Q.t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max(col("event_id")).as("view_id"))
+    graft.operators.Temporal.asofJoin(purchases, views,
+      keyCol = "user_id", leftTs = "ts", rightTs = "ts",
+      rightValCol = "view_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
@@ -303,7 +323,8 @@ object Extended extends QuerySet {
     "q44_funnel_steps" -> (q44 _),
     "q45_view_purchase_join" -> (q45 _),
     "q46_zorder_key" -> (q46 _),
-    "q47_pagerank" -> (q47 _))
+    "q47_pagerank" -> (q47 _),
+    "q48_asof_join" -> (q48 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -461,5 +482,13 @@ object Extended extends QuerySet {
          |${round(2)},
          |${round(3)}
          |SELECT node AS doc_id, rank_q FROM r3""".stripMargin
-    })
+    },
+    "q48_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
+        | FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        | WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, v.view_id, v.ts AS right_ts
+        |FROM p ASOF LEFT JOIN v
+        | ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin)
 }

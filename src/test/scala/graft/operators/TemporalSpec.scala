@@ -1,0 +1,55 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class TemporalSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2025-01-01 10:$m%02d:00")
+
+  test("asofJoin picks the latest right row at-or-before, equals the naive join, plans no join") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, "a", ts(10)), // quote at 05 applies
+      (2L, "a", ts(20)), // tie: quote exactly at 20 applies (inclusive)
+      (3L, "a", ts(2)),  // before any quote -> null
+      (4L, "b", ts(30)), // key with one quote
+      (5L, "c", ts(30))  // key with no quotes at all -> null
+    ).toDF("trade_id", "k", "t")
+    val quotes = Seq(
+      ("a", ts(5), 100L), ("a", ts(20), 200L), ("a", ts(25), 300L),
+      ("b", ts(1), 400L)
+    ).toDF("k", "t", "px")
+
+    val got = Temporal.asofJoin(trades, quotes, "k", "t", "t", "px")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Timestamp])))).toMap
+    assert(got(1L) == ((Some(100L), Some(ts(5)))))
+    assert(got(2L) == ((Some(200L), Some(ts(20))))) // inclusive tie
+    assert(got(3L) == ((None, None)))
+    assert(got(4L) == ((Some(400L), Some(ts(1)))))
+    assert(got(5L) == ((None, None)))
+
+    // naive reference: inequality join + per-trade argmax
+    val naive = trades.join(quotes.withColumnRenamed("k", "qk")
+        .withColumnRenamed("t", "qt"),
+        col("k") === col("qk") && col("qt") <= col("t"), "left")
+      .groupBy("trade_id")
+      .agg(expr("max_by(px, qt)").as("px"), max("qt").as("right_ts"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Timestamp])))).toMap
+    assert(got == naive)
+
+    // scale contract: one hash exchange on the key, no join operator
+    val plan = Temporal.asofJoin(trades, quotes, "k", "t", "t", "px")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asofJoin must not plan a join:\n$plan")
+    assert(plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"expected exactly one shuffle:\n$plan")
+  }
+}
