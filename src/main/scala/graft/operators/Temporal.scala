@@ -51,4 +51,36 @@ object Temporal {
       leftCols.map(c => col(s"__row.$c").as(c)) ++
         Seq(col("__asof_v").as(rightValCol), col("__asof_ts").as("right_ts")): _*)
   }
+
+  /** Interval-overlap self-join: all pairs of intervals (id, start, end]
+    * that overlap (a.start ≤ b.end AND b.start ≤ a.end), id_a < id_b.
+    * The naive form is an inequality cross join — quadratic in rows; this
+    * is the BUCKETED form: every interval explodes into the fixed-width
+    * time buckets it covers (epoch-seconds / `bucketSeconds`), candidates
+    * join on the bucket id, and the exact overlap predicate then dedup
+    * discard false candidates and bucket-duplicates — the LSH-banding
+    * economics applied to time (candidates are per-bucket co-occupants,
+    * never all pairs). `bucketSeconds` trades expansion rows (long
+    * intervals cover many buckets) against bucket population; size it
+    * near the median interval length. Timestamps are compared as epoch
+    * seconds — exact integers in both engines.
+    */
+  def intervalOverlapPairs(intervals: DataFrame, idCol: String,
+      startCol: String, endCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val base = intervals.select(col(idCol).as("__id"),
+      unix_timestamp(col(startCol)).as("__s"),
+      unix_timestamp(col(endCol)).as("__e"))
+    val bucketed = base.select(col("__id"), col("__s"), col("__e"),
+      explode(sequence(floor(col("__s") / bucketSeconds),
+        floor(col("__e") / bucketSeconds))).as("__b"))
+    val a = bucketed
+    val b = bucketed.select(col("__id").as("__id2"), col("__s").as("__s2"),
+      col("__e").as("__e2"), col("__b"))
+    a.join(b, Seq("__b"))
+      .filter(col("__id") < col("__id2")
+        && col("__s") <= col("__e2") && col("__s2") <= col("__e"))
+      .select(col("__id").as("id_a"), col("__id2").as("id_b"))
+      .distinct()
+  }
 }

@@ -306,6 +306,27 @@ object Extended extends QuerySet {
       rightValCol = "view_id")
   }
 
+  /** Interval-overlap join (q49): which user sessions (from the oracled
+    * q31 sessionizer, over a 1-in-50 user subset) overlap in wall-clock
+    * time — the interval join the prompt-level operator inventory names,
+    * in its BUCKETED form ([[graft.operators.Temporal
+    * .intervalOverlapPairs]]): intervals explode into hour buckets,
+    * candidates join per bucket, the exact predicate + distinct finish —
+    * LSH-banding economics applied to time, never an all-pairs product.
+    * The oracle runs the naive quadratic overlap join; hash-equality IS
+    * the proof the bucketed plan loses nothing.
+    */
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.operators.Sessions.sessionStats(
+      Q.t(s, dir, "events").filter(col("user_id") % 50 === 0),
+      "user_id", "ts", "event_id", gapSeconds = 1800L)
+    val iv = sess.select(
+      (col("user_id") * 100000 + col("session_seq")).as("iv_id"),
+      col("session_start"), col("session_end"))
+    graft.operators.Temporal.intervalOverlapPairs(iv, "iv_id",
+      "session_start", "session_end", bucketSeconds = 3600L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
@@ -324,7 +345,8 @@ object Extended extends QuerySet {
     "q45_view_purchase_join" -> (q45 _),
     "q46_zorder_key" -> (q46 _),
     "q47_pagerank" -> (q47 _),
-    "q48_asof_join" -> (q48 _))
+    "q48_asof_join" -> (q48 _),
+    "q49_interval_join" -> (q49 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -490,5 +512,23 @@ object Extended extends QuerySet {
         | WHERE event_type = 'purchase')
         |SELECT p.event_id, p.user_id, p.ts, v.view_id, v.ts AS right_ts
         |FROM p ASOF LEFT JOIN v
-        | ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin)
+        | ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    "q49_interval_join" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events WHERE user_id % 50 = 0),
+        |m AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |  OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_s FROM o),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS session_seq FROM m),
+        |sess AS (SELECT user_id, session_seq,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        | FROM s GROUP BY user_id, session_seq),
+        |iv AS (SELECT user_id * 100000 + session_seq AS iv_id,
+        |  CAST(floor(epoch(session_start)) AS BIGINT) AS s,
+        |  CAST(floor(epoch(session_end)) AS BIGINT) AS e
+        | FROM sess)
+        |SELECT CAST(a.iv_id AS BIGINT) AS id_a, CAST(b.iv_id AS BIGINT) AS id_b
+        |FROM iv a JOIN iv b
+        | ON a.iv_id < b.iv_id AND a.s <= b.e AND b.s <= a.e""".stripMargin)
 }
