@@ -327,6 +327,34 @@ object Extended extends QuerySet {
       "session_start", "session_end", bucketSeconds = 3600L)
   }
 
+  /** HLL sketch re-aggregation (q50): per-source distinct-token sketches
+    * (Spark's native Datasketches `hll_sketch_agg`) MERGED into a global
+    * count via `hll_union_agg` — the A4/A9 pattern with sketch state: a
+    * 100 TB pipeline keeps per-partition/per-day sketches and answers
+    * corpus-wide distinct questions by unioning kilobytes, never
+    * re-scanning. Sketches are deterministic for fixed input, so the
+    * ±5 % accuracy bands hash-oracle as q28-style TRUE booleans against
+    * the exact distinct counts (which DuckDB recomputes exactly).
+    */
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val tok = Q.t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val per = tok.groupBy("source").agg(
+      expr("hll_sketch_agg(token)").as("sk"),
+      countDistinct(col("token")).as("exact_distinct"))
+    val perSrc = per.select(col("source"), col("exact_distinct"),
+      expr("hll_sketch_estimate(sk)").as("est"))
+    val global = per.agg(expr("hll_union_agg(sk)").as("sk"))
+      .crossJoin(tok.agg(countDistinct(col("token")).as("exact_distinct")))
+      .select(lit("__all").as("source"), col("exact_distinct"),
+        expr("hll_sketch_estimate(sk)").as("est"))
+    perSrc.unionByName(global)
+      .select(col("source"), col("exact_distinct"),
+        (abs(col("est") - col("exact_distinct"))
+          <= col("exact_distinct") * lit(0.05)).as("est_within_5pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
@@ -346,7 +374,8 @@ object Extended extends QuerySet {
     "q46_zorder_key" -> (q46 _),
     "q47_pagerank" -> (q47 _),
     "q48_asof_join" -> (q48 _),
-    "q49_interval_join" -> (q49 _))
+    "q49_interval_join" -> (q49 _),
+    "q50_hll_reagg" -> (q50 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -530,5 +559,14 @@ object Extended extends QuerySet {
         | FROM sess)
         |SELECT CAST(a.iv_id AS BIGINT) AS id_a, CAST(b.iv_id AS BIGINT) AS id_b
         |FROM iv a JOIN iv b
-        | ON a.iv_id < b.iv_id AND a.s <= b.e AND b.s <= a.e""".stripMargin)
+        | ON a.iv_id < b.iv_id AND a.s <= b.e AND b.s <= a.e""".stripMargin,
+    "q50_hll_reagg" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tt AS (SELECT source, token FROM t WHERE len(token) > 0)
+        |SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct,
+        | TRUE AS est_within_5pct
+        |FROM tt GROUP BY source
+        |UNION ALL
+        |SELECT '__all', CAST(count(DISTINCT token) AS BIGINT), TRUE FROM tt""".stripMargin)
 }
