@@ -125,13 +125,54 @@ object MultimodalQueries extends QuerySet {
       .select("media_id", "ahash_hi", "ahash_lo", "canonical_id", "n_copies")
   }
 
+  /** Perceptual near-duplicate image pairs (mm48): the mm47 hashes pushed
+    * through Manku-style 16-bit chunk blocking — two images are
+    * candidates iff SOME quarter of their 64-bit aHash matches exactly
+    * (any pair within Hamming 3 must agree on at least one of four
+    * chunks — pigeonhole), then the exact bit_count filter keeps pairs
+    * with total Hamming ≤ `maxHamming`. The dd40 economics on image
+    * fingerprints: candidates are per-chunk-bucket co-occupants, never
+    * all image pairs, and only the two hash longs ever shuffle.
+    */
+  def mm48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Q.t(s, dir, "documents")
+      .filter(col("doc_id") < 64)
+      .select(col("doc_id").cast("long")).as[Long]
+    val hashes = ids.map { i =>
+      val j = i % 32
+      val w = (8 + j % 9).toInt
+      val h = (8 + (j * 3) % 9).toInt
+      val img = MediaCodec.decodeImage(SyntheticImages.gradientPng(j, w, h)).get
+      val (hi, lo) = MediaCodec.aHash(img)
+      (i, hi, lo)
+    }.toDF("media_id", "ahash_hi", "ahash_lo")
+    val chunked = hashes.select(col("media_id"), col("ahash_hi"),
+      col("ahash_lo"), explode(array(
+        shiftright(col("ahash_hi"), 16).bitwiseAND(lit(0xffffL)) + lit(0L),
+        col("ahash_hi").bitwiseAND(lit(0xffffL)) + lit(1L << 20),
+        shiftright(col("ahash_lo"), 16).bitwiseAND(lit(0xffffL)) + lit(2L << 20),
+        col("ahash_lo").bitwiseAND(lit(0xffffL)) + lit(3L << 20))).as("chunk"))
+    val b = chunked.select(col("media_id").as("id_b"),
+      col("ahash_hi").as("hi_b"), col("ahash_lo").as("lo_b"), col("chunk"))
+    chunked.join(b, Seq("chunk"))
+      .filter(col("media_id") < col("id_b"))
+      .select(col("media_id").as("id_a"), col("id_b"),
+        (bit_count(col("ahash_hi").bitwiseXOR(col("hi_b")))
+          + bit_count(col("ahash_lo").bitwiseXOR(col("lo_b"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm39_media_features" -> (mm39 _),
     "mm43_media_resize" -> (mm43 _),
     "mm44_frame_offsets" -> (mm44 _),
     "mm45_image_decode" -> (mm45 _),
     "mm46_image_resize" -> (mm46 _),
-    "mm47_image_phash_dedup" -> (mm47 _))
+    "mm47_image_phash_dedup" -> (mm47 _),
+    "mm48_image_phash_near_pairs" -> (mm48 _))
 
   val oracles: Map[String, String] = Map(
     "mm39_media_features" ->
@@ -209,6 +250,39 @@ object MultimodalQueries extends QuerySet {
         |SELECT hs.i AS media_id, hs.ahash_hi, hs.ahash_lo,
         | c.canonical_id, c.n_copies
         |FROM hs JOIN c USING (ahash_hi, ahash_lo)""".stripMargin,
+    // the mm47 hash chain + 16-bit chunk blocking + exact bit_count filter
+    "mm48_image_phash_near_pairs" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 64),
+        |p AS (SELECT i, i % 32 AS j,
+        |    8 + (i % 32) % 9 AS w, 8 + ((i % 32)*3) % 9 AS h FROM ids),
+        |g AS (SELECT p.i, p.j, gy.gy*8 + gx.gx AS k,
+        |    (gx.gx * p.w // 8) AS sx, (gy.gy * p.h // 8) AS sy
+        |  FROM p, generate_series(0,7) gx(gx), generate_series(0,7) gy(gy)),
+        |l AS (SELECT i, k,
+        |    ((299*((sx*7 + sy*13 + j*31) % 256)
+        |      + 587*((sx*11 + sy*3 + j*17) % 256)
+        |      + 114*((sx*5 + sy*19 + j*7) % 256)) // 1000) AS lum
+        |  FROM g),
+        |t AS (SELECT i, SUM(lum) AS total FROM l GROUP BY i),
+        |b AS (SELECT l.i, l.k,
+        |    CASE WHEN 64 * l.lum > t.total THEN 1 ELSE 0 END AS bit
+        |  FROM l JOIN t ON l.i = t.i),
+        |hs AS (SELECT i,
+        |    CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+        |      ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |    CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+        |      ELSE 0 END) AS BIGINT) AS ahash_lo
+        |  FROM b GROUP BY i),
+        |ch AS (
+        | SELECT i, ahash_hi, ahash_lo, ((ahash_hi >> 16) & 65535) + 0 AS chunk FROM hs
+        | UNION ALL SELECT i, ahash_hi, ahash_lo, (ahash_hi & 65535) + 1048576 FROM hs
+        | UNION ALL SELECT i, ahash_hi, ahash_lo, ((ahash_lo >> 16) & 65535) + 2097152 FROM hs
+        | UNION ALL SELECT i, ahash_hi, ahash_lo, (ahash_lo & 65535) + 3145728 FROM hs),
+        |pr AS (SELECT a.i AS id_a, b.i AS id_b,
+        |  CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+        |   + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming
+        | FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.i < b.i)
+        |SELECT DISTINCT id_a, id_b, hamming FROM pr WHERE hamming <= 3""".stripMargin,
     // solid color survives nearest-neighbor resampling exactly, so the
     // resized channel sums are rw*rh*color; dims follow the mm43 fit formula
     "mm46_image_resize" ->
