@@ -52,4 +52,31 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
       .count(_ == "Exchange hashpartitioning") == 1,
       s"expected exactly one shuffle:\n$plan")
   }
+
+  test("property: asofJoin matches an in-memory reference on random keyed series") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    for (_ <- 1 to 4) {
+      val keys = Seq("a", "b", "c", "d")
+      // unique (key, minute) on the right by construction
+      val right = keys.flatMap { k =>
+        rng.shuffle((0 until 50).toList).take(8)
+          .map(m => (k, ts(m), rng.nextLong().abs % 1000))
+      }
+      val left = (1 to 60).map { i =>
+        (i.toLong, keys(rng.nextInt(keys.size + 1) min (keys.size - 1)),
+          ts(rng.nextInt(55)))
+      }
+      val got = Temporal.asofJoin(left.toDF("id", "k", "t"),
+          right.toDF("k", "t", "v"), "k", "t", "t", "v")
+        .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+      val byKey = right.groupBy(_._1)
+      for ((id, k, t) <- left) {
+        val want = byKey.getOrElse(k, Seq.empty)
+          .filter(q => !q._2.after(t))
+          .sortBy(q => (q._2.getTime, q._3)).lastOption.map(_._3)
+        assert(got(id) == want, s"id=$id k=$k t=$t")
+      }
+    }
+  }
 }
