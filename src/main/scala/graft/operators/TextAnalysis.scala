@@ -574,6 +574,52 @@ object TextAnalysis {
     org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
   }
 
+  /** TF-IDF pairwise cosine similarity — the weighted sparse-vector IR
+    * similarity next to the set-based families (Jaccard dd31, MinHash,
+    * SimHash): rare shared terms dominate, boilerplate terms vanish.
+    * Input is a (doc_id, token) term-occurrence frame (the caller picks
+    * the term grain — td45 uses word bigrams); weights are
+    * (tf/n_tokens)·(N/df) quantized to 2^-10 fixed-point longs, so the
+    * pair dot products and norms are EXACT integer sums (the
+    * Graphs.pageRank determinism stance — partition order can never move
+    * a score) with one final sqrt/divide.
+    *
+    * Scale shape: the inverted index joins only terms with df ≤ `maxDf`
+    * (the dd31/dd41 hub-term cap — an unfiltered web-scale "the" would
+    * be a df² pair bomb), so candidate pairs are Σ df² over RARE terms;
+    * norms still use every term. Three token-keyed/doc-keyed shuffles
+    * total, all partial-aggregated.
+    */
+  def tfidfPairs(termRows: DataFrame, nDocs: Long, maxDf: Long,
+      threshold: Double, quantScale: Long = 1024L): DataFrame = {
+    require(nDocs >= 1, s"nDocs must be >= 1, got $nDocs")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val terms = termRows.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf")).localCheckpoint(false)
+    val ntok = terms.groupBy("doc_id").agg(sum(col("tf")).as("n_tokens"))
+    val census = terms.groupBy("token").agg(count(lit(1)).as("df"))
+    val wted = terms.join(ntok, "doc_id").join(census, "token")
+      .withColumn("wq", floor(
+        (col("tf").cast("double") / col("n_tokens"))
+          * (lit(nDocs.toDouble) / col("df")) * quantScale).cast("long"))
+      .localCheckpoint(false)
+    val norms = wted.groupBy("doc_id").agg(sum(col("wq") * col("wq")).as("n2"))
+    val inv = wted.filter(col("df") <= maxDf).select("token", "doc_id", "wq")
+    val invB = inv.select(col("token"), col("doc_id").as("doc_b"),
+      col("wq").as("wq_b"))
+    inv.join(invB, Seq("token"))
+      .filter(col("doc_id") < col("doc_b"))
+      .groupBy("doc_id", "doc_b")
+      .agg(sum(col("wq") * col("wq_b")).as("dotq"))
+      .join(norms.select(col("doc_id"), col("n2").as("n2_a")), Seq("doc_id"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")),
+        Seq("doc_b"))
+      .withColumn("cos",
+        round(col("dotq") / (sqrt(col("n2_a")) * sqrt(col("n2_b"))), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_id").as("doc_a"), col("doc_b"), col("cos"))
+  }
+
   /** Tokenize with learned merges — the apply side of [[bpeTrain]]: per
     * document, every whitespace word is char-split and the merge rules
     * replay IN TRAINING ORDER (the same literal-replace semantics the

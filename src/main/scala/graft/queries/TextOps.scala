@@ -316,6 +316,23 @@ object TextOps extends QuerySet {
     }.toDF("token", "freq", "est_at_least_true", "est_within_eps")
   }
 
+  /** TF-IDF bigram-cosine pairs (td45): document pairs whose RARE shared
+    * word-bigrams (df ≤ 20) give weighted cosine ≥ 0.15 — the IR-weighted
+    * similarity where one shared rare phrase outweighs any amount of
+    * boilerplate. Fully hash-oracled: the quantized fixed-point weights
+    * make every sum integer-exact in both engines.
+    */
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(s, dir, "documents")
+    val sp = split(col("text"), " ")
+    val terms = docs.select(col("doc_id"), explode(
+      when(size(sp) >= 2, transform(sequence(lit(1), size(sp) - 1),
+        i => concat(element_at(sp, i), lit(" "), element_at(sp, i + 1))))
+        .otherwise(array().cast("array<string>"))).as("token"))
+    TextAnalysis.tfidfPairs(terms, docs.count(), maxDf = 20,
+      threshold = 0.15)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
     "q25_array_hof" -> (q25 _),
@@ -337,7 +354,8 @@ object TextOps extends QuerySet {
     "td41_bpe_pair_census" -> (q41 _),
     "td42_bpe_train" -> (q42 _),
     "td43_bpe_encode" -> (q43 _),
-    "td44_cms_heavy_hitters" -> (q44 _))
+    "td44_cms_heavy_hitters" -> (q44 _),
+    "td45_tfidf_pairs" -> (q45 _))
 
   /** One BPE round's census/top-pair/merge as DuckDB CTEs (shared by the
     * td41/td42 oracles): `wn` = the (w, cnt) state, producing pair census
@@ -355,6 +373,31 @@ object TextOps extends QuerySet {
       |w0 AS (SELECT array_to_string(string_split(word, ''), chr(1)) AS w, cnt FROM c)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "td45_tfidf_pairs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |t0 AS (SELECT doc_id, sp[i] || ' ' || sp[i+1] AS token
+        |  FROM d, generate_series(1, 256) g(i) WHERE i <= len(sp) - 1),
+        |terms AS (SELECT doc_id, token, count(*) AS tf FROM t0 GROUP BY 1, 2),
+        |ntok AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM terms GROUP BY 1),
+        |census AS (SELECT token, count(*) AS df FROM terms GROUP BY 1),
+        |wted AS (SELECT t.doc_id, t.token, c.df,
+        |  CAST(floor(((CAST(t.tf AS DOUBLE) / nt.n_tokens)
+        |    * ((SELECT count(*) FROM documents) / CAST(c.df AS DOUBLE)))
+        |    * 1024) AS BIGINT) AS wq
+        | FROM terms t JOIN ntok nt ON t.doc_id = nt.doc_id
+        | JOIN census c ON t.token = c.token),
+        |norms AS (SELECT doc_id, CAST(SUM(wq*wq) AS BIGINT) AS n2 FROM wted GROUP BY 1),
+        |inv AS (SELECT token, doc_id, wq FROM wted WHERE df <= 20),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(SUM(a.wq*b.wq) AS BIGINT) AS dotq
+        | FROM inv a JOIN inv b ON a.token = b.token AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, cos FROM (
+        | SELECT doc_a, doc_b,
+        |  round(dotq / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+        | FROM pairs JOIN norms na ON doc_a = na.doc_id
+        | JOIN norms nb ON doc_b = nb.doc_id)
+        |WHERE cos >= 0.15""".stripMargin,
     "td44_cms_heavy_hitters" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS freq,
         | TRUE AS est_at_least_true, TRUE AS est_within_eps
