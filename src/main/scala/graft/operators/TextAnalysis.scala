@@ -574,6 +574,34 @@ object TextAnalysis {
     org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
   }
 
+  /** Overlapping-window document chunking — the context-window splitter a
+    * RAG/embedding pipeline runs before vectorizing (long docs exceed the
+    * encoder's window; overlap keeps boundary sentences retrievable in
+    * both neighbors): token windows of `chunkTokens` at stride
+    * `chunkTokens − overlap`, last chunk short, single chunk for short
+    * docs. One pure projection + explode — no shuffle, no UDF; every
+    * output column is deterministic list arithmetic, so the chunk layout
+    * hash-oracles exactly. Emits (id, chunk_id, chunk_text,
+    * n_chunk_tokens).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    val t = toks(col(textCol))
+    val n = size(t)
+    val starts = sequence(lit(1), greatest(n - overlap, lit(1)), lit(stride))
+    docs.select(col(idCol),
+      explode(transform(starts, s => struct(
+        ((s - 1) / stride).cast("int").as("chunk_id"),
+        array_join(slice(t, s, lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens), n - s + 1).as("n_chunk_tokens")))).as("__c"))
+      .select(col(idCol), col("__c.chunk_id"), col("__c.chunk_text"),
+        col("__c.n_chunk_tokens"))
+  }
+
   /** TF-IDF pairwise cosine similarity — the weighted sparse-vector IR
     * similarity next to the set-based families (Jaccard dd31, MinHash,
     * SimHash): rare shared terms dominate, boilerplate terms vanish.

@@ -333,6 +333,15 @@ object TextOps extends QuerySet {
       threshold = 0.15)
   }
 
+  /** Overlapping document chunking (td46): 64-token windows with a
+    * 16-token overlap over every document — the pre-embedding splitter.
+    * Fully oracled: window starts, ids, short-tail lengths and the joined
+    * chunk text are all exact list arithmetic in both engines.
+    */
+  def q46(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(Q.t(s, dir, "documents"), "doc_id", "text",
+      chunkTokens = 64, overlap = 16)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
     "q25_array_hof" -> (q25 _),
@@ -355,7 +364,8 @@ object TextOps extends QuerySet {
     "td42_bpe_train" -> (q42 _),
     "td43_bpe_encode" -> (q43 _),
     "td44_cms_heavy_hitters" -> (q44 _),
-    "td45_tfidf_pairs" -> (q45 _))
+    "td45_tfidf_pairs" -> (q45 _),
+    "td46_chunking" -> (q46 _))
 
   /** One BPE round's census/top-pair/merge as DuckDB CTEs (shared by the
     * td41/td42 oracles): `wn` = the (w, cnt) state, producing pair census
@@ -373,6 +383,15 @@ object TextOps extends QuerySet {
       |w0 AS (SELECT array_to_string(string_split(word, ''), chr(1)) AS w, cnt FROM c)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "td46_chunking" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |c AS (SELECT doc_id, s,
+        |  CAST((s - 1) // 48 AS INTEGER) AS chunk_id,
+        |  array_to_string(sp[s : s + 63], ' ') AS chunk_text,
+        |  CAST(least(64, len(sp) - s + 1) AS INTEGER) AS n_chunk_tokens
+        | FROM d, generate_series(1, 100000, 48) g(s)
+        | WHERE s <= greatest(len(sp) - 16, 1))
+        |SELECT doc_id, chunk_id, chunk_text, n_chunk_tokens FROM c""".stripMargin,
     "td45_tfidf_pairs" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
         |t0 AS (SELECT doc_id, sp[i] || ' ' || sp[i+1] AS token
