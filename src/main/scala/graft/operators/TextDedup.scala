@@ -955,6 +955,49 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Directional n-gram CONTAINMENT pairs — the quote/subset detector
+    * resemblance misses: containment(A→B) = |A∩B| / |A| is high when A's
+    * shingles live inside B even if B is far larger (a doc quoting
+    * another, a page embedding a boilerplate block), exactly where
+    * Jaccard collapses toward |A|/|B|. Emits both directions per pair
+    * plus the shared count, keeping pairs where EITHER direction clears
+    * `threshold`. Same blocked inverted-index economics as
+    * [[ngramJaccardPairs]] (block column + optional `maxDocFreq` hot-
+    * shingle cap, unhinted anti-join); denominators are each side's FULL
+    * distinct-shingle count even when the cap trims the index, so a
+    * capped run can only UNDER-report containment (recall-for-
+    * boundedness, never a false positive).
+    */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double, maxDocFreq: Long = 0L,
+      fast: Boolean = false): DataFrame = {
+    val sh0 = docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+      explode(bigramShingles(col(textCol), fast)).as("shingle"))
+      .localCheckpoint(true)
+    val n = sh0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sh =
+      if (maxDocFreq > 0) {
+        val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("shingle")
+        sh0.join(hot, Seq("shingle"), "left_anti")
+      } else sh0
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.block") === col("b.block") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(n.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(n.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("containment_a",
+        round(col("common").cast("double") / col("n_a"), 6))
+      .withColumn("containment_b",
+        round(col("common").cast("double") / col("n_b"), 6))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select("doc_a", "doc_b", "common", "containment_a", "containment_b")
+  }
+
   /** Bloom-pruned exact-content screen of a small BATCH against a huge
     * REFERENCE digest set — the runtime-row-filter pattern made explicit:
     * the exact screen in [[dedupAgainstIndex]] anti-joins batch digests

@@ -343,6 +343,16 @@ object Dedup extends QuerySet {
       .select("doc_id", "source", "lang")
   }
 
+  /** Directional containment pairs (dd53): either direction's
+    * shingle-containment ≥ 0.3 within the source block — catches the
+    * short-doc-quoted-in-long-doc pairs dd31's Jaccard form suppresses.
+    */
+  def dd53(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    TextDedup.ngramContainmentPairs(Q.t(s, dir, "documents"),
+      "doc_id", "text", blockCol = "source", threshold = 0.3, fast = true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
@@ -366,7 +376,8 @@ object Dedup extends QuerySet {
     "dd49_semantic_dedup_selftrained" -> (dd49 _),
     "dd50_substring_dedup" -> (dd50 _),
     "dd51_semantic_screen_incremental" -> (dd51 _),
-    "dd52_bloom_screen" -> (dd52 _))
+    "dd52_bloom_screen" -> (dd52 _),
+    "dd53_containment_pairs" -> (dd53 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -669,6 +680,19 @@ object Dedup extends QuerySet {
         |WHERE doc_id % 2 = 1 AND (text IS NULL OR md5(text) NOT IN
         | (SELECT md5(text) FROM documents
         |  WHERE doc_id % 2 = 0 AND text IS NOT NULL))""".stripMargin,
+    "dd53_containment_pairs" ->
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS sp FROM documents),
+         |sh AS (SELECT doc_id, source, unnest($bigramsSql) AS shingle FROM d),
+         |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
+         |       AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sc AS (SELECT doc_a, doc_b, common,
+         |  round(CAST(common AS DOUBLE) / na.n_sh, 6) AS containment_a,
+         |  round(CAST(common AS DOUBLE) / nb.n_sh, 6) AS containment_b
+         | FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id)
+         |SELECT doc_a, doc_b, common, containment_a, containment_b FROM sc
+         |WHERE greatest(containment_a, containment_b) >= 0.3""".stripMargin,
     "dd51_semantic_screen_incremental" ->
       s"""WITH $ivfAssignCte,
          |r AS (SELECT * FROM a WHERE vec_id % 2 = 0),

@@ -355,6 +355,28 @@ object Extended extends QuerySet {
           <= col("exact_distinct") * lit(0.05)).as("est_within_5pct"))
   }
 
+  /** Token co-occurrence mining (q51, the market-basket/frequent-pair
+    * family): the 20 most frequent within-document distinct-token pairs.
+    * Per document the DISTINCT token set expands to its C(k,2) ordered
+    * pairs LOCALLY (sorted array + slice-pairing — no join, the dd33
+    * in-bucket expansion idiom), then one pair-keyed aggregate and a
+    * TakeOrderedAndProject cut. At web scale the per-doc distinct set is
+    * capped upstream (documents are bounded); pair cardinality is
+    * vocab², sharded by the pair key.
+    */
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    val t = array_sort(array_distinct(split(col("text"), " ")))
+    val pairs = Q.t(s, dir, "documents")
+      .select(explode(flatten(transform(t, (x, i) =>
+        transform(slice(t, i + 2, size(t)), y =>
+          struct(x.as("tok_a"), y.as("tok_b")))))).as("p"))
+      .filter(length(col("p.tok_a")) > 0)
+    pairs.groupBy("p.tok_a", "p.tok_b")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("tok_a").asc, col("tok_b").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
@@ -375,7 +397,8 @@ object Extended extends QuerySet {
     "q47_pagerank" -> (q47 _),
     "q48_asof_join" -> (q48 _),
     "q49_interval_join" -> (q49 _),
-    "q50_hll_reagg" -> (q50 _))
+    "q50_hll_reagg" -> (q50 _),
+    "q51_cooccurrence" -> (q51 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -568,5 +591,14 @@ object Extended extends QuerySet {
         | TRUE AS est_within_5pct
         |FROM tt GROUP BY source
         |UNION ALL
-        |SELECT '__all', CAST(count(DISTINCT token) AS BIGINT), TRUE FROM tt""".stripMargin)
+        |SELECT '__all', CAST(count(DISTINCT token) AS BIGINT), TRUE FROM tt""".stripMargin,
+    "q51_cooccurrence" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |d AS (SELECT DISTINCT doc_id, tok FROM t WHERE len(tok) > 0)
+        |SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_docs
+        |FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |GROUP BY 1, 2
+        |ORDER BY n_docs DESC, tok_a ASC, tok_b ASC
+        |LIMIT 20""".stripMargin)
 }
