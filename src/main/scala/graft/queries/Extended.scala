@@ -377,6 +377,23 @@ object Extended extends QuerySet {
       .limit(20)
   }
 
+  /** Cohort retention (q52): users cohorted by first-activity day, then
+    * the (cohort_day, days_since_cohort) matrix of distinct active users
+    * — the product-analytics retention curve. Two shuffles: the per-user
+    * first-day aggregate (reused via its own user-keyed exchange by the
+    * join back onto events) and the final matrix aggregate; the date
+    * arithmetic is integer day-diffs, exact in both engines.
+    */
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    val ev = Q.t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("days_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
@@ -398,7 +415,8 @@ object Extended extends QuerySet {
     "q48_asof_join" -> (q48 _),
     "q49_interval_join" -> (q49 _),
     "q50_hll_reagg" -> (q50 _),
-    "q51_cooccurrence" -> (q51 _))
+    "q51_cooccurrence" -> (q51 _),
+    "q52_cohort_retention" -> (q52 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -600,5 +618,13 @@ object Extended extends QuerySet {
         |FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.tok < b.tok
         |GROUP BY 1, 2
         |ORDER BY n_docs DESC, tok_a ASC, tok_b ASC
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin,
+    "q52_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT c.cohort_day,
+        | CAST(date_diff('day', c.cohort_day, e.day) AS INTEGER) AS days_since,
+        | CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -53,6 +53,25 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
       s"expected exactly one shuffle:\n$plan")
   }
 
+  test("property: intervalOverlapPairs equals the naive quadratic form at any bucket size") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val iv = (1L to 40L).map { id =>
+      val s = rng.nextInt(48)
+      (id, ts(s), ts(s + 1 + rng.nextInt(6)))
+    }
+    val naive = (for {
+      (a, sa, ea) <- iv; (b, sb, eb) <- iv
+      if a < b && !sa.after(eb) && !sb.after(ea)
+    } yield (a, b)).toSet
+    for (bucket <- Seq(60L, 300L, 3600L, 86400L)) {
+      val got = Temporal.intervalOverlapPairs(
+        iv.toDF("id", "s", "e"), "id", "s", "e", bucketSeconds = bucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"bucket=$bucket: ${got.size} vs ${naive.size}")
+    }
+  }
+
   test("property: asofJoin matches an in-memory reference on random keyed series") {
     import spark.implicits._
     val rng = new scala.util.Random(13)
