@@ -569,11 +569,20 @@ object Ann {
     * neighbor_id, cell, cos), rank 1..k by cos desc / id asc.
     */
   def knnGraph(emb: DataFrame, idCol: String, embCol: String,
-      centroids: DataFrame, k: Int, maxCellSize: Long = 0L): DataFrame = {
+      centroids: DataFrame, k: Int, maxCellSize: Long = 0L): DataFrame =
+    knnGraphFromAssigned(
+      ivfAssign(emb, idCol, embCol, centroids)
+        .select("vec_id", "centroid_id", "emb", "norm")
+        .localCheckpoint(false),
+      k, maxCellSize)
+
+  /** [[knnGraph]]'s core over a prebuilt (vec_id, centroid_id, emb, norm)
+    * assignment frame — exposed so [[knnGraphIncremental]] can run it over
+    * the batch-touched cells only.
+    */
+  def knnGraphFromAssigned(assigned0: DataFrame, k: Int,
+      maxCellSize: Long = 0L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val assigned0 = ivfAssign(emb, idCol, embCol, centroids)
-      .select("vec_id", "centroid_id", "emb", "norm")
-      .localCheckpoint(false)
     val assigned =
       if (maxCellSize <= 0) assigned0
       else {
@@ -595,6 +604,33 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("centroid_id").as("cell"), round(col("cand_cos"), 4).as("cos"))
+  }
+
+  /** Incremental kNN-graph maintenance — the dd46/dd51 ingest pattern
+    * applied to the graph: when a batch of new vectors arrives, only the
+    * CELLS the batch lands in can change (a vector's neighbor list is a
+    * within-cell computation), so the existing graph's rows for untouched
+    * cells are kept verbatim and only the touched cells re-run the
+    * self-join — cost proportional to the batch's cell footprint, never
+    * the corpus. `oldGraph` is a prior [[knnGraph]] output over
+    * `allEmb.filter(!batchPred)`; returns the graph over ALL of
+    * `allEmb`, row-identical to a full rebuild (spec + oracle pin it).
+    */
+  def knnGraphIncremental(oldGraph: DataFrame, allEmb: DataFrame,
+      idCol: String, embCol: String, centroids: DataFrame, k: Int,
+      batchPred: Column): DataFrame = {
+    val assigned = ivfAssign(allEmb, idCol, embCol, centroids)
+      .select("vec_id", "centroid_id", "emb", "norm")
+      .localCheckpoint(false)
+    val touched = assigned.filter(batchPred)
+      .select(col("centroid_id")).distinct().localCheckpoint(false)
+    val kept = oldGraph.join(
+      touched.withColumnRenamed("centroid_id", "cell"), Seq("cell"),
+      "left_anti")
+    val recomputed = knnGraphFromAssigned(
+      assigned.join(touched, Seq("centroid_id"), "left_semi"), k)
+    kept.select("query_id", "rank", "neighbor_id", "cell", "cos")
+      .unionByName(recomputed)
   }
 
   /** Residual IVF-PQ top-k — the faithful IVFADC of Jégou et al. 2011

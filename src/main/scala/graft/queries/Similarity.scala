@@ -233,6 +233,25 @@ object Similarity extends QuerySet {
       coarse.select(col("query_id"), col("neighbor_id")), k = 5)
   }
 
+  /** Incremental kNN-graph maintenance (sim54): the even half's graph is
+    * the pre-existing state, the odd half arrives as a batch, and only
+    * the batch-touched cells re-run the self-join — cost proportional to
+    * the batch's cell footprint. Because assignment is per-vector and
+    * neighbor lists are within-cell, the maintained graph is
+    * ROW-IDENTICAL to a full rebuild, so the oracle is sim52's
+    * full-graph SQL verbatim — the hash-match IS the proof that
+    * incremental maintenance loses nothing.
+    */
+  def sim54(s0: SparkSession, dir: String): DataFrame = {
+    val s = withDot(s0)
+    val e = embD(s, dir)
+    val c = centroids(s, dir)
+    val old = Ann.knnGraph(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "emb", c, k = 3)
+    Ann.knnGraphIncremental(old, e, "vec_id", "emb", c, k = 3,
+      batchPred = col("vec_id") % 2 === 1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
     "sim37_lsh_buckets" -> (sim37 _),
@@ -251,7 +270,8 @@ object Similarity extends QuerySet {
     "sim50_recall_at_k" -> (sim50 _),
     "sim51_ivf_pq_residual_topk" -> (sim51 _),
     "sim52_knn_graph" -> (sim52 _),
-    "sim53_rerank_two_stage" -> (sim53 _))
+    "sim53_rerank_two_stage" -> (sim53 _),
+    "sim54_knn_graph_incremental" -> (sim54 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -362,6 +382,28 @@ object Similarity extends QuerySet {
              | ${(0 until 16).map(i => s"c$i").mkString(", ")}
              |FROM p${s}k2""".stripMargin).mkString("\nUNION ALL\n")}""".stripMargin
 
+  private val sim52Sql: String =
+    """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+        |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
+        |c AS (SELECT vec_id AS centroid_id, emb AS c_emb, norm AS c_norm FROM w WHERE vec_id < 8),
+        |scored AS (SELECT w.vec_id, c.centroid_id, w.emb, w.norm,
+        |  list_sum([w.emb[i] * c.c_emb[i] for i in range(1, 65)]) / (w.norm * c.c_norm) AS cos_full
+        | FROM w, c),
+        |a AS (SELECT vec_id, centroid_id, emb, norm FROM (
+        |  SELECT *, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY cos_full DESC, centroid_id ASC) AS rn FROM scored)
+        | WHERE rn = 1),
+        |cand AS (SELECT q.vec_id AS query_id, x.vec_id, x.centroid_id,
+        |  list_sum([x.emb[i] * q.emb[i] for i in range(1, 65)]) / (x.norm * q.norm) AS cand_cos
+        | FROM a x JOIN a q ON x.centroid_id = q.centroid_id
+        |  AND x.vec_id <> q.vec_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+        | centroid_id AS cell, round(cand_cos, 4) AS cos
+        |FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cand_cos DESC, vec_id ASC) AS rank FROM cand)
+        |WHERE rank <= 3""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim46_kmeans_fit" -> sim46Sql,
     "sim53_rerank_two_stage" ->
@@ -395,27 +437,8 @@ object Similarity extends QuerySet {
         |FROM (SELECT *, row_number() OVER
         |  (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id ASC) AS rank FROM rer)
         |WHERE rank <= 5""".stripMargin,
-    "sim52_knn_graph" ->
-      """WITH e AS (SELECT vec_id,
-        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
-        |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
-        |c AS (SELECT vec_id AS centroid_id, emb AS c_emb, norm AS c_norm FROM w WHERE vec_id < 8),
-        |scored AS (SELECT w.vec_id, c.centroid_id, w.emb, w.norm,
-        |  list_sum([w.emb[i] * c.c_emb[i] for i in range(1, 65)]) / (w.norm * c.c_norm) AS cos_full
-        | FROM w, c),
-        |a AS (SELECT vec_id, centroid_id, emb, norm FROM (
-        |  SELECT *, row_number() OVER
-        |   (PARTITION BY vec_id ORDER BY cos_full DESC, centroid_id ASC) AS rn FROM scored)
-        | WHERE rn = 1),
-        |cand AS (SELECT q.vec_id AS query_id, x.vec_id, x.centroid_id,
-        |  list_sum([x.emb[i] * q.emb[i] for i in range(1, 65)]) / (x.norm * q.norm) AS cand_cos
-        | FROM a x JOIN a q ON x.centroid_id = q.centroid_id
-        |  AND x.vec_id <> q.vec_id)
-        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
-        | centroid_id AS cell, round(cand_cos, 4) AS cos
-        |FROM (SELECT *, row_number() OVER
-        |  (PARTITION BY query_id ORDER BY cand_cos DESC, vec_id ASC) AS rank FROM cand)
-        |WHERE rank <= 3""".stripMargin,
+    "sim54_knn_graph_incremental" -> sim52Sql,
+    "sim52_knn_graph" -> sim52Sql,
     "sim50_recall_at_k" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),

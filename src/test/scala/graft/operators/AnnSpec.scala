@@ -387,6 +387,36 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(capped.subsetOf(got.keySet) && capped.size < got.size)
   }
 
+  test("knnGraphIncremental recomputes ONLY touched cells and equals a full rebuild") {
+    import spark.implicits._
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val old = Ann.knnGraph(evens, "vec_id", "emb", centroids, k = 3)
+      .localCheckpoint(true)
+    val full = Ann.knnGraph(emb, "vec_id", "emb", centroids, k = 3)
+    val inc = Ann.knnGraphIncremental(old, emb, "vec_id", "emb", centroids,
+      k = 3, batchPred = col("vec_id") % 2 === 1)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().toSeq
+    assert(canon(inc) == canon(full))
+
+    // untouched cells must be carried VERBATIM: restrict the batch to one
+    // cell and poison an old row in a DIFFERENT cell — the poison survives
+    val assigned = Ann.ivfAssign(emb, "vec_id", "emb", centroids)
+    val cells = assigned.select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val odd = cells.keys.filter(_ % 2 == 1).head
+    val otherCell = cells.values.toSet.find(_ != cells(odd)).get
+    val poisoned = old.withColumn("cos",
+      when(col("cell") === otherCell && col("rank") === 1, lit(99.0))
+        .otherwise(col("cos")))
+    val inc2 = Ann.knnGraphIncremental(poisoned, emb, "vec_id", "emb",
+      centroids, k = 3, batchPred = col("vec_id") === odd)
+    assert(inc2.filter(col("cos") === 99.0).count() > 0,
+      "rows of untouched cells must be kept verbatim, not recomputed")
+    assert(inc2.filter(col("cell") === cells(odd) && col("cos") === 99.0)
+      .count() == 0, "touched cells must be recomputed")
+  }
+
   test("recallAtK: exact self-recall is 1, disjoint is 0, partial counts hits/k") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
