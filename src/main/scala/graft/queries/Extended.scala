@@ -394,6 +394,22 @@ object Extended extends QuerySet {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Sliding time windows (q53): 1-hour windows every 15 minutes per
+    * event type — the OVERLAPPING flavor of the W2 tumbling rollups
+    * (each event lands in 4 windows; trend dashboards smooth exactly
+    * this way). Spark's `window(ts, "1 hour", "15 minutes")` expands the
+    * 4 memberships map-side before one (window, type) aggregate; the
+    * oracle regenerates the same epoch-aligned window starts per event.
+    * Window start travels as epoch seconds (exact integer in both
+    * engines).
+    */
+  def q53(s: SparkSession, dir: String): DataFrame =
+    Q.t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Q.dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("ws"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
@@ -416,7 +432,8 @@ object Extended extends QuerySet {
     "q49_interval_join" -> (q49 _),
     "q50_hll_reagg" -> (q50 _),
     "q51_cooccurrence" -> (q51 _),
-    "q52_cohort_retention" -> (q52 _))
+    "q52_cohort_retention" -> (q52 _),
+    "q53_sliding_windows" -> (q53 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -626,5 +643,14 @@ object Extended extends QuerySet {
         | CAST(date_diff('day', c.cohort_day, e.day) AS INTEGER) AS days_since,
         | CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
         |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "q53_sliding_windows" ->
+      """WITH x AS (SELECT event_type, value, epoch(ts) AS ep FROM events),
+        |w AS (SELECT event_type, value, ep,
+        |  (CAST(floor(ep / 900) AS BIGINT) - g.g) * 900 AS ws
+        | FROM x, generate_series(0, 3) g(g))
+        |SELECT ws, event_type, count(*) AS cnt,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w WHERE ws <= ep AND ep < ws + 3600
         |GROUP BY 1, 2""".stripMargin)
 }

@@ -391,6 +391,47 @@ object StreamingQueries extends QuerySet {
     streamed
   }
 
+  /** Streaming sliding windows (st55): the q53 shape — 1-hour windows
+    * every 15 minutes per event type — as a watermarked continuous
+    * aggregation drained with AvailableNow; every streamed (window,
+    * type, cnt, sum) row must equal the ORACLED q53 batch twin
+    * identity-for-identity (sums compared through the same decimal
+    * cast, so partition order cannot move them).
+    */
+  def st55(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Paths.get(s"$dir/events.parquet")
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val staged = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_st55_events_$key")
+    Files.createDirectories(staged)
+    Files.copy(src, staged.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = s.read.parquet(staged.toString).schema
+    val raw = s.readStream.schema(schema).parquet(staged.toString)
+    val stream = raw.withColumn("ts", Q.normTs(raw, "ts"))
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Q.dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("ws"),
+        col("event_type"), col("cnt"), col("sum_value"))
+    val q = agg.writeStream.format("memory").queryName("st55_sliding")
+      .option("checkpointLocation", tmp("graft_st55_ckpt"))
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = s.table("st55_sliding")
+    val twin = Extended.q53(s, dir) // the ORACLED batch twin
+    val missing = twin.except(streamed).count()
+    val extra = streamed.except(twin).count()
+    require(missing == 0 && extra == 0,
+      s"streamed sliding windows diverged from the q53 twin: " +
+        s"missing=$missing extra=$extra")
+    streamed
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st47_stream_silver_drain" -> (st47 _),
     "st48_stream_dedup_replay" -> (st48 _),
@@ -399,7 +440,8 @@ object StreamingQueries extends QuerySet {
     "st51_stream_semantic_screen" -> (st51 _),
     "st52_stream_sessions" -> (st52 _),
     "st53_stream_curation" -> (st53 _),
-    "st54_stream_stream_join" -> (st54 _))
+    "st54_stream_stream_join" -> (st54 _),
+    "st55_stream_sliding_windows" -> (st55 _))
 
   // no DuckDB oracles: streaming drains are rows-only by design; the parity
   // require()s above carry the correctness assertion
