@@ -34,10 +34,18 @@ object Temporal {
       lit(null).cast(right.schema(rightValCol).dataType).as("__rv"),
       lit(null).cast(right.schema(rightTs).dataType).as("__rts"),
       struct(leftCols.map(col): _*).as("__row"))
-    val r = right.select(
-      col(keyCol).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
-      col(rightValCol).as("__rv"), col(rightTs).as("__rts"),
-      lit(null).cast(l.schema("__row").dataType).as("__row"))
+    // a right row with a null key or null ts can never match ANY left row
+    // under join semantics (null comparisons are never true) — but in the
+    // union-window form a null-ts row would sort FIRST and its value would
+    // be carried into every left row of the partition, and null-key rows
+    // would pair with null-key left rows. Drop them up front; left rows
+    // with null key/ts then correctly see no carried value at all.
+    val r = right
+      .filter(col(keyCol).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(keyCol).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+        col(rightValCol).as("__rv"), col(rightTs).as("__rts"),
+        lit(null).cast(l.schema("__row").dataType).as("__row"))
     // __rv in the ordering is determinism belt for a right side that
     // still carries duplicate (key, ts) rows: the max value wins
     val w = Window.partitionBy("__k")

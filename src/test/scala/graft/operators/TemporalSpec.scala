@@ -53,6 +53,22 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
       s"expected exactly one shuffle:\n$plan")
   }
 
+  test("asofJoin null semantics match join semantics: null-key/ts right rows match nothing") {
+    import spark.implicits._
+    val trades = Seq((1L, "a", ts(10)), (2L, null.asInstanceOf[String], ts(10)),
+      (3L, "a", null.asInstanceOf[Timestamp])).toDF("trade_id", "k", "t")
+    val quotes = Seq(
+      ("a", null.asInstanceOf[Timestamp], 666L), // null ts: never matches
+      (null.asInstanceOf[String], ts(1), 777L),  // null key: never matches
+      ("a", ts(5), 100L)
+    ).toDF("k", "t", "px")
+    val got = Temporal.asofJoin(trades, quotes, "k", "t", "t", "px")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(got(1L) == Some(100L)) // only the valid quote applies
+    assert(got(2L) == None)       // null-key trade matches nothing
+    assert(got(3L) == None)       // null-ts trade matches nothing
+  }
+
   test("property: intervalOverlapPairs equals the naive quadratic form at any bucket size") {
     import spark.implicits._
     val rng = new scala.util.Random(31)
