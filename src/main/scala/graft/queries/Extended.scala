@@ -410,6 +410,57 @@ object Extended extends QuerySet {
       .select(unix_timestamp(col("window.start")).as("ws"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** SCD2-style temporal versioning (q54): each user's event stream read
+    * as a change log — one VERSION row per state change with
+    * [valid_from, valid_to) bounds and a current flag, the
+    * slowly-changing-dimension type-2 shape a warehouse maintains for
+    * point-in-time joins. Consecutive same-state events collapse first
+    * (lag), then `lead` closes each version — both windows and the
+    * collapse share ONE user-keyed exchange. Deterministic: (ts,
+    * event_id) orders ties.
+    */
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Q.t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("state"))
+      .withColumn("__prev", lag(col("state"), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("state"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("state"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Data-quality column profile (q55): per column — row count, null
+    * count, distinct count, min/max (stringified) — the expectation-check
+    * report a pipeline gates ingestion on. ONE pass over the table: all
+    * per-column aggregates ride a single global aggregate (no per-column
+    * scans), then unpivot to the (column, metric...) report shape.
+    */
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    // doubles stringify through DECIMAL(18,2) so min/max text is
+    // engine-stable (shortest-double printing is not a cross-engine
+    // contract; decimal formatting is)
+    val o = Q.t(s, dir, "orders")
+      .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+    val agg = o.agg(
+      count(lit(1)).as("__n"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))): _*)
+    val rows = cols.map(c => struct(lit(c).as("column"), col("__n").as("n_rows"),
+      col(s"__null_$c").as("n_null"), col(s"__dist_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_str"), col(s"__max_$c").as("max_str")))
+    agg.select(explode(array(rows: _*)).as("__r")).select(
+      col("__r.column"), col("__r.n_rows"), col("__r.n_null"),
+      col("__r.n_distinct"), col("__r.min_str"), col("__r.max_str"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
@@ -433,7 +484,9 @@ object Extended extends QuerySet {
     "q50_hll_reagg" -> (q50 _),
     "q51_cooccurrence" -> (q51 _),
     "q52_cohort_retention" -> (q52 _),
-    "q53_sliding_windows" -> (q53 _))
+    "q53_sliding_windows" -> (q53 _),
+    "q54_scd2_versions" -> (q54 _),
+    "q55_column_profile" -> (q55 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -652,5 +705,33 @@ object Extended extends QuerySet {
         |SELECT ws, event_type, count(*) AS cnt,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w WHERE ws <= ep AND ep < ws + 3600
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+    "q54_scd2_versions" ->
+      """WITH o AS (SELECT user_id, event_id, ts, event_type AS state,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |ch AS (SELECT user_id, event_id, ts, state FROM o
+        | WHERE prev IS NULL OR prev <> state)
+        |SELECT user_id, state, ts AS valid_from,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |  AS is_current
+        |FROM ch""".stripMargin,
+    "q55_column_profile" -> {
+      val profiled = Seq(
+        ("o_orderkey", "o_orderkey"),
+        ("o_custkey", "o_custkey"),
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+        ("o_orderdate", "o_orderdate"),
+        ("o_orderpriority", "o_orderpriority"))
+      profiled.map { case (name, e) =>
+        s"""SELECT '$name' AS column, count(*) AS n_rows,
+           | CAST(SUM(CASE WHEN ($e) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           | CAST(count(DISTINCT ($e)) AS BIGINT) AS n_distinct,
+           | CAST(min($e) AS VARCHAR) AS min_str,
+           | CAST(max($e) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    })
 }
