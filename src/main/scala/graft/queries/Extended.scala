@@ -433,32 +433,35 @@ object Extended extends QuerySet {
   }
 
   /** Data-quality column profile (q55): per column — row count, null
-    * count, distinct count, min/max (stringified) — the expectation-check
-    * report a pipeline gates ingestion on. ONE pass over the table: all
-    * per-column aggregates ride a single global aggregate (no per-column
-    * scans), then unpivot to the (column, metric...) report shape.
+    * count, EXACT distinct count, min/max (stringified) — the
+    * expectation-check report a pipeline gates ingestion on. Plan shape:
+    * per column, a value census (groupBy value → count) feeds ONE final
+    * aggregate computing every metric from the census — n_rows = Σcnt,
+    * n_null = the null group's cnt, n_distinct = non-null census rows,
+    * min/max over census keys. No multi-`countDistinct` aggregate
+    * anywhere, so no Expand amplification (the q08 lesson): each
+    * column's exchange carries its distinct VALUES once — the
+    * irreducible cost of an exact distinct — partial-aggregated
+    * map-side. Doubles stringify through DECIMAL(18,2): shortest-double
+    * printing is not a cross-engine contract, decimal formatting is.
     */
   def q55(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")
-    // doubles stringify through DECIMAL(18,2) so min/max text is
-    // engine-stable (shortest-double printing is not a cross-engine
-    // contract; decimal formatting is)
     val o = Q.t(s, dir, "orders")
       .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
-    val agg = o.agg(
-      count(lit(1)).as("__n"),
-      cols.flatMap(c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__dist_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))): _*)
-    val rows = cols.map(c => struct(lit(c).as("column"), col("__n").as("n_rows"),
-      col(s"__null_$c").as("n_null"), col(s"__dist_$c").as("n_distinct"),
-      col(s"__min_$c").as("min_str"), col(s"__max_$c").as("max_str")))
-    agg.select(explode(array(rows: _*)).as("__r")).select(
-      col("__r.column"), col("__r.n_rows"), col("__r.n_null"),
-      col("__r.n_distinct"), col("__r.min_str"), col("__r.max_str"))
+    cols.map { c =>
+      o.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
+        .agg(
+          sum(col("__cnt")).cast("long").as("n_rows"),
+          coalesce(sum(when(col("__v").isNull, col("__cnt"))), lit(0L))
+            .cast("long").as("n_null"),
+          count(col("__v")).as("n_distinct"),
+          min(col("__v")).cast("string").as("min_str"),
+          max(col("__v")).cast("string").as("max_str"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+    }.reduce(_ unionByName _)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
