@@ -505,6 +505,69 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("bpeEncode replays merges in training order; counts shrink as merges grow") {
+    import spark.implicits._
+    val docs = Seq((1L, "aab aab aaaa"), (2L, "aab")).toDF("doc_id", "text")
+    // rules from the bpeTrain spec's hand computation
+    val rules = Seq(("a", "a"), ("aa", "b"), ("aa", "aa"))
+    val got = TextAnalysis.bpeEncode(docs, "doc_id", "text", rules)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // doc 1: aab->[aab](1), aab->[aab](1), aaaa->[aaaa](1) = 3 symbols
+    assert(got(1L) == ((3, 3L)))
+    assert(got(2L) == ((1, 1L)))
+    // fewer rules -> strictly more symbols: only (a,a) leaves
+    // aab->[aa,b] (2) x2 words + aaaa->[aa,aa] (2) = 6
+    val partial = TextAnalysis.bpeEncode(docs, "doc_id", "text", rules.take(1))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(partial(1L) == 6L)
+    assert(partial(2L) == 2L)
+  }
+
+  test("chunkDocuments: exact multiples, short docs, overlap windows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "only three words"),                       // shorter than chunk
+      (3L, (1 to 4).map(i => s"x$i").mkString(" "))   // exactly chunk size
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getInt(3)))).toMap
+    // doc 1: stride 3, starts 1,4,7 (10-1=9 >= 7); chunks 4,4,4 tokens
+    assert(got((1L, 0)) == (("w1 w2 w3 w4", 4)))
+    assert(got((1L, 1)) == (("w4 w5 w6 w7", 4)))
+    assert(got((1L, 2)) == (("w7 w8 w9 w10", 4)))
+    assert(!got.contains((1L, 3)))
+    // doc 2: single short chunk
+    assert(got((2L, 0)) == (("only three words", 3)))
+    // doc 3: 4 tokens = exactly one chunk, start 4 excluded (4 > 4-1)
+    assert(got((3L, 0)) == (("x1 x2 x3 x4", 4)))
+    assert(!got.contains((3L, 1)))
+  }
+
+  test("tfidfPairs: rare shared terms score, hub terms capped out, quantized-exact") {
+    import spark.implicits._
+    // term frame directly: docs 1,2 share rare term R; everyone has hub H
+    val terms = Seq(
+      (1L, "R"), (1L, "H"),
+      (2L, "R"), (2L, "H"),
+      (3L, "H"), (4L, "H")).toDF("doc_id", "token")
+    val got = TextAnalysis.tfidfPairs(terms, nDocs = 4L, maxDf = 2L,
+      threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // only (1,2) pair via R (H has df=4 > cap); replicate the arithmetic
+    val q = 1024L
+    def wq(tf: Long, n: Long, df: Long): Long =
+      math.floor((tf.toDouble / n) * (4.0 / df) * q).toLong
+    val wR = wq(1, 2, 2); val wH = wq(1, 2, 4)
+    val n2 = wR * wR + wH * wH
+    val expect = BigDecimal(wR * wR / (math.sqrt(n2.toDouble) * math.sqrt(n2.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set((1L, 2L)))
+    assert(math.abs(got((1L, 2L)) - expect) < 1e-9, s"${got((1L, 2L))} vs $expect")
+  }
+
   test("bpeTrain learns composite merges with greedy left-to-right application") {
     import spark.implicits._
     // census: "aab"×3, "aaaa"×1.
