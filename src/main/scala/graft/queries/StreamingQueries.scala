@@ -432,6 +432,68 @@ object StreamingQueries extends QuerySet {
     streamed
   }
 
+  /** Streaming incremental gold maintenance (st56): the q26
+    * mergeable-partials idiom run CONTINUOUSLY — each micro-batch's
+    * per-priority partial (count / decimal sum / max) merges into a
+    * running state frame inside foreachBatch, so the gold mart is always
+    * current without ever re-scanning history. State stays in
+    * DECIMAL(18,2) until the final read-out, so the merge is exact and
+    * associative — any micro-batch partitioning of the feed yields the
+    * byte-identical totals the one-shot ORACLED q26 twin computes
+    * (parity `require`d on the full rows).
+    */
+  def st56(s: SparkSession, dir: String): DataFrame = {
+    val src = Paths.get(s"$dir/orders.parquet")
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val staged = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_st56_orders_$key")
+    Files.createDirectories(staged)
+    Files.copy(src, staged.resolve("orders.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = s.read.parquet(staged.toString).schema
+    val feed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    var state: DataFrame = null
+    val q = feed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val partial = batch.groupBy("o_orderpriority").agg(
+          count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_dec"),
+          max(col("o_orderdate")).as("max_date"))
+        val merged =
+          if (state == null) partial
+          else state.unionByName(partial).groupBy("o_orderpriority").agg(
+            sum(col("cnt")).as("cnt"),
+            sum(col("sum_dec")).cast("decimal(18,2)").as("sum_dec"),
+            max(col("max_date")).as("max_date"))
+        // materialize the new state so the next trigger reads a frame,
+        // not a lineage chain over every prior batch
+        state = merged.localCheckpoint(true)
+      }
+      .option("checkpointLocation", tmp("graft_st56_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = state.select(col("o_orderpriority"),
+      col("cnt").cast("long").as("cnt"),
+      col("sum_dec").cast("double").as("sum_price"),
+      col("max_date"))
+    // parity at the cent grain: the maintained state's sum is the EXACT
+    // decimal total while q26's twin sums two partial doubles — within
+    // one ulp of each other, identical once both land on 2 decimals (a
+    // 2-decimal exact value can never sit on a rounding tie)
+    def cents(df: DataFrame): DataFrame = df.select(
+      col("o_orderpriority"), col("cnt"),
+      round(col("sum_price"), 2).as("sum_c"), col("max_date"))
+    val twin = cents(Extended.q26(s, dir)) // the ORACLED batch twin
+    val missing = twin.except(cents(out)).count()
+    val extra = cents(out).except(twin).count()
+    require(missing == 0 && extra == 0,
+      s"maintained gold state diverged from the q26 twin: " +
+        s"missing=$missing extra=$extra")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st47_stream_silver_drain" -> (st47 _),
     "st48_stream_dedup_replay" -> (st48 _),
@@ -441,7 +503,8 @@ object StreamingQueries extends QuerySet {
     "st52_stream_sessions" -> (st52 _),
     "st53_stream_curation" -> (st53 _),
     "st54_stream_stream_join" -> (st54 _),
-    "st55_stream_sliding_windows" -> (st55 _))
+    "st55_stream_sliding_windows" -> (st55 _),
+    "st56_stream_gold_maintenance" -> (st56 _))
 
   // no DuckDB oracles: streaming drains are rows-only by design; the parity
   // require()s above carry the correctness assertion
