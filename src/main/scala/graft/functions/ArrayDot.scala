@@ -169,6 +169,30 @@ object GraftFunctions {
     BigramShingles(children.head)
   }
 
+  private[functions] val buildBigrams: Seq[Expression] => Expression = children => {
+    if (children.length != 1)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_bigrams: expected 1, " +
+          s"got ${children.length}")
+    WordBigrams(children.head)
+  }
+
+  private[functions] val buildPairs: Seq[Expression] => Expression = children => {
+    if (children.length != 1)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_pairs: expected 1, " +
+          s"got ${children.length}")
+    PairStrings(children.head)
+  }
+
+  private[functions] val buildTf: Seq[Expression] => Expression = children => {
+    if (children.length != 1)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_tf: expected 1, " +
+          s"got ${children.length}")
+    TermFreq(children.head)
+  }
+
   /** graft_bloom_contains(sketchBytes, long): Spark's own codegen'd
     * `BloomFilterMightContain` — the engine's runtime-row-filter probe —
     * exposed as a registered function so library operators
@@ -228,6 +252,15 @@ object GraftFunctions {
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[BigramShingles].getName, "graft_shingles"),
       buildShingles),
+    (FunctionIdentifier("graft_bigrams"),
+      new ExpressionInfo(classOf[WordBigrams].getName, "graft_bigrams"),
+      buildBigrams),
+    (FunctionIdentifier("graft_pairs"),
+      new ExpressionInfo(classOf[PairStrings].getName, "graft_pairs"),
+      buildPairs),
+    (FunctionIdentifier("graft_tf"),
+      new ExpressionInfo(classOf[TermFreq].getName, "graft_tf"),
+      buildTf),
     (FunctionIdentifier("graft_ngram_digests"),
       new ExpressionInfo(classOf[NgramDigests].getName, "graft_ngram_digests"),
       buildNgramDigests),
@@ -278,6 +311,25 @@ object GraftFunctions {
     */
   def shingles(text: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_shingles", text)
+
+  /** ALL word-bigram occurrences (duplicates kept, order kept), one fused
+    * codegen loop (parity with the composable HOF form is spec-pinned).
+    */
+  def bigrams(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_bigrams", text)
+
+  /** All "a b" pair strings over the distinct sorted non-empty elements,
+    * one fused codegen loop (parity with the composable HOF form is
+    * spec-pinned).
+    */
+  def pairs(arr: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_pairs", arr)
+
+  /** Local term-frequency census of an array<string> — one struct
+    * (token, tf) per distinct element, one codegen'd O(n) pass.
+    */
+  def termFreq(arr: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_tf", arr)
 
   /** md5 digests of all sliding n-token windows, one fused codegen loop
     * (parity with the composable HOF form is spec-pinned).
@@ -339,6 +391,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_shingles"),
         new ExpressionInfo(classOf[BigramShingles].getName, "graft_shingles"),
         GraftFunctions.buildShingles))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_bigrams"),
+        new ExpressionInfo(classOf[WordBigrams].getName, "graft_bigrams"),
+        GraftFunctions.buildBigrams))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_pairs"),
+        new ExpressionInfo(classOf[PairStrings].getName, "graft_pairs"),
+        GraftFunctions.buildPairs))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_tf"),
+        new ExpressionInfo(classOf[TermFreq].getName, "graft_tf"),
+        GraftFunctions.buildTf))
     ext.injectFunction(
       (FunctionIdentifier("graft_ngram_digests"),
         new ExpressionInfo(classOf[NgramDigests].getName, "graft_ngram_digests"),

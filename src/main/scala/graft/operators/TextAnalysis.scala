@@ -615,33 +615,75 @@ object TextAnalysis {
     * Scale shape: the inverted index joins only terms with df ≤ `maxDf`
     * (the dd31/dd41 hub-term cap — an unfiltered web-scale "the" would
     * be a df² pair bomb), so candidate pairs are Σ df² over RARE terms;
-    * norms still use every term. Three token-keyed/doc-keyed shuffles
-    * total, all partial-aggregated.
+    * norms still use every term. The DAG is branch-minimal so nothing
+    * needs a materialization barrier (Catalyst shares a subtree across
+    * branches only when the exchanges canonicalize identically, which
+    * branch-specific column pruning defeats — the r7 form paid that four
+    * times over): the per-doc token total AND the per-doc squared norm
+    * are two chained doc-partitioned windows riding ONE exchange+sort
+    * (partition width is bounded by document length — never a hub-key
+    * task; the df census stays a partial-aggregated groupBy precisely
+    * because a hub TOKEN would overload a token-partitioned window), the
+    * norm travels WITH each inverted-index row so the former two
+    * doc-keyed norm joins vanish (recovered per pair via max — n2 is
+    * functionally dependent on the doc id), and the candidate self-join
+    * is hinted to shuffle so both sides read ONE ReusedExchange instead
+    * of AQE broadcast-rebuilding the whole pipeline for the build side.
+    * Only the df census duplicates the term-generation scan — the single
+    * remaining branch.
     */
   def tfidfPairs(termRows: DataFrame, nDocs: Long, maxDf: Long,
       threshold: Double, quantScale: Long = 1024L): DataFrame = {
     require(nDocs >= 1, s"nDocs must be >= 1, got $nDocs")
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val terms = termRows.groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf")).localCheckpoint(false)
-    val ntok = terms.groupBy("doc_id").agg(sum(col("tf")).as("n_tokens"))
+      .agg(count(lit(1)).as("tf"))
+    val tfRows = terms.withColumn("n_tokens", sum(col("tf")).over(wDoc))
     val census = terms.groupBy("token").agg(count(lit(1)).as("df"))
-    val wted = terms.join(ntok, "doc_id").join(census, "token")
+    tfidfPairsFromCounts(tfRows, census, nDocs, maxDf, threshold, quantScale)
+  }
+
+  /** [[tfidfPairs]]'s core over PRE-COUNTED inputs: `tfRows` = (doc_id,
+    * token, tf, n_tokens) and `census` = (token, df). Exposed because tf
+    * and n_tokens are per-DOCUMENT quantities — when the term grain is
+    * derived per row (td45's word bigrams via `graft_tf`/`graft_bigrams`)
+    * they can be computed in a projection, making the whole corpus frame
+    * shuffle-free until this core's inverted-index join; the generic
+    * front-end pays the (doc_id, token) pre-aggregation exchange instead.
+    * Plan shape here: census join hinted shuffle-hash with the census as
+    * build side (an exploded tf frame's size ESTIMATE is its parquet
+    * scan bytes, so AQE would pick the corpus-sized side as the
+    * broadcast build — measured: a 2.5 s single-threaded broadcast
+    * serialization; the shuffle form is also the only shape that
+    * survives an unbounded vocabulary), ONE doc-partitioned window
+    * for the squared norm (bounded partitions — document length caps
+    * them), the norm travels WITH each inverted-index row (pair-level
+    * recovery via max — n2 is functionally dependent on the doc id) so
+    * no norm joins, and the candidate self-join is hinted to shuffle so
+    * both sides read ONE ReusedExchange instead of AQE
+    * broadcast-rebuilding the pipeline for the build side.
+    */
+  def tfidfPairsFromCounts(tfRows: DataFrame, census: DataFrame,
+      nDocs: Long, maxDf: Long, threshold: Double,
+      quantScale: Long = 1024L): DataFrame = {
+    require(nDocs >= 1, s"nDocs must be >= 1, got $nDocs")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val wted = tfRows.join(census.hint("shuffle_hash"), "token")
       .withColumn("wq", floor(
         (col("tf").cast("double") / col("n_tokens"))
           * (lit(nDocs.toDouble) / col("df")) * quantScale).cast("long"))
-      .localCheckpoint(false)
-    val norms = wted.groupBy("doc_id").agg(sum(col("wq") * col("wq")).as("n2"))
-    val inv = wted.filter(col("df") <= maxDf).select("token", "doc_id", "wq")
+      .withColumn("n2", sum(col("wq") * col("wq")).over(wDoc))
+    val inv = wted.filter(col("df") <= maxDf)
+      .select("token", "doc_id", "wq", "n2")
     val invB = inv.select(col("token"), col("doc_id").as("doc_b"),
-      col("wq").as("wq_b"))
-    inv.join(invB, Seq("token"))
+      col("wq").as("wq_b"), col("n2").as("n2_b"))
+    inv.hint("shuffle_hash").join(invB.hint("shuffle_hash"), Seq("token"))
       .filter(col("doc_id") < col("doc_b"))
       .groupBy("doc_id", "doc_b")
-      .agg(sum(col("wq") * col("wq_b")).as("dotq"))
-      .join(norms.select(col("doc_id"), col("n2").as("n2_a")), Seq("doc_id"))
-      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")),
-        Seq("doc_b"))
+      .agg(sum(col("wq") * col("wq_b")).as("dotq"),
+        max(col("n2")).as("n2_a"), max(col("n2_b")).as("n2_b"))
       .withColumn("cos",
         round(col("dotq") / (sqrt(col("n2_a")) * sqrt(col("n2_b"))), 6))
       .filter(col("cos") >= threshold)

@@ -358,21 +358,28 @@ object Extended extends QuerySet {
   /** Token co-occurrence mining (q51, the market-basket/frequent-pair
     * family): the 20 most frequent within-document distinct-token pairs.
     * Per document the DISTINCT token set expands to its C(k,2) ordered
-    * pairs LOCALLY (sorted array + slice-pairing — no join, the dd33
-    * in-bucket expansion idiom), then one pair-keyed aggregate and a
-    * TakeOrderedAndProject cut. At web scale the per-doc distinct set is
-    * capped upstream (documents are bounded); pair cardinality is
-    * vocab², sharded by the pair key.
+    * pairs LOCALLY (no join, the dd33 in-bucket expansion idiom) inside
+    * ONE fused codegen loop — `graft_pairs` dedups, binary-sorts and
+    * emits each "a b" pair string once (the r7 HOF form interpreted
+    * three nested lambdas and copied O(k) slices per doc: 41× the
+    * oracle; the native loop is the td29/td32 precedent applied to pair
+    * generation) — then one pair-keyed aggregate, a
+    * TakeOrderedAndProject cut, and a lossless post-cut split of the 20
+    * pair strings (tokens are space-split so the pair separator cannot
+    * collide). At web scale the per-doc distinct set is capped upstream
+    * (documents are bounded); pair cardinality is vocab², sharded by the
+    * pair key.
     */
   def q51(s: SparkSession, dir: String): DataFrame = {
-    val t = array_sort(array_distinct(split(col("text"), " ")))
-    val pairs = Q.t(s, dir, "documents")
-      .select(explode(flatten(transform(t, (x, i) =>
-        transform(slice(t, i + 2, size(t)), y =>
-          struct(x.as("tok_a"), y.as("tok_b")))))).as("p"))
-      .filter(length(col("p.tok_a")) > 0)
-    pairs.groupBy("p.tok_a", "p.tok_b")
+    graft.functions.GraftFunctions.register(s)
+    Q.t(s, dir, "documents")
+      .select(explode(graft.functions.GraftFunctions.pairs(
+        split(col("text"), " "))).as("pair"))
+      .groupBy("pair")
       .agg(count(lit(1)).as("n_docs"))
+      .select(element_at(split(col("pair"), " "), 1).as("tok_a"),
+        element_at(split(col("pair"), " "), 2).as("tok_b"),
+        col("n_docs"))
       .orderBy(col("n_docs").desc, col("tok_a").asc, col("tok_b").asc)
       .limit(20)
   }

@@ -323,14 +323,27 @@ object TextOps extends QuerySet {
     * make every sum integer-exact in both engines.
     */
   def q45(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val F = graft.functions.GraftFunctions
     val docs = Q.t(s, dir, "documents")
-    val sp = split(col("text"), " ")
-    val terms = docs.select(col("doc_id"), explode(
-      when(size(sp) >= 2, transform(sequence(lit(1), size(sp) - 1),
-        i => concat(element_at(sp, i), lit(" "), element_at(sp, i + 1))))
-        .otherwise(array().cast("array<string>"))).as("token"))
-    TextAnalysis.tfidfPairs(terms, docs.count(), maxDf = 20,
-      threshold = 0.15)
+    // tf and n_tokens are per-DOCUMENT quantities, so both corpus frames
+    // reach the operator core shuffle-free: the tf frame is one fused
+    // projection (graft_bigrams → graft_tf, subexpression-eliminated
+    // inside one whole-stage span) + explode — the (doc_id, token)
+    // pre-aggregation exchange of the generic front-end never exists —
+    // and the df census rides graft_shingles (distinct bigrams per doc,
+    // so a plain count IS the document frequency) through a single
+    // token-keyed partial-aggregated exchange.
+    val tfRows = docs
+      .select(col("doc_id"),
+        explode(F.termFreq(F.bigrams(col("text")))).as("t"))
+      .select(col("doc_id"), col("t.token").as("token"),
+        col("t.tf").as("tf"), col("t.n_terms").as("n_tokens"))
+    val census = docs
+      .select(explode(F.shingles(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    TextAnalysis.tfidfPairsFromCounts(tfRows, census, docs.count(),
+      maxDf = 20, threshold = 0.15)
   }
 
   /** Overlapping document chunking (td46): 64-token windows with a
@@ -389,13 +402,12 @@ object TextOps extends QuerySet {
         |  CAST((s - 1) // 48 AS INTEGER) AS chunk_id,
         |  array_to_string(sp[s : s + 63], ' ') AS chunk_text,
         |  CAST(least(64, len(sp) - s + 1) AS INTEGER) AS n_chunk_tokens
-        | FROM d, generate_series(1, 100000, 48) g(s)
-        | WHERE s <= greatest(len(sp) - 16, 1))
+        | FROM d, unnest(range(1, greatest(len(sp) - 16, 1) + 1, 48)) g(s))
         |SELECT doc_id, chunk_id, chunk_text, n_chunk_tokens FROM c""".stripMargin,
     "td45_tfidf_pairs" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
         |t0 AS (SELECT doc_id, sp[i] || ' ' || sp[i+1] AS token
-        |  FROM d, generate_series(1, 256) g(i) WHERE i <= len(sp) - 1),
+        |  FROM d, unnest(range(1, len(sp))) g(i)),
         |terms AS (SELECT doc_id, token, count(*) AS tf FROM t0 GROUP BY 1, 2),
         |ntok AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM terms GROUP BY 1),
         |census AS (SELECT token, count(*) AS df FROM terms GROUP BY 1),
