@@ -193,6 +193,14 @@ object GraftFunctions {
     TermFreq(children.head)
   }
 
+  private[functions] val buildBpeMerge: Seq[Expression] => Expression = children => {
+    if (children.length != 3)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_bpe_merge: " +
+          s"expected 3 (graft_bpe_merge(w, l, r)), got ${children.length}")
+    BpeMerge(children(0), children(1), children(2))
+  }
+
   /** graft_bloom_contains(sketchBytes, long): Spark's own codegen'd
     * `BloomFilterMightContain` — the engine's runtime-row-filter probe —
     * exposed as a registered function so library operators
@@ -261,6 +269,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_tf"),
       new ExpressionInfo(classOf[TermFreq].getName, "graft_tf"),
       buildTf),
+    (FunctionIdentifier("graft_bpe_merge"),
+      new ExpressionInfo(classOf[BpeMerge].getName, "graft_bpe_merge"),
+      buildBpeMerge),
     (FunctionIdentifier("graft_ngram_digests"),
       new ExpressionInfo(classOf[NgramDigests].getName, "graft_ngram_digests"),
       buildNgramDigests),
@@ -330,6 +341,14 @@ object GraftFunctions {
     */
   def termFreq(arr: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_tf", arr)
+
+  /** Greedy leftmost non-overlapping BPE merge of rule (l, r) over a
+    * U+0001-joined symbol string (exact Sennrich semantics).
+    */
+  def bpeMerge(w: Column, l: String, r: String): Column =
+    org.apache.spark.sql.functions.call_function("graft_bpe_merge", w,
+      org.apache.spark.sql.functions.lit(l),
+      org.apache.spark.sql.functions.lit(r))
 
   /** md5 digests of all sliding n-token windows, one fused codegen loop
     * (parity with the composable HOF form is spec-pinned).
@@ -403,6 +422,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_tf"),
         new ExpressionInfo(classOf[TermFreq].getName, "graft_tf"),
         GraftFunctions.buildTf))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_bpe_merge"),
+        new ExpressionInfo(classOf[BpeMerge].getName, "graft_bpe_merge"),
+        GraftFunctions.buildBpeMerge))
     ext.injectFunction(
       (FunctionIdentifier("graft_ngram_digests"),
         new ExpressionInfo(classOf[NgramDigests].getName, "graft_ngram_digests"),

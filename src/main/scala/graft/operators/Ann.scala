@@ -615,10 +615,14 @@ object Ann {
     * the corpus. `oldGraph` is a prior [[knnGraph]] output over
     * `allEmb.filter(!batchPred)`; returns the graph over ALL of
     * `allEmb`, row-identical to a full rebuild (spec + oracle pin it).
+    * `maxCellSize` must match the value the old graph was built with —
+    * recomputed touched cells apply the same degenerate-cell skip, so
+    * the row-identity contract holds for capped builds too (0 = off,
+    * the default, matching [[knnGraph]]'s).
     */
   def knnGraphIncremental(oldGraph: DataFrame, allEmb: DataFrame,
       idCol: String, embCol: String, centroids: DataFrame, k: Int,
-      batchPred: Column): DataFrame = {
+      batchPred: Column, maxCellSize: Long = 0L): DataFrame = {
     val assigned = ivfAssign(allEmb, idCol, embCol, centroids)
       .select("vec_id", "centroid_id", "emb", "norm")
       .localCheckpoint(false)
@@ -628,7 +632,7 @@ object Ann {
       touched.withColumnRenamed("centroid_id", "cell"), Seq("cell"),
       "left_anti")
     val recomputed = knnGraphFromAssigned(
-      assigned.join(touched, Seq("centroid_id"), "left_semi"), k)
+      assigned.join(touched, Seq("centroid_id"), "left_semi"), k, maxCellSize)
     kept.select("query_id", "rank", "neighbor_id", "cell", "cos")
       .unionByName(recomputed)
   }

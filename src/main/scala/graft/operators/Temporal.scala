@@ -23,41 +23,129 @@ object Temporal {
     * `≤` every ASOF implementation defaults to).
     *
     * Returns the left rows (caller columns) plus `rightValCol` (the
-    * as-of right value, null when no right row precedes) and
+    * as-of right value — null when no right row precedes OR when the
+    * as-of right ROW carries a null value: value and timestamp always
+    * come from the SAME right row, which is why the carry travels as ONE
+    * struct through a single `last(…, ignoreNulls)` — two per-column
+    * lasts would skip a null-valued right row on the value side but not
+    * the timestamp side and pair fields from different rows) and
     * `right_ts` (its timestamp).
+    *
+    * Scale bound: the window partitions by KEY only, so one task sorts a
+    * hot key's entire left+right history — linear and spill-safe (Spark
+    * window sort spills), and strictly better than the quadratic naive
+    * join, but a single-key task nonetheless (the same inherent bound
+    * Skew.scala documents for unsalted aggregation). When one key's
+    * history outgrows a task, use [[asofJoinBucketed]]: time-bucketed
+    * sub-partitions with a boundary carry-in, row-identical to this form
+    * (spec-pinned on a skewed fixture).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, rightValCol: String): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left.select(
       col(keyCol).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
-      lit(null).cast(right.schema(rightValCol).dataType).as("__rv"),
-      lit(null).cast(right.schema(rightTs).dataType).as("__rts"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__rv", right.schema(rightValCol).dataType),
+        org.apache.spark.sql.types.StructField("__rts", right.schema(rightTs).dataType))))
+        .as("__rrow"),
       struct(leftCols.map(col): _*).as("__row"))
     // a right row with a null key or null ts can never match ANY left row
     // under join semantics (null comparisons are never true) — but in the
     // union-window form a null-ts row would sort FIRST and its value would
     // be carried into every left row of the partition, and null-key rows
     // would pair with null-key left rows. Drop them up front; left rows
-    // with null key/ts then correctly see no carried value at all.
+    // with null key/ts then correctly see no carried value at all. The
+    // carry struct is NON-null for every surviving right row even when its
+    // VALUE is null — a null-valued right row must still become the as-of
+    // row (and yield a null value), not be skipped for an older one.
     val r = right
       .filter(col(keyCol).isNotNull && col(rightTs).isNotNull)
       .select(
         col(keyCol).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
-        col(rightValCol).as("__rv"), col(rightTs).as("__rts"),
+        struct(col(rightValCol).as("__rv"), col(rightTs).as("__rts")).as("__rrow"),
         lit(null).cast(l.schema("__row").dataType).as("__row"))
-    // __rv in the ordering is determinism belt for a right side that
-    // still carries duplicate (key, ts) rows: the max value wins
+    // __rrow in the ordering is determinism belt for a right side that
+    // still carries duplicate (key, ts) rows: struct comparison reads
+    // (__rv, __rts) field-wise with nulls first, so the max value wins —
+    // exactly the old per-column tiebreak
     val w = Window.partitionBy("__k")
-      .orderBy(col("__ts").asc, col("__side").asc, col("__rv").asc_nulls_first)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__rrow").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .withColumn("__asof_v", last(col("__rv"), ignoreNulls = true).over(w))
-      .withColumn("__asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
+      .withColumn("__asof", last(col("__rrow"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     carried.select(
       leftCols.map(c => col(s"__row.$c").as(c)) ++
-        Seq(col("__asof_v").as(rightValCol), col("__asof_ts").as("right_ts")): _*)
+        Seq(col("__asof.__rv").as(rightValCol),
+          col("__asof.__rts").as("right_ts")): _*)
+  }
+
+  /** [[asofJoin]] with the hot-key bound removed: windows partition by
+    * (key, time bucket) instead of key alone, so no single task ever
+    * sorts more than one bucket's rows — the mitigation the base form's
+    * scaladoc names. The price is the boundary: a left row's as-of right
+    * row may live in an EARLIER bucket, so a per-(key, bucket) summary
+    * frame (one row per touched bucket — the largest partition any
+    * SINGLE-key task sees is its bucket count, time-range/bucketSeconds)
+    * computes each bucket's last right row, a key-partitioned window
+    * over THAT tiny frame derives every bucket's carry-in (the last
+    * right row of any strictly-earlier bucket), and each left row takes
+    * its in-bucket running last, falling back to the bucket's carry-in.
+    * Row-identical to [[asofJoin]] (spec-pinned on a skewed fixture,
+    * null-valued right rows included). Timestamps bucket via
+    * unix_timestamp (integer floor-div, exact).
+    */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, rightValCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val leftCols = left.columns.toSeq
+    val rrowType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__rv", right.schema(rightValCol).dataType),
+      org.apache.spark.sql.types.StructField("__rts", right.schema(rightTs).dataType)))
+    val l = left.select(
+      col(keyCol).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
+      lit(null).cast(rrowType).as("__rrow"),
+      struct(leftCols.map(col): _*).as("__row"))
+    val r = right
+      .filter(col(keyCol).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(keyCol).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(col(rightValCol).as("__rv"), col(rightTs).as("__rts")).as("__rrow"),
+        lit(null).cast(l.schema("__row").dataType).as("__row"))
+    val tagged = l.unionByName(r)
+      .withColumn("__b", floor(unix_timestamp(col("__ts")) / bucketSeconds))
+    // in-bucket running last — partitions bounded by bucket width
+    val wb = Window.partitionBy("__k", "__b")
+      .orderBy(col("__ts").asc, col("__side").asc, col("__rrow").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = tagged
+      .withColumn("__local", last(col("__rrow"), ignoreNulls = true).over(wb))
+    // one row per touched (key, bucket): that bucket's last right row
+    // (max of (ts, rrow) — struct comparison matches the window order),
+    // null when the bucket holds no right rows. Rides wb's exchange.
+    val summary = tagged
+      .groupBy("__k", "__b")
+      .agg(max(when(col("__side") === 0,
+        struct(col("__ts").as("__t"), col("__rrow").as("__rr")))).as("__blast"))
+    // carry-in = last right row of any STRICTLY earlier bucket; the
+    // key-partitioned window runs over bucket-count rows, never data rows
+    val wc = Window.partitionBy("__k").orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = summary.withColumn("__carry",
+      last(col("__blast.__rr"), ignoreNulls = true).over(wc))
+      .select(col("__k"), col("__b"), col("__carry"))
+    // LEFT join: left rows with a null key or null ts (null bucket) must
+    // survive with no carried value, exactly as in the base form — an
+    // inner join's null-key semantics would drop them
+    local.join(carry, Seq("__k", "__b"), "left")
+      .filter(col("__side") === 1)
+      .withColumn("__asof", coalesce(col("__local"), col("__carry")))
+      .select(
+        leftCols.map(c => col(s"__row.$c").as(c)) ++
+          Seq(col("__asof.__rv").as(rightValCol),
+            col("__asof.__rts").as("right_ts")): _*)
   }
 
   /** Interval-overlap self-join: all pairs of intervals (id, start, end]

@@ -503,13 +503,18 @@ object TextAnalysis {
     * token counting (td33) side of the tokenizer loop gets its training
     * step. Each round: pair census → highest-count pair (deterministic
     * tiebreak cnt desc / l asc / r asc) → apply the merge to every word.
-    * The merge application is a literal `replace` of `l SEP r` with `lr`
-    * on the SEP-joined symbol string — left-to-right, non-overlapping,
-    * which IS greedy pairwise BPE merging ("aaa" + (a,a) → [aa, a]) and
-    * is reproducible verbatim in any SQL engine, so a fixed-k run is
-    * fully hash-oracled (td42 unrolls the same three rounds in DuckDB).
-    * Returns (iteration, l, r, cnt), one row per learned rule; stops
-    * early when no pair remains.
+    * The merge application is `graft_bpe_merge` — greedy leftmost
+    * non-overlapping SYMBOL-exact pair merging ("aaa" + (a,a) →
+    * [aa, a]), the exact Sennrich semantics. (The r7 form used a literal
+    * substring `replace` of `l SEP r`, which fuses across symbol
+    * boundaries once multi-char symbols exist — [x, aa] + (x, a) →
+    * "xaa" — and whose consumed separators drop merges between adjacent
+    * disjoint occurrences; both engines now run the same whole-symbol
+    * greedy fold, the oracle as a `list_reduce` lambda, so a fixed-k run
+    * stays fully hash-oracled — td42 unrolls the same three rounds in
+    * DuckDB.) Returns (iteration, l, r, cnt), one row per learned rule;
+    * stops early when no pair remains. Tokens must not contain the
+    * U+0001 separator.
     *
     * Scale shape: after the one corpus shuffle in [[bpeWordCensus]],
     * every round touches only the vocabulary frame (checkpointed per
@@ -522,6 +527,7 @@ object TextAnalysis {
   def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
     val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     var words = bpeInitWords(bpeWordCensus(docs, textCol))
       .localCheckpoint(false)
     val rules = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
@@ -537,8 +543,7 @@ object TextAnalysis {
         val r = top(0).getString(1)
         rules += ((it, l, r, top(0).getLong(2)))
         words = words.select(
-          call_function("replace", col("w"),
-            lit(l + BpeSep + r), lit(l + r)).as("w"),
+          graft.functions.GraftFunctions.bpeMerge(col("w"), l, r).as("w"),
           col("cnt")).localCheckpoint(false)
         it += 1
       }
@@ -692,21 +697,22 @@ object TextAnalysis {
 
   /** Tokenize with learned merges — the apply side of [[bpeTrain]]: per
     * document, every whitespace word is char-split and the merge rules
-    * replay IN TRAINING ORDER (the same literal-replace semantics the
-    * trainer used, so encode(train corpus) reproduces training's final
-    * symbol state); output is the whitespace word count next to the BPE
-    * symbol count — the real token-budget currency once a tokenizer is
-    * trained (td33's regex count is the upper-bound proxy). Rules arrive
-    * as driver values (they ARE the model, k entries) and inline into one
-    * fused projection: no join, no shuffle, no UDF — a k-deep replace
-    * chain inside whole-stage codegen.
+    * replay IN TRAINING ORDER (the same `graft_bpe_merge` greedy
+    * whole-symbol fold the trainer used, so encode(train corpus)
+    * reproduces training's final symbol state); output is the whitespace
+    * word count next to the BPE symbol count — the real token-budget
+    * currency once a tokenizer is trained (td33's regex count is the
+    * upper-bound proxy). Rules arrive as driver values (they ARE the
+    * model, k entries) and inline into one fused projection: no join, no
+    * shuffle, no UDF — a k-deep merge chain inside whole-stage codegen.
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
       rules: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     def wordSymbols(w: Column): Column = {
       val joined = array_join(split(w, ""), BpeSep)
       val merged = rules.foldLeft(joined) { case (acc, (l, r)) =>
-        call_function("replace", acc, lit(l + BpeSep + r), lit(l + r))
+        graft.functions.GraftFunctions.bpeMerge(acc, l, r)
       }
       size(split(merged, BpeSep))
     }

@@ -390,6 +390,22 @@ object TextOps extends QuerySet {
        |  generate_series(1, 128) g(i) WHERE i <= len(sy) - 1 GROUP BY 1, 2),
        |$tn AS (SELECT l, r, cnt FROM $pn ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
 
+  /** One merge-rule application as a DuckDB expression — the SAME greedy
+    * leftmost non-overlapping whole-symbol fold `graft_bpe_merge` runs
+    * (a merged symbol never re-serves as LEFT because l||r ≠ l for
+    * non-empty r), as a `list_reduce` lambda. `acc`/`x` are the lambda
+    * parameter names — nested applications must use distinct names.
+    */
+  private def bpeApplySql(w: String, l: String, r: String,
+      acc: String, x: String): String =
+    s"""(CASE WHEN NOT contains($w, chr(1)) THEN $w ELSE
+       | list_reduce(string_split($w, chr(1)), ($acc, $x) ->
+       |  CASE WHEN (CASE WHEN contains($acc, chr(1))
+       |     THEN string_split($acc, chr(1))[-1] ELSE $acc END) = $l AND $x = $r
+       |   THEN (CASE WHEN contains($acc, chr(1))
+       |     THEN $acc[1 : len($acc) - len($l)] ELSE '' END) || $l || $r
+       |   ELSE $acc || chr(1) || $x END) END)""".stripMargin
+
   private val bpeBaseSql =
     """wd AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
       |c AS (SELECT word, count(*) AS cnt FROM wd WHERE len(word) >= 1 GROUP BY 1),
@@ -445,11 +461,11 @@ object TextOps extends QuerySet {
     "td42_bpe_train" ->
       s"""WITH $bpeBaseSql,
          |${bpeRoundSql("w0", "p1", "t1")},
-         |w1 AS (SELECT replace(w, (SELECT l || chr(1) || r FROM t1),
-         |  (SELECT l || r FROM t1)) AS w, cnt FROM w0),
+         |w1 AS (SELECT ${bpeApplySql("w", "t.l", "t.r", "a1", "x1")} AS w,
+         |  w0.cnt AS cnt FROM w0, t1 t),
          |${bpeRoundSql("w1", "p2", "t2")},
-         |w2 AS (SELECT replace(w, (SELECT l || chr(1) || r FROM t2),
-         |  (SELECT l || r FROM t2)) AS w, cnt FROM w1),
+         |w2 AS (SELECT ${bpeApplySql("w", "t.l", "t.r", "a1", "x1")} AS w,
+         |  w1.cnt AS cnt FROM w1, t2 t),
          |${bpeRoundSql("w2", "p3", "t3")}
          |SELECT CAST(1 AS INTEGER) AS iteration, l, r, cnt FROM t1
          |UNION ALL SELECT 2, l, r, cnt FROM t2
@@ -457,11 +473,11 @@ object TextOps extends QuerySet {
     "td43_bpe_encode" ->
       s"""WITH $bpeBaseSql,
          |${bpeRoundSql("w0", "p1", "t1")},
-         |w1 AS (SELECT replace(w, (SELECT l || chr(1) || r FROM t1),
-         |  (SELECT l || r FROM t1)) AS w, cnt FROM w0),
+         |w1 AS (SELECT ${bpeApplySql("w", "t.l", "t.r", "a1", "x1")} AS w,
+         |  w0.cnt AS cnt FROM w0, t1 t),
          |${bpeRoundSql("w1", "p2", "t2")},
-         |w2 AS (SELECT replace(w, (SELECT l || chr(1) || r FROM t2),
-         |  (SELECT l || r FROM t2)) AS w, cnt FROM w1),
+         |w2 AS (SELECT ${bpeApplySql("w", "t.l", "t.r", "a1", "x1")} AS w,
+         |  w1.cnt AS cnt FROM w1, t2 t),
          |${bpeRoundSql("w2", "p3", "t3")},
          |rr AS (SELECT t1.l AS l1, t1.r AS r1, t2.l AS l2, t2.r AS r2,
          |  t3.l AS l3, t3.r AS r3 FROM t1, t2, t3),
@@ -470,10 +486,12 @@ object TextOps extends QuerySet {
          |SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words,
          | CAST(COALESCE(list_sum(list_transform(ws, w ->
          |  len(string_split(
-         |   replace(replace(replace(array_to_string(string_split(w, ''), chr(1)),
-         |    l1 || chr(1) || r1, l1 || r1),
-         |    l2 || chr(1) || r2, l2 || r2),
-         |    l3 || chr(1) || r3, l3 || r3),
+         |   ${bpeApplySql(
+               bpeApplySql(
+                 bpeApplySql("array_to_string(string_split(w, ''), chr(1))",
+                   "l1", "r1", "a1", "x1"),
+                 "l2", "r2", "a2", "x2"),
+               "l3", "r3", "a3", "x3")},
          |   chr(1))))), 0) AS BIGINT) AS n_bpe_symbols
          |FROM d, rr""".stripMargin,
     "q20_string_functions" ->

@@ -415,6 +415,21 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
       "rows of untouched cells must be kept verbatim, not recomputed")
     assert(inc2.filter(col("cell") === cells(odd) && col("cos") === 99.0)
       .count() == 0, "touched cells must be recomputed")
+
+    // CAPPED builds: threading the old graph's maxCellSize through the
+    // incremental path keeps the full-rebuild row identity — without it,
+    // a recomputed touched cell would resurrect oversize cells the
+    // original build skipped
+    val cellSizes = cells.values.groupBy(identity).map(_._2.size)
+    val cap = cellSizes.max - 1
+    val oldCapped = Ann.knnGraph(evens, "vec_id", "emb", centroids, k = 3,
+      maxCellSize = cap).localCheckpoint(true)
+    val fullCapped = Ann.knnGraph(emb, "vec_id", "emb", centroids, k = 3,
+      maxCellSize = cap)
+    val incCapped = Ann.knnGraphIncremental(oldCapped, emb, "vec_id", "emb",
+      centroids, k = 3, batchPred = col("vec_id") % 2 === 1, maxCellSize = cap)
+    assert(canon(incCapped) == canon(fullCapped),
+      "capped incremental must equal a capped full rebuild")
   }
 
   test("recallAtK: exact self-recall is 1, disjoint is 0, partial counts hits/k") {

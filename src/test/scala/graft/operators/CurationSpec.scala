@@ -585,4 +585,52 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     val fewer = TextAnalysis.bpeTrain(docs, "text", merges = 10).count()
     assert(fewer == 3) // after (aab) and (aaaa) fuse there are no pairs left
   }
+
+  test("graft_bpe_merge is symbol-exact: no cross-boundary fusing, adjacent pairs all merge") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val S = "\u0001"
+    val cases = Seq(
+      // the r7 replace-BPE bug: symbols [x, aa] + rule (x, a) must NOT
+      // fuse x with half of "aa" (replace gave "xaa")
+      (s"x${S}aa", "x", "a", s"x${S}aa"),
+      // a symbol merely ENDING in l must not trigger a false merge
+      (s"cx${S}a", "x", "a", s"cx${S}a"),
+      // adjacent disjoint occurrences all merge (replace's consumed
+      // separator dropped the middle one)
+      (s"a${S}b${S}a${S}b${S}a${S}b", "a", "b", s"ab${S}ab${S}ab"),
+      // greedy leftmost on runs: aaaa + (a,a) -> [aa, aa]; aaa -> [aa, a]
+      (s"a${S}a${S}a${S}a", "a", "a", s"aa${S}aa"),
+      (s"a${S}a${S}a", "a", "a", s"aa${S}a"),
+      // a freshly merged symbol is never the LEFT of another merge
+      (s"x${S}a${S}a", "x", "a", s"xa${S}a"),
+      ("single", "a", "b", "single"))
+    val got = cases.zipWithIndex.map { case ((w, l, r, _), i) => (i, w, l, r) }
+      .toDF("i", "w", "l", "r")
+      .select(col("i"), call_function("graft_bpe_merge",
+        col("w"), col("l"), col("r")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((w, l, r, want), i) =>
+      assert(got(i) == want, s"case $i: merge($w, $l, $r) = ${got(i)}, want $want")
+    }
+    // END-TO-END collision coverage: round 1 learns (a,a) — forming the
+    // multi-char symbol "aa" inside "xaa" → [x, aa] — and round 2 learns
+    // (x, a), which must NOT touch [x, aa] (symbols differ). The r7
+    // substring replace fused it to the single corrupt symbol "xaa"
+    // ("x␁aa".replace("x␁a", "xa")), which would have erased round 3's
+    // (x, aa) pair entirely — training would stop at 2 rules.
+    // census: aa×5 → (a,a)=5+1(from xaa)=6; xa×3 → (x,a)=3+1=4.
+    val docs2 = Seq((1L, "aa aa aa aa aa xa xa xa xaa")).toDF("doc_id", "text")
+    val rules2 = TextAnalysis.bpeTrain(docs2, "text", merges = 4)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    assert(rules2 == List((1, "a", "a", 6L), (2, "x", "a", 3L),
+      (3, "x", "aa", 1L)), s"got $rules2")
+    // encode with the learned rules: every word collapses to ONE symbol
+    val enc = TextAnalysis.bpeEncode(docs2, "doc_id", "text",
+      rules2.map(t => (t._2, t._3)))
+      .head
+    assert(enc.getInt(1) == 9 && enc.getLong(2) == 9L,
+      "each of the 9 words must encode to exactly one symbol")
+  }
 }

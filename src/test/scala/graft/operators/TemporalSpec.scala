@@ -69,6 +69,49 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) == None)       // null-ts trade matches nothing
   }
 
+  test("asofJoin: a null-VALUED right row IS the as-of row — value and ts from the same row") {
+    import spark.implicits._
+    // latest quote before the trade has a NULL px: the result must be
+    // (null px, that quote's ts) — never an older row's px paired with
+    // the newer row's ts (the r7 two-column carry did exactly that)
+    val trades = Seq((1L, "a", ts(30)), (2L, "a", ts(7))).toDF("trade_id", "k", "t")
+    val quotes = Seq(
+      ("a", ts(5), Some(100L)),
+      ("a", ts(20), Option.empty[Long])  // null value, newest before ts(30)
+    ).toDF("k", "t", "px")
+    val got = Temporal.asofJoin(trades, quotes, "k", "t", "t", "px")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got(1L) == ((None, Some(ts(20)))),
+      "null-valued as-of row must yield (null, its own ts)")
+    assert(got(2L) == ((Some(100L), Some(ts(5)))))
+  }
+
+  test("asofJoinBucketed row-identical to asofJoin on a skewed fixture, any bucket size") {
+    import spark.implicits._
+    val rng = new scala.util.Random(47)
+    // skew: 70% of rows land on one hot key
+    def key(): String = if (rng.nextInt(10) < 7) "hot" else s"k${rng.nextInt(4)}"
+    val right = (1 to 300).map { i =>
+      (key(), ts(rng.nextInt(55)),
+        if (rng.nextInt(5) == 0) Option.empty[Long] else Some(rng.nextLong().abs % 1000))
+    }.toDF("k", "t", "v")
+    val left = (1 to 400).map { i =>
+      (i.toLong,
+        if (i % 97 == 0) null.asInstanceOf[String] else key(),
+        if (i % 89 == 0) null.asInstanceOf[Timestamp] else ts(rng.nextInt(58)))
+    }.toDF("id", "k", "t")
+    val base = Temporal.asofJoin(left, right, "k", "t", "t", "v")
+    for (bucket <- Seq(60L, 300L, 900L, 86400L)) {
+      val bucketed = Temporal.asofJoinBucketed(left, right, "k", "t", "t", "v",
+        bucketSeconds = bucket)
+      assert(base.exceptAll(bucketed).count() == 0 &&
+        bucketed.exceptAll(base).count() == 0,
+        s"bucket=$bucket must be row-identical to the key-window form")
+      assert(bucketed.count() == left.count())
+    }
+  }
+
   test("property: intervalOverlapPairs equals the naive quadratic form at any bucket size") {
     import spark.implicits._
     val rng = new scala.util.Random(31)
