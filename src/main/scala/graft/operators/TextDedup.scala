@@ -767,15 +767,18 @@ object TextDedup {
     * production pipeline does, so full-document duplicates don't vaporize
     * both copies.
     *
-    * Scale shape (the [[lineDedup]] economics at token-window grain): the
-    * window frame carries (doc_id, start, 16-byte digest) — never window
-    * text — and feeds both the census and the coverage expansion, so it
-    * is lazily checkpoint-materialized once; the hot-window set is
-    * O(windows/minDocs), unbounded on template-heavy corpora, so it joins
-    * back UNHINTED (AQE broadcasts only when the runtime size fits);
-    * coverage positions dedup to O(tokens); reassembly is one
-    * partial-aggregated groupBy per doc. Total: three digest/position
-    * shuffles, all linear in corpus tokens.
+    * Scale shape (the [[lineDedup]] economics at token-window grain): ONE
+    * prep frame per document — (doc_id, digest array, token array), the
+    * whole-text split and the window digesting each computed exactly once
+    * — is lazily checkpoint-materialized and feeds every downstream pass
+    * (the r7 form checkpointed only the exploded digest rows, so the
+    * census/coverage path shared work but the token path and the final
+    * length join each RE-SPLIT the corpus from the raw scan); the
+    * hot-window set is O(windows/minDocs), unbounded on template-heavy
+    * corpora, so it joins back UNHINTED (AQE broadcasts only when the
+    * runtime size fits); coverage positions dedup to O(tokens);
+    * reassembly is one partial-aggregated groupBy per doc. Total: three
+    * digest/position shuffles, all linear in corpus tokens.
     */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Long = 2L, fast: Boolean = false): DataFrame = {
@@ -795,9 +798,11 @@ object TextDedup {
         transform(sequence(lit(1), size(col("__tk")) - n + 1),
           j => md5(array_join(slice(col("__tk"), j, lit(n)), " "))))
         .otherwise(array().cast("array<string>"))
-    val win = base.select(col("doc_id"), windowDigests.as("__ws"))
-      .select(col("doc_id"), posexplode(col("__ws")).as(Seq("__p0", "__h")))
+    val prep = base
+      .select(col("doc_id"), windowDigests.as("__ws"), col("__tk"))
       .localCheckpoint(false)
+    val win = prep
+      .select(col("doc_id"), posexplode(col("__ws")).as(Seq("__p0", "__h")))
     val hot = win.groupBy("__h")
       .agg(countDistinct(col("doc_id")).as("__df"))
       .filter(col("__df") >= minDocs).select("__h")
@@ -805,7 +810,7 @@ object TextDedup {
       .select(col("doc_id"),
         explode(sequence(col("__p0") + 1, col("__p0") + n)).as("__p"))
       .distinct()
-    val tok = base.select(col("doc_id"),
+    val tok = prep.select(col("doc_id"),
         posexplode(col("__tk")).as(Seq("__tp0", "__token")))
       .select(col("doc_id"), (col("__tp0") + 1).as("__p"), col("__token"))
     val kept = tok.join(covered, Seq("doc_id", "__p"), "left_anti")
@@ -814,11 +819,11 @@ object TextDedup {
         array_sort(collect_list(struct(col("__p"), col("__token")))),
         s => s("__token")), " ").as("__newtext"),
       count(lit(1)).as("__kept"))
-    base.join(rebuilt, Seq("doc_id"), "left")
+    prep.select(col("doc_id"), size(col("__tk")).cast("long").as("__ntok"))
+      .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id").as(idCol),
         coalesce(col("__newtext"), lit("")).as(textCol),
-        (size(col("__tk")).cast("long") - coalesce(col("__kept"), lit(0L)))
-          .as("n_removed"))
+        (col("__ntok") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
   }
 
   /** Audit companion to [[minhashLshPairs]]: per-bucket population and
