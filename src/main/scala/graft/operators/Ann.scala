@@ -628,6 +628,37 @@ object Ann {
       .localCheckpoint(false)
     val touched = assigned.filter(batchPred)
       .select(col("centroid_id")).distinct().localCheckpoint(false)
+    knnGraphPatch(oldGraph, assigned, touched, k, maxCellSize)
+  }
+
+  /** [[knnGraphIncremental]] with the batch as a FRAME instead of a
+    * predicate — the form a streaming maintenance loop needs
+    * (`foreachBatch` hands the batch ROWS; deriving a predicate would
+    * mean collecting batch ids to the driver). `corpus` is the pre-batch
+    * vector set `oldGraph` covers; `batch` is the arriving one. Same
+    * row-identity-to-full-rebuild contract (st57 parity-requires it
+    * against the ORACLED sim52 twin across micro-batch partitionings);
+    * the batch re-assigns through a second `ivfAssign` projection —
+    * batch-sized, no exchange.
+    */
+  def knnGraphIncrementalBatch(oldGraph: DataFrame, corpus: DataFrame,
+      batch: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, k: Int, maxCellSize: Long = 0L): DataFrame = {
+    val all = corpus.select(col(idCol), col(embCol))
+      .unionByName(batch.select(col(idCol), col(embCol)))
+    val assigned = ivfAssign(all, idCol, embCol, centroids)
+      .select("vec_id", "centroid_id", "emb", "norm")
+      .localCheckpoint(false)
+    val touched = ivfAssign(batch, idCol, embCol, centroids)
+      .select(col("centroid_id")).distinct().localCheckpoint(false)
+    knnGraphPatch(oldGraph, assigned, touched, k, maxCellSize)
+  }
+
+  /** Shared patch step: keep untouched cells' rows verbatim, re-run the
+    * within-cell self-join over touched cells only.
+    */
+  private def knnGraphPatch(oldGraph: DataFrame, assigned: DataFrame,
+      touched: DataFrame, k: Int, maxCellSize: Long): DataFrame = {
     val kept = oldGraph.join(
       touched.withColumnRenamed("centroid_id", "cell"), Seq("cell"),
       "left_anti")
@@ -635,6 +666,43 @@ object Ann {
       assigned.join(touched, Seq("centroid_id"), "left_semi"), k, maxCellSize)
     kept.select("query_id", "rank", "neighbor_id", "cell", "cos")
       .unionByName(recomputed)
+  }
+
+  /** nprobe recall sweep — the tuning loop that sizes an IVF deployment's
+    * recall knob: for each nprobe in 1..`maxNprobe`, probe with
+    * [[ivfProbe]] and score against the brute-force ground truth with
+    * [[recallAtK]], reporting the aggregate recall plus the MONOTONICITY
+    * contract (`recall_non_decreasing`). The contract is provable given
+    * consistent (cos desc, id asc) tiebreaks: growing the probed cell
+    * set only ever displaces a top-k hit with a candidate that ranks
+    * above it globally — itself a hit — so per-query hits cannot drop.
+    * The oracle pins the booleans as q28-style TRUE literals: a
+    * violation (a tiebreak drift between probe and ground truth) turns
+    * the gate red. Corpus work: ONE cell assignment, `maxNprobe` probe
+    * scans + one exact scan, all over the checkpointed assignment; the
+    * sweep summary is maxNprobe rows, so the ordering window is
+    * model-sized.
+    */
+  def nprobeSweep(emb: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, queryPred: Column, k: Int,
+      maxNprobe: Int): DataFrame = {
+    require(maxNprobe >= 1, s"maxNprobe must be >= 1, got $maxNprobe")
+    val assigned = ivfAssign(emb, idCol, embCol, centroids)
+      .localCheckpoint(false)
+    val exact = cosineTopK(emb, idCol, embCol, queryPred, k)
+      .localCheckpoint(false)
+    val per = (1 to maxNprobe).map { np =>
+      recallAtK(ivfProbe(assigned, centroids, queryPred, k, np), exact,
+        "query_id", "neighbor_id")
+        .agg(sum(col("hits")).as("sum_hits"), sum(col("k")).as("sum_k"))
+        .select(lit(np).as("nprobe"), col("sum_hits"), col("sum_k"))
+    }.reduce(_ unionByName _)
+    val w = Window.orderBy(col("nprobe").asc)
+    per
+      .withColumn("recall",
+        col("sum_hits").cast("double") / col("sum_k"))
+      .withColumn("recall_non_decreasing",
+        coalesce(col("recall") >= lag(col("recall"), 1).over(w), lit(true)))
   }
 
   /** Residual IVF-PQ top-k — the faithful IVFADC of Jégou et al. 2011

@@ -306,6 +306,30 @@ object Extended extends QuerySet {
       rightValCol = "view_id")
   }
 
+  /** Bucketed as-of join with null-valued right rows (q56): q48's
+    * view-before-purchase lookup run through [[graft.operators.Temporal
+    * .asofJoinBucketed]] (day buckets — the hot-key-bounded form) over a
+    * feed where every 7th view row carries a NULL view_id (deterministic
+    * injection, the td34 pattern — identical CASE in both engines). The
+    * oracle is DuckDB's NATIVE `ASOF LEFT JOIN` over the same nulled
+    * feed, so the hash pins BOTH contracts at once: the bucketed
+    * carry-in loses nothing vs the key-window form, and a null-VALUED
+    * as-of row is returned as (null, its own ts) — row semantics, never
+    * an older row's value (the r8 struct-carry fix).
+    */
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    val ev = Q.t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(when(max(col("event_id")) % 7 =!= 0, max(col("event_id")))
+        .as("view_id"))
+    graft.operators.Temporal.asofJoinBucketed(purchases, views,
+      keyCol = "user_id", leftTs = "ts", rightTs = "ts",
+      rightValCol = "view_id", bucketSeconds = 86400L)
+  }
+
   /** Interval-overlap join (q49): which user sessions (from the oracled
     * q31 sessionizer, over a 1-in-50 user subset) overlap in wall-clock
     * time — the interval join the prompt-level operator inventory names,
@@ -496,7 +520,8 @@ object Extended extends QuerySet {
     "q52_cohort_retention" -> (q52 _),
     "q53_sliding_windows" -> (q53 _),
     "q54_scd2_versions" -> (q54 _),
-    "q55_column_profile" -> (q55 _))
+    "q55_column_profile" -> (q55 _),
+    "q56_asof_bucketed_nulls" -> (q56 _))
 
   val oracles: Map[String, String] = Map(
     "q26_incremental_reagg" ->
@@ -657,6 +682,15 @@ object Extended extends QuerySet {
     },
     "q48_asof_join" ->
       """WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
+        | FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        | WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, v.view_id, v.ts AS right_ts
+        |FROM p ASOF LEFT JOIN v
+        | ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    "q56_asof_bucketed_nulls" ->
+      """WITH v AS (SELECT user_id, ts,
+        |  CASE WHEN max(event_id) % 7 <> 0 THEN max(event_id) END AS view_id
         | FROM events WHERE event_type = 'view' GROUP BY 1, 2),
         |p AS (SELECT event_id, user_id, ts FROM events
         | WHERE event_type = 'purchase')

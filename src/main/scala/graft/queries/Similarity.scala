@@ -252,6 +252,20 @@ object Similarity extends QuerySet {
       batchPred = col("vec_id") % 2 === 1)
   }
 
+  /** nprobe recall sweep (sim55): the recall@k tuning loop run for
+    * nprobe ∈ {1, 2, 3} over the sim50 configuration, with the
+    * MONOTONICITY contract — recall can never drop as nprobe grows,
+    * provable under consistent (cos desc, id asc) tiebreaks — emitted as
+    * a boolean the oracle pins to TRUE (the q28 sketch-verification
+    * idiom: DuckDB recomputes the recalls exactly; a tiebreak drift
+    * between probe and ground truth turns the gate red).
+    */
+  def sim55(s0: SparkSession, dir: String): DataFrame = {
+    val s = withDot(s0)
+    Ann.nprobeSweep(embD(s, dir), "vec_id", "emb", centroids(s, dir),
+      queryPred = col("vec_id") < 5, k = 3, maxNprobe = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
     "sim37_lsh_buckets" -> (sim37 _),
@@ -271,7 +285,8 @@ object Similarity extends QuerySet {
     "sim51_ivf_pq_residual_topk" -> (sim51 _),
     "sim52_knn_graph" -> (sim52 _),
     "sim53_rerank_two_stage" -> (sim53 _),
-    "sim54_knn_graph_incremental" -> (sim54 _))
+    "sim54_knn_graph_incremental" -> (sim54 _),
+    "sim55_nprobe_sweep" -> (sim55 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -438,6 +453,50 @@ object Similarity extends QuerySet {
         |  (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id ASC) AS rank FROM rer)
         |WHERE rank <= 5""".stripMargin,
     "sim54_knn_graph_incremental" -> sim52Sql,
+    "sim55_nprobe_sweep" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+        |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
+        |c AS (SELECT vec_id AS centroid_id, emb AS c_emb, norm AS c_norm FROM w WHERE vec_id < 8),
+        |scored AS (SELECT w.vec_id, c.centroid_id, w.emb, w.norm,
+        |  list_sum([w.emb[i] * c.c_emb[i] for i in range(1, 65)]) / (w.norm * c.c_norm) AS cos_full
+        | FROM w, c),
+        |a AS (SELECT vec_id, centroid_id, emb, norm FROM (
+        |  SELECT *, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY cos_full DESC, centroid_id ASC) AS rn FROM scored)
+        | WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
+        | FROM a WHERE vec_id < 5),
+        |p AS (SELECT np, query_id, q_emb, q_norm, centroid_id AS q_cell FROM (
+        |  SELECT g.np, q.query_id, q.q_emb, q.q_norm, c.centroid_id,
+        |   row_number() OVER (PARTITION BY g.np, q.query_id ORDER BY
+        |    list_sum([q.q_emb[i] * c.c_emb[i] for i in range(1, 65)]) / (q.q_norm * c.c_norm) DESC,
+        |    c.centroid_id ASC) AS cell_rank
+        |  FROM q, c, generate_series(1, 3) g(np)) WHERE cell_rank <= np),
+        |cand AS (SELECT p.np, p.query_id, a.vec_id,
+        |  list_sum([a.emb[i] * p.q_emb[i] for i in range(1, 65)]) / (a.norm * p.q_norm) AS cand_cos
+        | FROM a JOIN p ON a.centroid_id = p.q_cell AND a.vec_id <> p.query_id),
+        |apx AS (SELECT np, query_id, vec_id FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY np, query_id ORDER BY cand_cos DESC, vec_id ASC) AS rank FROM cand)
+        | WHERE rank <= 3),
+        |ex0 AS (SELECT q.query_id, w.vec_id,
+        |  list_sum([w.emb[i] * q.q_emb[i] for i in range(1, 65)]) / (w.norm * q.q_norm) AS cos_full
+        | FROM w, q WHERE w.vec_id <> q.query_id),
+        |ext AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos_full DESC, vec_id ASC) AS rank FROM ex0)
+        | WHERE rank <= 3),
+        |rec AS (SELECT g.np AS nprobe,
+        |  CAST(count(apx.vec_id) AS BIGINT) AS sum_hits,
+        |  count(*) AS sum_k
+        | FROM generate_series(1, 3) g(np)
+        | CROSS JOIN ext
+        | LEFT JOIN apx ON apx.np = g.np AND ext.query_id = apx.query_id
+        |  AND ext.vec_id = apx.vec_id
+        | GROUP BY 1)
+        |SELECT CAST(nprobe AS INTEGER) AS nprobe, sum_hits, sum_k,
+        | CAST(sum_hits AS DOUBLE) / sum_k AS recall,
+        | TRUE AS recall_non_decreasing
+        |FROM rec""".stripMargin,
     "sim52_knn_graph" -> sim52Sql,
     "sim50_recall_at_k" ->
       """WITH e AS (SELECT vec_id,

@@ -494,6 +494,62 @@ object StreamingQueries extends QuerySet {
     out
   }
 
+  /** Streaming kNN-graph maintenance (st57): the even-half graph is the
+    * pre-stream state; the odd half arrives as THREE staged files drained
+    * `maxFilesPerTrigger=1`, so the maintenance loop runs across three
+    * real micro-batches, each patching ONLY its batch's touched cells via
+    * `Ann.knnGraphIncrementalBatch` (the st50/st51 prebuilt-state pattern
+    * applied to the graph family — the batch arrives as a FRAME, no
+    * driver-side id collection). State (graph + corpus-so-far) is
+    * checkpoint-materialized per trigger, st56-style, so trigger N+1
+    * reads a frame, not a lineage chain. Because each patch is
+    * row-identical to a full rebuild (the sim54 contract), the final
+    * state must equal the full-corpus graph REGARDLESS of how the feed
+    * was micro-batched — parity-`require`d against the ORACLED sim52
+    * batch twin on ALL columns including the scores.
+    */
+  def st57(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    def embD(df: DataFrame): DataFrame = df.select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val all = embD(Q.t(s, dir, "embeddings"))
+    val centroids = all.filter(col("vec_id") < 8).select(
+      col("vec_id").as("centroid_id"), col("emb").as("c_emb"),
+      sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb")))
+        .as("c_norm"))
+    val staged = tmp("graft_st57_feed")
+    Q.t(s, dir, "embeddings").filter(col("vec_id") % 2 === 1)
+      .repartitionByRange(3, col("vec_id"))
+      .write.mode("overwrite").parquet(staged)
+    var corpus = all.filter(col("vec_id") % 2 === 0).localCheckpoint(true)
+    var graph = graft.operators.Ann
+      .knnGraph(corpus, "vec_id", "emb", centroids, k = 3)
+      .localCheckpoint(true)
+    val schema = s.read.parquet(staged).schema
+    val feed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = feed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = embD(batch)
+        graph = graft.operators.Ann.knnGraphIncrementalBatch(
+          graph, corpus, b, "vec_id", "emb", centroids, k = 3)
+          .localCheckpoint(true)
+        corpus = corpus.unionByName(b).localCheckpoint(true)
+      }
+      .option("checkpointLocation", tmp("graft_st57_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val twin = Similarity.sim52(s, dir) // the ORACLED batch twin
+    val missing = twin.except(graph).count()
+    val extra = graph.except(twin).count()
+    require(missing == 0 && extra == 0,
+      s"maintained kNN graph diverged from the sim52 batch twin: " +
+        s"missing=$missing extra=$extra")
+    graph
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st47_stream_silver_drain" -> (st47 _),
     "st48_stream_dedup_replay" -> (st48 _),
@@ -504,7 +560,8 @@ object StreamingQueries extends QuerySet {
     "st53_stream_curation" -> (st53 _),
     "st54_stream_stream_join" -> (st54 _),
     "st55_stream_sliding_windows" -> (st55 _),
-    "st56_stream_gold_maintenance" -> (st56 _))
+    "st56_stream_gold_maintenance" -> (st56 _),
+    "st57_stream_knn_graph" -> (st57 _))
 
   // no DuckDB oracles: streaming drains are rows-only by design; the parity
   // require()s above carry the correctness assertion
