@@ -430,6 +430,29 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
       centroids, k = 3, batchPred = col("vec_id") % 2 === 1, maxCellSize = cap)
     assert(canon(incCapped) == canon(fullCapped),
       "capped incremental must equal a capped full rebuild")
+
+    // batch-as-frame form (the streaming foreachBatch shape): identical
+    // to the predicate form and hence to the full rebuild
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val incBatch = Ann.knnGraphIncrementalBatch(old, evens, odds,
+      "vec_id", "emb", centroids, k = 3)
+    assert(canon(incBatch) == canon(full),
+      "frame-batch incremental must equal the full rebuild")
+  }
+
+  test("nprobeSweep: recall is monotone in nprobe and reaches 1.0 once every cell is probed") {
+    val sweep = Ann.nprobeSweep(emb, "vec_id", "emb", centroids,
+      queryPred = col("vec_id") < 5, k = 3, maxNprobe = 8)
+      .orderBy("nprobe").collect()
+    assert(sweep.length == 8)
+    // monotone booleans hold on every row
+    assert(sweep.forall(_.getAs[Boolean]("recall_non_decreasing")))
+    val recalls = sweep.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a })
+    // probing ALL 8 cells IS the brute-force scan: recall must be exactly 1
+    assert(recalls.last == 1.0,
+      s"nprobe = all cells must recover the exact top-k, got ${recalls.last}")
+    assert(sweep.forall(r => r.getAs[Long]("sum_hits") <= r.getAs[Long]("sum_k")))
   }
 
   test("recallAtK: exact self-recall is 1, disjoint is 0, partial counts hits/k") {

@@ -437,6 +437,56 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     assert(df.count() == 1)
   }
 
+  test("q01 grouped aggregate never Expands the fact (mixed-distinct decomposition)") {
+    // a countDistinct mixed with plain aggregates plans an Expand that
+    // doubles the fact through the exchange — the r8 rewrite decomposes
+    // into a plain + a single-distinct grouped aggregate joined on keys
+    val df = graft.queries.Relational.q01(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"mixed-distinct aggregate must not replicate the fact:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("tfidfPairs fast path: corpus side never broadcasts; self-join and census join shuffle-hash") {
+    // AQE sizes an exploded frame by its parquet scan bytes and would
+    // broadcast-serialize the CORPUS-sized tf side single-threaded
+    // (measured: a 2.5 s BroadcastExchange stage on the td45 frame) —
+    // the hints pin the shuffle form, which is also the only shape that
+    // survives an unbounded vocabulary
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.functions.GraftFunctions.register(spark)
+    val F = graft.functions.GraftFunctions
+    val tfRows = docs.select(col("doc_id"),
+        explode(F.termFreq(F.bigrams(col("text")))).as("t"))
+      .select(col("doc_id"), col("t.token").as("token"),
+        col("t.tf").as("tf"), col("t.n_terms").as("n_tokens"))
+    val census = docs.select(explode(F.shingles(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val pairs = TextAnalysis.tfidfPairsFromCounts(tfRows, census,
+      nDocs = docs.count(), maxDf = 20, threshold = 0.0)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"no frame of this pipeline may broadcast (corpus-sized or vocab-sized):\n$plan")
+    assert(countOf(plan, "ShuffledHashJoin") >= 2,
+      s"census join and candidate self-join must be shuffle-hash:\n$plan")
+    assert(pairs.count() > 0)
+  }
+
+  test("q51 pair expansion is one fused local Generate — a single corpus work stage") {
+    // the pair expansion happens inside graft_pairs under the explode;
+    // the only exchange is the pair-keyed partial aggregate, and the
+    // top-20 cut is a TakeOrderedAndProject, never a global sort
+    val df = graft.queries.Extended.q51(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pairs"), s"native pair loop missing:\n$plan")
+    assert(!plan.contains("Join"), s"no join belongs in this plan:\n$plan")
+    assert(countOf(plan, "Exchange hashpartitioning") == 1,
+      s"exactly one pair-keyed exchange expected:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k cut must not global-sort:\n$plan")
+    assert(df.count() == 20)
+  }
+
   test("filter + projection reach the parquet scan (pushdown contract)") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .filter(col("o_orderstatus") === "O")
