@@ -193,6 +193,14 @@ object GraftFunctions {
     TermFreq(children.head)
   }
 
+  private[functions] val buildHashEmbed: Seq[Expression] => Expression = children => {
+    if (children.length != 1)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_hash_embed: " +
+          s"expected 1, got ${children.length}")
+    HashEmbed(children.head)
+  }
+
   private[functions] val buildBpeMerge: Seq[Expression] => Expression = children => {
     if (children.length != 3)
       throw new IllegalArgumentException(
@@ -272,6 +280,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bpe_merge"),
       new ExpressionInfo(classOf[BpeMerge].getName, "graft_bpe_merge"),
       buildBpeMerge),
+    (FunctionIdentifier("graft_hash_embed"),
+      new ExpressionInfo(classOf[HashEmbed].getName, "graft_hash_embed"),
+      buildHashEmbed),
     (FunctionIdentifier("graft_ngram_digests"),
       new ExpressionInfo(classOf[NgramDigests].getName, "graft_ngram_digests"),
       buildNgramDigests),
@@ -350,6 +361,12 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(l),
       org.apache.spark.sql.functions.lit(r))
 
+  /** Deterministic 16-dim md5-byte hash-projection embedding (the
+    * model-free encoder stand-in; see [[HashEmbed]]).
+    */
+  def hashEmbed(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_hash_embed", text)
+
   /** md5 digests of all sliding n-token windows, one fused codegen loop
     * (parity with the composable HOF form is spec-pinned).
     */
@@ -426,6 +443,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_bpe_merge"),
         new ExpressionInfo(classOf[BpeMerge].getName, "graft_bpe_merge"),
         GraftFunctions.buildBpeMerge))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_hash_embed"),
+        new ExpressionInfo(classOf[HashEmbed].getName, "graft_hash_embed"),
+        GraftFunctions.buildHashEmbed))
     ext.injectFunction(
       (FunctionIdentifier("graft_ngram_digests"),
         new ExpressionInfo(classOf[NgramDigests].getName, "graft_ngram_digests"),

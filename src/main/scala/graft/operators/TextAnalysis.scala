@@ -695,6 +695,24 @@ object TextAnalysis {
       .select(col("doc_id").as("doc_a"), col("doc_b"), col("cos"))
   }
 
+  /** Deterministic hash-projection embeddings for a text column — the
+    * MODEL-FREE encoder stand-in (`graft_hash_embed`: 16 dims, component
+    * i = Σ over tokens of (md5 byte i − 128), integer-exact in any
+    * engine) plus the L2 norm the vector operators consume. This closes
+    * the text → vector loop IN-ENGINE: chunk ([[chunkDocuments]]) →
+    * embed (here) → index/search (`Ann.ivfAssign`/`ivfProbe`/`knnGraph`)
+    * runs and ORACLES end-to-end with zero external models; a production
+    * pipeline swaps this one projection for an encoder UDF and every
+    * downstream stage is unchanged. One codegen projection — no shuffle,
+    * no UDF. Returns (idCol, emb array<double>, norm).
+    */
+  def hashEmbed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val e = graft.functions.GraftFunctions.hashEmbed(col(textCol))
+    docs.select(col(idCol), e.as("emb"),
+      sqrt(graft.functions.GraftFunctions.dot(e, e)).as("norm"))
+  }
+
   /** Tokenize with learned merges — the apply side of [[bpeTrain]]: per
     * document, every whitespace word is char-split and the merge rules
     * replay IN TRAINING ORDER (the same `graft_bpe_merge` greedy

@@ -355,6 +355,57 @@ object TextOps extends QuerySet {
     TextAnalysis.chunkDocuments(Q.t(s, dir, "documents"), "doc_id", "text",
       chunkTokens = 64, overlap = 16)
 
+  /** RAG ingestion (td47): the text → vector loop closed in-engine —
+    * overlapping 64/16 chunks (td46's splitter) → deterministic
+    * hash-projection embeddings (`graft_hash_embed`, the model-free
+    * encoder stand-in) → IVF cell assignment against 8 centroid chunks
+    * (each doc < 8's chunk 0). Every stage is existing verified
+    * machinery; the composition is what a vector-ingest pipeline runs,
+    * and the DuckDB oracle recomputes chunking, the 16 md5-byte integer
+    * sums AND the argmax assignment from scratch. Chunk key
+    * cid = doc_id·100000 + chunk_id (chunk ids are bounded far below
+    * 100000 — a 4.8M-token document — at every fixture SF).
+    */
+  def ragIngest(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val embedded = ragEmbedded(s, dir)
+    val cents = embedded
+      .filter(col("cid") < 800000 && col("cid") % 100000 === 0)
+      .select(col("cid").as("centroid_id"), col("emb").as("c_emb"),
+        col("norm").as("c_norm"))
+    graft.operators.Ann.ivfAssign(embedded, "cid", "emb", cents)
+      .select(col("vec_id").as("cid"), col("centroid_id"), col("cos"))
+  }
+
+  /** RAG retrieval (td48): the query side of td47 — doc 0/1's chunks
+    * probe their own cell for the top-3 nearest chunks (nprobe=1 IVF,
+    * sim40's machinery, over the hash-embedded chunk corpus). Fully
+    * oracled end-to-end: DuckDB re-runs chunk → embed → assign → probe.
+    */
+  def ragRetrieve(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val embedded = ragEmbedded(s, dir)
+    val cents = embedded
+      .filter(col("cid") < 800000 && col("cid") % 100000 === 0)
+      .select(col("cid").as("centroid_id"), col("emb").as("c_emb"),
+        col("norm").as("c_norm"))
+    val assigned = graft.operators.Ann.ivfAssign(embedded, "cid", "emb", cents)
+    graft.operators.Ann.ivfProbe(assigned,
+      queryPred = col("vec_id") < 200000, k = 3)
+  }
+
+  /** Shared td47/td48 frame: chunk, hash-embed, drop zero vectors (a
+    * zero norm cannot cosine — mirrored WHERE in the oracles).
+    */
+  private def ragEmbedded(s: SparkSession, dir: String): DataFrame = {
+    val chunks = TextAnalysis.chunkDocuments(Q.t(s, dir, "documents"),
+      "doc_id", "text", chunkTokens = 64, overlap = 16)
+      .select((col("doc_id") * 100000 + col("chunk_id")).as("cid"),
+        col("chunk_text"))
+    TextAnalysis.hashEmbed(chunks, "cid", "chunk_text")
+      .filter(col("norm") > 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
     "q25_array_hof" -> (q25 _),
@@ -378,7 +429,9 @@ object TextOps extends QuerySet {
     "td43_bpe_encode" -> (q43 _),
     "td44_cms_heavy_hitters" -> (q44 _),
     "td45_tfidf_pairs" -> (q45 _),
-    "td46_chunking" -> (q46 _))
+    "td46_chunking" -> (q46 _),
+    "td47_rag_ingest" -> (ragIngest _),
+    "td48_rag_retrieve" -> (ragRetrieve _))
 
   /** One BPE round's census/top-pair/merge as DuckDB CTEs (shared by the
     * td41/td42 oracles): `wn` = the (w, cnt) state, producing pair census
@@ -411,7 +464,52 @@ object TextOps extends QuerySet {
       |c AS (SELECT word, count(*) AS cnt FROM wd WHERE len(word) >= 1 GROUP BY 1),
       |w0 AS (SELECT array_to_string(string_split(word, ''), chr(1)) AS w, cnt FROM c)""".stripMargin
 
+  /** Shared td47/td48 oracle prefix: chunk → 16-dim md5-byte integer-sum
+    * embedding → norm (zero vectors dropped, mirroring the Spark filter)
+    * → centroid set → argmax cell assignment carrying (e, norm).
+    */
+  private val ragBaseSql =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+      |ch AS (SELECT doc_id * 100000 + (s - 1) // 48 AS cid,
+      |  array_to_string(sp[s : s + 63], ' ') AS chunk_text
+      | FROM d, unnest(range(1, greatest(len(sp) - 16, 1) + 1, 48)) g(s)),
+      |tok AS (SELECT cid, unnest(string_split(chunk_text, ' ')) AS t FROM ch),
+      |comp AS (SELECT cid, g.i AS i,
+      |  SUM(CAST('0x' || substr(md5(t), 2 * g.i - 1, 2) AS BIGINT) - 128) AS sv
+      | FROM tok, generate_series(1, 16) g(i) GROUP BY 1, 2),
+      |emb AS (SELECT cid, list(CAST(sv AS DOUBLE) ORDER BY i) AS e
+      | FROM comp GROUP BY cid),
+      |wv AS (SELECT * FROM (SELECT cid, e,
+      |  sqrt(list_sum([v * v for v in e])) AS norm FROM emb) WHERE norm > 0),
+      |c AS (SELECT cid AS centroid_id, e AS c_emb, norm AS c_norm FROM wv
+      | WHERE cid < 800000 AND cid % 100000 = 0),
+      |scored AS (SELECT wv.cid, c.centroid_id, wv.e, wv.norm,
+      |  list_sum([wv.e[i] * c.c_emb[i] for i in range(1, 17)])
+      |    / (wv.norm * c.c_norm) AS cos_full
+      | FROM wv, c),
+      |asg AS (SELECT cid, centroid_id, e, norm, cos_full FROM (
+      |  SELECT *, row_number() OVER
+      |   (PARTITION BY cid ORDER BY cos_full DESC, centroid_id ASC) AS rn
+      |  FROM scored) WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "td47_rag_ingest" ->
+      s"""WITH $ragBaseSql
+         |SELECT cid, centroid_id, round(cos_full, 4) AS cos FROM asg""".stripMargin,
+    "td48_rag_retrieve" ->
+      s"""WITH $ragBaseSql,
+         |q AS (SELECT cid AS query_id, centroid_id AS q_cell, e AS q_emb,
+         |  norm AS q_norm FROM asg WHERE cid < 200000),
+         |cand AS (SELECT q.query_id, a.cid, a.centroid_id,
+         |  list_sum([a.e[i] * q.q_emb[i] for i in range(1, 17)])
+         |    / (a.norm * q.q_norm) AS cand_cos
+         | FROM asg a JOIN q ON a.centroid_id = q.q_cell AND a.cid <> q.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, cid AS neighbor_id,
+         | centroid_id AS cell, round(cand_cos, 4) AS cos
+         |FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cand_cos DESC, cid ASC) AS rank
+         | FROM cand)
+         |WHERE rank <= 3""".stripMargin,
     "td46_chunking" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
         |c AS (SELECT doc_id, s,

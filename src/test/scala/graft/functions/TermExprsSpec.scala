@@ -89,6 +89,26 @@ class TermExprsSpec extends AnyFunSuite with SparkTestBase {
     assert(tot.filter(col("fn") =!= col("n_tokens")).count() == 0)
   }
 
+  test("graft_hash_embed matches the md5-byte composable form, empties included") {
+    GraftFunctions.register(spark)
+    val docs = fixtureDocs
+    val sp = split(col("text"), " ")
+    val hof = docs.select(col("doc_id"),
+      transform(sequence(lit(1), lit(16)), i =>
+        aggregate(sp, lit(0L), (acc, t) =>
+          acc + conv(substring(md5(t), (i - 1) * 2 + 1, lit(2)), 16, 10)
+            .cast("long") - 128).cast("double")).as("h"))
+    val fast = docs.select(col("doc_id"),
+      GraftFunctions.hashEmbed(col("text")).as("f"))
+    val joined = hof.join(fast, "doc_id")
+    assert(joined.filter(col("h") =!= col("f")).count() == 0,
+      "native hash embedding must equal the md5-byte HOF form")
+    assert(joined.count() == docs.count())
+    // determinism + shape: 16 dims, same text → same vector
+    val one = fast.filter(col("doc_id") === 9100005L).head.getSeq[Double](1)
+    assert(one.length == 16)
+  }
+
   test("td45 fast path (tfidfPairsFromCounts) row-identical to generic tfidfPairs") {
     GraftFunctions.register(spark)
     val F = GraftFunctions
