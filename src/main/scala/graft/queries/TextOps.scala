@@ -396,6 +396,11 @@ object TextOps extends QuerySet {
 
   /** Shared td47/td48 frame: chunk, hash-embed, drop zero vectors (a
     * zero norm cannot cosine — mirrored WHERE in the oracles).
+    * Checkpoint-shared: the frame feeds the centroid cut, the corpus
+    * side, the query cut AND the small-set broadcast guards — each a
+    * separate consumer that would otherwise re-run chunk+embed from the
+    * raw scan (profiled: SIX full scans, ~0.3 s each, on a frame that is
+    * ~2 chunks/doc × 17 doubles).
     */
   private def ragEmbedded(s: SparkSession, dir: String): DataFrame = {
     val chunks = TextAnalysis.chunkDocuments(Q.t(s, dir, "documents"),
@@ -404,6 +409,7 @@ object TextOps extends QuerySet {
         col("chunk_text"))
     TextAnalysis.hashEmbed(chunks, "cid", "chunk_text")
       .filter(col("norm") > 0)
+      .localCheckpoint(false)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
