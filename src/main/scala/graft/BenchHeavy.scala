@@ -40,7 +40,14 @@ object BenchHeavy {
     "dd50_substring_dedup",
     "dd52_bloom_screen",
     "sim51_ivf_pq_residual_topk",
-    "td29_fingerprint")
+    "td29_fingerprint",
+    // r8: the round's two rebuilt work-dominated operators join the tier
+    // (the r7 verdict's td45 done-bar asks for a heavy row explicitly) —
+    // the 10x duplication is adversarial for both: replicated documents
+    // multiply each rare term's df against the maxDf cap (td45) and the
+    // per-pair document counts (q51)
+    "td45_tfidf_pairs",
+    "q51_cooccurrence")
   // dd45 composes the same recursive-CTE closure as dd36 — both oracles
   // are infeasible at the 10x tier (which is itself the scale point)
   private val oracleExcluded = Set("dd36_dup_clusters", "dd45_neardedup_pipeline")

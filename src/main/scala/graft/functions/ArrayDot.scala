@@ -177,14 +177,6 @@ object GraftFunctions {
     WordBigrams(children.head)
   }
 
-  private[functions] val buildPairs: Seq[Expression] => Expression = children => {
-    if (children.length != 1)
-      throw new IllegalArgumentException(
-        s"Invalid number of arguments for function graft_pairs: expected 1, " +
-          s"got ${children.length}")
-    PairStrings(children.head)
-  }
-
   private[functions] val buildTf: Seq[Expression] => Expression = children => {
     if (children.length != 1)
       throw new IllegalArgumentException(
@@ -271,9 +263,6 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bigrams"),
       new ExpressionInfo(classOf[WordBigrams].getName, "graft_bigrams"),
       buildBigrams),
-    (FunctionIdentifier("graft_pairs"),
-      new ExpressionInfo(classOf[PairStrings].getName, "graft_pairs"),
-      buildPairs),
     (FunctionIdentifier("graft_tf"),
       new ExpressionInfo(classOf[TermFreq].getName, "graft_tf"),
       buildTf),
@@ -339,13 +328,6 @@ object GraftFunctions {
     */
   def bigrams(text: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_bigrams", text)
-
-  /** All "a b" pair strings over the distinct sorted non-empty elements,
-    * one fused codegen loop (parity with the composable HOF form is
-    * spec-pinned).
-    */
-  def pairs(arr: Column): Column =
-    org.apache.spark.sql.functions.call_function("graft_pairs", arr)
 
   /** Local term-frequency census of an array<string> — one struct
     * (token, tf) per distinct element, one codegen'd O(n) pass.
@@ -431,10 +413,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_bigrams"),
         new ExpressionInfo(classOf[WordBigrams].getName, "graft_bigrams"),
         GraftFunctions.buildBigrams))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_pairs"),
-        new ExpressionInfo(classOf[PairStrings].getName, "graft_pairs"),
-        GraftFunctions.buildPairs))
     ext.injectFunction(
       (FunctionIdentifier("graft_tf"),
         new ExpressionInfo(classOf[TermFreq].getName, "graft_tf"),

@@ -380,30 +380,32 @@ object Extended extends QuerySet {
   }
 
   /** Token co-occurrence mining (q51, the market-basket/frequent-pair
-    * family): the 20 most frequent within-document distinct-token pairs.
-    * Per document the DISTINCT token set expands to its C(k,2) ordered
-    * pairs LOCALLY (no join, the dd33 in-bucket expansion idiom) inside
-    * ONE fused codegen loop — `graft_pairs` dedups, binary-sorts and
-    * emits each "a b" pair string once (the r7 HOF form interpreted
-    * three nested lambdas and copied O(k) slices per doc: 41× the
-    * oracle; the native loop is the td29/td32 precedent applied to pair
-    * generation) — then one pair-keyed aggregate, a
-    * TakeOrderedAndProject cut, and a lossless post-cut split of the 20
-    * pair strings (tokens are space-split so the pair separator cannot
-    * collide). At web scale the per-doc distinct set is capped upstream
-    * (documents are bounded); pair cardinality is vocab², sharded by the
-    * pair key.
+    * family): the 20 most frequent within-document distinct-token pairs —
+    * the doc_id-keyed SELF-JOIN shape: explode each document's distinct
+    * tokens once, shuffle-hash self-join on doc_id with `tok_a < tok_b`,
+    * pair-keyed aggregate, TakeOrderedAndProject cut. Pairs STREAM from
+    * the codegen'd join straight into the partial aggregate — no C(k,2)
+    * array is ever materialized per document, so memory stays bounded for
+    * any document length, and the only corpus exchange is the distinct
+    * (doc, token) frame (linear; both join sides read ONE ReusedExchange
+    * via the shuffle-hash hints — AQE would otherwise broadcast-rebuild
+    * one side). Chosen by measurement over the r8-interim native local
+    * expansion (`graft_pairs`, since removed): tied at sf0.1 (0.47 s
+    * both), 2× faster on the 10×-dup heavy corpus (1.1-1.3 s vs 2.3 s)
+    * where the local form was allocation-bound on 150M pair strings.
+    * The r7 nested-HOF form interpreted three lambdas per doc: 41× the
+    * oracle.
     */
   def q51(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    Q.t(s, dir, "documents")
-      .select(explode(graft.functions.GraftFunctions.pairs(
-        split(col("text"), " "))).as("pair"))
-      .groupBy("pair")
+    val toks = Q.t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok_a"))
+      .filter(length(col("tok_a")) > 0)
+    val b = toks.select(col("doc_id"), col("tok_a").as("tok_b"))
+    toks.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("doc_id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b")
       .agg(count(lit(1)).as("n_docs"))
-      .select(element_at(split(col("pair"), " "), 1).as("tok_a"),
-        element_at(split(col("pair"), " "), 2).as("tok_b"),
-        col("n_docs"))
       .orderBy(col("n_docs").desc, col("tok_a").asc, col("tok_b").asc)
       .limit(20)
   }

@@ -44,26 +44,31 @@ class TermExprsSpec extends AnyFunSuite with SparkTestBase {
     assert(m == Seq("a b", "b c", "c a", "a b"))
   }
 
-  test("graft_pairs matches the sorted-distinct nested-HOF pair form") {
+  test("q51 self-join pair mining equals the local nested-HOF expansion") {
     GraftFunctions.register(spark)
     val docs = fixtureDocs
+    // the reference semantics q51 re-expresses: per-doc sorted-distinct
+    // C(k,2) pairs, empty token dropped, counted across docs
     val t = array_sort(array_distinct(split(col("text"), " ")))
-    val hof = docs.select(col("doc_id"),
-      filter(flatten(transform(t, (x, i) =>
-        transform(slice(t, i + 2, size(t)), y =>
-          concat(x, lit(" "), y)))), p => !p.startsWith(" ")).as("h"))
-    val fast = docs.select(col("doc_id"),
-      GraftFunctions.pairs(split(col("text"), " ")).as("f"))
-    val joined = hof.join(fast, "doc_id")
-    assert(joined.filter(col("h") =!= col("f")).count() == 0,
-      "native pair strings must equal the HOF form element-for-element")
-    assert(joined.count() == docs.count())
-    // the empty token (sorts first → always tok_a) is dropped, b-side kept
-    val m = fast.filter(col("doc_id") === 9100004L).head.getSeq[String](1)
-    assert(m == Seq("a b", "a c", "b c"))
-    // k < 2 non-empty distinct tokens → no pairs
-    assert(fast.filter(col("doc_id").isin(9100002L, 9100003L))
-      .filter(size(col("f")) =!= 0).count() == 0)
+    val hof = docs.select(explode(
+        filter(flatten(transform(t, (x, i) =>
+          transform(slice(t, i + 2, size(t)), y =>
+            concat(x, lit(" "), y)))), p => !p.startsWith(" "))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_docs"))
+      .select(element_at(split(col("pair"), " "), 1).as("tok_a"),
+        element_at(split(col("pair"), " "), 2).as("tok_b"), col("n_docs"))
+    val toks = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok_a"))
+      .filter(length(col("tok_a")) > 0)
+    val b = toks.select(col("doc_id"), col("tok_a").as("tok_b"))
+    val joined = toks.hint("shuffle_hash").join(b.hint("shuffle_hash"),
+        Seq("doc_id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_docs"))
+    assert(hof.exceptAll(joined).count() == 0 &&
+      joined.exceptAll(hof).count() == 0,
+      "self-join pair counts must equal the local-expansion reference")
+    assert(joined.count() > 0)
   }
 
   test("graft_tf matches groupBy(doc_id, token) tf counts and totals") {

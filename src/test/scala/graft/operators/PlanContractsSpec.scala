@@ -473,16 +473,17 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.count() > 0)
   }
 
-  test("q51 pair expansion is one fused local Generate — a single corpus work stage") {
-    // the pair expansion happens inside graft_pairs under the explode;
-    // the only exchange is the pair-keyed partial aggregate, and the
-    // top-20 cut is a TakeOrderedAndProject, never a global sort
+  test("q51 pair mining: doc-keyed shuffle-hash self-join, pairs stream into the aggregate") {
+    // pairs come off the codegen'd join straight into the partial
+    // aggregate — no per-document C(k,2) array, no broadcast rebuild of
+    // one side (the shuffle-hash hints; both sides read one reused
+    // exchange), and the top-20 cut is a TakeOrderedAndProject
     val df = graft.queries.Extended.q51(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_pairs"), s"native pair loop missing:\n$plan")
-    assert(!plan.contains("Join"), s"no join belongs in this plan:\n$plan")
-    assert(countOf(plan, "Exchange hashpartitioning") == 1,
-      s"exactly one pair-keyed exchange expected:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"pair generation must be the doc-keyed shuffle-hash self-join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"AQE must not broadcast-rebuild a side:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"top-k cut must not global-sort:\n$plan")
     assert(df.count() == 20)
   }
