@@ -1,0 +1,320 @@
+package graft.sources
+
+import java.math.BigInteger
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Minimal OpenPGP (RFC 4880) message decryption in pure JDK — closes the
+  * reference's PGP ingest path (src/sftp/pgp_manager.py:314-401: pgpy
+  * `private_key.decrypt(message)` over partner files) without any crypto
+  * dependency beyond the JDK: RSA is `BigInteger.modPow`, the OpenPGP CFB
+  * mode is hand-rolled over `AES/ECB` single-block encryptions (explicit
+  * full-block CFB — no provider-string ambiguity), integrity is the SHA-1
+  * MDC, and decompression is `java.util.zip`. Everything implemented is
+  * public-format knowledge from RFC 4880; interop is spec-verified against
+  * REAL GnuPG 2.2 output (key generation, binary and armored encryption,
+  * partial body lengths, ZLIB/ZIP/uncompressed payloads).
+  *
+  * Supported surface (the reference deployment's defaults and near
+  * neighbors): v3 PKESK + RSA (algos 1-3), v1 SEIPD with MDC, AES-128/
+  * 192/256 session ciphers, ZIP/ZLIB/uncompressed payloads, unprotected
+  * v4 RSA secret keys (tags 5 and 7), new/old/partial/indeterminate
+  * packet lengths, ASCII armor with CRC-24. Everything else fails LOUD
+  * with a reason string — a quarantine row, never a garbage parse
+  * (passphrase-protected keys, non-RSA keys, tag-9 SED without MDC,
+  * unknown ciphers/compression).
+  */
+object OpenPgp {
+
+  final case class Packet(tag: Int, body: Array[Byte])
+
+  final case class RsaSecretKey(keyId: String, n: BigInteger, d: BigInteger)
+      extends Serializable
+
+  /** Parse a concatenated OpenPGP packet stream (RFC 4880 §4), partial and
+    * indeterminate body lengths included (GnuPG streams large SEIPD bodies
+    * as partial chunks and emits indeterminate-length compressed packets).
+    */
+  def parsePackets(data: Array[Byte]): Seq[Packet] = {
+    val out = Seq.newBuilder[Packet]
+    var off = 0
+    while (off < data.length) {
+      val ctb = data(off) & 0xFF
+      require((ctb & 0x80) != 0, s"invalid packet framing byte 0x${ctb.toHexString} at $off")
+      off += 1
+      if ((ctb & 0x40) != 0) {
+        // new format: possibly chained partial lengths
+        val tag = ctb & 0x3F
+        val chunks = Array.newBuilder[Byte]
+        var more = true
+        while (more) {
+          val l1 = data(off) & 0xFF
+          if (l1 < 192) {
+            chunks ++= data.slice(off + 1, off + 1 + l1); off += 1 + l1; more = false
+          } else if (l1 <= 223) {
+            val len = ((l1 - 192) << 8) + (data(off + 1) & 0xFF) + 192
+            chunks ++= data.slice(off + 2, off + 2 + len); off += 2 + len; more = false
+          } else if (l1 == 255) {
+            val len = new BigInteger(1, data.slice(off + 1, off + 5)).intValueExact()
+            chunks ++= data.slice(off + 5, off + 5 + len); off += 5 + len; more = false
+          } else {
+            // partial length: 2^(l1 & 0x1F), continue with further headers
+            val len = 1 << (l1 & 0x1F)
+            chunks ++= data.slice(off + 1, off + 1 + len); off += 1 + len
+          }
+        }
+        out += Packet(tag, chunks.result())
+      } else {
+        val tag = (ctb >> 2) & 0x0F
+        val lenType = ctb & 0x03
+        lenType match {
+          case 0 =>
+            val len = data(off) & 0xFF
+            out += Packet(tag, data.slice(off + 1, off + 1 + len)); off += 1 + len
+          case 1 =>
+            val len = ((data(off) & 0xFF) << 8) + (data(off + 1) & 0xFF)
+            out += Packet(tag, data.slice(off + 2, off + 2 + len)); off += 2 + len
+          case 2 =>
+            val len = new BigInteger(1, data.slice(off, off + 4)).intValueExact()
+            out += Packet(tag, data.slice(off + 4, off + 4 + len)); off += 4 + len
+          case 3 => // indeterminate: to end of input
+            out += Packet(tag, data.slice(off, data.length)); off = data.length
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** ASCII armor → binary (RFC 4880 §6), CRC-24 verified. */
+  def dearmor(text: String): Array[Byte] = {
+    val lines = text.split("\r?\n").iterator.map(_.trim)
+    require(lines.hasNext && lines.next().startsWith("-----BEGIN PGP"),
+      "not an ASCII-armored PGP block")
+    // skip armor headers up to the blank line
+    var line = ""
+    var sawBlank = false
+    val b64 = new StringBuilder
+    var crcLine: Option[String] = None
+    while (lines.hasNext && crcLine.isEmpty) {
+      line = lines.next()
+      if (!sawBlank) { if (line.isEmpty) sawBlank = true }
+      else if (line.startsWith("=") && !line.startsWith("=====")) crcLine = Some(line)
+      else if (line.startsWith("-----END")) crcLine = Some("")
+      else b64 ++= line
+    }
+    val data = java.util.Base64.getDecoder.decode(b64.toString)
+    crcLine.filter(_.nonEmpty).foreach { c =>
+      val want = java.util.Base64.getDecoder.decode(c.substring(1))
+      val got = crc24(data)
+      require(java.util.Arrays.equals(want, got),
+        "armor CRC-24 mismatch — corrupted transfer")
+    }
+    data
+  }
+
+  private def crc24(data: Array[Byte]): Array[Byte] = {
+    var crc = 0xB704CE
+    data.foreach { b =>
+      crc ^= (b & 0xFF) << 16
+      var i = 0
+      while (i < 8) {
+        crc <<= 1
+        if ((crc & 0x1000000) != 0) crc ^= 0x1864CFB
+        i += 1
+      }
+    }
+    Array(((crc >> 16) & 0xFF).toByte, ((crc >> 8) & 0xFF).toByte, (crc & 0xFF).toByte)
+  }
+
+  private def readMpi(data: Array[Byte], off: Int): (BigInteger, Int) = {
+    val bits = ((data(off) & 0xFF) << 8) + (data(off + 1) & 0xFF)
+    val n = (bits + 7) / 8
+    (new BigInteger(1, data.slice(off + 2, off + 2 + n)), off + 2 + n)
+  }
+
+  /** Parse unprotected v4 RSA secret keys out of an exported key blob
+    * (binary or armored) — secret-key (tag 5) and secret-subkey (tag 7)
+    * packets. Protected keys (s2k usage != 0) and non-RSA algorithms fail
+    * loud: the engine's contract is decrypt-or-quarantine, never guess.
+    */
+  def parseSecretKeys(blob: Array[Byte]): Seq[RsaSecretKey] = {
+    val data =
+      if (blob.nonEmpty && (blob(0) & 0x80) != 0) blob
+      else dearmor(new String(blob, StandardCharsets.US_ASCII))
+    parsePackets(data).filter(p => p.tag == 5 || p.tag == 7).map { p =>
+      val b = p.body
+      require((b(0) & 0xFF) == 4, s"unsupported key packet version ${b(0)}")
+      val algo = b(5) & 0xFF
+      require(algo == 1 || algo == 2 || algo == 3,
+        s"unsupported public-key algorithm $algo (RSA only)")
+      val (n, off1) = readMpi(b, 6)
+      val (_, off2) = readMpi(b, off1) // e
+      // v4 key id: low 8 bytes of SHA-1 over 0x99 || len || public body
+      val pub = b.slice(0, off2)
+      val md = MessageDigest.getInstance("SHA-1")
+      md.update(0x99.toByte)
+      md.update(((pub.length >> 8) & 0xFF).toByte)
+      md.update((pub.length & 0xFF).toByte)
+      md.update(pub)
+      val fp = md.digest()
+      val keyId = fp.takeRight(8).map("%02X".format(_)).mkString
+      val usage = b(off2) & 0xFF
+      require(usage == 0,
+        s"passphrase-protected secret key (s2k usage $usage) unsupported — " +
+          "export the ingest key unprotected")
+      val (d, _) = readMpi(b, off2 + 1)
+      RsaSecretKey(keyId, n, d)
+    }
+  }
+
+  /** Decrypt an OpenPGP message (binary or armored) with any of `keys`,
+    * returning the literal-data payload bytes. Verifies the CFB prefix
+    * repeat bytes AND the SHA-1 MDC; throws with a reason on any
+    * deviation.
+    */
+  def decrypt(message: Array[Byte], keys: Seq[RsaSecretKey]): Array[Byte] = {
+    val data =
+      if (message.nonEmpty && (message(0) & 0x80) != 0) message
+      else dearmor(new String(message, StandardCharsets.US_ASCII))
+    val packets = parsePackets(data)
+    val pkesks = packets.filter(_.tag == 1)
+    require(pkesks.nonEmpty, "no public-key-encrypted session key packet")
+    val seipd = packets.find(_.tag == 18).getOrElse(
+      if (packets.exists(_.tag == 9))
+        throw new IllegalArgumentException(
+          "tag-9 symmetrically-encrypted packet without MDC unsupported")
+      else throw new IllegalArgumentException("no encrypted data packet"))
+    require((seipd.body(0) & 0xFF) == 1,
+      s"unsupported SEIPD version ${seipd.body(0)}")
+
+    val session = pkesks.view.flatMap(sessionKey(_, keys)).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "no session key recoverable — message not encrypted to this key"))
+    val (symAlgo, key) = session
+    val keyBits = symAlgo match {
+      case 7 => 128
+      case 8 => 192
+      case 9 => 256
+      case other => throw new IllegalArgumentException(
+        s"unsupported symmetric algorithm $other (AES only)")
+    }
+    require(key.length * 8 == keyBits, "session key length mismatch")
+
+    val plain = cfbDecrypt(key, seipd.body.drop(1))
+    val bs = 16 // AES block size
+    require(plain.length > bs + 2 + 22, "ciphertext too short")
+    require(plain(bs - 2) == plain(bs) && plain(bs - 1) == plain(bs + 1),
+      "CFB prefix check failed — wrong key or corrupted data")
+    // MDC: last 22 bytes are D3 14 + SHA1(prefix || contents || D3 14)
+    val mdcOff = plain.length - 22
+    require((plain(mdcOff) & 0xFF) == 0xD3 && (plain(mdcOff + 1) & 0xFF) == 0x14,
+      "missing MDC packet")
+    val md = MessageDigest.getInstance("SHA-1")
+    md.update(plain, 0, mdcOff + 2)
+    require(java.util.Arrays.equals(md.digest(), plain.slice(mdcOff + 2, plain.length)),
+      "MDC integrity check failed")
+    literalData(parsePackets(plain.slice(bs + 2, mdcOff)))
+  }
+
+  /** Recover (symAlgo, sessionKey) from one PKESK with any matching key
+    * (key-id match or the all-zero wildcard); None if no key applies or
+    * the PKCS#1 padding doesn't verify (wrong key).
+    */
+  private def sessionKey(pkesk: Packet,
+      keys: Seq[RsaSecretKey]): Option[(Int, Array[Byte])] = {
+    val b = pkesk.body
+    if ((b(0) & 0xFF) != 3) return None
+    val keyId = b.slice(1, 9).map("%02X".format(_)).mkString
+    val algo = b(9) & 0xFF
+    if (algo != 1 && algo != 2 && algo != 3) return None
+    val candidates =
+      if (keyId == "0000000000000000") keys
+      else keys.filter(_.keyId == keyId)
+    val (c, _) = readMpi(b, 10)
+    candidates.view.flatMap { k =>
+      val m = c.modPow(k.d, k.n)
+      // EME-PKCS1-v1_5: 0x00 0x02 <nonzero pad> 0x00 <algo | key | ck ck>
+      val em = m.toByteArray match { // BigInteger strips the leading 0x00
+        case a if a.length > 0 && a(0) == 0 => a.drop(1)
+        case a => a
+      }
+      if (em.length < 11 || em(0) != 0x02) None
+      else {
+        val sep = em.indexOf(0x00.toByte, 1)
+        if (sep < 0) None
+        else {
+          val blob = em.drop(sep + 1)
+          if (blob.length < 3) None
+          else {
+            val symAlgo = blob(0) & 0xFF
+            val key = blob.slice(1, blob.length - 2)
+            val want = ((blob(blob.length - 2) & 0xFF) << 8) + (blob(blob.length - 1) & 0xFF)
+            val got = key.foldLeft(0)((a, x) => (a + (x & 0xFF)) & 0xFFFF)
+            if (got == want) Some((symAlgo, key)) else None
+          }
+        }
+      }
+    }.headOption
+  }
+
+  /** OpenPGP SEIPD CFB (RFC 4880 §5.13: standard full-block CFB, all-zero
+    * IV, NO resync) — hand-rolled over single-block AES encryptions.
+    */
+  private def cfbDecrypt(key: Array[Byte], ct: Array[Byte]): Array[Byte] = {
+    val cipher = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"))
+    val bs = 16
+    val out = new Array[Byte](ct.length)
+    var prev = new Array[Byte](bs) // zero IV
+    var off = 0
+    while (off < ct.length) {
+      val ks = cipher.doFinal(prev)
+      val n = math.min(bs, ct.length - off)
+      var i = 0
+      while (i < n) { out(off + i) = (ct(off + i) ^ ks(i)).toByte; i += 1 }
+      prev = java.util.Arrays.copyOfRange(ct, off, off + bs) // full block or tail-padded
+      off += bs
+    }
+    out
+  }
+
+  /** Walk decrypted inner packets: decompress (ZIP raw deflate / ZLIB /
+    * none) and return the literal packet's data bytes.
+    */
+  private def literalData(packets: Seq[Packet]): Array[Byte] = {
+    packets.collectFirst {
+      case Packet(11, body) =>
+        val nameLen = body(1) & 0xFF
+        body.drop(2 + nameLen + 4) // format, name, date
+      case Packet(8, body) =>
+        val algo = body(0) & 0xFF
+        val inflated = algo match {
+          case 0 => body.drop(1)
+          case 1 => inflate(body.drop(1), raw = true)
+          case 2 => inflate(body.drop(1), raw = false)
+          case other => throw new IllegalArgumentException(
+            s"unsupported compression algorithm $other (ZIP/ZLIB only)")
+        }
+        literalData(parsePackets(inflated))
+    }.getOrElse(throw new IllegalArgumentException(
+      "no literal data packet in decrypted message"))
+  }
+
+  private def inflate(data: Array[Byte], raw: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(raw)
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+      else if (inf.needsDictionary())
+        throw new IllegalArgumentException("deflate dictionary unsupported")
+      else if (inf.needsInput())
+        throw new IllegalArgumentException("truncated compressed stream")
+    }
+    inf.end()
+    out.toByteArray
+  }
+}

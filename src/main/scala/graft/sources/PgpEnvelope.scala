@@ -14,12 +14,17 @@ import org.apache.spark.sql.functions._
   * Detection is pure public format knowledge (RFC 4880): ASCII-armored
   * messages begin with the `-----BEGIN PGP MESSAGE-----` armor line;
   * binary OpenPGP streams set the high bit of the first octet (packet-tag
-  * framing), which no ASCII-leading EDI/text format does. Decryption is
-  * STUBBED — no crypto libraries are installed here — so encrypted
-  * payloads pass through with `decrypt_status = 'encrypted_unsupported'`
-  * and a null plaintext; plaintext payloads are passed through unchanged.
-  * All checks are native column expressions on the first bytes only (no
-  * UDF, no full-payload scan).
+  * framing), which no ASCII-leading EDI/text format does. Detection-only
+  * classification ([[withEncryptionStatus]]) marks ciphertext
+  * `encrypted_unsupported`; [[withDecryption]] goes further and DECRYPTS
+  * it in-engine via [[OpenPgp]] (pure-JDK RFC 4880 — the r7 "environment-
+  * blocked" BouncyCastle gap is closed; GnuPG-interop is spec-verified
+  * against real gpg 2.2 output) — decrypt failures land as typed
+  * `decrypt_failed: <reason>` quarantine rows, never a garbage parse.
+  * Detection checks are native column expressions on the first bytes
+  * only; the decrypt step is a Scala UDF on a pure function — imperative
+  * per-file byte/crypto work, the declared UDF criterion (SURVEY §2.11,
+  * the 997-generator precedent).
   */
 object PgpEnvelope {
 
@@ -83,13 +88,56 @@ object PgpEnvelope {
           .otherwise(lit(null).cast(payloadType)))
   }
 
-  /** The rows safe to hand to the parser (plaintext only). */
-  def parseable(classified: DataFrame): DataFrame =
-    classified.filter(col("decrypt_status") === "plaintext")
+  /** [[withEncryptionStatus]] plus IN-ENGINE decryption: PGP payloads are
+    * decrypted with `privateKey` (an exported OpenPGP secret-key blob,
+    * binary or armored — parsed ONCE on the driver, broadcast as plain
+    * Serializable key material) and land with `decrypt_status =
+    * 'decrypted'` and the literal-data text as `plaintext`; failures keep
+    * a null plaintext and carry `decrypt_failed: <reason>`. Plaintext and
+    * null payloads classify exactly as in [[withEncryptionStatus]]. The
+    * payload column may be binary or string (armored).
+    */
+  def withDecryption(files: DataFrame, payloadCol: String,
+      privateKey: Array[Byte]): DataFrame = {
+    val keys = OpenPgp.parseSecretKeys(privateKey)
+    require(keys.nonEmpty, "no usable secret key in the provided blob")
+    val payloadType = files.schema(payloadCol).dataType
+    val isBinary = payloadType == org.apache.spark.sql.types.BinaryType
+    val decryptUdf = udf { (payload: Array[Byte]) =>
+      try {
+        val plain = OpenPgp.decrypt(payload, keys)
+        ("decrypted", new String(plain, java.nio.charset.StandardCharsets.UTF_8))
+      } catch {
+        case e: Exception =>
+          (s"decrypt_failed: ${e.getMessage}", null.asInstanceOf[String])
+      }
+    }
+    val pgp = coalesce(isPgp(col(payloadCol), binary = isBinary), lit(false))
+    val payloadBytes =
+      if (isBinary) col(payloadCol)
+      else col(payloadCol).cast(org.apache.spark.sql.types.BinaryType)
+    files
+      .withColumn("is_pgp", pgp)
+      .withColumn("__dec",
+        when(col(payloadCol).isNotNull && pgp, decryptUdf(payloadBytes)))
+      .withColumn("decrypt_status",
+        when(col(payloadCol).isNull, lit("missing_payload"))
+          .when(pgp, col("__dec._1"))
+          .otherwise(lit("plaintext")))
+      .withColumn("plaintext",
+        when(col("decrypt_status") === "plaintext",
+          col(payloadCol).cast("string"))
+          .when(col("decrypt_status") === "decrypted", col("__dec._2")))
+      .drop("__dec")
+  }
 
-  /** The rows a transport fault landed as ciphertext or without a payload
+  /** The rows safe to hand to the parser (plaintext or decrypted). */
+  def parseable(classified: DataFrame): DataFrame =
+    classified.filter(col("decrypt_status").isin("plaintext", "decrypted"))
+
+  /** The rows a transport fault landed undecryptable or without a payload
     * — the dead-letter frame an operator alerts on.
     */
   def quarantine(classified: DataFrame): DataFrame =
-    classified.filter(col("decrypt_status") =!= "plaintext")
+    classified.filter(!col("decrypt_status").isin("plaintext", "decrypted"))
 }
