@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   * IMAGE decode/resize/features are REAL: the JDK ships PNG/GIF/JPEG codecs
   * in `javax.imageio` (java.desktop, headless-safe), so [[MediaCodec.decode]]
   * produces true dimensions and true pixel statistics for those types.
-  * Audio/video codecs genuinely are not in the JDK or this container, so the
-  * non-image paths remain clearly-marked deterministic stubs; the schema,
-  * batching, partitioning and null contracts around them are real and tested.
+  * RAW AUDIO is REAL too (r8): [[MediaCodec.decodeWav]] parses PCM/WAV
+  * containers — pure-JVM RIFF chunk walking, no codec library — into exact
+  * integer energy statistics (driver-oracled in mm49). COMPRESSED
+  * audio/video codecs genuinely are not in the JDK or this container, so
+  * those paths remain clearly-marked deterministic stubs; the schema,
+  * batching, partitioning and null contracts around them are real and
+  * tested.
   */
 final case class MediaItem(
     media_id: Long,
@@ -165,6 +169,68 @@ object MediaCodec {
           feat(i % 8) += ((acc % 1000).toFloat / 1000f) }
         (w, h, feat)
     }
+
+  /** REAL PCM/WAV decode stats — pure-JVM RIFF parsing (the WAV container
+    * is public-format knowledge: "RIFF"<size>"WAVE" then 8-byte-headed
+    * chunks; the PCM `fmt ` chunk fixes channels/rate/width, `data` holds
+    * interleaved little-endian samples), so RAW AUDIO — the container a
+    * training pipeline ingests before feature extraction — decodes with
+    * zero codec dependencies, exactly like the ImageIO path for images.
+    * Returns EXACT integer statistics (frame count, peak |sample|, sample
+    * sum, sample sum-of-squares — the energy/clipping screens an audio
+    * curation run filters on) so the whole decode is hash-oracle-able
+    * (mm49 recomputes them from the synthetic sample formula in DuckDB).
+    * 16-bit and 8-bit PCM (format 1); None for anything else (compressed
+    * audio/video codecs remain genuinely absent from the JDK — still the
+    * documented stub in [[decode]]).
+    */
+  final case class WavStats(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nFrames: Long, peakAbs: Int, sampleSum: Long,
+      sampleSumSq: Long)
+
+  def decodeWav(p: Array[Byte]): Option[WavStats] = {
+    def le16(i: Int): Int = (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
+    def le32(i: Int): Long =
+      (p(i) & 0xFFL) | ((p(i + 1) & 0xFFL) << 8) |
+        ((p(i + 2) & 0xFFL) << 16) | ((p(i + 3) & 0xFFL) << 24)
+    def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
+    if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
+    var stats: Option[(Long, Int, Long, Long)] = None
+    while (off + 8 <= p.length) {
+      val id = tag(off)
+      val size = le32(off + 4).toInt
+      val body = off + 8
+      if (id == "fmt " && size >= 16)
+        fmt = Some((le16(body), le16(body + 2), le32(body + 4).toInt,
+          le16(body + 14)))
+      else if (id == "data") fmt.foreach { case (format, ch, _, bits) =>
+        if (format == 1 && (bits == 16 || bits == 8) && ch >= 1) {
+          val bytesPerSample = bits / 8
+          val n = math.min(size, p.length - body) / bytesPerSample
+          var sum = 0L
+          var sumSq = 0L
+          var peak = 0
+          var k = 0
+          while (k < n) {
+            val s =
+              if (bits == 16) le16(body + k * 2).toShort.toInt
+              else (p(body + k) & 0xFF) - 128 // 8-bit PCM is unsigned
+            sum += s
+            sumSq += s.toLong * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            k += 1
+          }
+          stats = Some((n.toLong / ch, peak, sum, sumSq))
+        }
+      }
+      off = body + size + (size & 1) // chunks pad to even
+    }
+    for ((format, ch, rate, bits) <- fmt if format == 1 && (bits == 16 || bits == 8);
+         (frames, peak, sum, sumSq) <- stats)
+      yield WavStats(rate, ch, bits, frames, peak, sum, sumSq)
+  }
 
   /** Aspect-preserving fit of (w,h) into `maxSide` — the shared integer
     * dims contract for both the metadata-level mm43 check and the real

@@ -50,4 +50,42 @@ object SyntheticImages {
     }
     encodePng(img)
   }
+
+  /** Deterministic PCM sample formula — mirrored verbatim in the mm49
+    * DuckDB oracle (the image-gradient idiom applied to audio): sample
+    * value is a pure integer function of (id, channel, frame).
+    */
+  def pcmSample(id: Long, ch: Int, frame: Long): Int =
+    (((frame * 31 + ch * 7 + id * 17) % 65536) - 32768).toInt
+
+  /** A real little-endian 16-bit PCM WAV container around the formula
+    * samples: RIFF/WAVE + `fmt ` + `data`, frames interleaved by channel —
+    * what [[MediaCodec.decodeWav]] must parse back exactly.
+    */
+  def pcmWav(id: Long, sampleRate: Int, channels: Int,
+      nFrames: Int): Array[Byte] = {
+    val dataLen = nFrames * channels * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        out.putShort(pcmSample(id, c, f).toShort)
+        c += 1
+      }
+      f += 1
+    }
+    out.array()
+  }
 }

@@ -172,7 +172,35 @@ object MultimodalQueries extends QuerySet {
     "mm45_image_decode" -> (mm45 _),
     "mm46_image_resize" -> (mm46 _),
     "mm47_image_phash_dedup" -> (mm47 _),
-    "mm48_image_phash_near_pairs" -> (mm48 _))
+    "mm48_image_phash_near_pairs" -> (mm48 _),
+    "mm49_audio_decode" -> (mm49 _))
+
+  /** REAL PCM/WAV audio decode, driver-oracled (mm49): 64 synthetic WAV
+    * containers (rate/channels/length AND every sample value pure integer
+    * functions of the id — the mm45 gradient idiom applied to audio) →
+    * `MediaCodec.decodeWav` RIFF parsing → exact integer energy stats.
+    * DuckDB recomputes the same stats from the sample formula with
+    * generate_series, never touching the bytes — a wrong parse (header
+    * walk, endianness, interleave, sign) diverges.
+    */
+  def mm49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Q.t(s, dir, "documents")
+      .filter(col("doc_id") < 64)
+      .select(col("doc_id").cast("long")).as[Long]
+    ids.map { i =>
+      val rate = (8000 + (i % 3) * 4000).toInt
+      val channels = (1 + i % 2).toInt
+      val nFrames = (400 + i * 7).toInt
+      val wav = SyntheticImages.pcmWav(i, rate, channels, nFrames)
+      val st = MediaCodec.decodeWav(wav).getOrElse(
+        throw new IllegalStateException(s"undecodable synthetic wav $i"))
+      (i, st.sampleRate, st.channels, st.nFrames,
+        st.nFrames * 1000L / st.sampleRate, st.peakAbs, st.sampleSum,
+        st.sampleSumSq)
+    }.toDF("media_id", "sample_rate", "channels", "n_frames",
+      "duration_ms", "peak_abs", "sample_sum", "sample_sumsq")
+  }
 
   val oracles: Map[String, String] = Map(
     "mm39_media_features" ->
@@ -251,6 +279,23 @@ object MultimodalQueries extends QuerySet {
         | c.canonical_id, c.n_copies
         |FROM hs JOIN c USING (ahash_hi, ahash_lo)""".stripMargin,
     // the mm47 hash chain + 16-bit chunk blocking + exact bit_count filter
+    "mm49_audio_decode" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 64),
+        |cfg AS (SELECT i, CAST(8000 + (i % 3) * 4000 AS INTEGER) AS sample_rate,
+        |    CAST(1 + i % 2 AS INTEGER) AS channels,
+        |    400 + i * 7 AS n_frames FROM ids),
+        |s AS (SELECT c.i, c.sample_rate, c.channels, c.n_frames,
+        |    ((f.f * 31 + ch.ch * 7 + c.i * 17) % 65536) - 32768 AS v
+        |  FROM cfg c, generate_series(0, 847) f(f), generate_series(0, 1) ch(ch)
+        |  WHERE f.f < c.n_frames AND ch.ch < c.channels)
+        |SELECT i AS media_id, MAX(sample_rate) AS sample_rate,
+        |  MAX(channels) AS channels,
+        |  CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+        |  CAST(MAX(n_frames) * 1000 // MAX(sample_rate) AS BIGINT) AS duration_ms,
+        |  CAST(MAX(ABS(v)) AS INTEGER) AS peak_abs,
+        |  CAST(SUM(v) AS BIGINT) AS sample_sum,
+        |  CAST(SUM(v * v) AS BIGINT) AS sample_sumsq
+        |FROM s GROUP BY i""".stripMargin,
     "mm48_image_phash_near_pairs" ->
       """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 64),
         |p AS (SELECT i, i % 32 AS j,

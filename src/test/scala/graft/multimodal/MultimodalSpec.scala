@@ -165,4 +165,45 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(offs == Seq(0L, 300L, 600L, 900L))
     assert(MediaCodec.sampleFrameOffsets(100000, 1, 5).length == 5)
   }
+
+  test("real WAV decode: RIFF parse recovers the synthetic sample formula exactly") {
+    val wav = SyntheticImages.pcmWav(id = 5L, sampleRate = 16000,
+      channels = 2, nFrames = 500)
+    val st = MediaCodec.decodeWav(wav).get
+    assert(st.sampleRate == 16000 && st.channels == 2 &&
+      st.bitsPerSample == 16 && st.nFrames == 500L)
+    // brute-force reference from the formula
+    val samples = for (f <- 0 until 500; c <- 0 until 2)
+      yield SyntheticImages.pcmSample(5L, c, f)
+    assert(st.sampleSum == samples.map(_.toLong).sum)
+    assert(st.sampleSumSq == samples.map(s => s.toLong * s).sum)
+    assert(st.peakAbs == samples.map(math.abs).max)
+    // chunk walking survives an extra chunk BEFORE fmt/data (real-world
+    // WAVs carry LIST/INFO chunks) including odd-size padding
+    val extra = java.nio.ByteBuffer
+      .allocate(wav.length + 8 + 4) // "LIST" + size 3 + 3 bytes + pad
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(wav, 0, 12)
+    extra.put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0))
+    extra.put(wav, 12, wav.length - 12)
+    val arr = extra.array()
+    // fix RIFF size field (not verified by the parser, but keep it honest)
+    val st2 = MediaCodec.decodeWav(arr).get
+    assert(st2 == st, "an interposed LIST chunk must not change the parse")
+    // non-WAV and truncated payloads are None, never garbage
+    assert(MediaCodec.decodeWav("not a wav at all".getBytes).isEmpty)
+    assert(MediaCodec.decodeWav(wav.take(30)).isEmpty)
+    // 8-bit PCM path: hand-build a 4-sample mono file
+    val w8 = java.nio.ByteBuffer.allocate(44 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    w8.put("RIFF".getBytes).putInt(36 + 4).put("WAVE".getBytes)
+    w8.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+    w8.put("data".getBytes).putInt(4)
+    w8.put(Array[Byte](0, 128.toByte, 255.toByte, 130.toByte)) // -128,0,127,2
+    val st8 = MediaCodec.decodeWav(w8.array()).get
+    assert(st8.bitsPerSample == 8 && st8.nFrames == 4L)
+    assert(st8.sampleSum == (-128L + 0 + 127 + 2) && st8.peakAbs == 128)
+  }
 }
