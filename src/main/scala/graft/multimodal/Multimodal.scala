@@ -232,6 +232,71 @@ object MediaCodec {
       yield WavStats(rate, ch, bits, frames, peak, sum, sumSq)
   }
 
+  /** REAL raw-video decode — YUV4MPEG2 (Y4M, the mjpegtools raw container
+    * a video pipeline holds between demux and model): plain-text stream
+    * header (`YUV4MPEG2 W.. H.. .. C..`), then `FRAME` + planar YUV per
+    * frame. Pure-JVM parsing, zero codec dependencies — the video analog
+    * of [[decodeWav]]: frame extraction over RAW video is real; only
+    * COMPRESSED codecs remain the documented stub. Returns exact integer
+    * Y-plane (luma) statistics per stream — frame count and total/
+    * sum-of-squares luma, the brightness/degenerate-frame screens a video
+    * curation run filters on — all hash-oracle-able (mm50). C420
+    * variants, C444, C422 and mono chroma layouts supported; anything
+    * else → None. A stream
+    * whose frames don't align to the declared plane sizes fails loud
+    * (None), never a silent partial parse.
+    */
+  final case class Y4mStats(width: Int, height: Int, nFrames: Long,
+      ySum: Long, ySumSq: Long)
+
+  def decodeY4m(p: Array[Byte]): Option[Y4mStats] = {
+    val magic = "YUV4MPEG2"
+    if (p.length < magic.length + 1 ||
+      new String(p, 0, magic.length, "US-ASCII") != magic) return None
+    val nl = p.indexOf('\n'.toByte)
+    if (nl < 0) return None
+    val header = new String(p, 0, nl, "US-ASCII")
+    val params = header.split(" ").drop(1)
+    def param(prefix: Char): Option[String] =
+      params.find(t => t.nonEmpty && t.head == prefix).map(_.tail)
+    val (w, h) = (param('W').map(_.toInt), param('H').map(_.toInt)) match {
+      case (Some(a), Some(b)) if a > 0 && b > 0 => (a, b)
+      case _ => return None
+    }
+    val chroma = param('C').getOrElse("420jpeg")
+    val cSize: Int =
+      if (chroma.startsWith("420")) (w / 2) * (h / 2)
+      else if (chroma.startsWith("422")) (w / 2) * h
+      else if (chroma.startsWith("444")) w * h
+      else if (chroma == "mono") 0
+      else return None
+    val frameBytes = w * h + 2 * cSize
+    var off = nl + 1
+    var nFrames = 0L
+    var ySum = 0L
+    var ySumSq = 0L
+    while (off < p.length) {
+      // each frame starts with "FRAME" + optional params + '\n'
+      if (off + 5 > p.length ||
+        new String(p, off, 5, "US-ASCII") != "FRAME") return None
+      val fnl = p.indexOf('\n'.toByte, off)
+      if (fnl < 0) return None
+      val yOff = fnl + 1
+      if (yOff + frameBytes > p.length) return None
+      var k = 0
+      while (k < w * h) {
+        val v = p(yOff + k) & 0xFF
+        ySum += v
+        ySumSq += v.toLong * v
+        k += 1
+      }
+      nFrames += 1
+      off = yOff + frameBytes
+    }
+    if (nFrames == 0) None
+    else Some(Y4mStats(w, h, nFrames, ySum, ySumSq))
+  }
+
   /** Aspect-preserving fit of (w,h) into `maxSide` — the shared integer
     * dims contract for both the metadata-level mm43 check and the real
     * [[resizeBytes]]. Never upscales.

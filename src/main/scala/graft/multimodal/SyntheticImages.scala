@@ -51,6 +51,45 @@ object SyntheticImages {
     encodePng(img)
   }
 
+  /** Deterministic luma formula for synthetic raw video — mirrored
+    * verbatim in the mm50 DuckDB oracle: Y-plane byte value is a pure
+    * integer function of (id, frame, x, y).
+    */
+  def lumaByte(id: Long, frame: Int, x: Int, y: Int): Int =
+    ((x * 7 + y * 13 + frame * 3 + id * 31) % 256).toInt
+
+  /** A real YUV4MPEG2 (Y4M) raw-video container around formula planes:
+    * the plain-text stream header, then `FRAME\n` + planar C420 YUV per
+    * frame — what [[MediaCodec.decodeY4m]] must parse back exactly.
+    * Chroma planes are formula-filled too (a parser that mis-sizes them
+    * loses frame alignment and fails loud).
+    */
+  def y4m(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0, "C420 needs even dimensions")
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
+      .getBytes("US-ASCII")
+    val frameHdr = "FRAME\n".getBytes("US-ASCII")
+    val ySize = w * h
+    val cSize = (w / 2) * (h / 2)
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + nFrames * (frameHdr.length + ySize + 2 * cSize))
+    out.put(header)
+    var f = 0
+    while (f < nFrames) {
+      out.put(frameHdr)
+      var yy = 0
+      while (yy < h) {
+        var x = 0
+        while (x < w) { out.put(lumaByte(id, f, x, yy).toByte); x += 1 }
+        yy += 1
+      }
+      var c = 0
+      while (c < 2 * cSize) { out.put(((f * 11 + c * 5 + id) % 256).toByte); c += 1 }
+      f += 1
+    }
+    out.array()
+  }
+
   /** Deterministic PCM sample formula — mirrored verbatim in the mm49
     * DuckDB oracle (the image-gradient idiom applied to audio): sample
     * value is a pure integer function of (id, channel, frame).

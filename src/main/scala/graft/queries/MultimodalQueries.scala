@@ -173,7 +173,32 @@ object MultimodalQueries extends QuerySet {
     "mm46_image_resize" -> (mm46 _),
     "mm47_image_phash_dedup" -> (mm47 _),
     "mm48_image_phash_near_pairs" -> (mm48 _),
-    "mm49_audio_decode" -> (mm49 _))
+    "mm49_audio_decode" -> (mm49 _),
+    "mm50_video_decode" -> (mm50 _))
+
+  /** REAL raw-video decode, driver-oracled (mm50): 64 synthetic Y4M
+    * streams (dimensions, frame counts AND every Y-plane byte pure
+    * integer functions of the id — the mm45/mm49 idiom applied to video)
+    * → `MediaCodec.decodeY4m` container parsing → exact integer luma
+    * stats. DuckDB recomputes them from the formula; a wrong header
+    * parse, frame walk or chroma-plane skip diverges (mis-sized chroma
+    * loses FRAME alignment and fails loud).
+    */
+  def mm50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Q.t(s, dir, "documents")
+      .filter(col("doc_id") < 64)
+      .select(col("doc_id").cast("long")).as[Long]
+    ids.map { i =>
+      val w = (8 + 2 * (i % 5)).toInt
+      val h = (8 + 2 * ((i * 3) % 5)).toInt
+      val nFrames = (2 + i % 4).toInt
+      val vid = SyntheticImages.y4m(i, w, h, nFrames)
+      val st = MediaCodec.decodeY4m(vid).getOrElse(
+        throw new IllegalStateException(s"undecodable synthetic y4m $i"))
+      (i, st.width, st.height, st.nFrames, st.ySum, st.ySumSq)
+    }.toDF("media_id", "width", "height", "n_frames", "y_sum", "y_sumsq")
+  }
 
   /** REAL PCM/WAV audio decode, driver-oracled (mm49): 64 synthetic WAV
     * containers (rate/channels/length AND every sample value pure integer
@@ -296,6 +321,21 @@ object MultimodalQueries extends QuerySet {
         |  CAST(SUM(v) AS BIGINT) AS sample_sum,
         |  CAST(SUM(v * v) AS BIGINT) AS sample_sumsq
         |FROM s GROUP BY i""".stripMargin,
+    "mm50_video_decode" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 64),
+        |cfg AS (SELECT i, CAST(8 + 2 * (i % 5) AS INTEGER) AS w,
+        |    CAST(8 + 2 * ((i * 3) % 5) AS INTEGER) AS h,
+        |    2 + i % 4 AS nf FROM ids),
+        |px AS (SELECT c.i, c.w, c.h, c.nf,
+        |    (x.x * 7 + y.y * 13 + f.f * 3 + c.i * 31) % 256 AS v
+        |  FROM cfg c, generate_series(0, 5) f(f),
+        |    generate_series(0, 15) x(x), generate_series(0, 15) y(y)
+        |  WHERE f.f < c.nf AND x.x < c.w AND y.y < c.h)
+        |SELECT i AS media_id, MAX(w) AS width, MAX(h) AS height,
+        |  CAST(MAX(nf) AS BIGINT) AS n_frames,
+        |  CAST(SUM(v) AS BIGINT) AS y_sum,
+        |  CAST(SUM(v * v) AS BIGINT) AS y_sumsq
+        |FROM px GROUP BY i""".stripMargin,
     "mm48_image_phash_near_pairs" ->
       """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 64),
         |p AS (SELECT i, i % 32 AS j,

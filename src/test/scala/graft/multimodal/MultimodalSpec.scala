@@ -206,4 +206,25 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(st8.bitsPerSample == 8 && st8.nFrames == 4L)
     assert(st8.sampleSum == (-128L + 0 + 127 + 2) && st8.peakAbs == 128)
   }
+
+  test("real Y4M decode: container parse recovers the synthetic luma formula exactly") {
+    val vid = SyntheticImages.y4m(id = 3L, w = 10, h = 8, nFrames = 3)
+    val st = MediaCodec.decodeY4m(vid).get
+    assert(st.width == 10 && st.height == 8 && st.nFrames == 3L)
+    val lumas = for (f <- 0 until 3; y <- 0 until 8; x <- 0 until 10)
+      yield SyntheticImages.lumaByte(3L, f, x, y)
+    assert(st.ySum == lumas.map(_.toLong).sum)
+    assert(st.ySumSq == lumas.map(v => v.toLong * v).sum)
+    // truncated stream (half a frame) fails loud, never a partial count
+    assert(MediaCodec.decodeY4m(vid.take(vid.length - 5)).isEmpty)
+    // non-Y4M payloads are None
+    assert(MediaCodec.decodeY4m("RIFF....WAVE".getBytes).isEmpty)
+    // mono chroma layout: no chroma planes to skip
+    val header = "YUV4MPEG2 W4 H2 F25:1 Cmono\n".getBytes("US-ASCII")
+    val frame = "FRAME\n".getBytes("US-ASCII") ++
+      Array.tabulate[Byte](8)(k => (k * 10).toByte)
+    val mono = header ++ frame ++ frame
+    val m = MediaCodec.decodeY4m(mono).get
+    assert(m.nFrames == 2L && m.ySum == 2L * (0 to 7).map(_ * 10).sum)
+  }
 }
