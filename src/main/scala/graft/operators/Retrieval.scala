@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword and hybrid retrieval over a document corpus — the search-side
+  * complement of the embedding stack in [[Ann]] (dense retrieval) and the
+  * pairwise TF-IDF similarity in [[TextAnalysis.tfidfPairsFromCounts]].
+  * A training-data pipeline needs exactly this pair for corpus QA and for
+  * RAG-style evaluation sets: score documents against a keyword query
+  * (BM25), and fuse the keyword ranking with a dense-vector ranking
+  * (reciprocal-rank fusion) into one list.
+  *
+  * Scale contracts (100 TB stance):
+  *  - [[bm25Rank]] runs ONE corpus-wide token-keyed exchange (the document
+  *    -frequency census — partial-aggregated, so the shuffle carries the
+  *    vocabulary, not the token stream). Everything query-sized is
+  *    broadcast: the query's terms semi-join the census, and the resulting
+  *    ≤|query| (token, df) rows broadcast back onto the per-document tf
+  *    frame, which is a shuffle-free projection off the scan
+  *    (`graft_tf`, the td45 machinery). The final top-k is
+  *    `TakeOrderedAndProject` — per-partition heaps, no global sort.
+  *  - BM25 arithmetic is INTEGER-exact, not float: with k1 = 1.2 and
+  *    b = 0.75 the score term
+  *    `idf · tf(k1+1) / (tf + k1(1 − b + b·dl/avgdl))` clears to the
+  *    rational `[22·T·tf / (10·T·tf + 3·T + 9·N·dl)] · [(2N−2df+1) /
+  *    (2df+1)]` (avgdl = T/N multiplied through; idf is the
+  *    Robertson–Sparck-Jones form without the log, exact as a ratio), and
+  *    each factor is floor-quantized at `quantScale` in 64-bit integer
+  *    division. Identical longs in any engine — the DuckDB oracle
+  *    hash-matches bit-for-bit, and no float summation-order hazard
+  *    exists at any partitioning.
+  *  - [[rrfFuse]] consumes two RANKED lists (k-sized by construction), so
+  *    its join is trivially small; `1/(K+rank)` on integer ranks is one
+  *    correctly-rounded IEEE division per side and a fixed-order two-term
+  *    sum — deterministic across engines without quantization.
+  */
+object Retrieval {
+
+  /** BM25 top-k document retrieval for one keyword query.
+    *
+    * @param docs   corpus; one row per document
+    * @param query  single-column frame of query terms (column `token`);
+    *               must be model-sized (it is broadcast)
+    * @param topK   result depth
+    * @param quantScale fixed-point scale for each of the two quantized
+    *               factors (score resolution ~ quantScale², default 1024)
+    * @return (rank, doc_id, bm25q) — bm25q is the quantized integer score
+    */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+      query: DataFrame, topK: Int, quantScale: Long = 1024L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val F = graft.functions.GraftFunctions
+    val toks = split(col(textCol), " ")
+    // N and T are corpus scalars (two model-sized driver values, the
+    // nDocs-precedent of tfidfPairsFromCounts)
+    val row = docs.agg(count(lit(1)).as("n"),
+      sum(size(toks).cast("long")).as("t")).head
+    val nDocs = row.getLong(0)
+    val totTok = row.getLong(1)
+    require(nDocs >= 1, "bm25Rank: empty corpus")
+    // per-document tf: one fused projection (graft_tf carries n_terms =
+    // dl inside each struct) — zero pre-join shuffles
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(F.termFreq(toks)).as("t"))
+      .select(col("doc_id"), col("t.token").as("token"),
+        col("t.tf").as("tf"), col("t.n_terms").as("dl"))
+    // corpus-wide df census (tf rows are (doc, token)-distinct, so a
+    // plain count IS the document frequency), cut to the query's terms
+    // and broadcast back
+    val census = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .join(broadcast(query.select("token").distinct()), Seq("token"))
+    val q = quantScale
+    val scored = tf.join(broadcast(census), Seq("token"))
+      .withColumn("tfq",
+        expr(s"(22L * ${totTok}L * tf * ${q}L) DIV " +
+          s"(10L * ${totTok}L * tf + 3L * ${totTok}L + 9L * ${nDocs}L * dl)"))
+      .withColumn("idfq",
+        expr(s"((2L * ${nDocs}L - 2L * df + 1L) * ${q}L) DIV (2L * df + 1L)"))
+      .groupBy("doc_id")
+      .agg(sum(col("tfq") * col("idfq")).as("bm25q"))
+    val top = scored
+      .orderBy(col("bm25q").desc, col("doc_id").asc).limit(topK)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25q").desc,
+          col("doc_id").asc)))
+      .select(col("rank"), col("doc_id"), col("bm25q"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists (Cormack 2009):
+    * `score(id) = Σ_lists 1/(rrfK + rank)`, absent-from-a-list
+    * contributing 0. Inputs are (id, rank) frames — k-sized by
+    * construction (they come out of top-k searches), so the full-outer
+    * join is trivially small at any corpus scale; the fusion constant
+    * rrfK = 60 is the published default.
+    *
+    * @return (rank, id, rrf) — rrf is the fused double score
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, topK: Int,
+      rrfK: Int = 60): DataFrame = {
+    val fa = a.select(col("id"), col("rank").as("rank_a"))
+    val fb = b.select(col("id"), col("rank").as("rank_b"))
+    val fused = fa.join(fb, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_b")), lit(0.0)))
+    val top = fused.orderBy(col("rrf").desc, col("id").asc).limit(topK)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("id").asc)))
+      .select(col("rank"), col("id"), col("rrf"))
+  }
+}

@@ -740,4 +740,72 @@ object TextAnalysis {
       aggregate(words, lit(0), (acc, w) => acc + wordSymbols(w))
         .cast("long").as("n_bpe_symbols"))
   }
+
+  /** Bigram language-model quality scoring with stupid backoff (Brants
+    * 2007, α = 0.4) — the KenLM-perplexity stand-in a CCNet-style
+    * curation pipeline ranks documents with, trained and applied fully
+    * in-engine. `train` supplies the counts; every `test` document gets
+    * its mean per-position log₂-probability under
+    *   P(w|prev) = c(prev,w)/c(prev)          if the bigram was seen,
+    *             = 0.4·c(w)/T                 backoff to the unigram,
+    *             = 0.4·(1/2)/T = 1/(5T)       unseen word (half-count),
+    * every case an EXACT integer rational. The per-position value is
+    * floor-quantized (`floor(log₂(num/den)·quantScale)` — num/den is one
+    * correctly-rounded IEEE division, so both engines hash-match) and the
+    * per-document total is an integer sum: no float summation-order
+    * hazard at any partitioning.
+    *
+    * Scale: the train side is two token-keyed partial-aggregated censuses
+    * (shuffles carry the vocabulary/bigram vocabulary, not the token
+    * stream — the `graft_tf` projection pre-aggregates per document); the
+    * test side is three key-bounded shuffle-hash joins (bigram, prev,
+    * word) and one per-document aggregate. No broadcast of anything
+    * corpus-sized; a hot vocabulary key is a count row, not a row set.
+    *
+    * @return (doc_id, n_bigrams, sum_lpq, avg_lp) — avg_lp is
+    *         sum_lpq/quantScale/n_bigrams rounded to 4 decimals; docs
+    *         with fewer than 2 tokens have no bigrams and are absent
+    */
+  def lmDocScore(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, quantScale: Long = 1024L): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val F = graft.functions.GraftFunctions
+    val uni = train
+      .select(explode(F.termFreq(toks(col(textCol)))).as("t"))
+      .groupBy(col("t.token").as("token"))
+      .agg(sum(col("t.tf")).as("ucnt"))
+    val totTok = train
+      .agg(sum(size(toks(col(textCol))).cast("long"))).head.getLong(0)
+    val bi = train
+      .select(explode(F.termFreq(F.bigrams(col(textCol)))).as("t"))
+      .groupBy(col("t.token").as("bg"))
+      .agg(sum(col("t.tf")).as("bcnt"))
+    // test grain: one row per DISTINCT (doc, bigram) with its tf — the
+    // position stream never shuffles, only its per-doc census does
+    val docBg = test.select(col(idCol).as("doc_id"),
+        explode(F.termFreq(F.bigrams(col(textCol)))).as("t"))
+      .select(col("doc_id"), col("t.token").as("bg"),
+        col("t.tf").as("tf"), col("t.n_terms").as("nbg"))
+      .withColumn("prev", substring_index(col("bg"), " ", 1))
+      .withColumn("w", substring_index(col("bg"), " ", -1))
+    val joined = docBg
+      .join(bi.hint("shuffle_hash"), Seq("bg"), "left")
+      .join(uni.select(col("token").as("prev"), col("ucnt").as("pcnt"))
+        .hint("shuffle_hash"), Seq("prev"), "left")
+      .join(uni.select(col("token").as("w"), col("ucnt").as("wcnt"))
+        .hint("shuffle_hash"), Seq("w"), "left")
+      .withColumn("num", when(col("bcnt").isNotNull, col("bcnt"))
+        .when(col("wcnt").isNotNull, col("wcnt") * 2)
+        .otherwise(lit(1L)))
+      .withColumn("den", when(col("bcnt").isNotNull, col("pcnt"))
+        .otherwise(lit(5L * totTok)))
+      .withColumn("lpq",
+        floor(log2(col("num").cast("double") / col("den").cast("double"))
+          * quantScale).cast("long"))
+    joined.groupBy("doc_id")
+      .agg(max(col("nbg")).as("n_bigrams"),
+        sum(col("tf") * col("lpq")).as("sum_lpq"))
+      .withColumn("avg_lp",
+        round(col("sum_lpq") / lit(quantScale.toDouble) / col("n_bigrams"), 4))
+  }
 }

@@ -550,6 +550,49 @@ object StreamingQueries extends QuerySet {
     graph
   }
 
+  /** Streaming watermarked record dedup (st58): the events feed REPLAYED
+    * 2× (every event_id arrives twice, replicas scattered across three
+    * staged files drained `maxFilesPerTrigger=1`, so a replica can land
+    * in a LATER micro-batch than its original) and deduplicated with
+    * Spark's built-in `dropDuplicatesWithinWatermark` — the state-store
+    * primitive st48's custom keyed-state stream hand-rolls, exercised
+    * here directly. The watermark delay exceeds the fixture's whole time
+    * span, so no dedup state evicts mid-drain and the drain must emit
+    * EXACTLY one row per distinct event_id: parity-`require`d on both
+    * the count and the identity set against the batch distinct. At 100 TB
+    * the delay is the knob: state is bounded by keys inside the
+    * watermark horizon, and a replay beyond the horizon re-emits —
+    * the documented at-least-once tradeoff of bounded state.
+    */
+  def st58(s: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val staged = tmp(s"graft_st58_feed_$key")
+    val ev = Q.t(s, dir, "events")
+    ev.unionByName(ev).repartitionByRange(3, col("event_id"))
+      .write.mode("overwrite").parquet(staged)
+    val schema = s.read.parquet(staged).schema
+    val feed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val deduped = feed
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("st58_dedup")
+      .option("checkpointLocation", tmp("graft_st58_ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = s.table("st58_dedup")
+    val batchIds = Q.t(s, dir, "events").select("event_id").distinct()
+    val n = streamed.count()
+    val expected = batchIds.count()
+    val missing = batchIds.except(streamed.select("event_id")).count()
+    require(n == expected && missing == 0,
+      s"watermarked dedup over the 2x replay emitted $n rows " +
+        s"(missing=$missing), batch distinct has $expected")
+    streamed
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st47_stream_silver_drain" -> (st47 _),
     "st48_stream_dedup_replay" -> (st48 _),
@@ -561,7 +604,8 @@ object StreamingQueries extends QuerySet {
     "st54_stream_stream_join" -> (st54 _),
     "st55_stream_sliding_windows" -> (st55 _),
     "st56_stream_gold_maintenance" -> (st56 _),
-    "st57_stream_knn_graph" -> (st57 _))
+    "st57_stream_knn_graph" -> (st57 _),
+    "st58_stream_watermark_dedup" -> (st58 _))
 
   // no DuckDB oracles: streaming drains are rows-only by design; the parity
   // require()s above carry the correctness assertion

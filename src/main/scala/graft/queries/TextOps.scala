@@ -412,6 +412,70 @@ object TextOps extends QuerySet {
       .localCheckpoint(false)
   }
 
+  /** BM25 keyword retrieval (td49): doc 0's distinct tokens as the query,
+    * top-10 documents by integer-exact quantized BM25 (k1 = 1.2, b = 0.75
+    * cleared to the 22/10/3/9 rational — see `Retrieval.bm25Rank`). The
+    * whole score path is 64-bit integer arithmetic, so the DuckDB oracle
+    * hash-matches without any float tolerance.
+    */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(s, dir, "documents")
+    val query = docs.filter(col("doc_id") === 0)
+      .select(explode(tokens).as("token")).distinct()
+    graft.operators.Retrieval.bm25Rank(docs, "doc_id", "text", query,
+      topK = 10)
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (td50): the td49 keyword
+    * ranking (depth 50) fused with a dense cosine ranking (vec_id 0's
+    * embedding against the embeddings corpus, sim36's machinery, depth
+    * 50) — `1/(60+rank)` summed per id, top-10. Rank lists are integer
+    * and the fusion is two correctly-rounded IEEE divisions in fixed
+    * order, so the fused doubles are engine-exact.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Q.t(s, dir, "documents")
+    val query = docs.filter(col("doc_id") === 0)
+      .select(explode(tokens).as("token")).distinct()
+    val keyword = graft.operators.Retrieval
+      .bm25Rank(docs, "doc_id", "text", query, topK = 50)
+      .select(col("doc_id").as("id"), col("rank"))
+    val emb = Q.t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val dense = graft.operators.Ann
+      .cosineTopK(emb, "vec_id", "emb", col("vec_id") === 0, k = 50)
+      .select(col("neighbor_id").as("id"), col("rank"))
+    graft.operators.Retrieval.rrfFuse(keyword, dense, topK = 10)
+  }
+
+  /** Bigram-LM quality scoring (td51): stupid-backoff LM trained on the
+    * even-doc_id half, every document scored by mean quantized
+    * log₂-probability — the KenLM-style perplexity rank a CCNet curation
+    * pipeline sorts a crawl by. Odd documents exercise the real backoff
+    * paths (unseen bigrams and unseen words against the train censuses).
+    */
+  def lmQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(s, dir, "documents")
+    graft.operators.TextAnalysis.lmDocScore(
+      train = docs.filter(col("doc_id") % 2 === 0), test = docs,
+      "doc_id", "text")
+  }
+
+  /** Naive Bayes text classification (td52): a multinomial NB language
+    * classifier trained on the even-doc_id half (label = the `lang`
+    * column) predicts a language for EVERY document — the fastText-style
+    * classifier gate of a curation pipeline, fully in-engine and fully
+    * hash-oracled (training is integer counting, scoring is quantized
+    * integer log-likelihood sums, the argmax is exact).
+    */
+  def nbLangClassify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(s, dir, "documents")
+    graft.operators.Classification.nbClassify(
+      train = docs.filter(col("doc_id") % 2 === 0), test = docs,
+      "doc_id", "text", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_functions" -> (q20 _),
     "q25_array_hof" -> (q25 _),
@@ -437,7 +501,11 @@ object TextOps extends QuerySet {
     "td45_tfidf_pairs" -> (q45 _),
     "td46_chunking" -> (q46 _),
     "td47_rag_ingest" -> (ragIngest _),
-    "td48_rag_retrieve" -> (ragRetrieve _))
+    "td48_rag_retrieve" -> (ragRetrieve _),
+    "td49_bm25_topk" -> (bm25TopK _),
+    "td50_hybrid_rrf" -> (hybridRrf _),
+    "td51_lm_quality" -> (lmQuality _),
+    "td52_nb_classify" -> (nbLangClassify _))
 
   /** One BPE round's census/top-pair/merge as DuckDB CTEs (shared by the
     * td41/td42 oracles): `wn` = the (w, cnt) state, producing pair census
@@ -498,7 +566,129 @@ object TextOps extends QuerySet {
       |   (PARTITION BY cid ORDER BY cos_full DESC, centroid_id ASC) AS rn
       |  FROM scored) WHERE rn = 1)""".stripMargin
 
+  /** Shared td49/td50 oracle prefix: whitespace tf + corpus scalars + df
+    * census + doc-0 query terms + the integer-quantized BM25 contribution
+    * (the same 22/10/3/9 rational and two `//` floors as
+    * `Retrieval.bm25Rank`) summed per document.
+    */
+  private val bm25BaseSql =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+      |  CAST(sum(len(sp)) AS BIGINT) AS tt FROM d),
+      |tok AS (SELECT doc_id, unnest(sp) AS token, len(sp) AS dl FROM d),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf,
+      |  max(dl) AS dl FROM tok GROUP BY 1, 2),
+      |dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |qt AS (SELECT DISTINCT unnest(sp) AS token FROM d WHERE doc_id = 0),
+      |sc AS (SELECT tf.doc_id,
+      |  ((22 * nn.tt * tf.tf * 1024) //
+      |    (10 * nn.tt * tf.tf + 3 * nn.tt + 9 * nn.nd * tf.dl))
+      |  * (((2 * nn.nd - 2 * dfc.df + 1) * 1024) // (2 * dfc.df + 1)) AS contrib
+      | FROM tf JOIN qt USING (token) JOIN dfc USING (token), nn),
+      |agg AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS bm25q
+      | FROM sc GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "td49_bm25_topk" ->
+      s"""WITH $bm25BaseSql
+         |SELECT rank, doc_id, bm25q FROM (
+         |  SELECT CAST(row_number() OVER
+         |    (ORDER BY bm25q DESC, doc_id ASC) AS INTEGER) AS rank,
+         |   doc_id, bm25q FROM agg)
+         |WHERE rank <= 10""".stripMargin,
+    "td50_hybrid_rrf" ->
+      s"""WITH $bm25BaseSql,
+         |bm AS (SELECT doc_id AS id, CAST(row_number() OVER
+         |   (ORDER BY bm25q DESC, doc_id ASC) AS INTEGER) AS rank_a
+         |  FROM agg ORDER BY bm25q DESC, doc_id ASC LIMIT 50),
+         |e AS (SELECT vec_id,
+         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+         | FROM embeddings),
+         |w AS (SELECT vec_id, emb,
+         |  sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
+         |qv AS (SELECT emb AS q_emb, norm AS q_norm FROM w WHERE vec_id = 0),
+         |scored AS (SELECT w.vec_id,
+         |  list_sum([w.emb[i] * qv.q_emb[i] for i in range(1, 65)])
+         |    / (w.norm * qv.q_norm) AS cos_full
+         | FROM w, qv WHERE w.vec_id <> 0),
+         |vr AS (SELECT vec_id AS id, CAST(row_number() OVER
+         |   (ORDER BY cos_full DESC, vec_id ASC) AS INTEGER) AS rank_b
+         |  FROM scored ORDER BY cos_full DESC, vec_id ASC LIMIT 50),
+         |f AS (SELECT COALESCE(bm.id, vr.id) AS id,
+         |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + bm.rank_a), CAST(0 AS DOUBLE))
+         |  + COALESCE(CAST(1.0 AS DOUBLE) / (60 + vr.rank_b), CAST(0 AS DOUBLE))
+         |    AS rrf
+         | FROM bm FULL OUTER JOIN vr ON bm.id = vr.id)
+         |SELECT rank, id, rrf FROM (
+         |  SELECT CAST(row_number() OVER
+         |    (ORDER BY rrf DESC, id ASC) AS INTEGER) AS rank, id, rrf FROM f)
+         |WHERE rank <= 10""".stripMargin,
+    "td52_nb_classify" ->
+      """WITH tr AS (SELECT lang AS label, string_split(text, ' ') AS sp
+        | FROM documents WHERE doc_id % 2 = 0),
+        |cnt AS (SELECT label, t AS token, CAST(count(*) AS BIGINT) AS c
+        | FROM (SELECT label, unnest(sp) AS t FROM tr) GROUP BY 1, 2),
+        |ls AS (SELECT label, CAST(count(*) AS BIGINT) AS docs_l,
+        |  CAST(sum(len(sp)) AS BIGINT) AS tok_l FROM tr GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+        |v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM cnt),
+        |lbl AS (SELECT label,
+        |  CAST(floor(log2(CAST(docs_l AS DOUBLE) / nt.n) * 1024) AS BIGINT)
+        |    AS prior_q,
+        |  CAST(floor(log2(CAST(tok_l + v.v AS DOUBLE)) * 1024) AS BIGINT)
+        |    AS rate_q
+        | FROM ls, nt, v),
+        |te AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf,
+        |  max(nd) AS n_d
+        | FROM (SELECT doc_id, unnest(sp) AS token, len(sp) AS nd FROM te)
+        | GROUP BY 1, 2),
+        |seen AS (SELECT tf.doc_id, cnt.label,
+        |  CAST(SUM(tf.tf * CAST(floor(log2(CAST(cnt.c + 1 AS DOUBLE)) * 1024)
+        |    AS BIGINT)) AS BIGINT) AS seen_q
+        | FROM tf JOIN cnt USING (token) GROUP BY 1, 2),
+        |nd AS (SELECT doc_id, max(n_d) AS n_d FROM tf GROUP BY 1),
+        |base AS (SELECT nd.doc_id, lbl.label,
+        |  lbl.prior_q - nd.n_d * lbl.rate_q AS base_q FROM nd, lbl),
+        |sc AS (SELECT b.doc_id, b.label,
+        |  b.base_q + COALESCE(s.seen_q, 0) AS score_q
+        | FROM base b LEFT JOIN seen s
+        |  ON b.doc_id = s.doc_id AND b.label = s.label)
+        |SELECT doc_id, label AS pred_label, score_q FROM (
+        |  SELECT *, row_number() OVER
+        |   (PARTITION BY doc_id ORDER BY score_q DESC, label ASC) AS rn
+        |  FROM sc)
+        |WHERE rn = 1""".stripMargin,
+    "td51_lm_quality" ->
+      """WITH tr AS (SELECT string_split(text, ' ') AS sp
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |u AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS ucnt
+        | FROM (SELECT unnest(sp) AS t FROM tr) GROUP BY 1),
+        |ttok AS (SELECT CAST(sum(len(sp)) AS BIGINT) AS tot FROM tr),
+        |b AS (SELECT sp[i] || ' ' || sp[i+1] AS bg,
+        |  CAST(count(*) AS BIGINT) AS bcnt
+        | FROM tr, unnest(range(1, len(sp))) g(i) GROUP BY 1),
+        |te AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |dbg AS (SELECT doc_id, sp[i] AS prev, sp[i+1] AS w,
+        |  CAST(len(sp) - 1 AS BIGINT) AS nbg
+        | FROM te, unnest(range(1, len(sp))) g(i)),
+        |j AS (SELECT d.doc_id, d.nbg,
+        |  CASE WHEN bb.bcnt IS NOT NULL THEN bb.bcnt
+        |       WHEN uw.ucnt IS NOT NULL THEN 2 * uw.ucnt ELSE 1 END AS num,
+        |  CASE WHEN bb.bcnt IS NOT NULL THEN up.ucnt
+        |       ELSE 5 * ttok.tot END AS den
+        | FROM dbg d
+        | LEFT JOIN b bb ON d.prev || ' ' || d.w = bb.bg
+        | LEFT JOIN u up ON d.prev = up.token
+        | LEFT JOIN u uw ON d.w = uw.token, ttok),
+        |lq AS (SELECT doc_id, nbg,
+        |  CAST(floor(log2(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 1024)
+        |    AS BIGINT) AS lpq FROM j)
+        |SELECT doc_id, max(nbg) AS n_bigrams,
+        |  CAST(SUM(lpq) AS BIGINT) AS sum_lpq,
+        |  round(CAST(SUM(lpq) AS BIGINT) / CAST(1024.0 AS DOUBLE)
+        |    / max(nbg), 4) AS avg_lp
+        |FROM lq GROUP BY doc_id""".stripMargin,
     "td47_rag_ingest" ->
       s"""WITH $ragBaseSql
          |SELECT cid, centroid_id, round(cos_full, 4) AS cos FROM asg""".stripMargin,

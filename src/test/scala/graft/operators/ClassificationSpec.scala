@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class ClassificationSpec extends AnyFunSuite with SparkTestBase {
+
+  private def lq(x: Double): Long =
+    math.floor(math.log(x) / math.log(2.0) * 1024).toLong
+
+  test("nbClassify separates two classes on disjoint vocabulary") {
+    import spark.implicits._
+    val train = Seq(
+      (0L, "apple banana apple", "fruit"),
+      (2L, "banana apple banana", "fruit"),
+      (4L, "bolt nut bolt", "hardware"),
+      (6L, "nut bolt nut", "hardware")).toDF("doc_id", "text", "label")
+    val test = Seq(
+      (1L, "apple apple banana"),
+      (3L, "bolt nut")).toDF("doc_id", "text")
+    val out = Classification
+      .nbClassify(train, test, "doc_id", "text", "label")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "fruit", 3L -> "hardware"))
+  }
+
+  test("nbClassify: all-unseen tokens fall back to prior + length penalty") {
+    import spark.implicits._
+    // priors: a=2/3 docs, b=1/3; vocab V=2, T_a=2, T_b=1 → rate terms
+    // log2(4) vs log2(3). For an unseen-token doc the score is
+    // prior_q − n_d·rate_q exactly (seen sum empty).
+    val train = Seq(
+      (0L, "x x", "a"), (2L, "x", "a"), (4L, "y", "b"))
+      .toDF("doc_id", "text", "label")
+    // T_a = 3 (x x + x), T_b = 1, V = 2
+    val test = Seq((1L, "zz qq")).toDF("doc_id", "text")
+    val r = Classification
+      .nbClassify(train, test, "doc_id", "text", "label").head()
+    val scoreA = lq(2.0 / 3) - 2 * lq(5.0) // prior 2/3, T_a+V = 5
+    val scoreB = lq(1.0 / 3) - 2 * lq(3.0) // prior 1/3, T_b+V = 3
+    val expected = if (scoreA >= scoreB) ("a", scoreA) else ("b", scoreB)
+    assert((r.getString(1), r.getLong(2)) == expected)
+  }
+
+  test("nbClassify tiebreak: equal scores pick the ascending label") {
+    import spark.implicits._
+    // perfectly symmetric classes → identical scores for a symmetric doc
+    val train = Seq(
+      (0L, "p", "l1"), (2L, "q", "l2")).toDF("doc_id", "text", "label")
+    val test = Seq((1L, "p q")).toDF("doc_id", "text")
+    val r = Classification
+      .nbClassify(train, test, "doc_id", "text", "label").head()
+    assert(r.getString(1) == "l1")
+  }
+}

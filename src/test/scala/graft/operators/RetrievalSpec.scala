@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class RetrievalSpec extends AnyFunSuite with SparkTestBase {
+
+  test("bm25Rank ranks the rare-term match above the common-term match") {
+    import spark.implicits._
+    // "zebra" appears in one doc, "the" in all four; a query containing
+    // both must rank the zebra doc first (idf dominates), and a doc
+    // matching neither must be absent
+    val docs = Seq(
+      (0L, "the zebra runs"),
+      (1L, "the the the the cat"),
+      (2L, "the dog sits"),
+      (3L, "fox jumps high")).toDF("doc_id", "text")
+    val query = Seq("the", "zebra").toDF("token")
+    val out = Retrieval.bm25Rank(docs, "doc_id", "text", query, topK = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toList
+    assert(out.map(_._2).head == 0L, s"zebra doc should rank first: $out")
+    assert(!out.map(_._2).contains(3L), "no-match doc must be absent")
+    assert(out.map(_._1) == (1 to out.size).toList, "ranks are dense from 1")
+  }
+
+  test("bm25Rank length normalization: same tf ranks the shorter doc higher") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple pie"),
+      (1L, "apple " + ("filler " * 40).trim),
+      (2L, "nothing here")).toDF("doc_id", "text")
+    val query = Seq("apple").toDF("token")
+    val out = Retrieval.bm25Rank(docs, "doc_id", "text", query, topK = 10)
+      .collect().map(_.getLong(1)).toList
+    assert(out == List(0L, 1L))
+  }
+
+  test("rrfFuse: both-list ids beat single-list ids; absent side contributes 0") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val b = Seq((11L, 1), (13L, 2)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(a, b, topK = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    val m = out.toMap
+    // 11 is rank 2 + rank 1 = 1/62 + 1/61 — the only both-list id, top
+    assert(out.head._1 == 11L)
+    assert(math.abs(m(11L) - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(math.abs(m(10L) - 1.0 / 61) < 1e-15)
+    assert(math.abs(m(13L) - 1.0 / 62) < 1e-15)
+    assert(out.size == 4)
+  }
+
+  test("lmDocScore: seen / backoff / unseen paths produce the hand-computed quantized logs") {
+    import spark.implicits._
+    // train: "a b a b" + "a c" → T = 6, ucnt: a=3, b=2, c=1
+    // bigrams: "a b"×2, "b a"×1, "a c"×1
+    val train = Seq((0L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // test doc 1 "a b" : seen bigram, P = c(a b)/c(a) = 2/3
+    // test doc 3 "b c" : unseen bigram, seen word c, P = 2*1/(5*6) = 1/15
+    // test doc 5 "a z" : unseen word z, P = 1/(5*6) = 1/30
+    val test = Seq((1L, "a b"), (3L, "b c"), (5L, "a z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmDocScore(train, test, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    def lpq(num: Double, den: Double): Long =
+      math.floor(math.log(num / den) / math.log(2.0) * 1024).toLong
+    assert(out(1L) == ((1L, lpq(2, 3))))
+    assert(out(3L) == ((1L, lpq(2, 30))))
+    assert(out(5L) == ((1L, lpq(1, 30))))
+  }
+
+  test("lmDocScore: multi-position docs integer-sum per-position quantized logs") {
+    import spark.implicits._
+    val train = Seq((0L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // "a b a" = positions (a b), (b a): P = 2/3 and 1/2
+    val test = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val r = TextAnalysis.lmDocScore(train, test, "doc_id", "text")
+      .head()
+    def lpq(num: Double, den: Double): Long =
+      math.floor(math.log(num / den) / math.log(2.0) * 1024).toLong
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == lpq(2, 3) + lpq(1, 2))
+    assert(math.abs(r.getDouble(3) -
+      BigDecimal((lpq(2, 3) + lpq(1, 2)) / 1024.0 / 2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+}
