@@ -47,7 +47,13 @@ object BenchHeavy {
     // multiply each rare term's df against the maxDf cap (td45) and the
     // per-pair document counts (q51)
     "td45_tfidf_pairs",
-    "q51_cooccurrence")
+    "q51_cooccurrence",
+    // r8 late additions: the two corpus-proportional model operators —
+    // LM scoring joins every test bigram against the train censuses and
+    // NB classification scores every (doc, seen-token) pair, so both
+    // scale with the replicated corpus, not the query
+    "td51_lm_quality",
+    "td52_nb_classify")
   // dd45 composes the same recursive-CTE closure as dd36 — both oracles
   // are infeasible at the 10x tier (which is itself the scale point)
   private val oracleExcluded = Set("dd36_dup_clusters", "dd45_neardedup_pipeline")

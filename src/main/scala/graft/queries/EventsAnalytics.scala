@@ -190,6 +190,24 @@ object EventsAnalytics extends QuerySet {
   private def try_cast(c: org.apache.spark.sql.Column, to: String) =
     c.try_cast(to)
 
+  /** VariantType path (q57): the Spark 4 semi-structured column type —
+    * `parse_json` once into a binary variant, then typed `variant_get`
+    * extraction, vs q22's per-access string re-parse
+    * (`get_json_object`). At 100 TB the difference is material: a
+    * variant column parses each JSON document ONCE at ingest and every
+    * downstream extraction is a binary offset walk, while the string
+    * form re-tokenizes the document per extraction per query. The
+    * rollup result is identical to the string path by construction —
+    * which is exactly what the oracle hash pins.
+    */
+  def q57(s: SparkSession, dir: String): DataFrame =
+    Q.t(s, dir, "events")
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", variant_get(col("v"), "$.k", "int"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("k")).cast("long").as("sum_k"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_latest_per_key" -> (q10 _),
     "q11_hourly_rollup" -> (q11 _),
@@ -203,9 +221,16 @@ object EventsAnalytics extends QuerySet {
     "q21_date_functions" -> (q21 _),
     "q22_json_extract" -> (q22 _),
     "q23_ratio_guard" -> (q23 _),
-    "q24_nullsafe_cast" -> (q24 _))
+    "q24_nullsafe_cast" -> (q24 _),
+    "q57_variant_extract" -> (q57 _))
 
   val oracles: Map[String, String] = Map(
+    "q57_variant_extract" ->
+      """SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+        | count(*) AS cnt,
+        | CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+        |   AS sum_k
+        |FROM events GROUP BY 1""".stripMargin,
     "q10_latest_per_key" ->
       """SELECT user_id, event_id, ts, event_type, value FROM (
         | SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

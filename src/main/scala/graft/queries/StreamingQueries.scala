@@ -593,6 +593,57 @@ object StreamingQueries extends QuerySet {
     streamed
   }
 
+  /** Arbitrary-state v2 (st59): per-user running counts via the Spark 4
+    * `transformWithState` API (`EventStreaming.runningCounts` — named
+    * typed `ValueState`, RocksDB state store), the successor of st48's
+    * `flatMapGroupsWithState`. The events feed arrives as three staged
+    * files drained `maxFilesPerTrigger=1`, so keys accumulate state
+    * ACROSS triggers and the emitted (user, count) rows are a monotone
+    * trace; `max` per user over the drain must equal the batch
+    * `groupBy(user).count()` exactly — count-trace parity `require`d on
+    * the full key set.
+    */
+  def st59(s: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val staged = tmp(s"graft_st59_feed_$key")
+    Q.t(s, dir, "events").repartitionByRange(3, col("event_id"))
+      .write.mode("overwrite").parquet(staged)
+    val prevProvider =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = s.read.parquet(staged).schema
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val q = EventStreaming.runningCounts(feed)
+        .toDF("user_id", "running_cnt")
+        .writeStream.format("memory").queryName("st59_counts")
+        .option("checkpointLocation", tmp("graft_st59_ckpt"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamed = s.table("st59_counts")
+        .groupBy("user_id").agg(max(col("running_cnt")).as("n_events"))
+      val twin = Q.t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      val missing = twin.except(streamed).count()
+      val extra = streamed.except(twin).count()
+      require(missing == 0 && extra == 0,
+        s"transformWithState running counts diverged from the batch " +
+          s"aggregate: missing=$missing extra=$extra")
+      streamed
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st47_stream_silver_drain" -> (st47 _),
     "st48_stream_dedup_replay" -> (st48 _),
@@ -605,7 +656,8 @@ object StreamingQueries extends QuerySet {
     "st55_stream_sliding_windows" -> (st55 _),
     "st56_stream_gold_maintenance" -> (st56 _),
     "st57_stream_knn_graph" -> (st57 _),
-    "st58_stream_watermark_dedup" -> (st58 _))
+    "st58_stream_watermark_dedup" -> (st58 _),
+    "st59_transform_with_state" -> (st59 _))
 
   // no DuckDB oracles: streaming drains are rows-only by design; the parity
   // require()s above carry the correctness assertion

@@ -193,4 +193,42 @@ object EventStreaming {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Per-key running event counts on the Spark 4 arbitrary-state v2 API
+    * (`transformWithState` + `StatefulProcessor` + typed `ValueState`) —
+    * the successor of `flatMapGroupsWithState` (dedupStream's API): state
+    * variables are named and typed, TTL is first-class, and the state
+    * store is RocksDB-backed (the caller must set
+    * `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+    * provider — transformWithState refuses the default HDFS store).
+    * Emits (user_id, running count) at every trigger a key receives
+    * rows, so the emitted counts are a monotone trace of the state —
+    * `max` per key over the drained output IS the final count, which is
+    * what st59 asserts against the batch aggregate. At 100 TB state is
+    * one long per active key, and TTLConfig bounds key lifetime the way
+    * the watermark bounds dropDuplicatesWithinWatermark.
+    */
+  def runningCounts(events: DataFrame, keyCol: String = "user_id")
+      : Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+    events.select(col(keyCol).cast("long")).as[Long]
+      .groupByKey(identity)
+      .transformWithState(
+        new StatefulProcessor[Long, Long, (Long, Long)] {
+          @transient private var cnt: ValueState[Long] = _
+          override def init(outputMode: OutputMode,
+              timeMode: TimeMode): Unit =
+            cnt = getHandle.getValueState[Long]("cnt",
+              org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+          override def handleInputRows(key: Long, rows: Iterator[Long],
+              timerValues: TimerValues): Iterator[(Long, Long)] = {
+            val n = (if (cnt.exists()) cnt.get() else 0L) + rows.size
+            cnt.update(n)
+            Iterator.single((key, n))
+          }
+        },
+        TimeMode.None(), OutputMode.Append())
+  }
 }
