@@ -59,7 +59,15 @@ object BenchHeavy {
   private val oracleExcluded = Set("dd36_dup_clusters", "dd45_neardedup_pipeline")
 
   /** Replicate a table `factor`x with offset ids, written as ONE parquet
-    * file so the DuckDB sidecar's `FROM 'path.parquet'` view works.
+    * file so the DuckDB sidecar's `FROM 'path.parquet'` view works — but
+    * with SMALL ROW GROUPS (protocol v2): a coalesce(1) default write
+    * produces a single ~1 MB-compressed row group, which parquet cannot
+    * split, so every heavy corpus scan ran as ONE task on a 32-core
+    * session — the tier was measuring single-thread scan starvation, not
+    * operator shape, for scan-bound entries. Small row groups plus the
+    * session's matching `files.maxPartitionBytes` make the same single
+    * file splittable for BOTH engines (DuckDB parallelizes by row group
+    * too), which is the honest stand-in for a real multi-file corpus.
     */
   private def replicate(spark: SparkSession, src: String, dst: java.nio.file.Path,
       idCol: String, factor: Int): Unit = {
@@ -70,7 +78,9 @@ object BenchHeavy {
       .withColumn(idCol, col(idCol) + col("__r").cast("long") * n)
       .drop("__r")
     val staging = Files.createTempDirectory("graft_heavy_stage").toString
-    rep.coalesce(1).write.mode("overwrite").parquet(staging)
+    rep.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", (1 << 20).toString)
+      .parquet(staging)
     val part = new java.io.File(staging).listFiles()
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(sys.error(s"no parquet part written under $staging"))
@@ -86,13 +96,17 @@ object BenchHeavy {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // split the small-but-dense heavy files at row-group grain (see
+      // replicate's scaladoc) — matches the ~1 MB uncompressed row
+      // groups so a 32-core session actually scans with 32 tasks
+      .config("spark.sql.files.maxPartitionBytes", (128 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     Files.createDirectories(heavyDir)
     val manifest = heavyDir.resolve("_manifest.txt")
-    val stamp = s"base=$base factor=$factor v=1"
+    val stamp = s"base=$base factor=$factor v=2"
     if (!Files.exists(manifest) || Files.readString(manifest) != stamp) {
       replicate(spark, s"$base/documents.parquet",
         heavyDir.resolve("documents.parquet"), "doc_id", factor)

@@ -244,7 +244,49 @@ object GraftFunctions {
       children(0), children(1), children(2), children(3)).toAggregateExpression()
   }
 
+  /** graft_lm_score(tokens, biMap, wMap, lpq0): the two model maps and
+    * the unseen-word fallback must be FOLDABLE — they ARE the model
+    * (bpeEncode's rules idiom), inlined plan-side and converted once to
+    * hash tables so the per-position lookup is O(1), not a linear
+    * map-literal scan.
+    */
+  private[functions] val buildLmScore: Seq[Expression] => Expression = children => {
+    if (children.length != 4)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_lm_score: expected 4 " +
+          s"(graft_lm_score(array<string>, map, map, lpq0)), got ${children.length}")
+    def toTable(e: Expression, what: String) = {
+      if (!e.foldable)
+        throw new IllegalArgumentException(
+          s"graft_lm_score $what must be foldable (a map literal)")
+      val md = e.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val m = new java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+        md.numElements() * 2)
+      val ks = md.keyArray()
+      val vs = md.valueArray()
+      var i = 0
+      while (i < md.numElements()) {
+        m.put(ks.getUTF8String(i).clone(),
+          java.lang.Long.valueOf(vs.getLong(i)))
+        i += 1
+      }
+      m
+    }
+    children(3) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(lpq0: Long, _) =>
+        LmScore(children(0), toTable(children(1), "bigram model"),
+          toTable(children(2), "word model"), lpq0)
+      case other => throw new IllegalArgumentException(
+        s"graft_lm_score lpq0 must be a long literal, got $other")
+    }
+  }
+
   private val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_lm_score"),
+      new ExpressionInfo(classOf[LmScore].getName, "graft_lm_score"),
+      buildLmScore),
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
       buildDot),
@@ -348,6 +390,17 @@ object GraftFunctions {
     */
   def hashEmbed(text: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_hash_embed", text)
+
+  /** Per-doc bigram-LM scoring against inlined model maps (see
+    * [[LmScore]]); `bi`/`w` map String→Long, `lpq0` is the unseen-word
+    * fallback.
+    */
+  def lmScore(tokens: Column, bi: Map[String, Long], w: Map[String, Long],
+      lpq0: Long): Column =
+    org.apache.spark.sql.functions.call_function("graft_lm_score", tokens,
+      org.apache.spark.sql.functions.typedlit(bi),
+      org.apache.spark.sql.functions.typedlit(w),
+      org.apache.spark.sql.functions.lit(lpq0))
 
   /** md5 digests of all sliding n-token windows, one fused codegen loop
     * (parity with the composable HOF form is spec-pinned).

@@ -23,10 +23,14 @@ import org.apache.spark.sql.functions._
   * `quantScale` into a long, so per-document totals are integer sums
   * (partition-order-proof) and the argmax is exact.
   *
-  * Scale: the label set is model-sized (it is crossed with the test
-  * docs via broadcast); the count census shuffles the (vocab × labels)
-  * frame partial-aggregated; the scoring join is token-keyed and
-  * key-bounded. No collect of anything corpus-sized.
+  * Scale: the label set is model-sized — the L (prior, rate) rows are
+  * collected to the driver (the BPE-rules precedent) and the census
+  * pivots into one finished-lpq column per label, so the scoring side
+  * is ONE token-keyed vocabulary lookup join plus ONE per-document
+  * aggregate: no L-way row expansion, no (doc, label) exchange, and
+  * the argmax is a codegen struct-`greatest` in the same projection.
+  * The count census shuffles the (vocab × labels) frame
+  * partial-aggregated. No collect of anything corpus-sized.
   */
 object Classification {
 
@@ -39,7 +43,8 @@ object Classification {
     */
   def nbClassify(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, labelCol: String,
-      quantScale: Long = 1024L): DataFrame = {
+      quantScale: Long = 1024L,
+      maxBroadcastVocabRows: Long = 4000000L): DataFrame = {
     graft.functions.GraftFunctions.register(train.sparkSession)
     val F = graft.functions.GraftFunctions
     val q = quantScale
@@ -58,36 +63,65 @@ object Classification {
       .agg(count(lit(1)).as("docs_l"), sum(col("n")).as("tok_l"))
     val nTrain = train.count()
     val vocab = counts.select("token").distinct().count()
-    // base term per label: quantized prior + the (T_l + V) penalty rate
-    val labels = labelStats.select(col("label"),
-      log2q(col("docs_l").cast("double") / lit(nTrain.toDouble))
-        .as("prior_q"),
-      log2q((col("tok_l") + lit(vocab)).cast("double")).as("rate_q"))
-    // test side: per-doc tf frame (shuffle-free off the scan)
+    // THE MODEL IS LABEL-SIZED: collect (label, prior_q, rate_q) to the
+    // driver (the BPE-rules precedent — L rows, not data) so the whole
+    // scoring side becomes one vocab-pivoted lookup instead of an
+    // L-way row expansion through a (doc, label) exchange
+    val labelRows = labelStats.select(col("label"),
+        log2q(col("docs_l").cast("double") / lit(nTrain.toDouble))
+          .as("prior_q"),
+        log2q((col("tok_l") + lit(vocab)).cast("double")).as("rate_q"))
+      .orderBy("label").collect()
+    require(labelRows.nonEmpty, "nbClassify: empty training corpus")
+    val labels = labelRows.map(_.getString(0)).toSeq
+    // pivot the census into one finished lpq column per label — one row
+    // per token (vocabulary-sized), indexed columns so label VALUES
+    // never become identifier text
+    val liCol = labels.zipWithIndex.tail.foldLeft(
+      when(col("label") === labels.head, 0)) { case (acc, (l, i)) =>
+        acc.when(col("label") === l, i) }
+    val pivoted = counts
+      .withColumn("li", liCol)
+      .withColumn("lpq_c", log2q((col("c") + 1).cast("double")))
+      .groupBy("token")
+      .pivot("li", labels.indices)
+      .agg(first(col("lpq_c")))
+      .select(col("token") +: labels.indices.map(i =>
+        coalesce(col(s"`$i`"), lit(0L)).as(s"lpq_$i")): _*)
+      .localCheckpoint(false)
+    // test side: per-doc tf frame (shuffle-free off the scan), ONE
+    // token-keyed lookup join, ONE per-doc aggregate carrying every
+    // label's seen-sum as a column
     val tf = test.select(col(idCol).as("doc_id"),
         explode(F.termFreq(split(col(textCol), " "))).as("t"))
       .select(col("doc_id"), col("t.token").as("token"),
         col("t.tf").as("tf"), col("t.n_terms").as("n_d"))
-    // seen-pair contributions: token-keyed join against the census;
-    // unseen pairs contribute log2(0+1) = 0 by construction
-    val seen = tf.join(counts.hint("shuffle_hash"), Seq("token"))
-      .groupBy("doc_id", "label")
-      .agg(sum(col("tf") * log2q((col("c") + 1).cast("double")))
-        .as("seen_q"))
-    // every (doc, label) base score, seen contributions added where any
-    val base = tf.groupBy("doc_id").agg(max(col("n_d")).as("n_d"))
-      .crossJoin(broadcast(labels))
-      .withColumn("base_q",
-        col("prior_q") - col("n_d") * col("rate_q"))
-    val scores = base.join(seen, Seq("doc_id", "label"), "left")
-      .withColumn("score_q",
-        col("base_q") + coalesce(col("seen_q"), lit(0L)))
-    // exact integer argmax, label-ascending tiebreak
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id")
-      .orderBy(col("score_q").desc, col("label").asc)
-    scores.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("label").as("pred_label"), col("score_q"))
+    val seenCols = labels.indices.map(i =>
+      sum(col("tf") * coalesce(col(s"lpq_$i"), lit(0L))).as(s"seen_$i"))
+    // when the vocab fits the broadcast bound, the lookup broadcasts and
+    // the test frame keeps scan-order doc locality into the aggregate —
+    // partial aggregation collapses per doc map-side, leaving a
+    // doc-count-sized exchange; above the bound, key-bounded shuffle-hash
+    val vocabLk =
+      if (vocab <= maxBroadcastVocabRows) broadcast(pivoted)
+      else pivoted.hint("shuffle_hash")
+    val perDoc = tf.join(vocabLk, Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("n_d")).as("n_d"), seenCols: _*)
+    // exact integer argmax as a struct max: (score, -index) compares
+    // score first, then index ASCENDING = label ascending (the label
+    // list is sorted) — deterministic in any engine
+    val scoreStructs = labelRows.toSeq.zipWithIndex.map { case (r, i) =>
+      struct(
+        (lit(r.getLong(1)) - col("n_d") * lit(r.getLong(2))
+          + col(s"seen_$i")).as("s"),
+        lit(-i).as("ni"), lit(labels(i)).as("l"))
+    }
+    val best =
+      if (scoreStructs.size == 1) scoreStructs.head
+      else greatest(scoreStructs: _*)
+    perDoc.withColumn("best", best)
+      .select(col("doc_id"), col("best.l").as("pred_label"),
+        col("best.s").as("score_q"))
   }
 }

@@ -757,55 +757,106 @@ object TextAnalysis {
     *
     * Scale: the train side is two token-keyed partial-aggregated censuses
     * (shuffles carry the vocabulary/bigram vocabulary, not the token
-    * stream — the `graft_tf` projection pre-aggregates per document); the
-    * test side is three key-bounded shuffle-hash joins (bigram, prev,
-    * word) and one per-document aggregate. No broadcast of anything
-    * corpus-sized; a hot vocabulary key is a count row, not a row set.
+    * stream — the `graft_tf` projection pre-aggregates per document),
+    * and the per-case log quantization runs on the MODEL, not the
+    * corpus: the bigram census is enriched with its prev's unigram
+    * count (a vocabulary-sized join) so it carries a finished `lpq`,
+    * the unigram census carries its finished backoff `lpq`, and the
+    * unseen-word value constant-folds. Scoring is tiered on model size
+    * (a language's bigram vocabulary saturates, so the fast tiers are
+    * the common case): under `maxInlineModelEntries` the model inlines
+    * as hash tables into `graft_lm_score` and scoring is a PURE
+    * PROJECTION over the test scan — two hash probes and a long add per
+    * position, no joins, no aggregate, no per-position float work
+    * (the bpeEncode inline-the-model idiom); above it, vocabulary-keyed
+    * lookup joins (broadcast under `maxBroadcastModelRows`, key-bounded
+    * shuffle-hash beyond) plus one per-document aggregate. All tiers are
+    * row-identical (spec-pinned); a hot vocabulary key is a count row,
+    * not a row set.
     *
     * @return (doc_id, n_bigrams, sum_lpq, avg_lp) — avg_lp is
     *         sum_lpq/quantScale/n_bigrams rounded to 4 decimals; docs
     *         with fewer than 2 tokens have no bigrams and are absent
     */
   def lmDocScore(train: DataFrame, test: DataFrame, idCol: String,
-      textCol: String, quantScale: Long = 1024L): DataFrame = {
+      textCol: String, quantScale: Long = 1024L,
+      maxInlineModelEntries: Long = 131072L,
+      maxBroadcastModelRows: Long = 4000000L): DataFrame = {
     graft.functions.GraftFunctions.register(train.sparkSession)
     val F = graft.functions.GraftFunctions
-    val uni = train
-      .select(explode(F.termFreq(toks(col(textCol)))).as("t"))
+    def log2q(c: Column): Column =
+      floor(log2(c) * quantScale).cast("long")
+    // BOTH train censuses ride ONE corpus scan and ONE vocabulary-sized
+    // shuffle: unigrams and bigrams census together (a unigram token can
+    // never contain a space, a bigram always does — collision-free
+    // split), checkpointed once for the three consumers (uni cut, biL
+    // enrichment, size probe); totTok is the unigram census's own mass,
+    // not another corpus pass
+    val census = train
+      .select(explode(F.termFreq(
+        concat(toks(col(textCol)), F.bigrams(col(textCol))))).as("t"))
       .groupBy(col("t.token").as("token"))
-      .agg(sum(col("t.tf")).as("ucnt"))
-    val totTok = train
-      .agg(sum(size(toks(col(textCol))).cast("long"))).head.getLong(0)
-    val bi = train
-      .select(explode(F.termFreq(F.bigrams(col(textCol)))).as("t"))
-      .groupBy(col("t.token").as("bg"))
-      .agg(sum(col("t.tf")).as("bcnt"))
-    // test grain: one row per DISTINCT (doc, bigram) with its tf — the
-    // position stream never shuffles, only its per-doc census does
-    val docBg = test.select(col(idCol).as("doc_id"),
-        explode(F.termFreq(F.bigrams(col(textCol)))).as("t"))
-      .select(col("doc_id"), col("t.token").as("bg"),
-        col("t.tf").as("tf"), col("t.n_terms").as("nbg"))
+      .agg(sum(col("t.tf")).as("cnt"))
+      .localCheckpoint(false)
+    val uni = census.filter(!col("token").contains(" "))
+      .select(col("token"), col("cnt").as("ucnt"))
+    val totTok = uni.agg(sum(col("ucnt"))).head.getLong(0)
+    // vocabulary-sized model frames carrying FINISHED quantized logs:
+    // seen-bigram lpq (needs prev's unigram count — a census-census
+    // join) and the per-word backoff lpq; the unseen-word fallback
+    // constant-folds through the same Log2 expression
+    val biL = census.filter(col("token").contains(" "))
+      .select(col("token").as("bg"), col("cnt").as("bcnt"))
       .withColumn("prev", substring_index(col("bg"), " ", 1))
-      .withColumn("w", substring_index(col("bg"), " ", -1))
-    val joined = docBg
-      .join(bi.hint("shuffle_hash"), Seq("bg"), "left")
       .join(uni.select(col("token").as("prev"), col("ucnt").as("pcnt"))
-        .hint("shuffle_hash"), Seq("prev"), "left")
-      .join(uni.select(col("token").as("w"), col("ucnt").as("wcnt"))
-        .hint("shuffle_hash"), Seq("w"), "left")
-      .withColumn("num", when(col("bcnt").isNotNull, col("bcnt"))
-        .when(col("wcnt").isNotNull, col("wcnt") * 2)
-        .otherwise(lit(1L)))
-      .withColumn("den", when(col("bcnt").isNotNull, col("pcnt"))
-        .otherwise(lit(5L * totTok)))
-      .withColumn("lpq",
-        floor(log2(col("num").cast("double") / col("den").cast("double"))
-          * quantScale).cast("long"))
-    joined.groupBy("doc_id")
-      .agg(max(col("nbg")).as("n_bigrams"),
-        sum(col("tf") * col("lpq")).as("sum_lpq"))
-      .withColumn("avg_lp",
-        round(col("sum_lpq") / lit(quantScale.toDouble) / col("n_bigrams"), 4))
+        .hint("shuffle_hash"), Seq("prev"))
+      .select(col("bg"),
+        log2q(col("bcnt").cast("double") / col("pcnt").cast("double"))
+          .as("lpq_bg"))
+    val wL = uni.select(col("token").as("w"),
+      log2q((col("ucnt") * 2).cast("double")
+        / lit(5L * totTok).cast("double")).as("lpq_w"))
+    val lpq0 = log2q(lit(1L).cast("double") / lit(5L * totTok).cast("double"))
+    // model size decides the scoring strategy; ONE cheap count on the
+    // checkpointed census bounds both cuts
+    val modelEntries = census.count()
+    val scored =
+      if (modelEntries <= maxInlineModelEntries) {
+        // FAST PATH — the model inlines (the bpeEncode-rules idiom) and
+        // scoring becomes `graft_lm_score`: a PURE PROJECTION over the
+        // test scan — two hash probes and a long add per position, no
+        // joins, no aggregate, no per-position float work
+        val biM = biL.collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val wM = wL.collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val lpq0V = train.sparkSession.range(1)
+          .select(lpq0.as("v")).head.getLong(0)
+        test.select(col(idCol).as("doc_id"),
+            F.lmScore(toks(col(textCol)), biM, wM, lpq0V).as("s"))
+          .filter(col("s.n_bigrams") > 0)
+          .select(col("doc_id"), col("s.n_bigrams").as("n_bigrams"),
+            col("s.sum_lpq").as("sum_lpq"))
+      } else {
+        // GENERAL PATH — vocabulary-keyed lookups (broadcast under the
+        // bound, key-bounded shuffle-hash above it) + one per-doc
+        // aggregate; row-identical to the fast path (spec-pinned)
+        val fits = modelEntries <= maxBroadcastModelRows
+        def lk(m: DataFrame): DataFrame =
+          if (fits) broadcast(m) else m.hint("shuffle_hash")
+        test.select(col(idCol).as("doc_id"),
+            explode(F.termFreq(F.bigrams(col(textCol)))).as("t"))
+          .select(col("doc_id"), col("t.token").as("bg"),
+            col("t.tf").as("tf"), col("t.n_terms").as("nbg"))
+          .withColumn("w", substring_index(col("bg"), " ", -1))
+          .join(lk(biL), Seq("bg"), "left")
+          .join(lk(wL), Seq("w"), "left")
+          .withColumn("lpq", coalesce(col("lpq_bg"), col("lpq_w"), lpq0))
+          .groupBy("doc_id")
+          .agg(max(col("nbg")).as("n_bigrams"),
+            sum(col("tf") * col("lpq")).as("sum_lpq"))
+      }
+    scored.withColumn("avg_lp",
+      round(col("sum_lpq") / lit(quantScale.toDouble) / col("n_bigrams"), 4))
   }
 }

@@ -70,6 +70,24 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(out(5L) == ((1L, lpq(1, 30))))
   }
 
+  test("lmDocScore fast (inline-model) and general (join) paths are row-identical") {
+    import spark.implicits._
+    val train = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 2 === 0)
+    val test0 = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = TextAnalysis.lmDocScore(train, test0, "doc_id", "text")
+    // maxInlineModelEntries = 0 forces the vocabulary-keyed join path
+    val general = TextAnalysis.lmDocScore(train, test0, "doc_id", "text",
+      maxInlineModelEntries = 0L)
+    assert(fast.collect().toSet == general.collect().toSet)
+    // and the shuffle-hash tier (no broadcast either) is identical too
+    val shuffled = TextAnalysis.lmDocScore(train, test0, "doc_id", "text",
+      maxInlineModelEntries = 0L, maxBroadcastModelRows = 0L)
+    assert(fast.collect().toSet == shuffled.collect().toSet)
+  }
+
   test("lmDocScore: multi-position docs integer-sum per-position quantized logs") {
     import spark.implicits._
     val train = Seq((0L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
