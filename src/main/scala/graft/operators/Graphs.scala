@@ -69,4 +69,52 @@ object Graphs {
     }
     ranks
   }
+
+  /** Per-node triangle counts over an undirected graph — the local
+    * clustering signal of a link/similarity graph (communities, spam
+    * farms, near-duplicate cliques). Exact integer counts, so the result
+    * hash-matches any engine.
+    *
+    * Scale shape: the naive wedge join enumerates Σ deg² candidate
+    * wedges — a hub node alone can exceed the whole graph. This is the
+    * DEGREE-ORIENTED form (compact-forward): each canonical edge orients
+    * from its lower-(degree, id) endpoint to the higher one, wedges are
+    * enumerated only around each edge's LOW end, and a wedge closes by
+    * joining the canonical edge set once more. Candidate volume drops to
+    * Σ outdeg² with outdeg ≤ O(√edges) for every node — the hub's
+    * wedges are charged to its low-degree neighbors. Three key-bounded
+    * shuffles (degree census, wedge self-join, closing join); no
+    * broadcast of anything graph-sized.
+    *
+    * @return (node, n_triangles) for every node in ≥ 1 triangle
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(when(col("da") < col("db")
+          || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // wedges around each LOW endpoint; (v, w) kept canonical so the
+    // closing join probes the und set directly
+    val wedges = oriented
+      .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+    val tri = wedges.join(
+      und.select(col("a").as("v"), col("b").as("w")).hint("shuffle_hash"),
+      Seq("v", "w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -497,6 +497,48 @@ object Extended extends QuerySet {
     }.reduce(_ unionByName _)
   }
 
+  /** Rolling anomaly screen (q58): per user, each event's cent-quantized
+    * value against the mean/variance of its PREVIOUS 8 events — the
+    * streaming-shaped outlier gate of a metrics pipeline. The flag
+    * evaluates the z-score condition |v−μ| > 3σ in cleared integer form
+    * (8·dev² > 9·(8·Σc² − (Σc)²), dev = 8c − Σc), so every row is
+    * integer-exact in any engine — no float summation, no rounding. One
+    * user-keyed exchange; the sliding sums ride one window.
+    */
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-8, -1)
+    Q.t(s, dir, "events")
+      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("s1", sum(col("c")).over(w))
+      .withColumn("s2", sum(col("c") * col("c")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .filter(col("k") === 8)
+      .withColumn("dev", col("c") * 8 - col("s1"))
+      .withColumn("is_anomaly",
+        col("dev") * col("dev") * 8 >
+          lit(9L) * (col("s2") * 8 - col("s1") * col("s1")))
+      .select("event_id", "user_id", "c", "dev", "is_anomaly")
+  }
+
+  /** Per-node triangle counts (q59): the q47 synthetic link graph through
+    * [[graft.operators.Graphs.triangleCounts]] — degree-oriented wedge
+    * enumeration (compact-forward), so candidate wedges are charged to
+    * each edge's LOW-degree end and a hub never enumerates deg² pairs.
+    * The oracle counts the same triangles with the naive a<b<c
+    * three-way join — different algorithm, identical exact counts.
+    */
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(s, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val edges = docs.select(col("doc_id").as("src"), explode(array(
+      (col("doc_id") * 7 + 1) % n,
+      (col("doc_id") * col("doc_id") * 13 + 3) % n)).as("dst"))
+    graft.operators.Graphs.triangleCounts(edges, "src", "dst")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_incremental_reagg" -> (q26 _),
     "q27_arg_max" -> (q27 _),
@@ -523,9 +565,35 @@ object Extended extends QuerySet {
     "q53_sliding_windows" -> (q53 _),
     "q54_scd2_versions" -> (q54 _),
     "q55_column_profile" -> (q55 _),
-    "q56_asof_bucketed_nulls" -> (q56 _))
+    "q56_asof_bucketed_nulls" -> (q56 _),
+    "q58_rolling_anomaly" -> (q58 _),
+    "q59_triangle_counts" -> (q59 _))
 
   val oracles: Map[String, String] = Map(
+    "q58_rolling_anomaly" ->
+      """WITH b AS (SELECT event_id, user_id,
+        |  CAST(round(value * 100) AS BIGINT) AS c,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS s1,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)
+        |    * CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS s2,
+        |  count(*) OVER w AS k
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, c, c * 8 - s1 AS dev,
+        |  (c*8 - s1) * (c*8 - s1) * 8 > 9 * (s2*8 - s1*s1) AS is_anomaly
+        |FROM b WHERE k = 8""".stripMargin,
+    "q59_triangle_counts" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (SELECT doc_id AS s, (doc_id*7+1) % (SELECT n FROM nn) AS t FROM documents
+        |       UNION ALL SELECT doc_id, (doc_id*doc_id*13+3) % (SELECT n FROM nn) FROM documents),
+        |und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |        FROM e0 WHERE s <> t),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM und e1 JOIN und e2 ON e1.b = e2.a
+        |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY 1""".stripMargin,
     "q26_incremental_reagg" ->
       """WITH p AS (
         | SELECT o_orderpriority, count(*) AS cnt,

@@ -43,4 +43,27 @@ class GraphsSpec extends AnyFunSuite with SparkTestBase {
     assert(noInRanks(3L) == base)
     assert(noInRanks(1L) > noInRanks(3L))
   }
+
+  test("triangleCounts: hand-built cliques, hub orientation, dedup/direction invariance") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, 3 per node) + a pendant edge + an
+    // isolated triangle {10,11,12}; edges given in MIXED direction with
+    // duplicates — canonicalization must absorb both
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 2L),
+      (3L, 4L), (4L, 5L),
+      (10L, 11L), (12L, 11L), (10L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+    val got = Graphs.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L), s"got $got")
+    // star + one rim edge: exactly one triangle despite the hub — the
+    // degree orientation keeps the hub out of wedge-center duty
+    val star = ((1 to 20).map(i => (100L, 100L + i)) :+ (101L, 102L))
+      .toDF("src", "dst")
+    val starGot = Graphs.triangleCounts(star, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starGot == Map(100L -> 1L, 101L -> 1L, 102L -> 1L))
+  }
 }

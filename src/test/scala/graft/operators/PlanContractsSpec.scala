@@ -488,6 +488,59 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     assert(df.count() == 20)
   }
 
+  test("bm25Rank: query-sized broadcasts, top-k via TakeOrderedAndProject") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val query = docs.filter(col("doc_id") === 0)
+      .select(explode(split(col("text"), " ")).as("token")).distinct()
+    val out = Retrieval.bm25Rank(docs, "doc_id", "text", query, topK = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    // the query terms and the query-cut census broadcast back onto the
+    // shuffle-free tf frame — the corpus side must never broadcast and
+    // never sort-merge
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-sized sides must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge anywhere in a lookup-shaped query:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+    assert(out.count() > 0)
+  }
+
+  test("lmDocScore fast path scores as a pure projection: no exchange, no join") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.lmDocScore(
+      docs.filter(col("doc_id") % 2 === 0), docs, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"inline-model scoring must be one map stage:\n$plan")
+    assert(!plan.contains("Join"),
+      s"inline-model scoring must not join:\n$plan")
+    assert(plan.contains("graft_lm_score"),
+      s"fast path must ride the native expression:\n$plan")
+    assert(out.count() > 0)
+  }
+
+  test("nbClassify: one vocab lookup join, no label Expand, struct-greatest argmax in projection") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = Classification.nbClassify(
+      docs.filter(col("doc_id") % 2 === 0), docs, "doc_id", "text", "lang")
+    val plan = out.queryExecution.executedPlan.toString
+    // scoring side: the pivoted vocab broadcasts onto the tf frame; the
+    // argmax is a projection, so no window/sort over (doc, label) rows
+    // and no L-way expansion of the test frame
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab lookup must broadcast under the bound:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"no label-wise row expansion:\n$plan")
+    assert(!plan.contains("Window"),
+      s"argmax must be the struct-greatest projection, not a window:\n$plan")
+    assert(out.count() > 0)
+  }
+
   test("filter + projection reach the parquet scan (pushdown contract)") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .filter(col("o_orderstatus") === "O")
