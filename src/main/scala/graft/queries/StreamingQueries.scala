@@ -644,6 +644,73 @@ object StreamingQueries extends QuerySet {
     }
   }
 
+  /** Streaming rolling-anomaly screen (st60): the ORACLED q58 batch
+    * window (per-user previous-8 z-score flag, integer-cleared) run
+    * continuously via `EventStreaming.rollingAnomaly` — a
+    * `transformWithState` ring buffer of 8 longs per user, the
+    * bounded-state form of a lookbehind window that no watermarked
+    * aggregate can express. The feed stages as three files
+    * range-partitioned on (ts, event_id) — lexicographic part order IS
+    * event-time order, so cross-trigger arrival respects the batch
+    * window's sort — and full-row identity against the oracled q58 twin
+    * is `require`d: every flag, deviation and cent value must match the
+    * batch computation exactly.
+    */
+  def st60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val staged = tmp(s"graft_st60_feed_$key")
+    Q.t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .repartitionByRange(3, col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(staged)
+    // the file source orders its triggers by MODIFICATION TIME, and the
+    // three parts land with one mtime — stagger them in part-name order
+    // so trigger order IS event-time order (the staging contract
+    // rollingAnomaly documents)
+    new java.io.File(staged).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000000000L + i * 60000L)
+      }
+    val prevProvider =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = s.read.parquet(staged).schema
+      val feed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+          col("event_id"), col("c"))
+        .as[(Long, Long, Long, Long)]
+      val q = EventStreaming.rollingAnomaly(feed)
+        .toDF("event_id", "user_id", "c", "dev", "is_anomaly")
+        .writeStream.format("memory").queryName("st60_anomaly")
+        .option("checkpointLocation", tmp("graft_st60_ckpt"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamed = s.table("st60_anomaly")
+      val twin = Extended.q58(s, dir) // the ORACLED batch twin
+      val missing = twin.except(streamed).count()
+      val extra = streamed.except(twin).count()
+      require(missing == 0 && extra == 0,
+        s"streamed rolling anomaly diverged from the oracled q58 twin: " +
+          s"missing=$missing extra=$extra")
+      streamed
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st47_stream_silver_drain" -> (st47 _),
     "st48_stream_dedup_replay" -> (st48 _),
@@ -657,7 +724,8 @@ object StreamingQueries extends QuerySet {
     "st56_stream_gold_maintenance" -> (st56 _),
     "st57_stream_knn_graph" -> (st57 _),
     "st58_stream_watermark_dedup" -> (st58 _),
-    "st59_transform_with_state" -> (st59 _))
+    "st59_transform_with_state" -> (st59 _),
+    "st60_stream_rolling_anomaly" -> (st60 _))
 
   // no DuckDB oracles: streaming drains are rows-only by design; the parity
   // require()s above carry the correctness assertion

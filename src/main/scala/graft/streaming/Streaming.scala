@@ -208,6 +208,64 @@ object EventStreaming {
     * one long per active key, and TTLConfig bounds key lifetime the way
     * the watermark bounds dropDuplicatesWithinWatermark.
     */
+  /** Streaming twin of the q58 rolling anomaly screen, on the same
+    * arbitrary-state v2 API: per user, a RING BUFFER of the last 8
+    * cent-quantized values lives in a typed `ValueState[Array[Long]]`
+    * and every arriving event evaluates the integer-cleared z-score
+    * condition against it (8·dev² > 9·(8·Σc² − (Σc)²)) before pushing
+    * its own value — exactly the batch window's previous-8 frame,
+    * maintained incrementally across micro-batches. Correctness needs
+    * per-key event-time order: rows are sorted by (ts, event_id) WITHIN
+    * each trigger, and the caller must stage the feed so batch
+    * boundaries respect that order (st59's range-staged files). Input:
+    * (user_id, tsMicros, event_id, cents). Output one row per event
+    * with ≥ 8 predecessors: (event_id, user_id, c, dev, is_anomaly).
+    * At 100 TB: state is 8 longs per active key — the bounded-state
+    * form of a lookbehind window no watermark aggregate can express.
+    */
+  def rollingAnomaly(events: Dataset[(Long, Long, Long, Long)])
+      : Dataset[(Long, Long, Long, Long, Boolean)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+    events.groupByKey(_._1)
+      .transformWithState(
+        new StatefulProcessor[Long, (Long, Long, Long, Long),
+            (Long, Long, Long, Long, Boolean)] {
+          @transient private var buf: ValueState[Array[Long]] = _
+          override def init(outputMode: OutputMode,
+              timeMode: TimeMode): Unit =
+            buf = getHandle.getValueState[Array[Long]]("ring",
+              org.apache.spark.sql.Encoders.kryo[Array[Long]],
+              TTLConfig.NONE)
+          override def handleInputRows(key: Long,
+              rows: Iterator[(Long, Long, Long, Long)],
+              timerValues: TimerValues)
+              : Iterator[(Long, Long, Long, Long, Boolean)] = {
+            var ring = if (buf.exists()) buf.get() else Array.empty[Long]
+            val out = Vector.newBuilder[(Long, Long, Long, Long, Boolean)]
+            // (ts, event_id) order within the trigger; cross-trigger
+            // order is the caller's staging contract
+            rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
+              case (_, _, eventId, c) =>
+                if (ring.length == 8) {
+                  var s1 = 0L; var s2 = 0L; var i = 0
+                  while (i < 8) {
+                    s1 += ring(i); s2 += ring(i) * ring(i); i += 1
+                  }
+                  val dev = c * 8 - s1
+                  out += ((eventId, key, c, dev,
+                    dev * dev * 8 > 9L * (s2 * 8 - s1 * s1)))
+                }
+                ring = (ring :+ c).takeRight(8)
+            }
+            buf.update(ring)
+            out.result().iterator
+          }
+        },
+        TimeMode.None(), OutputMode.Append())
+  }
+
   def runningCounts(events: DataFrame, keyCol: String = "user_id")
       : Dataset[(Long, Long)] = {
     import events.sparkSession.implicits._
