@@ -88,6 +88,55 @@ object Retrieval {
       .select(col("rank"), col("doc_id"), col("bm25q"))
   }
 
+  /** [[bm25Rank]] for a BATCH of queries — the production retrieval
+    * shape (an evaluation set, a deduplication probe set, a RAG query
+    * log): one corpus df census and one tf frame serve EVERY query; the
+    * query set (query_id, token) broadcasts, scoring fans out only on
+    * matching (doc, token, query) triples, and the per-query top-k is a
+    * query-partitioned window (bounded by each query's candidate count —
+    * never a global sort). Same integer-exact arithmetic as the
+    * single-query form.
+    *
+    * @param queries (query_id, token) frame; model-sized (broadcast)
+    * @return (query_id, rank, doc_id, bm25q)
+    */
+  def bm25RankQueries(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, topK: Int,
+      quantScale: Long = 1024L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val F = graft.functions.GraftFunctions
+    val toks = split(col(textCol), " ")
+    val row = docs.agg(count(lit(1)).as("n"),
+      sum(size(toks).cast("long")).as("t")).head
+    val nDocs = row.getLong(0)
+    val totTok = row.getLong(1)
+    require(nDocs >= 1, "bm25RankQueries: empty corpus")
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(F.termFreq(toks)).as("t"))
+      .select(col("doc_id"), col("t.token").as("token"),
+        col("t.tf").as("tf"), col("t.n_terms").as("dl"))
+    val qTerms = queries.select(col("query_id"), col("token")).distinct()
+    // query-relevant census cut, carrying df for every term ANY query
+    // uses; broadcast back with the query ids attached
+    val census = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .join(broadcast(qTerms), Seq("token"))
+    val q = quantScale
+    val scored = tf.join(broadcast(census), Seq("token"))
+      .withColumn("tfq",
+        expr(s"(22L * ${totTok}L * tf * ${q}L) DIV " +
+          s"(10L * ${totTok}L * tf + 3L * ${totTok}L + 9L * ${nDocs}L * dl)"))
+      .withColumn("idfq",
+        expr(s"((2L * ${nDocs}L - 2L * df + 1L) * ${q}L) DIV (2L * df + 1L)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("tfq") * col("idfq")).as("bm25q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("bm25q").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("bm25q"))
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (Cormack 2009):
     * `score(id) = Σ_lists 1/(rrfK + rank)`, absent-from-a-list
     * contributing 0. Inputs are (id, rank) frames — k-sized by

@@ -449,6 +449,20 @@ object TextOps extends QuerySet {
     graft.operators.Retrieval.rrfFuse(keyword, dense, topK = 10)
   }
 
+  /** Multi-query BM25 (td53): doc 0's and doc 1's token sets as TWO
+    * queries through ONE census/tf pass (`Retrieval.bm25RankQueries`) —
+    * the evaluation-set / probe-batch shape of production retrieval;
+    * per-query top-5, integer-exact, hash-oracled.
+    */
+  def bm25Multi(s: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), explode(tokens).as("token"))
+      .distinct()
+    graft.operators.Retrieval.bm25RankQueries(docs, "doc_id", "text",
+      queries, topK = 5)
+  }
+
   /** Bigram-LM quality scoring (td51): stupid-backoff LM trained on the
     * even-doc_id half, every document scored by mean quantized
     * log₂-probability — the KenLM-style perplexity rank a CCNet curation
@@ -505,7 +519,8 @@ object TextOps extends QuerySet {
     "td49_bm25_topk" -> (bm25TopK _),
     "td50_hybrid_rrf" -> (hybridRrf _),
     "td51_lm_quality" -> (lmQuality _),
-    "td52_nb_classify" -> (nbLangClassify _))
+    "td52_nb_classify" -> (nbLangClassify _),
+    "td53_bm25_multi" -> (bm25Multi _))
 
   /** One BPE round's census/top-pair/merge as DuckDB CTEs (shared by the
     * td41/td42 oracles): `wn` = the (w, cnt) state, producing pair census
@@ -589,6 +604,23 @@ object TextOps extends QuerySet {
       | FROM sc GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "td53_bm25_multi" ->
+      s"""WITH $bm25BaseSql,
+         |qt2 AS (SELECT DISTINCT doc_id AS query_id, unnest(sp) AS token
+         | FROM d WHERE doc_id < 2),
+         |sc2 AS (SELECT qt2.query_id, tf.doc_id,
+         |  ((22 * nn.tt * tf.tf * 1024) //
+         |    (10 * nn.tt * tf.tf + 3 * nn.tt + 9 * nn.nd * tf.dl))
+         |  * (((2 * nn.nd - 2 * dfc.df + 1) * 1024) // (2 * dfc.df + 1))
+         |    AS contrib
+         | FROM tf JOIN qt2 USING (token) JOIN dfc USING (token), nn),
+         |agg2 AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT)
+         |  AS bm25q FROM sc2 GROUP BY 1, 2)
+         |SELECT query_id, rank, doc_id, bm25q FROM (
+         |  SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY bm25q DESC, doc_id ASC) AS INTEGER) AS rank,
+         |   doc_id, bm25q FROM agg2)
+         |WHERE rank <= 5""".stripMargin,
     "td49_bm25_topk" ->
       s"""WITH $bm25BaseSql
          |SELECT rank, doc_id, bm25q FROM (
