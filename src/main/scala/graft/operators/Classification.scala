@@ -45,23 +45,55 @@ object Classification {
       textCol: String, labelCol: String,
       quantScale: Long = 1024L,
       maxBroadcastVocabRows: Long = 4000000L): DataFrame = {
+    val counts = nbCensus(train, textCol, labelCol)
+    val labelStats = nbLabelStats(train, textCol, labelCol)
+    val nTrain = train.count()
+    nbClassifyFromModel(counts, labelStats, nTrain, test, idCol, textCol,
+      quantScale, maxBroadcastVocabRows)
+  }
+
+  /** The per-label (token, count) census — train tf pre-aggregated per
+    * doc by `graft_tf`, then one (label, token)-keyed exchange. MERGEABLE
+    * state: two censuses union + re-sum to the census of the combined
+    * corpus, which is what makes NB training incrementally maintainable
+    * (the st56 partials idiom; st61 runs it across micro-batches).
+    */
+  def nbCensus(train: DataFrame, textCol: String,
+      labelCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(train.sparkSession)
+    val F = graft.functions.GraftFunctions
+    train.select(col(labelCol).as("label"),
+        explode(F.termFreq(split(col(textCol), " "))).as("t"))
+      .groupBy(col("label"), col("t.token").as("token"))
+      .agg(sum(col("t.tf")).as("c"))
+  }
+
+  /** Per-label doc and token totals — the census's companion state,
+    * mergeable the same way (sum/sum).
+    */
+  def nbLabelStats(train: DataFrame, textCol: String,
+      labelCol: String): DataFrame =
+    train.select(col(labelCol).as("label"),
+        size(split(col(textCol), " ")).cast("long").as("n"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("docs_l"), sum(col("n")).as("tok_l"))
+
+  /** Scoring against a PREBUILT model — `counts` = [[nbCensus]] frame,
+    * `labelStats` = [[nbLabelStats]] frame, `nTrain` the train doc
+    * count. Same output contract as [[nbClassify]]; how the model frames
+    * were accumulated (one shot or merged micro-batch partials) is
+    * invisible here, which is exactly what st61's streaming-maintenance
+    * parity asserts.
+    */
+  def nbClassifyFromModel(counts: DataFrame, labelStats: DataFrame,
+      nTrain: Long, test: DataFrame, idCol: String, textCol: String,
+      quantScale: Long = 1024L,
+      maxBroadcastVocabRows: Long = 4000000L): DataFrame = {
+    graft.functions.GraftFunctions.register(test.sparkSession)
     val F = graft.functions.GraftFunctions
     val q = quantScale
     def log2q(x: org.apache.spark.sql.Column) =
       floor(log2(x) * q).cast("long")
-    // per-label (token, count) census — train tf pre-aggregated per doc
-    // by graft_tf, then one (label, token)-keyed exchange
-    val counts = train.select(col(labelCol).as("label"),
-        explode(F.termFreq(split(col(textCol), " "))).as("t"))
-      .groupBy(col("label"), col("t.token").as("token"))
-      .agg(sum(col("t.tf")).as("c"))
-    // label stats: docs per label, tokens per label; V = train vocab
-    val labelStats = train.select(col(labelCol).as("label"),
-        size(split(col(textCol), " ")).cast("long").as("n"))
-      .groupBy("label")
-      .agg(count(lit(1)).as("docs_l"), sum(col("n")).as("tok_l"))
-    val nTrain = train.count()
     val vocab = counts.select("token").distinct().count()
     // THE MODEL IS LABEL-SIZED: collect (label, prior_q, rate_q) to the
     // driver (the BPE-rules precedent — L rows, not data) so the whole

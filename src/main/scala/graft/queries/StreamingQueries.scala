@@ -711,6 +711,60 @@ object StreamingQueries extends QuerySet {
     }
   }
 
+  /** Streaming classifier-model maintenance (st61): NB training IS
+    * counting, and counts are mergeable — so the td52 model maintains
+    * CONTINUOUSLY with the st56 partials idiom: each micro-batch of the
+    * train feed computes its own (label, token) census + label stats
+    * (`Classification.nbCensus`/`nbLabelStats`) and merges them into
+    * checkpointed state frames (union → re-sum, integer-exact,
+    * order-free). After the drain, `nbClassifyFromModel` scores every
+    * document against the MAINTAINED model — and because merged counts
+    * equal one-shot counts exactly, the predictions must be row-identical
+    * to the ORACLED td52 twin (full-row `require`, score included). The
+    * model is always current; training history is never re-scanned.
+    */
+  def st61(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val staged = tmp(s"graft_st61_feed_$key")
+    Q.t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      .repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(staged)
+    val schema = s.read.parquet(staged).schema
+    val feed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    var counts: DataFrame = null
+    var stats: DataFrame = null
+    var nTrain = 0L
+    val q = feed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val c = graft.operators.Classification.nbCensus(batch, "text", "lang")
+        val st = graft.operators.Classification
+          .nbLabelStats(batch, "text", "lang")
+        counts = (if (counts == null) c
+          else counts.unionByName(c).groupBy("label", "token")
+            .agg(sum(col("c")).as("c"))).localCheckpoint(true)
+        stats = (if (stats == null) st
+          else stats.unionByName(st).groupBy("label")
+            .agg(sum(col("docs_l")).as("docs_l"),
+              sum(col("tok_l")).as("tok_l"))).localCheckpoint(true)
+        nTrain += batch.count()
+      }
+      .option("checkpointLocation", tmp("graft_st61_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = graft.operators.Classification.nbClassifyFromModel(
+      counts, stats, nTrain, Q.t(s, dir, "documents"), "doc_id", "text")
+    val twin = TextOps.nbLangClassify(s, dir) // the ORACLED td52 twin
+    val missing = twin.except(out).count()
+    val extra = out.except(twin).count()
+    require(missing == 0 && extra == 0,
+      s"maintained NB model diverged from the one-shot td52 twin: " +
+        s"missing=$missing extra=$extra")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st47_stream_silver_drain" -> (st47 _),
     "st48_stream_dedup_replay" -> (st48 _),
@@ -725,7 +779,8 @@ object StreamingQueries extends QuerySet {
     "st57_stream_knn_graph" -> (st57 _),
     "st58_stream_watermark_dedup" -> (st58 _),
     "st59_transform_with_state" -> (st59 _),
-    "st60_stream_rolling_anomaly" -> (st60 _))
+    "st60_stream_rolling_anomaly" -> (st60 _),
+    "st61_stream_model_maintenance" -> (st61 _))
 
   // no DuckDB oracles: streaming drains are rows-only by design; the parity
   // require()s above carry the correctness assertion
