@@ -36,6 +36,21 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(out == List(0L, 1L))
   }
 
+  test("bm25RankQueries on one query equals bm25Rank exactly") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = docs.filter(col("doc_id") === 0)
+      .select(explode(split(col("text"), " ")).as("token")).distinct()
+    val single = Retrieval.bm25Rank(docs, "doc_id", "text", terms, topK = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val multi = Retrieval.bm25RankQueries(docs, "doc_id", "text",
+        terms.withColumn("query_id", lit(0L)), topK = 10)
+      .select("rank", "doc_id", "bm25q")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(single == multi)
+  }
+
   test("rrfFuse: both-list ids beat single-list ids; absent side contributes 0") {
     import spark.implicits._
     val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
