@@ -463,6 +463,31 @@ object TextOps extends QuerySet {
       queries, topK = 5)
   }
 
+  /** Model-gated curation (td54): the parts-to-pipeline entry for the
+    * round's model operators — a document is ADMITTED to the training
+    * mix iff it passes the td40 rule screen (Gopher keep), the td51 LM
+    * gate (mean quantized log₂-prob ≥ −5.5 per position, evaluated as
+    * the INTEGER inequality sum_lpq ≥ −5632·n_bigrams — no float
+    * threshold boundary), and the td52 classifier agreement (predicted
+    * language = labeled language). Three oracled pipelines joined on
+    * doc_id; the oracle composes the three oracle texts verbatim, so
+    * any drift in a component breaks this entry too.
+    */
+  def modelGatedCuration(s: SparkSession, dir: String): DataFrame = {
+    val cur = q40(s, dir).select(col("doc_id"), col("keep"))
+    val lm = lmQuality(s, dir)
+      .select(col("doc_id"), col("n_bigrams"), col("sum_lpq"))
+    val nb = nbLangClassify(s, dir).select(col("doc_id"), col("pred_label"))
+    val docs = Q.t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    cur.join(lm, Seq("doc_id")).join(nb, Seq("doc_id"))
+      .join(docs, Seq("doc_id"))
+      .withColumn("lm_ok", col("sum_lpq") >= lit(-5632L) * col("n_bigrams"))
+      .withColumn("lang_match", col("pred_label") === col("lang"))
+      .withColumn("admitted",
+        col("keep") && col("lm_ok") && col("lang_match"))
+      .select("doc_id", "keep", "lm_ok", "lang_match", "admitted")
+  }
+
   /** Bigram-LM quality scoring (td51): stupid-backoff LM trained on the
     * even-doc_id half, every document scored by mean quantized
     * log₂-probability — the KenLM-style perplexity rank a CCNet curation
@@ -520,7 +545,8 @@ object TextOps extends QuerySet {
     "td50_hybrid_rrf" -> (hybridRrf _),
     "td51_lm_quality" -> (lmQuality _),
     "td52_nb_classify" -> (nbLangClassify _),
-    "td53_bm25_multi" -> (bm25Multi _))
+    "td53_bm25_multi" -> (bm25Multi _),
+    "td54_model_gated_curation" -> (modelGatedCuration _))
 
   /** One BPE round's census/top-pair/merge as DuckDB CTEs (shared by the
     * td41/td42 oracles): `wn` = the (w, cnt) state, producing pair census
@@ -603,7 +629,7 @@ object TextOps extends QuerySet {
       |agg AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS bm25q
       | FROM sc GROUP BY 1)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "td53_bm25_multi" ->
       s"""WITH $bm25BaseSql,
          |qt2 AS (SELECT DISTINCT doc_id AS query_id, unnest(sp) AS token
@@ -1107,4 +1133,21 @@ object TextOps extends QuerySet {
         |  AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
         |  AND ellipsis_ratio < 0.3 AND alpha_ratio > 0.8
         |  AND n_stop_hits >= 2) AS keep FROM r""".stripMargin)
+
+  /** td54 composes the three component oracle texts VERBATIM (each as a
+    * subquery-local WITH block), so a drift in any component oracle
+    * breaks the composed entry too; the LM gate is the integer
+    * inequality sum_lpq >= -5632 * n_bigrams (mean log2-prob >= -5.5).
+    */
+  val oracles: Map[String, String] = baseOracles +
+    ("td54_model_gated_curation" ->
+      s"""SELECT a.doc_id, a.keep,
+         |  (b.sum_lpq >= -5632 * b.n_bigrams) AS lm_ok,
+         |  (c.pred_label = dd.lang) AS lang_match,
+         |  (a.keep AND b.sum_lpq >= -5632 * b.n_bigrams
+         |   AND c.pred_label = dd.lang) AS admitted
+         |FROM (${baseOracles("td40_curation_pipeline")}) a
+         |JOIN (${baseOracles("td51_lm_quality")}) b ON a.doc_id = b.doc_id
+         |JOIN (${baseOracles("td52_nb_classify")}) c ON a.doc_id = c.doc_id
+         |JOIN documents dd ON a.doc_id = dd.doc_id""".stripMargin)
 }
