@@ -42,6 +42,30 @@ class ClassificationSpec extends AnyFunSuite with SparkTestBase {
     assert((r.getString(1), r.getLong(2)) == expected)
   }
 
+  test("merged census partials classify identically to one-shot training") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val oneShot = Classification
+      .nbClassify(train, docs, "doc_id", "text", "lang")
+    // split the train half arbitrarily, census each part, merge — the
+    // st61 maintenance identity as a unit assertion
+    val parts = Seq(col("doc_id") % 4 === 0, col("doc_id") % 4 === 2)
+      .map(p => train.filter(p))
+    val counts = parts.map(Classification.nbCensus(_, "text", "lang"))
+      .reduce(_ unionByName _)
+      .groupBy("label", "token").agg(sum(col("c")).as("c"))
+    val stats = parts.map(Classification.nbLabelStats(_, "text", "lang"))
+      .reduce(_ unionByName _)
+      .groupBy("label").agg(sum(col("docs_l")).as("docs_l"),
+        sum(col("tok_l")).as("tok_l"))
+    val merged = Classification.nbClassifyFromModel(counts, stats,
+      train.count(), docs, "doc_id", "text")
+    assert(oneShot.collect().toSet == merged.collect().toSet)
+  }
+
   test("nbClassify tiebreak: equal scores pick the ascending label") {
     import spark.implicits._
     // perfectly symmetric classes → identical scores for a symmetric doc
