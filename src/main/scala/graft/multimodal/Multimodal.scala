@@ -200,7 +200,13 @@ object MediaCodec {
     var stats: Option[(Long, Int, Long, Long)] = None
     while (off + 8 <= p.length) {
       val id = tag(off)
-      val size = le32(off + 4).toInt
+      // Chunk size is UNSIGNED 32-bit: keep it as Long. A declared size that
+      // runs past end-of-input is a truncated/crafted payload → fail-loud
+      // None (never clamp-and-continue: a 0xFFFFFFF8-class size cast to Int
+      // would wrap negative and stop `off` advancing — an infinite loop).
+      val sizeL = le32(off + 4)
+      if (sizeL > p.length.toLong - (off + 8)) return None
+      val size = sizeL.toInt
       val body = off + 8
       if (id == "fmt " && size >= 16)
         fmt = Some((le16(body), le16(body + 2), le32(body + 4).toInt,
@@ -259,18 +265,27 @@ object MediaCodec {
     val params = header.split(" ").drop(1)
     def param(prefix: Char): Option[String] =
       params.find(t => t.nonEmpty && t.head == prefix).map(_.tail)
-    val (w, h) = (param('W').map(_.toInt), param('H').map(_.toInt)) match {
-      case (Some(a), Some(b)) if a > 0 && b > 0 => (a, b)
-      case _ => return None
-    }
+    // W/H parse with toIntOption (an out-of-range token is malformed → None,
+    // not NumberFormatException) and all plane arithmetic in Long: a huge
+    // declared dimension must fail loud, not overflow Int into a negative
+    // frameBytes that mis-walks the stream.
+    val (w, h) =
+      (param('W').flatMap(_.toIntOption), param('H').flatMap(_.toIntOption)) match {
+        case (Some(a), Some(b)) if a > 0 && b > 0 => (a, b)
+        case _ => return None
+      }
     val chroma = param('C').getOrElse("420jpeg")
-    val cSize: Int =
-      if (chroma.startsWith("420")) (w / 2) * (h / 2)
-      else if (chroma.startsWith("422")) (w / 2) * h
-      else if (chroma.startsWith("444")) w * h
-      else if (chroma == "mono") 0
+    val cSizeL: Long =
+      if (chroma.startsWith("420")) (w / 2).toLong * (h / 2)
+      else if (chroma.startsWith("422")) (w / 2).toLong * h
+      else if (chroma.startsWith("444")) w.toLong * h
+      else if (chroma == "mono") 0L
       else return None
-    val frameBytes = w * h + 2 * cSize
+    val frameBytesL = w.toLong * h + 2L * cSizeL
+    // A stream too short to hold even one declared frame is malformed; this
+    // bound also keeps every Int index below Int.MaxValue.
+    if (frameBytesL > p.length.toLong) return None
+    val frameBytes = frameBytesL.toInt
     var off = nl + 1
     var nFrames = 0L
     var ySum = 0L

@@ -38,6 +38,27 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** The quantized BM25 factors are Int64 arithmetic in non-ANSI Spark, so
+    * an out-of-range corpus would WRAP silently and mis-rank instead of
+    * erroring. Bound both worst-case terms up front (tf ≤ dl ≤ maxDl):
+    * numerator `22·T·tf·q` and denominator `10·T·tf + 3·T + 9·N·dl`, plus
+    * the idf numerator `(2N+1)·q`. At the documented 100 TB stance
+    * (T ~ 1e13) this fires loud and names the knob to turn.
+    */
+  private def requireNoBm25Overflow(op: String, nDocs: Long, totTok: Long,
+      maxDl: Long, quantScale: Long): Unit = {
+    val t = BigInt(totTok); val n = BigInt(nDocs)
+    val d = BigInt(math.max(maxDl, 1L)); val q = BigInt(quantScale)
+    val worst = Seq(
+      BigInt(22) * t * d * q,
+      BigInt(10) * t * d + BigInt(3) * t + BigInt(9) * n * d,
+      (BigInt(2) * n + 1) * q)
+    require(worst.forall(_ <= Long.MaxValue),
+      s"$op: quantized BM25 arithmetic would overflow Int64 " +
+        s"(nDocs=$nDocs, totTok=$totTok, maxDl=$maxDl, quantScale=" +
+        s"$quantScale); reduce quantScale or shard the corpus")
+  }
+
   /** BM25 top-k document retrieval for one keyword query.
     *
     * @param docs   corpus; one row per document
@@ -56,10 +77,13 @@ object Retrieval {
     // N and T are corpus scalars (two model-sized driver values, the
     // nDocs-precedent of tfidfPairsFromCounts)
     val row = docs.agg(count(lit(1)).as("n"),
-      sum(size(toks).cast("long")).as("t")).head
+      sum(size(toks).cast("long")).as("t"),
+      max(size(toks).cast("long")).as("maxdl")).head
     val nDocs = row.getLong(0)
     val totTok = row.getLong(1)
     require(nDocs >= 1, "bm25Rank: empty corpus")
+    requireNoBm25Overflow("bm25Rank", nDocs, totTok, row.getLong(2),
+      quantScale)
     // per-document tf: one fused projection (graft_tf carries n_terms =
     // dl inside each struct) — zero pre-join shuffles
     val tf = docs.select(col(idCol).as("doc_id"),
@@ -107,10 +131,13 @@ object Retrieval {
     val F = graft.functions.GraftFunctions
     val toks = split(col(textCol), " ")
     val row = docs.agg(count(lit(1)).as("n"),
-      sum(size(toks).cast("long")).as("t")).head
+      sum(size(toks).cast("long")).as("t"),
+      max(size(toks).cast("long")).as("maxdl")).head
     val nDocs = row.getLong(0)
     val totTok = row.getLong(1)
     require(nDocs >= 1, "bm25RankQueries: empty corpus")
+    requireNoBm25Overflow("bm25RankQueries", nDocs, totTok, row.getLong(2),
+      quantScale)
     val tf = docs.select(col(idCol).as("doc_id"),
         explode(F.termFreq(toks)).as("t"))
       .select(col("doc_id"), col("t.token").as("token"),

@@ -38,6 +38,14 @@ object OpenPgp {
   def parsePackets(data: Array[Byte]): Seq[Packet] = {
     val out = Seq.newBuilder[Packet]
     var off = 0
+    // Array.slice CLAMPS at end-of-input, so a truncated stream would
+    // otherwise parse into short bodies and fail far downstream with a
+    // misleading error; per the fail-loud contract, every declared body
+    // length is bounds-checked here, where the truncation actually is.
+    def boundsCheck(bodyStart: Int, len: Int): Unit =
+      require(len >= 0 && bodyStart.toLong + len <= data.length,
+        s"truncated packet body at $bodyStart (declared $len, " +
+          s"have ${data.length - bodyStart})")
     while (off < data.length) {
       val ctb = data(off) & 0xFF
       require((ctb & 0x80) != 0, s"invalid packet framing byte 0x${ctb.toHexString} at $off")
@@ -48,18 +56,25 @@ object OpenPgp {
         val chunks = Array.newBuilder[Byte]
         var more = true
         while (more) {
+          require(off < data.length, s"truncated length header at $off")
           val l1 = data(off) & 0xFF
           if (l1 < 192) {
+            boundsCheck(off + 1, l1)
             chunks ++= data.slice(off + 1, off + 1 + l1); off += 1 + l1; more = false
           } else if (l1 <= 223) {
+            require(off + 1 < data.length, s"truncated length header at $off")
             val len = ((l1 - 192) << 8) + (data(off + 1) & 0xFF) + 192
+            boundsCheck(off + 2, len)
             chunks ++= data.slice(off + 2, off + 2 + len); off += 2 + len; more = false
           } else if (l1 == 255) {
+            boundsCheck(off + 1, 4)
             val len = new BigInteger(1, data.slice(off + 1, off + 5)).intValueExact()
+            boundsCheck(off + 5, len)
             chunks ++= data.slice(off + 5, off + 5 + len); off += 5 + len; more = false
           } else {
             // partial length: 2^(l1 & 0x1F), continue with further headers
             val len = 1 << (l1 & 0x1F)
+            boundsCheck(off + 1, len)
             chunks ++= data.slice(off + 1, off + 1 + len); off += 1 + len
           }
         }
@@ -69,13 +84,19 @@ object OpenPgp {
         val lenType = ctb & 0x03
         lenType match {
           case 0 =>
+            require(off < data.length, s"truncated length header at $off")
             val len = data(off) & 0xFF
+            boundsCheck(off + 1, len)
             out += Packet(tag, data.slice(off + 1, off + 1 + len)); off += 1 + len
           case 1 =>
+            require(off + 1 < data.length, s"truncated length header at $off")
             val len = ((data(off) & 0xFF) << 8) + (data(off + 1) & 0xFF)
+            boundsCheck(off + 2, len)
             out += Packet(tag, data.slice(off + 2, off + 2 + len)); off += 2 + len
           case 2 =>
+            boundsCheck(off, 4)
             val len = new BigInteger(1, data.slice(off, off + 4)).intValueExact()
+            boundsCheck(off + 4, len)
             out += Packet(tag, data.slice(off + 4, off + 4 + len)); off += 4 + len
           case 3 => // indeterminate: to end of input
             out += Packet(tag, data.slice(off, data.length)); off = data.length

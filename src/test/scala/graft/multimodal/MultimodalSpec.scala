@@ -205,6 +205,20 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val st8 = MediaCodec.decodeWav(w8.array()).get
     assert(st8.bitsPerSample == 8 && st8.nFrames == 4L)
     assert(st8.sampleSum == (-128L + 0 + 127 + 2) && st8.peakAbs == 128)
+    // a crafted chunk size near 2^32 (wraps negative as Int) must be a
+    // fail-loud None, not an infinite chunk walk
+    val huge = java.nio.ByteBuffer.allocate(wav.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    huge.put(wav)
+    huge.putInt(16, 0xFFFFFFF8) // first chunk ("fmt ") size field
+    assert(MediaCodec.decodeWav(huge.array()).isEmpty,
+      "2^31-crossing chunk size must fail loud, not hang")
+    // a declared size running past end-of-input is truncation → None
+    val over = wav.clone()
+    val bb = java.nio.ByteBuffer.wrap(over)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, wav.length) // fmt chunk claims more bytes than exist
+    assert(MediaCodec.decodeWav(over).isEmpty)
   }
 
   test("real Y4M decode: container parse recovers the synthetic luma formula exactly") {
@@ -226,5 +240,12 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val mono = header ++ frame ++ frame
     val m = MediaCodec.decodeY4m(mono).get
     assert(m.nFrames == 2L && m.ySum == 2L * (0 to 7).map(_ * 10).sum)
+    // out-of-Int-range W token is malformed → None (not NumberFormatException)
+    val bigW = "YUV4MPEG2 W99999999999 H2 F25:1 Cmono\n".getBytes("US-ASCII") ++ frame
+    assert(MediaCodec.decodeY4m(bigW).isEmpty)
+    // dimensions whose plane product overflows Int must be None, not a
+    // negative frameBytes mis-walk
+    val ovf = "YUV4MPEG2 W60000 H60000 F25:1 C444\n".getBytes("US-ASCII") ++ frame
+    assert(MediaCodec.decodeY4m(ovf).isEmpty)
   }
 }

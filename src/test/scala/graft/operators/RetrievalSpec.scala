@@ -51,6 +51,25 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(single == multi)
   }
 
+  test("bm25 Int64 overflow guard fails loud instead of wrap-mis-ranking") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c"), (1L, "a a a")).toDF("doc_id", "text")
+    val query = Seq("a").toDF("token")
+    // 22 * totTok(6) * maxDl(3) * quantScale must exceed Long.MaxValue
+    val e = intercept[IllegalArgumentException](Retrieval.bm25Rank(
+      docs, "doc_id", "text", query, topK = 5,
+      quantScale = Long.MaxValue / 300L))
+    assert(e.getMessage.contains("overflow"))
+    val e2 = intercept[IllegalArgumentException](Retrieval.bm25RankQueries(
+      docs, "doc_id", "text",
+      query.withColumn("query_id", lit(0L)), topK = 5,
+      quantScale = Long.MaxValue / 300L))
+    assert(e2.getMessage.contains("overflow"))
+    // the default scale on the same corpus stays comfortably inside
+    assert(Retrieval.bm25Rank(docs, "doc_id", "text", query, topK = 5)
+      .count() == 2L)
+  }
+
   test("rrfFuse: both-list ids beat single-list ids; absent side contributes 0") {
     import spark.implicits._
     val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
