@@ -53,7 +53,20 @@ object BenchHeavy {
     // NB classification scores every (doc, seen-token) pair, so both
     // scale with the replicated corpus, not the query
     "td51_lm_quality",
-    "td52_nb_classify")
+    "td52_nb_classify",
+    // r9 (verdict Next #4): the remaining second-session operators get
+    // measured heavy rows instead of plan-shape arguments — retrieval
+    // (census + tf frames scale with the corpus), the RAG chain (chunk +
+    // embed every replica), the composed admission gate (three full
+    // corpus passes), and the two Extended additions (q58's window rides
+    // every event; q59's wedge volume rides the replicated edge list)
+    "td49_bm25_topk",
+    "td53_bm25_multi",
+    "td54_model_gated_curation",
+    "td47_rag_ingest",
+    "td48_rag_retrieve",
+    "q58_rolling_anomaly",
+    "q59_triangle_counts")
   // dd45 composes the same recursive-CTE closure as dd36 — both oracles
   // are infeasible at the 10x tier (which is itself the scale point)
   private val oracleExcluded = Set("dd36_dup_clusters", "dd45_neardedup_pipeline")
@@ -106,12 +119,17 @@ object BenchHeavy {
 
     Files.createDirectories(heavyDir)
     val manifest = heavyDir.resolve("_manifest.txt")
-    val stamp = s"base=$base factor=$factor v=2"
+    // v3 (r9): events joins the replicated set for q58's heavy row —
+    // same ts/user_id per replica, offset event_ids, so every user's
+    // rolling window runs factor× deeper
+    val stamp = s"base=$base factor=$factor v=3"
     if (!Files.exists(manifest) || Files.readString(manifest) != stamp) {
       replicate(spark, s"$base/documents.parquet",
         heavyDir.resolve("documents.parquet"), "doc_id", factor)
       replicate(spark, s"$base/embeddings.parquet",
         heavyDir.resolve("embeddings.parquet"), "vec_id", factor)
+      replicate(spark, s"$base/events.parquet",
+        heavyDir.resolve("events.parquet"), "event_id", factor)
       Files.writeString(manifest, stamp)
     }
     val dir = heavyDir.toString

@@ -15,9 +15,15 @@ object TimeQueries {
     val names = args(1).split(",").toSeq
     val runs = args.lift(2).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // match BenchHeavy's protocol-v2 split grain when timing against the
+    // heavy dir (its 1 MB row groups only split under a small bound):
+    // SPARK_GRAFT_MAX_PARTITION_BYTES=131072
+    val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES",
+      (128L * 1024 * 1024).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", maxPart)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -381,31 +381,41 @@ object Extended extends QuerySet {
 
   /** Token co-occurrence mining (q51, the market-basket/frequent-pair
     * family): the 20 most frequent within-document distinct-token pairs —
-    * the doc_id-keyed SELF-JOIN shape: explode each document's distinct
-    * tokens once, shuffle-hash self-join on doc_id with `tok_a < tok_b`,
-    * pair-keyed aggregate, TakeOrderedAndProject cut. Pairs STREAM from
-    * the codegen'd join straight into the partial aggregate — no C(k,2)
-    * array is ever materialized per document, so memory stays bounded for
-    * any document length, and the only corpus exchange is the distinct
-    * (doc, token) frame (linear; both join sides read ONE ReusedExchange
-    * via the shuffle-hash hints — AQE would otherwise broadcast-rebuild
-    * one side). Chosen by measurement over the r8-interim native local
-    * expansion (`graft_pairs`, since removed): tied at sf0.1 (0.47 s
-    * both), 2× faster on the 10×-dup heavy corpus (1.1-1.3 s vs 2.3 s)
-    * where the local form was allocation-bound on 150M pair strings.
-    * The r7 nested-HOF form interpreted three lambdas per doc: 41× the
-    * oracle.
+    * DEDUP-BEFORE-EXPAND over the doc_id-keyed SELF-JOIN shape. Identical
+    * texts have identical distinct-token sets, so the quadratic pair
+    * expansion runs once per UNIQUE text and each pair's document count
+    * is the Σ of text multiplicities (r9; the exact-dup rate is precisely
+    * what a crawl corpus carries, and the heavy tier's 10×-dup draw
+    * dropped 0.79 → ~0.3 s for it — pair volume is the whole cost). The
+    * census is one linear text-keyed exchange (partial-aggregated, so
+    * co-located replicas collapse map-side); then the r8 streaming shape
+    * on the deduped frame: explode each unique text's distinct tokens,
+    * shuffle-hash self-join on the representative doc_id with
+    * `tok_a < tok_b`, pair-keyed `Σ weight` aggregate,
+    * TakeOrderedAndProject cut. Pairs STREAM from the codegen'd join
+    * straight into the partial aggregate — no C(k,2) array is ever
+    * materialized per document, memory stays bounded for any document
+    * length, and both join sides read ONE ReusedExchange (the weight is
+    * summed as `(w_l + w_r) div 2` — equal on every matched row — purely
+    * to keep the two projections identical so the exchange reuses; a
+    * one-sided `sum(w)` would let column pruning fork the plans). The r7
+    * nested-HOF form interpreted three lambdas per doc: 41× the oracle;
+    * the r8-interim native local expansion (`graft_pairs`, removed) was
+    * allocation-bound on 150M pair strings.
     */
   def q51(s: SparkSession, dir: String): DataFrame = {
-    val toks = Q.t(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("tok_a"))
-      .filter(length(col("tok_a")) > 0)
-    val b = toks.select(col("doc_id"), col("tok_a").as("tok_b"))
-    toks.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("doc_id"))
-      .filter(col("tok_a") < col("tok_b"))
-      .groupBy("tok_a", "tok_b")
-      .agg(count(lit(1)).as("n_docs"))
+    val rep = Q.t(s, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("w"))
+    val toks = rep.select(col("doc_id"), col("w"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    toks.as("l").hint("shuffle_hash")
+      .join(toks.as("r").hint("shuffle_hash"),
+        col("l.doc_id") === col("r.doc_id"))
+      .filter(col("l.tok") < col("r.tok"))
+      .groupBy(col("l.tok").as("tok_a"), col("r.tok").as("tok_b"))
+      .agg(expr("sum(l.w + r.w) div 2").as("n_docs"))
       .orderBy(col("n_docs").desc, col("tok_a").asc, col("tok_b").asc)
       .limit(20)
   }
