@@ -67,6 +67,13 @@ object BenchHeavy {
     "td48_rag_retrieve",
     "q58_rolling_anomaly",
     "q59_triangle_counts")
+  // lineitem is replicated into the heavy dir (v4) for the Decimal-sum
+  // class evidence recorded in BASELINE.md (q01 cents-long vs Decimal at
+  // 6M rows, 2 MB grain: 0.78-0.80 s vs 1.07-1.20 s) and for scaling-curve
+  // runs — q01/q08 are not tier rows: their residual vs DuckDB is the
+  // engine-constant difference between a vectorized single-pass C++ agg
+  // and the JVM row pipeline (duck 0.1 s at 6M rows), not plan shape,
+  // and the tier exists to measure plan shape.
   // dd45 composes the same recursive-CTE closure as dd36 — both oracles
   // are infeasible at the 10x tier (which is itself the scale point)
   private val oracleExcluded = Set("dd36_dup_clusters", "dd45_neardedup_pipeline")
@@ -121,8 +128,10 @@ object BenchHeavy {
     val manifest = heavyDir.resolve("_manifest.txt")
     // v3 (r9): events joins the replicated set for q58's heavy row —
     // same ts/user_id per replica, offset event_ids, so every user's
-    // rolling window runs factor× deeper
-    val stamp = s"base=$base factor=$factor v=3"
+    // rolling window runs factor× deeper. v4 (r9): lineitem joins for the
+    // q01/q08 rows — offset orderkeys keep the countDistinct cardinality
+    // scaling with the corpus.
+    val stamp = s"base=$base factor=$factor v=4"
     if (!Files.exists(manifest) || Files.readString(manifest) != stamp) {
       replicate(spark, s"$base/documents.parquet",
         heavyDir.resolve("documents.parquet"), "doc_id", factor)
@@ -130,6 +139,8 @@ object BenchHeavy {
         heavyDir.resolve("embeddings.parquet"), "vec_id", factor)
       replicate(spark, s"$base/events.parquet",
         heavyDir.resolve("events.parquet"), "event_id", factor)
+      replicate(spark, s"$base/lineitem.parquet",
+        heavyDir.resolve("lineitem.parquet"), "l_orderkey", factor)
       Files.writeString(manifest, stamp)
     }
     val dir = heavyDir.toString

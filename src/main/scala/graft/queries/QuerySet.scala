@@ -55,14 +55,47 @@ object Q {
     case _ => col(c)
   }
 
-  /** Order-independent money sum: cast to decimal (exact, associative), sum,
-    * cast back to double. Double summation order differs between engines
-    * (and between Spark partitions); decimal does not.
+  /** Order-independent money sum, cents-long fast path (r9, the q58
+    * integer discipline applied engine-wide): quantize each value to
+    * cents with `floor(x*100 + 0.5)` (one codegen'd fp op + long cast —
+    * no per-row BigDecimal), sum the longs on Spark's COMPACT aggregate
+    * buffer, rescale once. The Decimal twin ([[dsumDecimal]]) widens its
+    * sum buffer to Decimal(28,2) — past `Decimal.MAX_LONG_DIGITS`, so
+    * every buffer update allocates through JavaBigDecimal; the builder
+    * micro-bench read 0.28 s (double/long sums) vs 0.95 s (decimal) at
+    * identical scan, and every `dsum` query paid it.
+    *
+    * Bit-identity to the Decimal path (spec-pinned, DsumCentsSpec) holds
+    * for 2-DECIMAL MONEY inputs: the true value is integer cents, the
+    * double carries it within ~1e-8 relative, so `floor(x*100+0.5)`
+    * and `cast(x as DECIMAL(18,2))` both recover the exact cents (the
+    * fixtures' closest approach to a half-cent tie is 0.4999999963 —
+    * pure representation error, no real 3-decimal values). The rescale
+    * `Σcents / 100.0` and `Σdecimal.cast(double)` are both
+    * correctly-rounded doubles of the same rational. NOT valid for
+    * arbitrary-precision doubles (a true .005 tie rounds HALF_UP on the
+    * decimal string but can floor DOWN here) — use [[dsumDecimal]] there.
+    *
+    * Bounds, fail-quiet by design like the Decimal path's null-on-
+    * overflow: |x| < 2^52/100 (≈ $45e12 per value) for the quantization
+    * to be exact, |Σcents| < 2^63 (≈ $92e15 — TPC-H SF ~3M) for the long
+    * sum; a corpus beyond either belongs on [[dsumDecimal]].
     */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  def dsum(c: Column): Column = sum(floor(c * 100 + lit(0.5))) / 100.0
 
-  /** Sum of a derived value with more fractional digits (e.g. price*(1-disc)). */
-  def dsum4(c: Column): Column = sum(c.cast(DecimalType(22, 4))).cast("double")
+  /** Sum of a derived value with more fractional digits (e.g.
+    * price*(1-disc), exact at scale 4) — same cents discipline at 1e4.
+    */
+  def dsum4(c: Column): Column = sum(floor(c * 10000 + lit(0.5))) / 10000.0
+
+  /** Reference Decimal forms of [[dsum]]/[[dsum4]]: exact for ANY double,
+    * at the non-compact-buffer cost. The identity spec compares the two
+    * paths; adopt these for columns that are not 2-decimal money.
+    */
+  def dsumDecimal(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+  def dsum4Decimal(c: Column): Column =
+    sum(c.cast(DecimalType(22, 4))).cast("double")
 
   /** Deterministic average built on the decimal sum.
     *
@@ -75,5 +108,5 @@ object Q {
     * in the oracle SQL).
     */
   def davg(c: Column): Column =
-    round(sum(c.cast(DecimalType(18, 2))).cast("double") / count(c), 6)
+    round(dsum(c) / count(c), 6)
 }

@@ -161,8 +161,13 @@ object Relational extends QuerySet {
       max(col("l_shipdate")).as("max_ship"))
     val orders = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
     val parts = li.agg(countDistinct(col("l_partkey")).as("n_parts"))
+    // distinct (partkey, suppkey) pairs as a STRUCT key — the r8 concat_ws
+    // form allocated a string per fact row before the distinct partial and
+    // was q08's single most expensive branch (0.77 s of its 0.85 s at
+    // sf0.1; struct 0.52 s, measured r9). Injective at any scale with no
+    // range guard, unlike a shifted-long encoding.
     val pairs = li.agg(countDistinct(
-      concat_ws("-", col("l_partkey"), col("l_suppkey"))).as("n_part_supp_pairs"))
+      struct(col("l_partkey"), col("l_suppkey"))).as("n_part_supp_pairs"))
     basic.crossJoin(orders).crossJoin(parts).crossJoin(pairs)
       .select(col("cnt"), col("n_orders"), col("n_parts"),
         col("n_part_supp_pairs"), col("sum_qty"), col("n_returned"),
