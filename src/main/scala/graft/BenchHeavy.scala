@@ -89,7 +89,7 @@ object BenchHeavy {
     * file splittable for BOTH engines (DuckDB parallelizes by row group
     * too), which is the honest stand-in for a real multi-file corpus.
     */
-  private def replicate(spark: SparkSession, src: String, dst: java.nio.file.Path,
+  private[graft] def replicate(spark: SparkSession, src: String, dst: java.nio.file.Path,
       idCol: String, factor: Int): Unit = {
     val base = spark.read.parquet(src)
     val n = base.agg(max(col(idCol))).head.getLong(0) + 1

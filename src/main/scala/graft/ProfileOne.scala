@@ -10,8 +10,13 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileOne {
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_MAX_PARTITION_BYTES=131072 matches the heavy tier's
+    // protocol-v2 split grain (TimeQueries has the same knob)
+    val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES",
+      (128L * 1024 * 1024).toString)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", maxPart)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

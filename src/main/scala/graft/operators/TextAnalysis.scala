@@ -774,6 +774,19 @@ object TextAnalysis {
     * row-identical (spec-pinned); a hot vocabulary key is a count row,
     * not a row set.
     *
+    * Inline-tier closure size (the complement Skew.scala documents for
+    * its salting bound): the collected model maps are inlined as
+    * LITERALS in the `graft_lm_score` expression, so they ride every
+    * task closure — at the default `maxInlineModelEntries` = 131,072
+    * that is ≤ ~2-8 MB serialized (strings + longs; bigram keys
+    * dominate), broadcast-class weight shipped once per task binary
+    * rather than once per executor. Raising the bound raises EVERY
+    * task's deserialization cost linearly; past a few hundred MB the
+    * closure path loses to the broadcast tier even though the per-row
+    * probe is cheaper, which is why the bound sits where a saturated
+    * natural-language bigram vocabulary ends rather than at broadcast
+    * capacity.
+    *
     * @return (doc_id, n_bigrams, sum_lpq, avg_lp) — avg_lp is
     *         sum_lpq/quantScale/n_bigrams rounded to 4 decimals; docs
     *         with fewer than 2 tokens have no bigrams and are absent

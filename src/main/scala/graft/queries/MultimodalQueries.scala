@@ -165,6 +165,43 @@ object MultimodalQueries extends QuerySet {
       .distinct()
   }
 
+  /** Image-text pair curation (mm51, r9 — the one multimodal
+    * LLM-pipeline shape not previously expressed end-to-end): each of
+    * the 64 synthetic images is paired with its document's text as the
+    * caption, and a pair is ADMITTED to the training mix iff
+    *  - the image is the CANONICAL copy of its perceptual identity
+    *    (mm47's aHash dedup — each image arrives twice under different
+    *    ids, the re-hosted-image case; only the min-id copy admits),
+    *  - the caption passes the td40 rule screen (Gopher keep over the
+    *    fused normalize→screen→redact pipeline), and
+    *  - the td52 classifier AGREES with the caption's labeled language
+    *    (td54's model-agreement gate — the deterministic stand-in for a
+    *    CLIP-style pair-consistency filter).
+    * All three gates are existing ORACLED machinery; the oracle composes
+    * the three component oracle texts verbatim (the td54 drift-detection
+    * idiom), so a drift in any component breaks this entry too. At
+    * 100 TB each gate is the component's own documented scale shape and
+    * the composition joins doc-keyed gate frames — one hash join per
+    * gate, no new corpus pass.
+    */
+  def mm51(s: SparkSession, dir: String): DataFrame = {
+    val img = mm47(s, dir)
+      .select(col("media_id"), col("canonical_id"), col("n_copies"))
+    val cap = TextOps.q40(s, dir).select(col("doc_id"), col("keep"))
+    val nb = TextOps.nbLangClassify(s, dir)
+      .select(col("doc_id"), col("pred_label"))
+    val docs = Q.t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    img.join(cap, img("media_id") === cap("doc_id")).drop("doc_id")
+      .join(nb, col("media_id") === nb("doc_id")).drop("doc_id")
+      .join(docs, col("media_id") === docs("doc_id")).drop("doc_id")
+      .withColumn("lang_match", col("pred_label") === col("lang"))
+      .withColumn("admitted",
+        col("media_id") === col("canonical_id")
+          && col("keep") && col("lang_match"))
+      .select("media_id", "canonical_id", "n_copies", "keep",
+        "lang_match", "admitted")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm39_media_features" -> (mm39 _),
     "mm43_media_resize" -> (mm43 _),
@@ -174,7 +211,8 @@ object MultimodalQueries extends QuerySet {
     "mm47_image_phash_dedup" -> (mm47 _),
     "mm48_image_phash_near_pairs" -> (mm48 _),
     "mm49_audio_decode" -> (mm49 _),
-    "mm50_video_decode" -> (mm50 _))
+    "mm50_video_decode" -> (mm50 _),
+    "mm51_pair_curation" -> (mm51 _))
 
   /** REAL raw-video decode, driver-oracled (mm50): 64 synthetic Y4M
     * streams (dimensions, frame counts AND every Y-plane byte pure
@@ -227,6 +265,35 @@ object MultimodalQueries extends QuerySet {
       "duration_ms", "peak_abs", "sample_sum", "sample_sumsq")
   }
 
+  private val mm47Sql =
+    """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 64),
+      |p AS (SELECT i, i % 32 AS j,
+      |    8 + (i % 32) % 9 AS w, 8 + ((i % 32)*3) % 9 AS h FROM ids),
+      |g AS (SELECT p.i, p.j, gy.gy*8 + gx.gx AS k,
+      |    (gx.gx * p.w // 8) AS sx, (gy.gy * p.h // 8) AS sy
+      |  FROM p, generate_series(0,7) gx(gx), generate_series(0,7) gy(gy)),
+      |l AS (SELECT i, k,
+      |    ((299*((sx*7 + sy*13 + j*31) % 256)
+      |      + 587*((sx*11 + sy*3 + j*17) % 256)
+      |      + 114*((sx*5 + sy*19 + j*7) % 256)) // 1000) AS lum
+      |  FROM g),
+      |t AS (SELECT i, SUM(lum) AS total FROM l GROUP BY i),
+      |b AS (SELECT l.i, l.k,
+      |    CASE WHEN 64 * l.lum > t.total THEN 1 ELSE 0 END AS bit
+      |  FROM l JOIN t ON l.i = t.i),
+      |hs AS (SELECT i,
+      |    CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+      |      ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |    CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+      |      ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM b GROUP BY i),
+      |c AS (SELECT ahash_hi, ahash_lo, MIN(i) AS canonical_id,
+      |    COUNT(*) AS n_copies
+      |  FROM hs GROUP BY 1, 2)
+      |SELECT hs.i AS media_id, hs.ahash_hi, hs.ahash_lo,
+      | c.canonical_id, c.n_copies
+      |FROM hs JOIN c USING (ahash_hi, ahash_lo)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "mm39_media_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
@@ -275,34 +342,7 @@ object MultimodalQueries extends QuerySet {
     // recomputes MediaCodec.aHash from the gradient pixel formula: 8x8
     // nearest-neighbor subsample (integer-division coordinates), integer
     // luminance, strict 64*lum > total threshold, two 32-bit halves
-    "mm47_image_phash_dedup" ->
-      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 64),
-        |p AS (SELECT i, i % 32 AS j,
-        |    8 + (i % 32) % 9 AS w, 8 + ((i % 32)*3) % 9 AS h FROM ids),
-        |g AS (SELECT p.i, p.j, gy.gy*8 + gx.gx AS k,
-        |    (gx.gx * p.w // 8) AS sx, (gy.gy * p.h // 8) AS sy
-        |  FROM p, generate_series(0,7) gx(gx), generate_series(0,7) gy(gy)),
-        |l AS (SELECT i, k,
-        |    ((299*((sx*7 + sy*13 + j*31) % 256)
-        |      + 587*((sx*11 + sy*3 + j*17) % 256)
-        |      + 114*((sx*5 + sy*19 + j*7) % 256)) // 1000) AS lum
-        |  FROM g),
-        |t AS (SELECT i, SUM(lum) AS total FROM l GROUP BY i),
-        |b AS (SELECT l.i, l.k,
-        |    CASE WHEN 64 * l.lum > t.total THEN 1 ELSE 0 END AS bit
-        |  FROM l JOIN t ON l.i = t.i),
-        |hs AS (SELECT i,
-        |    CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
-        |      ELSE 0 END) AS BIGINT) AS ahash_hi,
-        |    CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
-        |      ELSE 0 END) AS BIGINT) AS ahash_lo
-        |  FROM b GROUP BY i),
-        |c AS (SELECT ahash_hi, ahash_lo, MIN(i) AS canonical_id,
-        |    COUNT(*) AS n_copies
-        |  FROM hs GROUP BY 1, 2)
-        |SELECT hs.i AS media_id, hs.ahash_hi, hs.ahash_lo,
-        | c.canonical_id, c.n_copies
-        |FROM hs JOIN c USING (ahash_hi, ahash_lo)""".stripMargin,
+    "mm47_image_phash_dedup" -> mm47Sql,
     // the mm47 hash chain + 16-bit chunk blocking + exact bit_count filter
     "mm49_audio_decode" ->
       """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 64),
@@ -381,5 +421,19 @@ object MultimodalQueries extends QuerySet {
         |SELECT i AS media_id,
         |  CAST(rw AS INTEGER) AS resized_w, CAST(rh AS INTEGER) AS resized_h,
         |  rw*rh*r AS r_sum, rw*rh*g AS g_sum, rw*rh*b AS b_sum
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+    // mm51 composes the three component oracle texts VERBATIM (the td54
+    // drift-detection idiom): mm47's aHash dedup, td40's rule screen,
+    // td52's classifier — any drift in a component breaks this entry too
+    "mm51_pair_curation" ->
+      s"""SELECT h.media_id, h.canonical_id, h.n_copies, g.keep,
+         |  (c.pred_label = d.lang) AS lang_match,
+         |  (h.media_id = h.canonical_id AND g.keep
+         |   AND c.pred_label = d.lang) AS admitted
+         |FROM ($mm47Sql) h
+         |JOIN (${TextOps.oracles("td40_curation_pipeline")}) g
+         |  ON h.media_id = g.doc_id
+         |JOIN (${TextOps.oracles("td52_nb_classify")}) c
+         |  ON h.media_id = c.doc_id
+         |JOIN documents d ON h.media_id = d.doc_id""".stripMargin)
 }

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Durable mergeable-state store for `foreachBatch` model maintenance
+  * (r9, the missing half of the st56/st61 partials idiom).
+  *
+  * st56/st61 hold their merged state frames in DRIVER memory
+  * (`localCheckpoint`), so the model survives micro-batches but not a
+  * query restart — the checkpoint recovers source offsets while the
+  * accumulated model silently restarts empty. This store versions the
+  * state frames on disk, keyed by the batch id Spark hands
+  * `foreachBatch`, with replay-idempotent commits:
+  *
+  *  - batch `b` MERGES from `latestBefore(b)` — the newest version with
+  *    id STRICTLY below `b`, never its own — and overwrites `v<b>`.
+  *    `foreachBatch` is at-least-once: after an unclean stop the last
+  *    batch can replay with the same id, and because the replay re-reads
+  *    the same prior version and recomputes the same deterministic
+  *    merge, the overwrite converges instead of double-counting;
+  *  - a version is visible only after its `_COMMIT` marker, written
+  *    after every part frame has fully landed — a crash mid-write
+  *    leaves an uncommitted dir the next attempt overwrites.
+  *
+  * At 100 TB the state frames here are MODEL-sized (vocabulary censuses,
+  * label stats — the mergeable-partials contract), so a version write is
+  * a model-sized parquet job per trigger, not a data copy; garbage
+  * collection of old versions is the caller's retention policy.
+  */
+object DurableState {
+
+  private def versionDir(root: String, v: Long): Path =
+    Paths.get(root).resolve(f"v$v%09d")
+
+  /** Newest committed version with id strictly below `beforeBatch`
+    * (None before the first commit).
+    */
+  def latestBefore(root: String, beforeBatch: Long): Option[Long] = {
+    val d = Paths.get(root)
+    if (!Files.isDirectory(d)) return None
+    val vs = d.toFile.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{9}") &&
+        Files.exists(f.toPath.resolve("_COMMIT")))
+      .map(_.getName.drop(1).toLong)
+      .filter(_ < beforeBatch)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  def read(s: SparkSession, root: String, v: Long, part: String): DataFrame =
+    s.read.parquet(versionDir(root, v).resolve(part).toString)
+
+  /** Write every part frame under `v<batchId>`, then commit atomically
+    * enough for the single-writer foreachBatch contract (the marker is
+    * the last write).
+    */
+  def commit(root: String, batchId: Long,
+      parts: Seq[(String, DataFrame)]): Unit = {
+    val d = versionDir(root, batchId)
+    Files.createDirectories(d)
+    Files.deleteIfExists(d.resolve("_COMMIT"))
+    parts.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(d.resolve(name).toString)
+    }
+    Files.writeString(d.resolve("_COMMIT"), "")
+  }
+}
