@@ -13,14 +13,14 @@ import org.apache.spark.sql.functions._
   * (reciprocal-rank fusion) into one list.
   *
   * Scale contracts (100 TB stance):
-  *  - [[bm25Rank]] runs ONE corpus-wide token-keyed exchange (the document
-  *    -frequency census — partial-aggregated, so the shuffle carries the
-  *    vocabulary, not the token stream). Everything query-sized is
-  *    broadcast: the query's terms semi-join the census, and the resulting
-  *    ≤|query| (token, df) rows broadcast back onto the per-document tf
-  *    frame, which is a shuffle-free projection off the scan
-  *    (`graft_tf`, the td45 machinery). The final top-k is
-  *    `TakeOrderedAndProject` — per-partition heaps, no global sort.
+  *  - [[bm25Rank]] runs ZERO corpus-wide exchanges (r9): the broadcast
+  *    query-term cut lands directly on the `graft_tf` explode (the td45
+  *    machinery), so only the candidate (doc, query-term) rows — the
+  *    inverted-index probe set, Σ_t df(t) — survive into the df census
+  *    (a query-sized exchange) and the scoring aggregate; the resulting
+  *    ≤|query| (token, df) rows broadcast back onto the same frame. The
+  *    final top-k is `TakeOrderedAndProject` — per-partition heaps, no
+  *    global sort.
   *  - BM25 arithmetic is INTEGER-exact, not float: with k1 = 1.2 and
   *    b = 0.75 the score term
   *    `idf · tf(k1+1) / (tf + k1(1 − b + b·dl/avgdl))` clears to the
@@ -85,18 +85,34 @@ object Retrieval {
     requireNoBm25Overflow("bm25Rank", nDocs, totTok, row.getLong(2),
       quantScale)
     // per-document tf: one fused projection (graft_tf carries n_terms =
-    // dl inside each struct) — zero pre-join shuffles
-    val tf = docs.select(col(idCol).as("doc_id"),
+    // dl inside each struct) — zero pre-join shuffles; the broadcast
+    // query cut lands DIRECTLY on the explode (r9): non-query tokens die
+    // map-side, so only the candidate (doc, query-term) rows — Σ_t
+    // df(t), the inverted-index probe set — survive into either
+    // consumer. The census exchange is query-sized and its partial agg
+    // touches only candidate rows; nothing corpus-wide ever shuffles.
+    // (The r8 form censused the FULL vocabulary first — a token-stream
+    // partial-agg for df values the query cut then discarded; measured
+    // A/B at the heavy tier the cut is cost-neutral at fixture
+    // vocabulary sizes and strictly better-shaped at corpus ones.) The
+    // frame is deliberately NOT checkpointed: an A/B showed
+    // materializing the candidate frame costs what the saved re-explode
+    // gains, and at 100 TB a hostile high-df query would make the
+    // cached frame corpus-sized — recomputing two cheap map passes
+    // keeps memory flat. A degenerate all-stopword query still pays
+    // candidate volume — the economics td45's maxDf cap documents;
+    // production drops ultra-high-df terms, whose idf ≈ 0.
+    val qtf = docs.select(col(idCol).as("doc_id"),
         explode(F.termFreq(toks)).as("t"))
       .select(col("doc_id"), col("t.token").as("token"),
         col("t.tf").as("tf"), col("t.n_terms").as("dl"))
-    // corpus-wide df census (tf rows are (doc, token)-distinct, so a
-    // plain count IS the document frequency), cut to the query's terms
-    // and broadcast back
-    val census = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .join(broadcast(query.select("token").distinct()), Seq("token"))
+    // df census over the candidate frame (its rows are (doc, token)-
+    // distinct, so a plain count IS the document frequency — identical
+    // to the full-vocab census at the query's terms)
+    val census = qtf.groupBy("token").agg(count(lit(1)).as("df"))
     val q = quantScale
-    val scored = tf.join(broadcast(census), Seq("token"))
+    val scored = qtf.join(broadcast(census), Seq("token"))
       .withColumn("tfq",
         expr(s"(22L * ${totTok}L * tf * ${q}L) DIV " +
           s"(10L * ${totTok}L * tf + 3L * ${totTok}L + 9L * ${nDocs}L * dl)"))
@@ -138,17 +154,20 @@ object Retrieval {
     require(nDocs >= 1, "bm25RankQueries: empty corpus")
     requireNoBm25Overflow("bm25RankQueries", nDocs, totTok, row.getLong(2),
       quantScale)
-    val tf = docs.select(col(idCol).as("doc_id"),
+    val qTerms = queries.select(col("query_id"), col("token")).distinct()
+    // the bm25Rank candidate-cut shape (see its comment): the broadcast
+    // token-set cut rides the explode into both consumers, and the
+    // census carries df for every term ANY query uses before fanning
+    // out per query_id
+    val qtf = docs.select(col(idCol).as("doc_id"),
         explode(F.termFreq(toks)).as("t"))
       .select(col("doc_id"), col("t.token").as("token"),
         col("t.tf").as("tf"), col("t.n_terms").as("dl"))
-    val qTerms = queries.select(col("query_id"), col("token")).distinct()
-    // query-relevant census cut, carrying df for every term ANY query
-    // uses; broadcast back with the query ids attached
-    val census = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .join(broadcast(qTerms.select("token").distinct()), Seq("token"))
+    val census = qtf.groupBy("token").agg(count(lit(1)).as("df"))
       .join(broadcast(qTerms), Seq("token"))
     val q = quantScale
-    val scored = tf.join(broadcast(census), Seq("token"))
+    val scored = qtf.join(broadcast(census), Seq("token"))
       .withColumn("tfq",
         expr(s"(22L * ${totTok}L * tf * ${q}L) DIV " +
           s"(10L * ${totTok}L * tf + 3L * ${totTok}L + 9L * ${nDocs}L * dl)"))
