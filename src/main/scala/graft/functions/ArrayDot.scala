@@ -153,6 +153,19 @@ object GraftFunctions {
     }
   }
 
+  private[functions] val buildStripSpans: Seq[Expression] => Expression = children => {
+    if (children.length != 3)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_strip_spans: " +
+          s"expected 3 (graft_strip_spans(text, starts, n)), got ${children.length}")
+    children(2) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+        StripSpans(children(0), children(1), n)
+      case other => throw new IllegalArgumentException(
+        s"graft_strip_spans n must be an integer literal, got $other")
+    }
+  }
+
   private[functions] val buildTopFreq: Seq[Expression] => Expression = children => {
     if (children.length != 1)
       throw new IllegalArgumentException(
@@ -317,6 +330,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_ngram_digests"),
       new ExpressionInfo(classOf[NgramDigests].getName, "graft_ngram_digests"),
       buildNgramDigests),
+    (FunctionIdentifier("graft_strip_spans"),
+      new ExpressionInfo(classOf[StripSpans].getName, "graft_strip_spans"),
+      buildStripSpans),
     (FunctionIdentifier("graft_top_freq"),
       new ExpressionInfo(classOf[TopFreq].getName, "graft_top_freq"),
       buildTopFreq),
@@ -409,6 +425,13 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("graft_ngram_digests", text,
       org.apache.spark.sql.functions.lit(n))
 
+  /** Strip every token covered by a hot n-window start (0-based) and
+    * reassemble; returns struct(text, n_removed). See [[StripSpans]].
+    */
+  def stripSpans(text: Column, starts: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_strip_spans", text,
+      starts, org.apache.spark.sql.functions.lit(n))
+
   /** Highest element multiplicity of an array<string>, one codegen'd
     * O(n) hash-count pass (parity with the sorted-run fold is spec-pinned).
     */
@@ -482,6 +505,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_ngram_digests"),
         new ExpressionInfo(classOf[NgramDigests].getName, "graft_ngram_digests"),
         GraftFunctions.buildNgramDigests))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_strip_spans"),
+        new ExpressionInfo(classOf[StripSpans].getName, "graft_strip_spans"),
+        GraftFunctions.buildStripSpans))
     ext.injectFunction(
       (FunctionIdentifier("graft_top_freq"),
         new ExpressionInfo(classOf[TopFreq].getName, "graft_top_freq"),

@@ -768,29 +768,34 @@ object TextDedup {
     * both copies.
     *
     * Scale shape (the [[lineDedup]] economics at token-window grain): ONE
-    * prep frame per document — (doc_id, digest array, token array), the
+    * prep frame per document — (doc_id, digest array, text), the
     * whole-text split and the window digesting each computed exactly once
-    * — is lazily checkpoint-materialized and feeds every downstream pass
-    * (the r7 form checkpointed only the exploded digest rows, so the
-    * census/coverage path shared work but the token path and the final
-    * length join each RE-SPLIT the corpus from the raw scan); the
-    * hot-window set is O(windows/minDocs), unbounded on template-heavy
-    * corpora, so it joins back UNHINTED (AQE broadcasts only when the
-    * runtime size fits); coverage positions dedup to O(tokens);
-    * reassembly is one partial-aggregated groupBy per doc. Total: three
-    * digest/position shuffles, all linear in corpus tokens.
+    * — is lazily checkpoint-materialized and feeds every downstream pass;
+    * the hot-window set is O(windows/minDocs), unbounded on
+    * template-heavy corpora, so it joins back UNHINTED (AQE broadcasts
+    * only when the runtime size fits); each document's hot-window START
+    * positions collect into one int array (partial-aggregated map-side,
+    * O(hits) ints total), and the coverage arithmetic + reassembly run as
+    * ONE per-document two-pointer sweep ([[graft.functions.StripSpans]]
+    * — registered by this call, spec-pinned identical to the relational
+    * explode/anti-join/rebuild form it replaces, which shuffled hits×n
+    * position rows plus every surviving token: ≈1.2B intermediate rows
+    * and the measured memory-band thrash at the factor-30 heavy corpus).
+    * Total: two corpus-token-linear shuffles (census, hot semi-join) plus
+    * two doc-count-row exchanges (starts groupBy, prep join).
     */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Long = 2L, fast: Boolean = false): DataFrame = {
     require(n >= 1, s"window length must be >= 1 token, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .withColumn("__tk", split(col("__text"), " "))
     // `fast` computes the window digests in one fused codegen loop
-    // (graft_ngram_digests — identical output, spec-pinned parity,
-    // requires GraftFunctions.register); the composable form interprets a
-    // lambda and allocates a slice + joined string PER WINDOW, which is
-    // the dominant cost of the whole operator at corpus scale.
+    // (graft_ngram_digests — identical output, spec-pinned parity); the
+    // composable form interprets a lambda and allocates a slice + joined
+    // string PER WINDOW, which is the dominant cost of the whole operator
+    // at corpus scale.
     // sequence(1, m) DESCENDS when m < 1 — guard short docs to no windows
     val windowDigests =
       if (fast) graft.functions.GraftFunctions.ngramDigests(col("__text"), n)
@@ -799,31 +804,22 @@ object TextDedup {
           j => md5(array_join(slice(col("__tk"), j, lit(n)), " "))))
         .otherwise(array().cast("array<string>"))
     val prep = base
-      .select(col("doc_id"), windowDigests.as("__ws"), col("__tk"))
+      .select(col("doc_id"), windowDigests.as("__ws"), col("__text"))
       .localCheckpoint(false)
     val win = prep
       .select(col("doc_id"), posexplode(col("__ws")).as(Seq("__p0", "__h")))
     val hot = win.groupBy("__h")
       .agg(countDistinct(col("doc_id")).as("__df"))
       .filter(col("__df") >= minDocs).select("__h")
-    val covered = win.join(hot, Seq("__h"))
-      .select(col("doc_id"),
-        explode(sequence(col("__p0") + 1, col("__p0") + n)).as("__p"))
-      .distinct()
-    val tok = prep.select(col("doc_id"),
-        posexplode(col("__tk")).as(Seq("__tp0", "__token")))
-      .select(col("doc_id"), (col("__tp0") + 1).as("__p"), col("__token"))
-    val kept = tok.join(covered, Seq("doc_id", "__p"), "left_anti")
-    val rebuilt = kept.groupBy("doc_id").agg(
-      array_join(transform(
-        array_sort(collect_list(struct(col("__p"), col("__token")))),
-        s => s("__token")), " ").as("__newtext"),
-      count(lit(1)).as("__kept"))
-    prep.select(col("doc_id"), size(col("__tk")).cast("long").as("__ntok"))
-      .join(rebuilt, Seq("doc_id"), "left")
+    val starts = win.join(hot, Seq("__h"), "left_semi")
+      .groupBy("doc_id").agg(collect_list(col("__p0")).as("__starts"))
+    val stripped = graft.functions.GraftFunctions.stripSpans(col("__text"),
+      coalesce(col("__starts"), array().cast("array<int>")), n)
+    prep.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), stripped.as("__s"))
       .select(col("doc_id").as(idCol),
-        coalesce(col("__newtext"), lit("")).as(textCol),
-        (col("__ntok") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+        col("__s.text").as(textCol),
+        col("__s.n_removed").as("n_removed"))
   }
 
   /** Audit companion to [[minhashLshPairs]]: per-bucket population and

@@ -444,6 +444,66 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(a1 == b1)
   }
 
+  test("substringDedup's strip-spans sweep matches the relational explode/anti-join form") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // overlapping hot spans, span at doc start, span at doc end, multi-space
+    // tokens, a doc whose every token is covered, unsorted multi-hit docs
+    val docs = Seq(
+      (1L, "one two three four five six seven tail one two three four five"),
+      (2L, "one two three four five six seven head one two three four five"),
+      (3L, "double  space one two three four five  mid body"),
+      (4L, "double  space one two three four five  mid body"),
+      (5L, "all covered one two three four five"),
+      (6L, "all covered one two three four five"),
+      (7L, "nothing shared in this document at all")
+    ).toDF("doc_id", "text")
+    val n = 5
+    // the pre-r9 relational pipeline, verbatim
+    val base = docs.select(col("doc_id"), col("text").as("__text"))
+      .withColumn("__tk", split(col("__text"), " "))
+    val prep = base.select(col("doc_id"),
+      graft.functions.GraftFunctions.ngramDigests(col("__text"), n).as("__ws"),
+      col("__tk"))
+    val win = prep.select(col("doc_id"),
+      posexplode(col("__ws")).as(Seq("__p0", "__h")))
+    val hot = win.groupBy("__h").agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= 2).select("__h")
+    val covered = win.join(hot, Seq("__h"))
+      .select(col("doc_id"),
+        explode(sequence(col("__p0") + 1, col("__p0") + n)).as("__p"))
+      .distinct()
+    val tok = prep.select(col("doc_id"),
+        posexplode(col("__tk")).as(Seq("__tp0", "__token")))
+      .select(col("doc_id"), (col("__tp0") + 1).as("__p"), col("__token"))
+    val kept = tok.join(covered, Seq("doc_id", "__p"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__p"), col("__token")))),
+        s => s("__token")), " ").as("__newtext"),
+      count(lit(1)).as("__kept"))
+    val relational = prep
+      .select(col("doc_id"), size(col("__tk")).cast("long").as("__ntok"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__newtext"), lit("")).as("text"),
+        (col("__ntok") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val sweep = TextDedup.substringDedup(docs, "doc_id", "text", n = n,
+        fast = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(sweep == relational)
+    // interpreted eval agrees with codegen (the NgramDigestUtil idiom both
+    // paths share): unsorted starts, overlap merge, out-of-range tolerated
+    val row = graft.functions.StripSpansUtil.strip(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c d e f g"),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(4, 0, 1)), 2)
+    // starts {4,0,1}, n=2 → covered {0,1,2,4,5} → kept "d g"
+    assert(row.getUTF8String(0).toString == "d g" &&
+      row.getLong(1) == 5L)
+  }
+
   test("simhash of identical texts is identical") {
     val sh = TextDedup.simhash(docs, "doc_id", "text", 16)
     val joined = docs.select(col("doc_id").as("id_a"), md5(col("text")).as("fp"))
