@@ -153,6 +153,21 @@ object GraftFunctions {
     }
   }
 
+  private[functions] val buildGopherStats: Seq[Expression] => Expression = children => {
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_gopher_stats: " +
+          s"expected 2 (graft_gopher_stats(text, stopwords)), got ${children.length}")
+    if (!children(1).foldable)
+      throw new IllegalArgumentException(
+        "graft_gopher_stats stopwords must be foldable (an array literal)")
+    val arr = children(1).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val stops = (0 until arr.numElements())
+      .map(i => arr.getUTF8String(i).toString)
+    GopherStats(children(0), stops)
+  }
+
   private[functions] val buildStripSpans: Seq[Expression] => Expression = children => {
     if (children.length != 3)
       throw new IllegalArgumentException(
@@ -330,6 +345,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_ngram_digests"),
       new ExpressionInfo(classOf[NgramDigests].getName, "graft_ngram_digests"),
       buildNgramDigests),
+    (FunctionIdentifier("graft_gopher_stats"),
+      new ExpressionInfo(classOf[GopherStats].getName, "graft_gopher_stats"),
+      buildGopherStats),
     (FunctionIdentifier("graft_strip_spans"),
       new ExpressionInfo(classOf[StripSpans].getName, "graft_strip_spans"),
       buildStripSpans),
@@ -425,6 +443,14 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("graft_ngram_digests", text,
       org.apache.spark.sql.functions.lit(n))
 
+  /** All Gopher rule-screen counters in one pass; returns the raw-count
+    * struct (see [[GopherStats]] for the parity contract).
+    */
+  def gopherStats(text: Column, stopwords: Seq[String]): Column =
+    org.apache.spark.sql.functions.call_function("graft_gopher_stats", text,
+      org.apache.spark.sql.functions.array(
+        stopwords.map(org.apache.spark.sql.functions.lit(_)): _*))
+
   /** Strip every token covered by a hot n-window start (0-based) and
     * reassemble; returns struct(text, n_removed). See [[StripSpans]].
     */
@@ -505,6 +531,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_ngram_digests"),
         new ExpressionInfo(classOf[NgramDigests].getName, "graft_ngram_digests"),
         GraftFunctions.buildNgramDigests))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_gopher_stats"),
+        new ExpressionInfo(classOf[GopherStats].getName, "graft_gopher_stats"),
+        GraftFunctions.buildGopherStats))
     ext.injectFunction(
       (FunctionIdentifier("graft_strip_spans"),
         new ExpressionInfo(classOf[StripSpans].getName, "graft_strip_spans"),

@@ -329,26 +329,42 @@ object TextAnalysis {
       minMeanWordLen: Double, maxMeanWordLen: Double,
       maxSymbolRatio: Double, maxBulletRatio: Double,
       maxEllipsisRatio: Double, minAlphaRatio: Double,
-      stopwords: Seq[String], minStopHits: Int): (Seq[Column], Column) = {
-    val words = split(col(textCol), "[ \\t\\n]+")
-    val lines = split(col(textCol), "\n")
-    val nWords = size(words)
-    val meanWordLen =
-      aggregate(words, lit(0), (a, x) => a + length(x)).cast("double") / nWords
-    val symbolRatio =
-      (regexp_count(col(textCol), lit("#"))
-        + regexp_count(col(textCol), lit("\\.\\.\\.|…"))).cast("double") / nWords
-    val bulletRatio =
-      size(filter(lines, l => regexp_like(l, lit("^[ \\t]*[-*•]"))))
-        .cast("double") / size(lines)
-    val ellipsisRatio =
-      size(filter(lines, l => regexp_like(l, lit("(\\.\\.\\.|…)[ \\t]*$"))))
-        .cast("double") / size(lines)
-    val alphaRatio =
-      size(filter(words, w => regexp_like(w, lit("[A-Za-z]"))))
-        .cast("double") / nWords
-    val stopHits = size(filter(
-      array(stopwords.map(lit(_)): _*), w => array_contains(words, w)))
+      stopwords: Seq[String], minStopHits: Int,
+      statsCol: Option[String] = None): (Seq[Column], Column) = {
+    // Raw integer counts: either the composable per-signal expressions
+    // (each re-splits the text; the HOF lambdas run interpreted) or ONE
+    // pre-projected `graft_gopher_stats` struct attribute (single fused
+    // pass — the caller MUST project the struct in its own select so the
+    // expression evaluates once; CollapseProject keeps the boundary
+    // because the non-cheap struct is referenced by every signal). The
+    // ratio arithmetic below is IDENTICAL either way, so the doubles are
+    // bit-for-bit the same and the td37/td40 oracles see no difference.
+    val (nWords, wordLenSum, symbolHits, nLines, bulletHits, ellipsisHits,
+        alphaWords, stopHits) = statsCol match {
+      case Some(g) =>
+        (col(g).getField("n_words"), col(g).getField("word_len_sum"),
+          col(g).getField("symbol_hits"), col(g).getField("n_lines"),
+          col(g).getField("bullet_hits"), col(g).getField("ellipsis_hits"),
+          col(g).getField("alpha_words"), col(g).getField("stop_hits"))
+      case None =>
+        val words = split(col(textCol), "[ \\t\\n]+")
+        val lines = split(col(textCol), "\n")
+        (size(words),
+          aggregate(words, lit(0), (a, x) => a + length(x)),
+          regexp_count(col(textCol), lit("#"))
+            + regexp_count(col(textCol), lit("\\.\\.\\.|…")),
+          size(lines),
+          size(filter(lines, l => regexp_like(l, lit("^[ \\t]*[-*•]")))),
+          size(filter(lines, l => regexp_like(l, lit("(\\.\\.\\.|…)[ \\t]*$")))),
+          size(filter(words, w => regexp_like(w, lit("[A-Za-z]")))),
+          size(filter(
+            array(stopwords.map(lit(_)): _*), w => array_contains(words, w))))
+    }
+    val meanWordLen = wordLenSum.cast("double") / nWords
+    val symbolRatio = symbolHits.cast("double") / nWords
+    val bulletRatio = bulletHits.cast("double") / nLines
+    val ellipsisRatio = ellipsisHits.cast("double") / nLines
+    val alphaRatio = alphaWords.cast("double") / nWords
     val keep = nWords.between(minWords, maxWords) &&
       meanWordLen.between(minMeanWordLen, maxMeanWordLen) &&
       symbolRatio < maxSymbolRatio &&
@@ -371,11 +387,20 @@ object TextAnalysis {
       maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
       maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
       stopwords: Seq[String] = GopherStopwords,
-      minStopHits: Int = 2): DataFrame = {
+      minStopHits: Int = 2, fast: Boolean = false): DataFrame = {
+    // `fast` counts every signal in one fused pass (graft_gopher_stats —
+    // identical output, spec-pinned parity); projected in its OWN select
+    // so the struct evaluates once per row
+    val (in, statsCol) =
+      if (fast) {
+        graft.functions.GraftFunctions.register(docs.sparkSession)
+        (docs.withColumn("__g", graft.functions.GraftFunctions
+          .gopherStats(col(textCol), stopwords)), Some("__g"))
+      } else (docs, None)
     val (signals, keep) = gopherExprs(textCol, minWords, maxWords,
       minMeanWordLen, maxMeanWordLen, maxSymbolRatio, maxBulletRatio,
-      maxEllipsisRatio, minAlphaRatio, stopwords, minStopHits)
-    docs.select(col(idCol) +: signals :+ keep.as("keep"): _*)
+      maxEllipsisRatio, minAlphaRatio, stopwords, minStopHits, statsCol)
+    in.select(col(idCol) +: signals :+ keep.as("keep"): _*)
   }
 
   /** The composed text-curation front door — normalize → Gopher quality
@@ -396,11 +421,21 @@ object TextAnalysis {
   def curationPipeline(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 10, maxTopTokenShare: Double = 0.2,
       minDistinctRatio: Double = 0.3, fast: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val normExpr = trim(regexp_replace(
       lower(graft.functions.GraftFunctions.nfc(col(textCol))), "\\s+", " "))
-    val n = docs.select(col(idCol), normExpr.as("__norm"))
+    val n0 = docs.select(col(idCol), normExpr.as("__norm"))
+    // `fast` fuses the seven Gopher counters into one pass over the
+    // normalized text (graft_gopher_stats, its own projection so it
+    // evaluates once); the composable form re-splits per signal with
+    // interpreted HOF lambdas — measured as the pipeline's dominant cost
+    // at the heavy tier
+    val (n, statsCol) =
+      if (fast) (n0.withColumn("__g", graft.functions.GraftFunctions
+        .gopherStats(col("__norm"), GopherStopwords)), Some("__g"))
+      else (n0, None)
     val (signals, gopherKeep) = gopherExprs("__norm", minWords, 100000,
-      3.0, 10.0, 0.1, 0.9, 0.3, 0.8, GopherStopwords, 2)
+      3.0, 10.0, 0.1, 0.9, 0.3, 0.8, GopherStopwords, 2, statsCol)
     val t = toks(col("__norm"))
     val nTok = size(t)
     val distinctRatio =
@@ -845,9 +880,14 @@ object TextAnalysis {
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         val lpq0V = train.sparkSession.range(1)
           .select(lpq0.as("v")).head.getLong(0)
-        test.select(col(idCol).as("doc_id"),
+        // the no-bigram drop (n_bigrams > 0 ⇔ >= 2 tokens, LmScoreUtil's
+        // own definition) is expressed on the CHEAP token count: a filter
+        // on s.n_bigrams pushes below the projection and inlines the whole
+        // model scoring into its condition — the score would evaluate
+        // twice per row (measured in the td54 stage profile)
+        test.filter(size(toks(col(textCol))) >= 2)
+          .select(col(idCol).as("doc_id"),
             F.lmScore(toks(col(textCol)), biM, wM, lpq0V).as("s"))
-          .filter(col("s.n_bigrams") > 0)
           .select(col("doc_id"), col("s.n_bigrams").as("n_bigrams"),
             col("s.sum_lpq").as("sum_lpq"))
       } else {

@@ -505,6 +505,51 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("gopherScreen/curationPipeline fast path (graft_gopher_stats) is output-identical to the composable form") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val passing = (Seq.fill(15)("alpha beta gamma delta").mkString(" ")
+      + " the with")
+    // every signal's trip fixture, plus tab/newline separators, astral
+    // codepoints (length = codepoints, not UTF-16 units), multi-space
+    // (empty tokens), unicode bullets/ellipses, and the empty string
+    val docs = Seq(
+      (1L, passing),
+      (2L, "the cat with hat"),
+      (3L, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\nz"),
+      (4L, "one...\ntwo…\nthree"),
+      (5L, "# x … y ..."),
+      (6L, "abc 123 456 789"),
+      (7L, passing.replace(" the with", " the the")),
+      (8L, "tab\tsep\nline two\t end"),
+      (9L, "emoji 🎉🎉 wide 𝔘𝔫𝔦 chars"),
+      (10L, "double  space   gaps"),
+      (11L, " \t leading and trailing \n "),
+      (12L, "• bullet dot\n * star\n… lone ellipsis …\t"),
+      (13L, "")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.toList).toList.sortBy(_.head.toString)
+    val slowG = rows(TextAnalysis.gopherScreen(docs, "doc_id", "text"))
+    val fastG = rows(TextAnalysis.gopherScreen(docs, "doc_id", "text",
+      fast = true))
+    assert(fastG == slowG)
+    val slowP = rows(TextAnalysis.curationPipeline(docs, "doc_id", "text"))
+    val fastP = rows(TextAnalysis.curationPipeline(docs, "doc_id", "text",
+      fast = true))
+    assert(fastP == slowP)
+    // the fused pass stays a pure projection and the stats struct is
+    // evaluated ONCE (a collapsed plan would inline graft_gopher_stats
+    // into every derived signal); a parquet scan keeps Catalyst from
+    // constant-folding the local fixture away
+    val pdocs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextAnalysis.gopherScreen(pdocs, "doc_id", "text", fast = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert("graft_gopher_stats".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("bpeEncode replays merges in training order; counts shrink as merges grow") {
     import spark.implicits._
     val docs = Seq((1L, "aab aab aaaa"), (2L, "aab")).toDF("doc_id", "text")
