@@ -66,7 +66,12 @@ object BenchHeavy {
     "td47_rag_ingest",
     "td48_rag_retrieve",
     "q58_rolling_anomaly",
-    "q59_triangle_counts")
+    "q59_triangle_counts",
+    // r9 late: the end-to-end curated-mix assembly — td54's admission
+    // composed with the per-source token budget; measures the full
+    // screen → gate → budget chain as one lazy plan on the replicated
+    // corpus
+    "q60_curated_mix")
   // lineitem is replicated into the heavy dir (v4) for the Decimal-sum
   // class evidence recorded in BASELINE.md (q01 cents-long vs Decimal at
   // 6M rows, 2 MB grain: 0.78-0.80 s vs 1.07-1.20 s) and for scaling-curve

@@ -488,6 +488,38 @@ object TextOps extends QuerySet {
       .select("doc_id", "keep", "lm_ok", "lang_match", "admitted")
   }
 
+  /** NB-gate confusion matrix (td55): the model-EVALUATION step a
+    * curation pipeline runs before trusting its classifier gate —
+    * per (labeled lang, predicted lang) document counts over td52's
+    * classifier output. Integer-exact; the oracle composes the td52
+    * oracle text verbatim, so classifier drift breaks this entry too.
+    */
+  def nbConfusion(s: SparkSession, dir: String): DataFrame = {
+    val nb = nbLangClassify(s, dir).select(col("doc_id"), col("pred_label"))
+    val docs = Q.t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    nb.join(docs, Seq("doc_id"))
+      .groupBy("lang", "pred_label")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Curated training mix (q60): the END-TO-END assembly the whole
+    * pipeline exists for — td54's composed model gate admits documents,
+    * then the per-source token budget (q33's operator) cuts the admitted
+    * set into the final reproducible mix. One entry exercising
+    * screen → gate → budget as a single lazy plan; the oracle composes
+    * the td54 oracle verbatim under the q33 window.
+    */
+  def curatedMix(s: SparkSession, dir: String): DataFrame = {
+    val admitted = modelGatedCuration(s, dir)
+      .filter(col("admitted")).select("doc_id")
+    val docs = Q.t(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    graft.operators.Sampling.tokenBudget(
+      docs.join(admitted, Seq("doc_id")), "source", "doc_id", "n_tokens",
+      budgets = Map("src0" -> 800L, "src1" -> 400L), defaultBudget = 500L)
+  }
+
   /** Bigram-LM quality scoring (td51): stupid-backoff LM trained on the
     * even-doc_id half, every document scored by mean quantized
     * log₂-probability — the KenLM-style perplexity rank a CCNet curation
@@ -546,7 +578,9 @@ object TextOps extends QuerySet {
     "td51_lm_quality" -> (lmQuality _),
     "td52_nb_classify" -> (nbLangClassify _),
     "td53_bm25_multi" -> (bm25Multi _),
-    "td54_model_gated_curation" -> (modelGatedCuration _))
+    "td54_model_gated_curation" -> (modelGatedCuration _),
+    "td55_nb_confusion" -> (nbConfusion _),
+    "q60_curated_mix" -> (curatedMix _))
 
   /** One BPE round's census/top-pair/merge as DuckDB CTEs (shared by the
     * td41/td42 oracles): `wn` = the (w, cnt) state, producing pair census
@@ -1139,15 +1173,35 @@ object TextOps extends QuerySet {
     * breaks the composed entry too; the LM gate is the integer
     * inequality sum_lpq >= -5632 * n_bigrams (mean log2-prob >= -5.5).
     */
-  val oracles: Map[String, String] = baseOracles +
-    ("td54_model_gated_curation" ->
-      s"""SELECT a.doc_id, a.keep,
-         |  (b.sum_lpq >= -5632 * b.n_bigrams) AS lm_ok,
-         |  (c.pred_label = dd.lang) AS lang_match,
-         |  (a.keep AND b.sum_lpq >= -5632 * b.n_bigrams
-         |   AND c.pred_label = dd.lang) AS admitted
-         |FROM (${baseOracles("td40_curation_pipeline")}) a
-         |JOIN (${baseOracles("td51_lm_quality")}) b ON a.doc_id = b.doc_id
-         |JOIN (${baseOracles("td52_nb_classify")}) c ON a.doc_id = c.doc_id
-         |JOIN documents dd ON a.doc_id = dd.doc_id""".stripMargin)
+  private val td54Oracle: String =
+    s"""SELECT a.doc_id, a.keep,
+       |  (b.sum_lpq >= -5632 * b.n_bigrams) AS lm_ok,
+       |  (c.pred_label = dd.lang) AS lang_match,
+       |  (a.keep AND b.sum_lpq >= -5632 * b.n_bigrams
+       |   AND c.pred_label = dd.lang) AS admitted
+       |FROM (${baseOracles("td40_curation_pipeline")}) a
+       |JOIN (${baseOracles("td51_lm_quality")}) b ON a.doc_id = b.doc_id
+       |JOIN (${baseOracles("td52_nb_classify")}) c ON a.doc_id = c.doc_id
+       |JOIN documents dd ON a.doc_id = dd.doc_id""".stripMargin
+
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "td54_model_gated_curation" -> td54Oracle,
+    // td55/q60 compose their component oracle texts VERBATIM (the td54
+    // idiom): classifier or gate drift breaks these entries too
+    "td55_nb_confusion" ->
+      s"""SELECT d.lang, c.pred_label, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM (${baseOracles("td52_nb_classify")}) c
+         |JOIN documents d ON c.doc_id = d.doc_id
+         |GROUP BY d.lang, c.pred_label""".stripMargin,
+    "q60_curated_mix" ->
+      s"""WITH adm AS (SELECT doc_id FROM ($td54Oracle) WHERE admitted),
+         |d AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+         |  FROM documents WHERE doc_id IN (SELECT doc_id FROM adm)),
+         |c AS (SELECT *, SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source
+         |  ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)), doc_id
+         |  ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+         |SELECT doc_id, source, n_tokens FROM c
+         |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 400
+         |  ELSE 500 END""".stripMargin)
 }
