@@ -169,13 +169,20 @@ object GraftFunctions {
   }
 
   private[functions] val buildStripSpans: Seq[Expression] => Expression = children => {
-    if (children.length != 3)
+    if (children.length != 3 && children.length != 4)
       throw new IllegalArgumentException(
         s"Invalid number of arguments for function graft_strip_spans: " +
-          s"expected 3 (graft_strip_spans(text, starts, n)), got ${children.length}")
+          s"expected 3-4 (graft_strip_spans(text, starts, n[, sep])), " +
+          s"got ${children.length}")
+    val sep = if (children.length == 4) children(3) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_strip_spans sep must be a string literal, got $other")
+    } else " "
     children(2) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
-        StripSpans(children(0), children(1), n)
+        StripSpans(children(0), children(1), n, sep)
       case other => throw new IllegalArgumentException(
         s"graft_strip_spans n must be an integer literal, got $other")
     }
@@ -454,9 +461,11 @@ object GraftFunctions {
   /** Strip every token covered by a hot n-window start (0-based) and
     * reassemble; returns struct(text, n_removed). See [[StripSpans]].
     */
-  def stripSpans(text: Column, starts: Column, n: Int): Column =
+  def stripSpans(text: Column, starts: Column, n: Int,
+      sep: String = " "): Column =
     org.apache.spark.sql.functions.call_function("graft_strip_spans", text,
-      starts, org.apache.spark.sql.functions.lit(n))
+      starts, org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(sep))
 
   /** Highest element multiplicity of an array<string>, one codegen'd
     * O(n) hash-count pass (parity with the sorted-run fold is spec-pinned).

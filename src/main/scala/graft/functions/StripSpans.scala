@@ -10,12 +10,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-document span removal for exact-substring dedup
-  * (`TextDedup.substringDedup`, Lee et al. 2021-style): given a
-  * space-separated text and the 0-based start positions of its hot
-  * `n`-token windows, drop every token covered by some window
-  * `[s, s+n-1]` and reassemble the survivors in order with single
-  * spaces. Returns `struct(text: string, n_removed: long)`; empty
-  * string when everything was covered.
+  * (`TextDedup.substringDedup`, Lee et al. 2021-style) and line dedup
+  * (`TextDedup.lineDedup`, n=1 at `sep`="\n"): given a `sep`-separated
+  * text and the 0-based start positions of its hot `n`-token windows,
+  * drop every token covered by some window `[s, s+n-1]` and reassemble
+  * the survivors in order joined by `sep`. Returns
+  * `struct(text: string, n_removed: long)`; empty string when
+  * everything was covered.
   *
   * Semantics are EXACTLY the relational form it replaces:
   * {{{
@@ -35,16 +36,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * are tolerated (cover nothing past the end); the caller never
   * produces them.
   */
-case class StripSpans(left: Expression, right: Expression, n: Int)
+case class StripSpans(left: Expression, right: Expression, n: Int,
+    sep: String = " ")
     extends BinaryExpression with Serializable {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (StringType, ArrayType(IntegerType, _)) if n >= 1 =>
+      case (StringType, ArrayType(IntegerType, _)) if n >= 1 && sep.nonEmpty =>
         TypeCheckResult.TypeCheckSuccess
       case (StringType, ArrayType(IntegerType, _)) =>
         TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires n >= 1, got $n")
+          s"$prettyName requires n >= 1 and a non-empty separator, " +
+            s"got n=$n sep='$sep'")
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (string, array<int>), got " +
           s"(${l.simpleString(8)}, ${r.simpleString(8)})")
@@ -56,13 +59,24 @@ case class StripSpans(left: Expression, right: Expression, n: Int)
 
   override def prettyName: String = "graft_strip_spans"
 
+  // the token boundary is the LITERAL separator (quoted), split limit -1
+  // — identical to split(text, Pattern.quote(sep)); precompiled once,
+  // referenced from both eval paths
+  @transient private lazy val sepPattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(sep))
+
   override protected def nullSafeEval(text: Any, starts: Any): Any =
     StripSpansUtil.strip(text.asInstanceOf[UTF8String],
-      starts.asInstanceOf[ArrayData], n)
+      starts.asInstanceOf[ArrayData], n, sepPattern, sep)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patRef = ctx.addReferenceObj("sepPattern", sepPattern,
+      "java.util.regex.Pattern")
+    val sepRef = ctx.addReferenceObj("sep", sep, "java.lang.String")
     nullSafeCodeGen(ctx, ev, (text, starts) =>
-      s"${ev.value} = graft.functions.StripSpansUtil.strip($text, $starts, $n);")
+      s"${ev.value} = graft.functions.StripSpansUtil.strip(" +
+        s"$text, $starts, $n, $patRef, $sepRef);")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): StripSpans =
@@ -73,9 +87,10 @@ case class StripSpans(left: Expression, right: Expression, n: Int)
   * code (the NgramDigestUtil idiom).
   */
 object StripSpansUtil {
-  def strip(text: UTF8String, startsData: ArrayData, n: Int): InternalRow = {
-    // identical tokenization to split(text, " ") limit -1
-    val tokens = text.toString.split(" ", -1)
+  def strip(text: UTF8String, startsData: ArrayData, n: Int,
+      sepPattern: java.util.regex.Pattern, sep: String): InternalRow = {
+    // identical tokenization to split(text, Pattern.quote(sep)) limit -1
+    val tokens = sepPattern.split(text.toString, -1)
     val m = startsData.numElements()
     val starts = new Array[Int](m)
     var i = 0
@@ -96,7 +111,7 @@ object StripSpansUtil {
         idx += 1
       }
       if (i > coverEnd) {
-        if (kept > 0L) sb.append(' ')
+        if (kept > 0L) sb.append(sep)
         sb.append(tokens(i))
         kept += 1L
       }

@@ -99,28 +99,38 @@ object TextDedup {
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
       minDocFreq: Long, sep: String = "\n"): DataFrame = {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // null text reads as empty (one '' line): posexplode of a null array
     // emits NO rows, which would silently drop the document and break the
     // rows-are-never-dropped contract
-    val lines = docs
-      .select(col(idCol), posexplode(split(coalesce(col(textCol), lit("")),
+    val base = docs.select(col(idCol),
+      coalesce(col(textCol), lit("")).as("__text"))
+    // the checkpointed frame carries (id, pos, digest) ONLY — line text
+    // never enters a shuffle: the census and the hot semi-join move
+    // 32-char digests, the rebuild moves int positions, and the final
+    // per-doc strip re-splits the original text in one sweep
+    // (graft_strip_spans at n=1, the dd50 idiom at line grain; the r8
+    // form shuffled every (pos, line-text) struct through the groupBy
+    // and array_sorted them per doc)
+    val lines = base
+      .select(col(idCol), posexplode(split(col("__text"),
         java.util.regex.Pattern.quote(sep)))
         .as(Seq("__pos", "__line")))
-      .withColumn("__lh", md5(col("__line")))
+      .select(col(idCol), col("__pos"), md5(col("__line")).as("__lh"))
       .localCheckpoint(false)
     val hot = lines.groupBy(col("__lh"))
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDocFreq)
-      .select(col("__lh").as("__hot"))
-    lines
-      .join(hot, col("__lh") === col("__hot"), "left")
-      .groupBy(col(idCol))
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(when(col("__hot").isNull,
-            struct(col("__pos"), col("__line"))))),
-          s => s.getField("__line")), sep).as(textCol),
-        count(when(col("__hot").isNotNull, lit(1))).as("n_removed"))
+      .select(col("__lh"))
+    val starts = lines.join(hot, Seq("__lh"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("__pos")).as("__starts"))
+    val stripped = graft.functions.GraftFunctions.stripSpans(col("__text"),
+      coalesce(col("__starts"), array().cast("array<int>")), 1, sep)
+    base.join(starts, Seq(idCol), "left")
+      .select(col(idCol), stripped.as("__s"))
+      .select(col(idCol),
+        col("__s.text").as(textCol),
+        col("__s.n_removed").as("n_removed"))
   }
 
   /** N-gram Jaccard near-dup pairs via a blocked inverted index:

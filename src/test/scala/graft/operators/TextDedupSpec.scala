@@ -495,13 +495,22 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(sweep == relational)
     // interpreted eval agrees with codegen (the NgramDigestUtil idiom both
     // paths share): unsorted starts, overlap merge, out-of-range tolerated
+    val sp = java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(" "))
     val row = graft.functions.StripSpansUtil.strip(
       org.apache.spark.unsafe.types.UTF8String.fromString("a b c d e f g"),
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-        Array(4, 0, 1)), 2)
+        Array(4, 0, 1)), 2, sp, " ")
     // starts {4,0,1}, n=2 → covered {0,1,2,4,5} → kept "d g"
     assert(row.getUTF8String(0).toString == "d g" &&
       row.getLong(1) == 5L)
+    // non-space separator (the lineDedup grain): strip item 1 of 3
+    val nl = java.util.regex.Pattern.compile(java.util.regex.Pattern.quote("\n"))
+    val row2 = graft.functions.StripSpansUtil.strip(
+      org.apache.spark.unsafe.types.UTF8String.fromString("k\ndup\nm"),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(1)), 1, nl, "\n")
+    assert(row2.getUTF8String(0).toString == "k\nm" &&
+      row2.getLong(1) == 1L)
   }
 
   test("simhash of identical texts is identical") {
