@@ -266,6 +266,27 @@ object Similarity extends QuerySet {
       queryPred = col("vec_id") < 5, k = 3, maxNprobe = 3)
   }
 
+  /** Cluster-balanced diversity sampling (sim56): the embedding-space
+    * counterpart of the per-domain cap (td35) — a training-data subsample
+    * that preserves semantic diversity by capping how many vectors any one
+    * region of embedding space contributes. ivfAssign's cell id is the
+    * diversity key (the same broadcast-centroid projection argmin every
+    * sim3x/dd47 entry rides — no corpus×centroids expansion) and
+    * `Sampling.perKeyCap` keeps at most 50 vectors per cell in the
+    * deterministic md5 hash order, so the sample is reproducible on any
+    * engine and any partitioning. At 100 TB the cap window partitions by
+    * cell — the centroid count is the parallelism/balance knob exactly as
+    * in the knnGraph family.
+    */
+  def sim56(s0: SparkSession, dir: String): DataFrame = {
+    val s = withDot(s0)
+    val assigned = Ann
+      .ivfAssign(embD(s, dir), "vec_id", "emb", centroids(s, dir))
+      .select("vec_id", "centroid_id", "cos")
+    graft.operators.Sampling.perKeyCap(assigned, "centroid_id", "vec_id",
+      k = 50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
     "sim37_lsh_buckets" -> (sim37 _),
@@ -286,7 +307,8 @@ object Similarity extends QuerySet {
     "sim52_knn_graph" -> (sim52 _),
     "sim53_rerank_two_stage" -> (sim53 _),
     "sim54_knn_graph_incremental" -> (sim54 _),
-    "sim55_nprobe_sweep" -> (sim55 _))
+    "sim55_nprobe_sweep" -> (sim55 _),
+    "sim56_cluster_balanced_sample" -> (sim56 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -418,6 +440,19 @@ object Similarity extends QuerySet {
         |FROM (SELECT *, row_number() OVER
         |  (PARTITION BY query_id ORDER BY cand_cos DESC, vec_id ASC) AS rank FROM cand)
         |WHERE rank <= 3""".stripMargin
+
+  /** sim39's oracle text, shared verbatim by the sim56 composition. */
+  private val sim39Oracle: String =
+    """WITH e AS (SELECT vec_id,
+      |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+      |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
+      |c AS (SELECT vec_id AS centroid_id, emb AS c_emb, norm AS c_norm FROM w WHERE vec_id < 8),
+      |scored AS (SELECT w.vec_id, c.centroid_id,
+      |  list_sum([w.emb[i] * c.c_emb[i] for i in range(1, 65)]) / (w.norm * c.c_norm) AS cos_full
+      | FROM w, c),
+      |r AS (SELECT *, row_number() OVER
+      |  (PARTITION BY vec_id ORDER BY cos_full DESC, centroid_id ASC) AS rn FROM scored)
+      |SELECT vec_id, centroid_id, round(cos_full, 4) AS cos FROM r WHERE rn = 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sim46_kmeans_fit" -> sim46Sql,
@@ -667,17 +702,15 @@ object Similarity extends QuerySet {
          | round(list_sum([x.emb[i] * y.emb[i] for i in range(1, 65)]) / (x.norm * y.norm), 4) AS cos
          |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE round(list_sum([x.emb[i] * y.emb[i] for i in range(1, 65)]) / (x.norm * y.norm), 4) >= 0.25""".stripMargin,
-    "sim39_ivf_assign" ->
-      """WITH e AS (SELECT vec_id,
-        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
-        |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
-        |c AS (SELECT vec_id AS centroid_id, emb AS c_emb, norm AS c_norm FROM w WHERE vec_id < 8),
-        |scored AS (SELECT w.vec_id, c.centroid_id,
-        |  list_sum([w.emb[i] * c.c_emb[i] for i in range(1, 65)]) / (w.norm * c.c_norm) AS cos_full
-        | FROM w, c),
-        |r AS (SELECT *, row_number() OVER
-        |  (PARTITION BY vec_id ORDER BY cos_full DESC, centroid_id ASC) AS rn FROM scored)
-        |SELECT vec_id, centroid_id, round(cos_full, 4) AS cos FROM r WHERE rn = 1""".stripMargin,
+    "sim39_ivf_assign" -> sim39Oracle,
+    // sim56 composes the sim39 oracle text VERBATIM (the td54
+    // drift-detection idiom) under the q34 deterministic-cap window
+    "sim56_cluster_balanced_sample" ->
+      s"""SELECT vec_id, centroid_id, cos FROM (
+         | SELECT *, row_number() OVER (PARTITION BY centroid_id
+         |  ORDER BY md5(CAST(centroid_id AS VARCHAR) || '|' ||
+         |   CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         | FROM ($sim39Oracle) a) WHERE rn <= 50""".stripMargin,
     "sim40_ivf_probe" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),

@@ -520,6 +520,27 @@ object TextOps extends QuerySet {
       budgets = Map("src0" -> 800L, "src1" -> 400L), defaultBudget = 500L)
   }
 
+  /** Perplexity-bucketed corpus split (td56, CCNet §4.3-style): every
+    * LM-scored document lands in a per-language quality tertile by mean
+    * quantized log₂-probability — bucket 1 = head (most like the training
+    * distribution), 3 = tail. The bucket is the sampling key a CCNet-style
+    * pipeline draws its head/middle/tail mix from. Ordering uses td51's
+    * hash-oracled `avg_lp` (engine-identical doubles) with a doc_id
+    * tiebreak, so the ntile cut is deterministic on any engine; the oracle
+    * composes the td51 oracle text verbatim (the td54 drift-detection
+    * idiom). One lang-keyed exchange on top of the td51 plan.
+    */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lm = lmQuality(s, dir).select(col("doc_id"), col("avg_lp"))
+    val docs = Q.t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_lp").desc, col("doc_id"))
+    lm.join(docs, Seq("doc_id"))
+      .withColumn("ppl_bucket", ntile(3).over(w))
+      .select("doc_id", "lang", "avg_lp", "ppl_bucket")
+  }
+
   /** Bigram-LM quality scoring (td51): stupid-backoff LM trained on the
     * even-doc_id half, every document scored by mean quantized
     * log₂-probability — the KenLM-style perplexity rank a CCNet curation
@@ -580,6 +601,7 @@ object TextOps extends QuerySet {
     "td53_bm25_multi" -> (bm25Multi _),
     "td54_model_gated_curation" -> (modelGatedCuration _),
     "td55_nb_confusion" -> (nbConfusion _),
+    "td56_ppl_buckets" -> (pplBuckets _),
     "q60_curated_mix" -> (curatedMix _))
 
   /** One BPE round's census/top-pair/merge as DuckDB CTEs (shared by the
@@ -1193,6 +1215,13 @@ object TextOps extends QuerySet {
          |FROM (${baseOracles("td52_nb_classify")}) c
          |JOIN documents d ON c.doc_id = d.doc_id
          |GROUP BY d.lang, c.pred_label""".stripMargin,
+    "td56_ppl_buckets" ->
+      s"""SELECT doc_id, lang, avg_lp,
+         |  CAST(ntile(3) OVER (PARTITION BY lang
+         |   ORDER BY avg_lp DESC, doc_id) AS INTEGER) AS ppl_bucket
+         |FROM (SELECT b.doc_id, b.avg_lp, d.lang
+         |  FROM (${baseOracles("td51_lm_quality")}) b
+         |  JOIN documents d ON b.doc_id = d.doc_id)""".stripMargin,
     "q60_curated_mix" ->
       s"""WITH adm AS (SELECT doc_id FROM ($td54Oracle) WHERE admitted),
          |d AS (SELECT doc_id, source,
