@@ -472,6 +472,14 @@ object TextOps extends QuerySet {
     * language = labeled language). Three oracled pipelines joined on
     * doc_id; the oracle composes the three oracle texts verbatim, so
     * any drift in a component breaks this entry too.
+    *
+    * Downstream-consumer contract: a consumer that FILTERS on the gate
+    * booleans must materialize this frame first (lazy localCheckpoint —
+    * see q60). The filter's conjuncts otherwise split and push INTO the
+    * component branches as raw predicates, where the single-evaluation
+    * projections collapse and the signal expressions re-evaluate once
+    * per comparison (`graft_gopher_stats` ~14× per row — measured 2.4 s
+    * → 13 s on the heavy tier before q60's barrier).
     */
   def modelGatedCuration(s: SparkSession, dir: String): DataFrame = {
     val cur = q40(s, dir).select(col("doc_id"), col("keep"))
@@ -505,12 +513,18 @@ object TextOps extends QuerySet {
   /** Curated training mix (q60): the END-TO-END assembly the whole
     * pipeline exists for — td54's composed model gate admits documents,
     * then the per-source token budget (q33's operator) cuts the admitted
-    * set into the final reproducible mix. One entry exercising
-    * screen → gate → budget as a single lazy plan; the oracle composes
-    * the td54 oracle verbatim under the q33 window.
+    * set into the final reproducible mix. The gate frame materializes
+    * ONCE through a lazy localCheckpoint before the admission filter:
+    * without the barrier the filter's conjuncts push into the td54
+    * component branches, the single-evaluation projections collapse,
+    * and `graft_gopher_stats` re-evaluates ~14× per row inside the
+    * inlined predicate (heavy tier measured 13 s vs 5 s — the same
+    * failure class as lmDocScore's pushed-down `n_bigrams > 0` filter,
+    * caught by q60's own heavy row). The oracle composes the td54
+    * oracle verbatim under the q33 window.
     */
   def curatedMix(s: SparkSession, dir: String): DataFrame = {
-    val admitted = modelGatedCuration(s, dir)
+    val admitted = modelGatedCuration(s, dir).localCheckpoint(false)
       .filter(col("admitted")).select("doc_id")
     val docs = Q.t(s, dir, "documents").select(
       col("doc_id"), col("source"),
