@@ -69,9 +69,16 @@ object BenchHeavy {
     "q59_triangle_counts",
     // r9 late: the end-to-end curated-mix assembly — td54's admission
     // composed with the per-source token budget; measures the full
-    // screen → gate → budget chain as one lazy plan on the replicated
-    // corpus
-    "q60_curated_mix")
+    // screen → gate → budget chain on the replicated corpus (its first
+    // tier row caught the fully-lazy form's predicate-pushdown collapse
+    // — see BASELINE)
+    "q60_curated_mix",
+    // r9 late: the two sampling/bucketing compositions — sim56 rides
+    // ivfAssign over every replicated vector + the per-cell cap window,
+    // td56 rides the full td51 LM scoring + a per-lang ntile window;
+    // both corpus-proportional
+    "sim56_cluster_balanced_sample",
+    "td56_ppl_buckets")
   // lineitem is replicated into the heavy dir (v4) for the Decimal-sum
   // class evidence recorded in BASELINE.md (q01 cents-long vs Decimal at
   // 6M rows, 2 MB grain: 0.78-0.80 s vs 1.07-1.20 s) and for scaling-curve

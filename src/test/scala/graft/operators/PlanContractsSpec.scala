@@ -541,6 +541,56 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() > 0)
   }
 
+  test("sim56 cluster-balanced sample: one exchange total (the cap window's)") {
+    val out = graft.queries.Similarity.sim56(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    // ivfAssign is a projection argmin (its own contract above), so the
+    // ONLY shuffle a diversity subsample needs is the per-cell cap
+    // window's centroid_id exchange — a second exchange means the
+    // assignment regressed to a join/window form
+    assert(countOf(plan, "Exchange hashpartitioning") == 1,
+      s"expected exactly one shuffle (the cap window):\n$plan")
+    assert(out.count() > 0)
+  }
+
+  test("td56 ppl buckets: the ntile window partitions by lang, never globally") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // AQE wraps stages in leaf nodes, hiding the window from traversal —
+    // the static plan has the same shape (the tokenBudget-contract idiom)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = graft.queries.TextOps.pplBuckets(spark, dir)
+      val windows = out.queryExecution.executedPlan.collect {
+        case w: WindowExec => w
+      }
+      assert(windows.nonEmpty, "expected the ntile window")
+      windows.foreach { w =>
+        assert(w.partitionSpec.size == 1,
+          s"bucket window must partition by lang — an empty partition spec " +
+            s"puts the whole corpus through one task:\n${w.partitionSpec}")
+      }
+      assert(out.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q60 admission filter rides the materialized gate, not the component branches") {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val out = graft.queries.TextOps.curatedMix(spark, dir)
+    // the gate frame localCheckpoints BEFORE the admitted filter; without
+    // the barrier the conjuncts push into the td54 component branches and
+    // the signal expressions re-evaluate once per comparison
+    // (graft_gopher_stats ~14x per row — q60's first heavy row, BASELINE)
+    val filters = out.queryExecution.optimizedPlan.collect {
+      case f: Filter => f.condition.toString
+    }
+    filters.foreach { c =>
+      assert(!c.contains("graft_gopher_stats") && !c.contains("graft_lm_score"),
+        s"gate signals leaked into a pushed-down filter:\n$c")
+    }
+    assert(out.count() > 0)
+  }
+
   test("filter + projection reach the parquet scan (pushdown contract)") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .filter(col("o_orderstatus") === "O")
