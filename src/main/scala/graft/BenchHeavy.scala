@@ -78,7 +78,11 @@ object BenchHeavy {
     // td56 rides the full td51 LM scoring + a per-lang ntile window;
     // both corpus-proportional
     "sim56_cluster_balanced_sample",
-    "td56_ppl_buckets")
+    "td56_ppl_buckets",
+    // r9 late: random-projection coarse search + exact rerank — the
+    // projection and the 16-dim coarse scan both ride every replicated
+    // vector
+    "sim57_random_projection_rerank")
   // lineitem is replicated into the heavy dir (v4) for the Decimal-sum
   // class evidence recorded in BASELINE.md (q01 cents-long vs Decimal at
   // 6M rows, 2 MB grain: 0.78-0.80 s vs 1.07-1.20 s) and for scaling-curve

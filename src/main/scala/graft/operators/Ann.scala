@@ -100,6 +100,42 @@ object Ann {
     }
   }
 
+  /** md5-seeded ±1 random-projection matrix — the [[hyperplaneSigns]]
+    * stream under an "rp" salt, so projections and LSH planes draw
+    * independent signs. Row j's i-th component is +1 iff the first hex
+    * digit of md5("rp-j-i") < '8'; reproducible in any SQL engine.
+    */
+  def projectionSigns(outDim: Int, dim: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until outDim).map { j =>
+      (1 to dim).map { i =>
+        val hex = md.digest(s"rp-$j-$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0) < '8') 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Deterministic random-projection dimensionality reduction (the ±1
+    * matrix of Achlioptas 2003 — JL-style distance preservation at
+    * outDim ≪ dim): each vector maps to `outDim` signed sums, a pure
+    * codegen projection (no shuffle, no UDF, corpus never touched
+    * twice). The cheap-space candidate-generation path that complements
+    * IVF/PQ/int8: coarse search in the projected space costs
+    * outDim/dim of the flops and memory, then [[rerankTopK]] restores
+    * exact ranking on the candidate frame only (sim57). Signs inline as
+    * literals — the matrix is outDim×dim doubles, never a join input.
+    */
+  def randomProject(emb: DataFrame, idCol: String, embCol: String,
+      dim: Int, outDim: Int, outCol: String = "proj"): DataFrame = {
+    require(dim >= 1 && outDim >= 1 && outDim <= dim,
+      s"need 1 <= outDim <= dim, got outDim=$outDim dim=$dim")
+    val signs = projectionSigns(outDim, dim)
+    emb.select(col(idCol).as("vec_id"),
+      array((0 until outDim).map(j =>
+        dot(col(embCol), array(signs(j).map(lit): _*))): _*).as(outCol))
+  }
+
   /** Random-hyperplane LSH bucket id (0 until 2^planes) for `embCol`. */
   def lshBucket(embCol: String, planes: Int, dim: Int): Column = {
     val signs = hyperplaneSigns(planes, dim)

@@ -287,6 +287,26 @@ object Similarity extends QuerySet {
       k = 50)
   }
 
+  /** Random-projection coarse search with exact rerank (sim57): the
+    * fourth cheap-space candidate path next to int8 (sim49/53), IVF
+    * (sim40) and PQ (sim45) — embeddings project 64 → 16 dims through
+    * the deterministic ±1 matrix (`Ann.randomProject`, a pure codegen
+    * projection), the coarse top-20 runs brute-force cosine in the
+    * 4×-cheaper space, and `Ann.rerankTopK` restores exact full-precision
+    * ranking on the candidate frame only. At 100 TB the projected corpus
+    * is a quarter of the scan bytes and flops; the rerank joins carry
+    * queries×20 rows.
+    */
+  def sim57(s0: SparkSession, dir: String): DataFrame = {
+    val s = withDot(s0)
+    val e = embD(s, dir)
+    val proj = Ann.randomProject(e, "vec_id", "emb", dim = 64, outDim = 16)
+    val coarse = Ann.cosineTopK(proj, "vec_id", "proj",
+      queryPred = col("vec_id") < 5, k = 20)
+    Ann.rerankTopK(e, "vec_id", "emb",
+      coarse.select(col("query_id"), col("neighbor_id")), k = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
     "sim37_lsh_buckets" -> (sim37 _),
@@ -308,7 +328,8 @@ object Similarity extends QuerySet {
     "sim53_rerank_two_stage" -> (sim53 _),
     "sim54_knn_graph_incremental" -> (sim54 _),
     "sim55_nprobe_sweep" -> (sim55 _),
-    "sim56_cluster_balanced_sample" -> (sim56 _))
+    "sim56_cluster_balanced_sample" -> (sim56 _),
+    "sim57_random_projection_rerank" -> (sim57 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -440,6 +461,17 @@ object Similarity extends QuerySet {
         |FROM (SELECT *, row_number() OVER
         |  (PARTITION BY query_id ORDER BY cand_cos DESC, vec_id ASC) AS rank FROM cand)
         |WHERE rank <= 3""".stripMargin
+
+  /** Projected component j of the rp-salted ±1 random-projection matrix
+    * (mirrors `Ann.projectionSigns` — same md5 convention as planeDotSql
+    * under the independent "rp" salt).
+    */
+  private def rpDotSql(j: Int): String =
+    s"""list_sum([emb[i] * (CASE WHEN substr(md5('rp-$j-' || i), 1, 1) < '8'
+       | THEN 1.0 ELSE -1.0 END) for i in range(1, 65)])""".stripMargin.replace("\n", " ")
+
+  private val rpProjSql: String =
+    (0 until 16).map(rpDotSql).mkString("[", ", ", "]")
 
   /** sim39's oracle text, shared verbatim by the sim56 composition. */
   private val sim39Oracle: String =
@@ -711,6 +743,29 @@ object Similarity extends QuerySet {
          |  ORDER BY md5(CAST(centroid_id AS VARCHAR) || '|' ||
          |   CAST(vec_id AS VARCHAR)), vec_id) AS rn
          | FROM ($sim39Oracle) a) WHERE rn <= 50""".stripMargin,
+    // sim57 recomputes the ±1 projection, the 16-dim coarse ranking and
+    // the full-precision rerank from scratch
+    "sim57_random_projection_rerank" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+         |p AS (SELECT vec_id, $rpProjSql AS emb FROM e),
+         |pw AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM p),
+         |pq AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm FROM pw WHERE vec_id < 5),
+         |coarse AS (SELECT pq.query_id, pw.vec_id AS neighbor_id,
+         |  list_sum([pw.emb[i] * pq.q_emb[i] for i in range(1, 17)]) / (pw.norm * pq.q_norm) AS ccos
+         | FROM pw, pq WHERE pw.vec_id <> pq.query_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY ccos DESC, neighbor_id ASC) AS rn FROM coarse)
+         | WHERE rn <= 20),
+         |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm FROM w WHERE vec_id < 5),
+         |rer AS (SELECT c.query_id, c.neighbor_id,
+         |  list_sum([w.emb[i] * q.q_emb[i] for i in range(1, 65)]) / (w.norm * q.q_norm) AS cos_full
+         | FROM cand c JOIN w ON w.vec_id = c.neighbor_id JOIN q ON q.query_id = c.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(cos_full, 4) AS cos
+         |FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id ASC) AS rank FROM rer)
+         |WHERE rank <= 5""".stripMargin,
     "sim40_ivf_probe" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),

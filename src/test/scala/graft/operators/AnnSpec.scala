@@ -474,6 +474,41 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(self.length == 2 && self.forall(_ == 1.0))
   }
 
+  test("randomProject: exact signed sums, independent of the LSH sign stream, pure projection") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Seq(
+      (1L, (1 to 8).map(_.toDouble)),
+      (2L, (1 to 8).map(i => if (i % 2 == 0) -i.toDouble else i.toDouble)),
+      (3L, Seq.fill(8)(0.0)))
+    val df = vecs.toDF("vec_id", "emb")
+    val out = Ann.randomProject(df, "vec_id", "emb", dim = 8, outDim = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // independent md5 recomputation of the rp-salted sign convention
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Double = {
+      val hex = md.digest(s"rp-$j-$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1.0 else -1.0
+    }
+    vecs.foreach { case (id, v) =>
+      (0 until 3).foreach { j =>
+        val expect = (1 to 8).map(i => v(i - 1) * sign(j, i)).sum
+        assert(out(id)(j) == expect, s"vec $id dim $j")
+      }
+    }
+    // the rp salt draws a DIFFERENT stream than the LSH planes — a shared
+    // stream would correlate the projection with the bucketing
+    val rp = Ann.projectionSigns(3, 8)
+    val lsh = Ann.hyperplaneSigns(3, 8)
+    assert(rp != lsh, "projection signs must not reuse the LSH stream")
+    // scale contract: a pure map-stage projection, no exchange
+    val plan = Ann.randomProject(emb, "vec_id", "emb", dim = 64, outDim = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"randomProject must be a pure projection:\n$plan")
+  }
+
   test("quantizeInt8: values span [-127,127], dequantization error <= scale/2, zero vector safe") {
     import spark.implicits._
     val vecs = Seq(
