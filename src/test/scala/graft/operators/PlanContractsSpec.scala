@@ -591,6 +591,39 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() > 0)
   }
 
+  test("registry sweep: expensive signal expressions never ride a Filter condition") {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    // the q60 failure class, pinned registry-wide: when a consumer filter
+    // collapses a signal projection, the expensive expression re-evaluates
+    // once per pushed conjunct (graft_gopher_stats read ~14x per row on
+    // q60's first heavy draw). The operators keep these in projections and
+    // filter on their cheap outputs, so the registry-wide count inside
+    // Filter conditions is ZERO — any future composition that leaks one
+    // into a predicate fails here before it reaches a bench.
+    val expensive = Seq("graft_gopher_stats", "graft_lm_score",
+      "graft_top_freq", "graft_minhash", "graft_minhash_u",
+      "graft_strip_spans", "graft_hash_embed", "graft_ngram_digests",
+      "graft_shingles", "graft_tf", "graft_bigrams", "graft_bpe_merge",
+      "graft_nfc")
+    // batch entries only: st* run their feeds at construction, x12* parse
+    // their corpus — both out of scope for this static-plan sweep
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => n.startsWith("st") || n.startsWith("x12"))
+    names.foreach { n =>
+      val df = graft.SparkEntry.queries(n)(spark, dir)
+      val filters = df.queryExecution.optimizedPlan.collect {
+        case f: Filter => f.condition.toString
+      }
+      for (c <- filters; fn <- expensive) {
+        val cnt = countOf(c, fn + "(")
+        assert(cnt == 0,
+          s"$n: $fn appears $cnt time(s) inside one Filter condition — " +
+            s"the q60 pushdown-collapse class; materialize the signal " +
+            s"frame before filtering:\n${c.take(600)}")
+      }
+    }
+  }
+
   test("filter + projection reach the parquet scan (pushdown contract)") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .filter(col("o_orderstatus") === "O")
