@@ -95,6 +95,12 @@ object StripSpansUtil {
     val starts = new Array[Int](m)
     var i = 0
     while (i < m) {
+      // a null slot would read as 0 and silently cover [0, n-1] — the
+      // callers (collect_list over computed ints) never produce one, so
+      // treat it as corrupt input and fail loud
+      if (startsData.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_strip_spans: null start position at index $i")
       starts(i) = startsData.getInt(i)
       i += 1
     }

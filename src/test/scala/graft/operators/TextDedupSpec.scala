@@ -511,6 +511,15 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
         Array(1)), 1, nl, "\n")
     assert(row2.getUTF8String(0).toString == "k\nm" &&
       row2.getLong(1) == 1L)
+    // a null start slot is corrupt input (would silently cover [0, n-1]
+    // if read as 0) — the contract is fail-loud
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.StripSpansUtil.strip(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a b c"),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array[java.lang.Integer](1, null)), 1, sp, " ")
+    }
+    assert(ex.getMessage.contains("null start position"))
   }
 
   test("simhash of identical texts is identical") {
