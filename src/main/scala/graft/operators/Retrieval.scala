@@ -111,8 +111,18 @@ object Retrieval {
     // distinct, so a plain count IS the document frequency — identical
     // to the full-vocab census at the query's terms)
     val census = qtf.groupBy("token").agg(count(lit(1)).as("df"))
+    scoreTop(qtf.join(broadcast(census), Seq("token")), nDocs, totTok,
+      quantScale, topK)
+  }
+
+  /** The quantized score + top-k tail shared by [[bm25Rank]] and
+    * [[bm25RankFromIndex]] — candWithDf carries (doc_id, tf, dl, df)
+    * for every surviving (doc, query-term) row.
+    */
+  private def scoreTop(candWithDf: DataFrame, nDocs: Long, totTok: Long,
+      quantScale: Long, topK: Int): DataFrame = {
     val q = quantScale
-    val scored = qtf.join(broadcast(census), Seq("token"))
+    val scored = candWithDf
       .withColumn("tfq",
         expr(s"(22L * ${totTok}L * tf * ${q}L) DIV " +
           s"(10L * ${totTok}L * tf + 3L * ${totTok}L + 9L * ${nDocs}L * dl)"))
@@ -126,6 +136,51 @@ object Retrieval {
         row_number().over(Window.orderBy(col("bm25q").desc,
           col("doc_id").asc)))
       .select(col("rank"), col("doc_id"), col("bm25q"))
+  }
+
+  /** The BM25 inverted-index postings of a document frame: one row per
+    * (document, distinct token) carrying its term frequency and the
+    * document length — the structure a search index MAINTAINS as
+    * documents arrive. Postings are per-document facts, so batches over
+    * disjoint documents APPEND (no merge arithmetic); the df census is
+    * `groupBy(token).count` over them, and per-batch censuses merge by
+    * re-summing — counting is mergeable, the st61 property, which is
+    * what lets st66 keep a continuously-current index without ever
+    * re-scanning history.
+    */
+  def bm25Postings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val F = graft.functions.GraftFunctions
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol).as("doc_id"),
+        explode(F.termFreq(toks)).as("t"))
+      .select(col("doc_id"), col("t.token").as("token"),
+        col("t.tf").as("tf"), col("t.n_terms").as("dl"))
+  }
+
+  /** [[bm25Rank]] scored from a PREBUILT / MAINTAINED index instead of
+    * the raw corpus: `postings` as produced by [[bm25Postings]] (possibly
+    * accumulated across many batches), `census` the full-vocabulary
+    * (token, df) frame, and the corpus scalars. The census is cut to the
+    * query's terms BEFORE broadcasting (vocabulary-sized state, but only
+    * a query-sized frame ever travels), the query cut lands on the
+    * postings scan map-side, and the score arithmetic is byte-identical
+    * to [[bm25Rank]]'s — merged counts equal one-shot counts exactly, so
+    * the ranking from a maintained index is row-identical to ranking the
+    * assembled corpus from scratch (st66's parity `require`).
+    */
+  def bm25RankFromIndex(postings: DataFrame, census: DataFrame,
+      nDocs: Long, totTok: Long, maxDl: Long, query: DataFrame,
+      topK: Int, quantScale: Long = 1024L): DataFrame = {
+    require(nDocs >= 1, "bm25RankFromIndex: empty index")
+    requireNoBm25Overflow("bm25RankFromIndex", nDocs, totTok, maxDl,
+      quantScale)
+    val qcut = query.select("token").distinct()
+    val censusAtQuery = census.join(broadcast(qcut), Seq("token"))
+    val cand = postings.join(broadcast(qcut), Seq("token"))
+      .join(broadcast(censusAtQuery), Seq("token"))
+    scoreTop(cand, nDocs, totTok, quantScale, topK)
   }
 
   /** [[bm25Rank]] for a BATCH of queries — the production retrieval

@@ -765,6 +765,69 @@ object StreamingQueries extends QuerySet {
     out
   }
 
+  /** Streaming search-index maintenance (st66): the BM25 inverted index
+    * is COUNTS — postings are per-document facts that APPEND, the df
+    * census and the (N, T, maxDl) scalars are sums that MERGE — so a
+    * search index stays continuously current with the st61 partials
+    * idiom: each micro-batch of arriving documents contributes its
+    * postings (`Retrieval.bm25Postings`, appended), its token-df census
+    * (union → re-sum) and its scalars (added), all checkpointed; history
+    * is never re-scanned and per-trigger cost is proportional to the
+    * batch. After the drain, `bm25RankFromIndex` answers td49's query
+    * from the MAINTAINED index — and because merged counts equal
+    * one-shot counts exactly (integer arithmetic end-to-end), the
+    * ranking must be row-identical (rank, doc_id, quantized score) to
+    * the ORACLED td49 one-shot twin.
+    */
+  def st66(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val staged = tmp(s"graft_st66_feed_$key")
+    Q.t(s, dir, "documents")
+      .repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(staged)
+    val schema = s.read.parquet(staged).schema
+    val feed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    var postings: DataFrame = null
+    var census: DataFrame = null
+    var nDocs = 0L
+    var totTok = 0L
+    var maxDl = 0L
+    val q = feed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val p = graft.operators.Retrieval
+          .bm25Postings(batch, "doc_id", "text")
+        val c = p.groupBy("token").agg(count(lit(1)).as("df"))
+        postings = (if (postings == null) p
+          else postings.unionByName(p)).localCheckpoint(true)
+        census = (if (census == null) c
+          else census.unionByName(c).groupBy("token")
+            .agg(sum(col("df")).as("df"))).localCheckpoint(true)
+        val r = batch.agg(count(lit(1)).as("n"),
+          sum(size(split(col("text"), " ")).cast("long")).as("t"),
+          max(size(split(col("text"), " ")).cast("long")).as("m")).head
+        nDocs += r.getLong(0)
+        totTok += r.getLong(1)
+        maxDl = math.max(maxDl, r.getLong(2))
+      }
+      .option("checkpointLocation", tmp("graft_st66_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val query = Q.t(s, dir, "documents").filter(col("doc_id") === 0)
+      .select(explode(split(col("text"), " ")).as("token")).distinct()
+    val out = graft.operators.Retrieval.bm25RankFromIndex(
+      postings, census, nDocs, totTok, maxDl, query, topK = 10)
+    val twin = TextOps.bm25TopK(s, dir) // the ORACLED td49 twin
+    val missing = twin.except(out).count()
+    val extra = out.except(twin).count()
+    require(missing == 0 && extra == 0,
+      s"maintained BM25 index diverged from the one-shot td49 twin: " +
+        s"missing=$missing extra=$extra")
+    out
+  }
+
   // ---------------------------------------------------------------------
   // Checkpoint-restart recovery twins (r9, verdict #3): every stateful st
   // entry above runs its feed in ONE continuous query session, so the
@@ -1035,6 +1098,7 @@ object StreamingQueries extends QuerySet {
     "st59_transform_with_state" -> (st59 _),
     "st60_stream_rolling_anomaly" -> (st60 _),
     "st61_stream_model_maintenance" -> (st61 _),
+    "st66_bm25_index_maintenance" -> (st66 _),
     "st62_recovery_watermark_dedup" -> (st62 _),
     "st63_recovery_running_counts" -> (st63 _),
     "st64_recovery_rolling_anomaly" -> (st64 _),
