@@ -534,6 +534,22 @@ object TextOps extends QuerySet {
       budgets = Map("src0" -> 800L, "src1" -> 400L), defaultBudget = 500L)
   }
 
+  /** Curation funnel report (q61): the drop-off accounting a pipeline
+    * operator reads before trusting its gates — per-gate pass counts over
+    * td54's composed admission (rule screen, LM gate, classifier
+    * agreement), each gate's count alongside the total and the final
+    * admitted count, as ONE aggregate row of exact integers. The oracle
+    * composes the td54 oracle verbatim (drift detection).
+    */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    modelGatedCuration(s, dir).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_rule_pass"),
+      sum(when(col("lm_ok"), 1L).otherwise(0L)).as("n_lm_pass"),
+      sum(when(col("lang_match"), 1L).otherwise(0L)).as("n_lang_pass"),
+      sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"))
+  }
+
   /** Perplexity-bucketed corpus split (td56, CCNet §4.3-style): every
     * LM-scored document lands in a per-language quality tertile by mean
     * quantized log₂-probability — bucket 1 = head (most like the training
@@ -616,7 +632,8 @@ object TextOps extends QuerySet {
     "td54_model_gated_curation" -> (modelGatedCuration _),
     "td55_nb_confusion" -> (nbConfusion _),
     "td56_ppl_buckets" -> (pplBuckets _),
-    "q60_curated_mix" -> (curatedMix _))
+    "q60_curated_mix" -> (curatedMix _),
+    "q61_curation_funnel" -> (curationFunnel _))
 
   /** One BPE round's census/top-pair/merge as DuckDB CTEs (shared by the
     * td41/td42 oracles): `wn` = the (w, cnt) state, producing pair census
@@ -1236,6 +1253,13 @@ object TextOps extends QuerySet {
          |FROM (SELECT b.doc_id, b.avg_lp, d.lang
          |  FROM (${baseOracles("td51_lm_quality")}) b
          |  JOIN documents d ON b.doc_id = d.doc_id)""".stripMargin,
+    "q61_curation_funnel" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (keep) AS BIGINT) AS n_rule_pass,
+         |  CAST(count(*) FILTER (lm_ok) AS BIGINT) AS n_lm_pass,
+         |  CAST(count(*) FILTER (lang_match) AS BIGINT) AS n_lang_pass,
+         |  CAST(count(*) FILTER (admitted) AS BIGINT) AS n_admitted
+         |FROM ($td54Oracle)""".stripMargin,
     "q60_curated_mix" ->
       s"""WITH adm AS (SELECT doc_id FROM ($td54Oracle) WHERE admitted),
          |d AS (SELECT doc_id, source,
