@@ -534,6 +534,23 @@ object TextOps extends QuerySet {
       budgets = Map("src0" -> 800L, "src1" -> 400L), defaultBudget = 500L)
   }
 
+  /** Tokenizer fertility by language (td57): the per-language
+    * tokenizer-quality metric a multilingual pipeline reads after
+    * training a vocabulary — whitespace words vs encoded BPE symbols per
+    * language (fertility = symbols/words; a language the merges serve
+    * poorly fragments into more symbols per word). Exact integer sums
+    * over td43's train→encode chain joined to the language column; the
+    * oracle composes the td43 oracle verbatim (drift detection).
+    */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val enc = q43(s, dir)
+    val docs = Q.t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    enc.join(docs, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_symbols")).as("n_bpe_symbols"))
+  }
+
   /** Curation funnel report (q61): the drop-off accounting a pipeline
     * operator reads before trusting its gates — per-gate pass counts over
     * td54's composed admission (rule screen, LM gate, classifier
@@ -632,6 +649,7 @@ object TextOps extends QuerySet {
     "td54_model_gated_curation" -> (modelGatedCuration _),
     "td55_nb_confusion" -> (nbConfusion _),
     "td56_ppl_buckets" -> (pplBuckets _),
+    "td57_tokenizer_fertility" -> (tokenizerFertility _),
     "q60_curated_mix" -> (curatedMix _),
     "q61_curation_funnel" -> (curationFunnel _))
 
@@ -1253,6 +1271,12 @@ object TextOps extends QuerySet {
          |FROM (SELECT b.doc_id, b.avg_lp, d.lang
          |  FROM (${baseOracles("td51_lm_quality")}) b
          |  JOIN documents d ON b.doc_id = d.doc_id)""".stripMargin,
+    "td57_tokenizer_fertility" ->
+      s"""SELECT d.lang, CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(e.n_bpe_symbols) AS BIGINT) AS n_bpe_symbols
+         |FROM (${baseOracles("td43_bpe_encode")}) e
+         |JOIN documents d ON e.doc_id = d.doc_id
+         |GROUP BY d.lang""".stripMargin,
     "q61_curation_funnel" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(count(*) FILTER (keep) AS BIGINT) AS n_rule_pass,
