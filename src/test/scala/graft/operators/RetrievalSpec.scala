@@ -51,6 +51,45 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(single == multi)
   }
 
+  test("bm25RankFromIndex on merged batch partials equals bm25Rank one-shot") {
+    import spark.implicits._
+    // the st66 property at unit grain: postings APPEND, the df census and
+    // scalars MERGE by re-summing, and the index-scored ranking is
+    // row-identical to scoring the assembled corpus from scratch
+    val all = Seq(
+      (0L, "the zebra runs fast"),
+      (1L, "the the cat naps"),
+      (2L, "zebra zebra stripes"),
+      (3L, "dog sits by the door"),
+      (4L, "fox jumps over the dog")).toDF("doc_id", "text")
+    val query = Seq("the", "zebra", "dog").toDF("token")
+    val oneShot = Retrieval.bm25Rank(all, "doc_id", "text", query, topK = 5)
+    val batches = Seq(all.filter(col("doc_id") < 2),
+      all.filter(col("doc_id") >= 2 && col("doc_id") < 4),
+      all.filter(col("doc_id") >= 4))
+    var postings: org.apache.spark.sql.DataFrame = null
+    var census: org.apache.spark.sql.DataFrame = null
+    var nDocs = 0L; var totTok = 0L; var maxDl = 0L
+    batches.foreach { b =>
+      val p = Retrieval.bm25Postings(b, "doc_id", "text")
+      val c = p.groupBy("token").agg(count(lit(1)).as("df"))
+      postings = if (postings == null) p else postings.unionByName(p)
+      census = if (census == null) c
+        else census.unionByName(c).groupBy("token")
+          .agg(sum(col("df")).as("df"))
+      val r = b.agg(count(lit(1)),
+        sum(size(split(col("text"), " ")).cast("long")),
+        max(size(split(col("text"), " ")).cast("long"))).head
+      nDocs += r.getLong(0); totTok += r.getLong(1)
+      maxDl = math.max(maxDl, r.getLong(2))
+    }
+    val fromIndex = Retrieval.bm25RankFromIndex(postings, census,
+      nDocs, totTok, maxDl, query, topK = 5)
+    assert(oneShot.except(fromIndex).count() == 0 &&
+      fromIndex.except(oneShot).count() == 0,
+      "merged-partials index ranking must equal the one-shot ranking")
+  }
+
   test("bm25 Int64 overflow guard fails loud instead of wrap-mis-ranking") {
     import spark.implicits._
     val docs = Seq((0L, "a b c"), (1L, "a a a")).toDF("doc_id", "text")
