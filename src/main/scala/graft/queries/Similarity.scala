@@ -307,6 +307,24 @@ object Similarity extends QuerySet {
       coarse.select(col("query_id"), col("neighbor_id")), k = 5)
   }
 
+  /** Random-projection recall@k (sim58): sim50's evaluation loop applied
+    * to the sim57 coarse path — the top-3 in the 16-dim projected space
+    * measured against the exact full-precision top-3 per query, hits/k.
+    * This is the measured Johnson-Lindenstrauss quality knob for the
+    * sim57 pipeline (outDim is the dial; the sim55 sweep idiom applies);
+    * the join and aggregate are result-frame-sized, never corpus-sized.
+    */
+  def sim58(s0: SparkSession, dir: String): DataFrame = {
+    val s = withDot(s0)
+    val e = embD(s, dir)
+    val proj = Ann.randomProject(e, "vec_id", "emb", dim = 64, outDim = 16)
+    val approx = Ann.cosineTopK(proj, "vec_id", "proj",
+      queryPred = col("vec_id") < 5, k = 3)
+    val exact = Ann.cosineTopK(e, "vec_id", "emb",
+      queryPred = col("vec_id") < 5, k = 3)
+    Ann.recallAtK(approx, exact, "query_id", "neighbor_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim36_cosine_topk" -> (sim36 _),
     "sim37_lsh_buckets" -> (sim37 _),
@@ -329,7 +347,8 @@ object Similarity extends QuerySet {
     "sim54_knn_graph_incremental" -> (sim54 _),
     "sim55_nprobe_sweep" -> (sim55 _),
     "sim56_cluster_balanced_sample" -> (sim56 _),
-    "sim57_random_projection_rerank" -> (sim57 _))
+    "sim57_random_projection_rerank" -> (sim57 _),
+    "sim58_projection_recall" -> (sim58 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -743,6 +762,35 @@ object Similarity extends QuerySet {
          |  ORDER BY md5(CAST(centroid_id AS VARCHAR) || '|' ||
          |   CAST(vec_id AS VARCHAR)), vec_id) AS rn
          | FROM ($sim39Oracle) a) WHERE rn <= 50""".stripMargin,
+    // sim58 measures the projected-space top-3 against the exact top-3
+    // (the sim50 recall idiom over the rp projection)
+    "sim58_projection_recall" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+         |p AS (SELECT vec_id, $rpProjSql AS emb FROM e),
+         |pw AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM p),
+         |pq AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm FROM pw WHERE vec_id < 5),
+         |ax0 AS (SELECT pq.query_id, pw.vec_id,
+         |  list_sum([pw.emb[i] * pq.q_emb[i] for i in range(1, 17)]) / (pw.norm * pq.q_norm) AS ccos
+         | FROM pw, pq WHERE pw.vec_id <> pq.query_id),
+         |apx AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY ccos DESC, vec_id ASC) AS rank FROM ax0)
+         | WHERE rank <= 3),
+         |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm FROM w WHERE vec_id < 5),
+         |ex0 AS (SELECT q.query_id, w.vec_id,
+         |  list_sum([w.emb[i] * q.q_emb[i] for i in range(1, 65)]) / (w.norm * q.q_norm) AS cos_full
+         | FROM w, q WHERE w.vec_id <> q.query_id),
+         |ext AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cos_full DESC, vec_id ASC) AS rank FROM ex0)
+         | WHERE rank <= 3)
+         |SELECT ext.query_id,
+         | CAST(count(apx.vec_id) AS BIGINT) AS hits,
+         | count(*) AS k,
+         | CAST(count(apx.vec_id) AS DOUBLE) / count(*) AS recall
+         |FROM ext LEFT JOIN apx
+         | ON ext.query_id = apx.query_id AND ext.vec_id = apx.vec_id
+         |GROUP BY ext.query_id""".stripMargin,
     // sim57 recomputes the ±1 projection, the 16-dim coarse ranking and
     // the full-precision rerank from scratch
     "sim57_random_projection_rerank" ->
