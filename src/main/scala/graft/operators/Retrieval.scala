@@ -102,11 +102,13 @@ object Retrieval {
     // keeps memory flat. A degenerate all-stopword query still pays
     // candidate volume — the economics td45's maxDf cap documents;
     // production drops ultra-high-df terms, whose idf ≈ 0.
+    val qdist = query.select("token").distinct()
+    Ann.requireSmallQuerySet(qdist, "bm25Rank query", Ann.DefaultMaxQueryRows)
     val qtf = docs.select(col(idCol).as("doc_id"),
         explode(F.termFreq(toks)).as("t"))
       .select(col("doc_id"), col("t.token").as("token"),
         col("t.tf").as("tf"), col("t.n_terms").as("dl"))
-      .join(broadcast(query.select("token").distinct()), Seq("token"))
+      .join(broadcast(qdist), Seq("token"))
     // df census over the candidate frame (its rows are (doc, token)-
     // distinct, so a plain count IS the document frequency — identical
     // to the full-vocab census at the query's terms)
@@ -176,7 +178,12 @@ object Retrieval {
     require(nDocs >= 1, "bm25RankFromIndex: empty index")
     requireNoBm25Overflow("bm25RankFromIndex", nDocs, totTok, maxDl,
       quantScale)
+    // fail-loud broadcast contract (Ann's guard, r10): the query cut and
+    // the census-at-query frame both force-broadcast below — an oversized
+    // caller frame must error, not OOM the driver
     val qcut = query.select("token").distinct()
+    Ann.requireSmallQuerySet(qcut, "bm25RankFromIndex query",
+      Ann.DefaultMaxQueryRows)
     val censusAtQuery = census.join(broadcast(qcut), Seq("token"))
     val cand = postings.join(broadcast(qcut), Seq("token"))
       .join(broadcast(censusAtQuery), Seq("token"))
@@ -210,6 +217,8 @@ object Retrieval {
     requireNoBm25Overflow("bm25RankQueries", nDocs, totTok, row.getLong(2),
       quantScale)
     val qTerms = queries.select(col("query_id"), col("token")).distinct()
+    Ann.requireSmallQuerySet(qTerms, "bm25RankQueries query set",
+      Ann.DefaultMaxQueryRows)
     // the bm25Rank candidate-cut shape (see its comment): the broadcast
     // token-set cut rides the explode into both consumers, and the
     // census carries df for every term ANY query uses before fanning

@@ -609,9 +609,23 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     // their corpus — both out of scope for this static-plan sweep
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("st") || n.startsWith("x12"))
+    // self-check (r10 advice): the sweep matches on each expression's
+    // prettyName rendering `fn(`; a silent rename would turn the whole
+    // contract into a no-op pass. Track where each swept name appears in
+    // ANY plan expression and require every name to show up somewhere —
+    // a rename now breaks THIS assertion loudly instead of neutering the
+    // Filter assertion silently.
+    val seenAnywhere = scala.collection.mutable.Set.empty[String]
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, dir)
-      val filters = df.queryExecution.optimizedPlan.collect {
+      val plan = df.queryExecution.optimizedPlan
+      val allExprs = plan.collect { case p =>
+        p.expressions.map(_.toString).mkString("\n")
+      }.mkString("\n")
+      expensive.foreach { fn =>
+        if (allExprs.contains(fn + "(")) seenAnywhere += fn
+      }
+      val filters = plan.collect {
         case f: Filter => f.condition.toString
       }
       for (c <- filters; fn <- expensive) {
@@ -622,6 +636,22 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
             s"frame before filtering:\n${c.take(600)}")
       }
     }
+    // graft_hash_embed is structurally absent from every optimized batch
+    // plan: its only consumers (td47/td48's ragEmbedded) checkpoint the
+    // embedded frame, which replaces the lineage with a LogicalRDD. Pin
+    // its prettyName directly so a rename still fails loudly.
+    graft.functions.GraftFunctions.register(spark)
+    val hePlan = spark.range(1)
+      .select(org.apache.spark.sql.functions
+        .call_function("graft_hash_embed", lit("x").cast("string")))
+      .queryExecution.analyzed.expressions.map(_.toString).mkString
+    assert(hePlan.contains("graft_hash_embed("),
+      s"graft_hash_embed prettyName no longer renders as expected:\n$hePlan")
+    val missing = expensive.filterNot(seenAnywhere)
+      .filterNot(_ == "graft_hash_embed")
+    assert(missing.isEmpty,
+      s"swept names never seen in any registry plan — renamed prettyName " +
+        s"or dead entry would make the Filter sweep a silent no-op: $missing")
   }
 
   test("filter + projection reach the parquet scan (pushdown contract)") {
