@@ -4,11 +4,13 @@ import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Durable mergeable-state store for `foreachBatch` model maintenance
-  * (r9, the missing half of the st56/st61 partials idiom).
+  * (r9, the missing half of the st56/st61 partials idiom; adopted by
+  * st56 itself, st65, and the st66/st67 index census in r10 — st61
+  * remains the deliberately memory-resident form whose durable twin is
+  * st65).
   *
-  * st56/st61 hold their merged state frames in DRIVER memory
-  * (`localCheckpoint`), so the model survives micro-batches but not a
-  * query restart — the checkpoint recovers source offsets while the
+  * A `localCheckpoint`-held state frame survives micro-batches but not
+  * a query restart — the checkpoint recovers source offsets while the
   * accumulated model silently restarts empty. This store versions the
   * state frames on disk, keyed by the batch id Spark hands
   * `foreachBatch`, with replay-idempotent commits:

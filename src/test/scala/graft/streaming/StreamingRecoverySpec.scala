@@ -32,6 +32,15 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkTestBase {
     assert(StreamingQueries.st65(spark, dir).count() > 0)
   }
 
+  test("st56: durably maintained gold totals survive a checkpoint restart") {
+    assert(StreamingQueries.st56(spark, dir).count() > 0)
+  }
+
+  test("st67: maintained BM25 index (append-mode postings sink + durable " +
+      "census/scalars) survives a checkpoint restart") {
+    assert(StreamingQueries.st67(spark, dir).count() > 0)
+  }
+
   test("negative control: losing the checkpoint between phases re-emits " +
       "the replay (the recovery assertions have teeth)") {
     // st62's shape by hand, but phase 2 starts from a FRESH checkpoint
