@@ -128,6 +128,68 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Exact `ntile(n)` within each key, ordered by (`orderCol` DESC,
+    * `idCol` ASC), WITHOUT a per-key global sort — the scale-safe form of
+    * `ntile(n).over(Window.partitionBy(key).orderBy(order.desc, id))`.
+    *
+    * A key column with small, fixed cardinality (languages, sources)
+    * makes the window form a single-task sort per key value: at corpus
+    * scale each head key is terabytes through ONE task. Here the rank is
+    * computed with the same two-pass bucketed prefix idiom as
+    * [[tokenBudget]]:
+    *  1. rows land in coarse order-aligned buckets
+    *     (`floor(-order · coarseScale)` — monotone in the DESC order, so
+    *     bucket order equals sort order; ties share a bucket and resolve
+    *     locally by the id tiebreak);
+    *  2. per-(key, bucket) counts are a tiny frame; cumulative offsets
+    *     and the per-key total come from windows over THAT frame and
+    *     broadcast back;
+    *  3. each row's exact global rank = its bucket's offset + a rank
+    *     local to the (key, bucket) partition — bounded tasks however
+    *     skewed the keys;
+    *  4. the ntile bucket is pure arithmetic on (rank, total): the first
+    *     `total mod n` buckets take `total div n + 1` rows, the rest
+    *     `total div n` — byte-identical to the window `ntile`.
+    *
+    * `coarseScale` only tunes bucket granularity (any value yields
+    * identical output); pick it so ~corpus/(keys·scale·spread) rows share
+    * a bucket.
+    */
+  def ntileDescBucketed(df: DataFrame, keyCol: String, orderCol: String,
+      idCol: String, n: Int, outCol: String,
+      coarseScale: Double = 16.0): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(coarseScale > 0, s"coarseScale must be > 0, got $coarseScale")
+    // one scan feeds both passes (the tokenBudget materialize-once note)
+    val withKey = df
+      .withColumn("__cb", floor(-col(orderCol) * coarseScale).cast("long"))
+      .localCheckpoint(false)
+    val wOffset = Window.partitionBy(keyCol).orderBy("__cb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withKey
+      .groupBy(col(keyCol), col("__cb"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOffset), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(keyCol)))
+      .select(col(keyCol).as("__okey"), col("__cb").as("__ocb"),
+        col("__off"), col("__n"))
+    val wLocal = Window.partitionBy(col(keyCol), col("__cb"))
+      .orderBy(col(orderCol).desc, col(idCol))
+    withKey
+      .join(broadcast(offsets),
+        col(keyCol) <=> col("__okey") && col("__cb") <=> col("__ocb"))
+      .withColumn("__r", col("__off") + row_number().over(wLocal).cast("long"))
+      // rank → ntile bucket: the first (__n % n) buckets hold (__n DIV n)+1
+      // rows; q = 0 keys (fewer rows than buckets) never reach the ELSE
+      // branch, so its DIV is never by zero
+      .withColumn(outCol, expr(
+        s"CAST(CASE WHEN __r <= ((__n DIV $n) + 1) * (__n % $n) " +
+          s"THEN (__r - 1) DIV ((__n DIV $n) + 1) + 1 " +
+          s"ELSE (__n % $n) + (__r - 1 - ((__n DIV $n) + 1) * (__n % $n)) " +
+          s"DIV (__n DIV $n) + 1 END AS INT)"))
+      .select(df.columns.map(col) :+ col(outCol): _*)
+  }
+
   /** Deterministic per-key cap ("reservoir" with a hash instead of RNG):
     * keep at most `k` rows per key, chosen by the stable hash order — the
     * per-source row cap a mixing pipeline applies before interleaving.

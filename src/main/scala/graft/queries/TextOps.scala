@@ -573,18 +573,23 @@ object TextOps extends QuerySet {
     * distribution), 3 = tail. The bucket is the sampling key a CCNet-style
     * pipeline draws its head/middle/tail mix from. Ordering uses td51's
     * hash-oracled `avg_lp` (engine-identical doubles) with a doc_id
-    * tiebreak, so the ntile cut is deterministic on any engine; the oracle
-    * composes the td51 oracle text verbatim (the td54 drift-detection
-    * idiom). One lang-keyed exchange on top of the td51 plan.
+    * tiebreak, so the tertile cut is deterministic on any engine; the
+    * oracle composes the td51 oracle text verbatim (the td54
+    * drift-detection idiom) and keeps its window `ntile(3)` form — the
+    * engine side computes the SAME buckets via
+    * [[graft.operators.Sampling.ntileDescBucketed]] (r10): language
+    * cardinality is small and fixed, so `ntile.over(partitionBy(lang))`
+    * is a single-task sort per language at corpus scale (terabytes
+    * through one task for the head languages); the bucketed-rank form
+    * keeps every task bounded by the coarse score bucket while staying
+    * byte-identical to the window ntile (hash unchanged, spec-pinned).
     */
   def pplBuckets(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lm = lmQuality(s, dir).select(col("doc_id"), col("avg_lp"))
     val docs = Q.t(s, dir, "documents").select(col("doc_id"), col("lang"))
-    val w = Window.partitionBy("lang")
-      .orderBy(col("avg_lp").desc, col("doc_id"))
-    lm.join(docs, Seq("doc_id"))
-      .withColumn("ppl_bucket", ntile(3).over(w))
+    graft.operators.Sampling.ntileDescBucketed(
+        lm.join(docs, Seq("doc_id")), "lang", "avg_lp", "doc_id",
+        n = 3, outCol = "ppl_bucket")
       .select("doc_id", "lang", "avg_lp", "ppl_bucket")
   }
 

@@ -678,4 +678,37 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(enc.getInt(1) == 9 && enc.getLong(2) == 9L,
       "each of the 9 words must encode to exactly one symbol")
   }
+
+  test("ntileDescBucketed is byte-identical to the window ntile — " +
+      "every remainder class, ties, tiny keys, any coarseScale") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // per-key sizes cover N % 3 = 0/1/2, N < n, and heavy score ties
+    // (all of key "t" shares one score, so bucketing rides the id
+    // tiebreak across a single coarse bucket)
+    val rows =
+      (1L to 99L).map(i => ("a", i, -math.sin(i.toDouble) * 7.0)) ++
+      (1L to 100L).map(i => ("b", i, -(i % 13).toDouble / 3.0)) ++
+      (1L to 101L).map(i => ("c", i, -math.cos(i.toDouble) * 2.0)) ++
+      (1L to 2L).map(i => ("d", i, -1.0)) ++
+      (1L to 40L).map(i => ("t", i, -2.5))
+    val df = rows.toDF("k", "id", "score")
+    val w = Window.partitionBy("k").orderBy(col("score").desc, col("id"))
+    val expected = df.withColumn("nt", ntile(3).over(w))
+    for (scale <- Seq(0.5, 16.0, 1000.0)) {
+      val got = Sampling.ntileDescBucketed(df, "k", "score", "id",
+        n = 3, outCol = "nt", coarseScale = scale)
+      assert(expected.except(got).count() == 0 &&
+        got.except(expected).count() == 0,
+        s"bucketed ntile diverged from the window form at scale=$scale")
+    }
+    // n > 3 and n = 1 degenerate forms
+    for (nb <- Seq(1, 7)) {
+      val exp = df.withColumn("nt", ntile(nb).over(w))
+      val got = Sampling.ntileDescBucketed(df, "k", "score", "id",
+        n = nb, outCol = "nt")
+      assert(exp.except(got).count() == 0 && got.except(exp).count() == 0,
+        s"bucketed ntile diverged at n=$nb")
+    }
+  }
 }

@@ -553,25 +553,37 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() > 0)
   }
 
-  test("td56 ppl buckets: the ntile window partitions by lang, never globally") {
-    import org.apache.spark.sql.execution.window.WindowExec
-    // AQE wraps stages in leaf nodes, hiding the window from traversal —
-    // the static plan has the same shape (the tokenBudget-contract idiom)
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val out = graft.queries.TextOps.pplBuckets(spark, dir)
-      val windows = out.queryExecution.executedPlan.collect {
-        case w: WindowExec => w
-      }
-      assert(windows.nonEmpty, "expected the ntile window")
-      windows.foreach { w =>
-        assert(w.partitionSpec.size == 1,
-          s"bucket window must partition by lang — an empty partition spec " +
-            s"puts the whole corpus through one task:\n${w.partitionSpec}")
-      }
-      assert(out.count() > 0)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  test("td56 ppl buckets: no single-task per-language sort — corpus " +
+      "windows partition by (lang, coarse bucket)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val out = graft.queries.TextOps.pplBuckets(spark, dir)
+    val plan = out.queryExecution.optimizedPlan
+    // the r9 form ran ntile over Window.partitionBy(lang): language
+    // cardinality is small and fixed, so each language's FULL document
+    // set sorted on one task at corpus scale. The bucketed-rank rewrite
+    // must leave no ntile anywhere...
+    assert(!plan.toString.contains("ntile("),
+      s"ntile reappeared — the single-task per-language sort:\n$plan")
+    val windows = plan.collect { case w: LWindow => w }
+    // ...and every window the CORPUS flows through partitions by
+    // (lang, __cb) — bounded tasks. Windows partitioned by lang alone
+    // are allowed only on the tiny per-(lang, bucket) counts frame —
+    // recognizable because they sit over the counts Aggregate through a
+    // unary chain (the corpus body reaches its window through a Join).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, UnaryNode}
+    def overAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case u: UnaryNode => overAggregate(u.child)
+      case _ => false
+    }
+    assert(windows.exists(_.partitionSpec.size == 2),
+      "expected the (lang, coarse-bucket) local-rank window")
+    windows.filter(_.partitionSpec.size < 2).foreach { w =>
+      assert(overAggregate(w.child),
+        s"a corpus window partitions by a bounded-cardinality key " +
+          s"alone (single task per key at scale):\n$w")
+    }
+    assert(out.count() > 0)
   }
 
   test("q60 admission filter rides the materialized gate, not the component branches") {
