@@ -741,6 +741,41 @@ object Ann {
         coalesce(col("recall") >= lag(col("recall"), 1).over(w), lit(true)))
   }
 
+  /** Random-projection outDim sweep — the Johnson-Lindenstrauss
+    * quality/cost dial measured, the [[nprobeSweep]] idiom applied to the
+    * sim57 coarse path: for each `outDim`, search top-k in the projected
+    * space and score recall against the full-precision ground truth.
+    *
+    * Corpus work: ONE projection pass at the WIDEST outDim plus one exact
+    * scan, both checkpointed. [[projectionSigns]] row `j` depends only on
+    * `(j, i)`, so every narrower projection is a PREFIX SLICE of the
+    * widest — the sweep never re-touches the corpus per dial setting
+    * (slicing the checkpointed projected frame is a cheap projection).
+    * Unlike nprobe, recall is NOT provably monotone in outDim (each row
+    * is an independent JL draw), so the sweep reports the measured
+    * trade-off without a monotonicity gate.
+    *
+    * @return one row per outDim: (out_dim, sum_hits, sum_k, recall)
+    */
+  def projectionDimSweep(emb: DataFrame, idCol: String, embCol: String,
+      queryPred: Column, k: Int, dim: Int, outDims: Seq[Int]): DataFrame = {
+    require(outDims.nonEmpty && outDims.forall(d => d >= 1 && d <= dim),
+      s"outDims must be non-empty within [1, $dim], got $outDims")
+    val proj = randomProject(emb, idCol, embCol, dim, outDims.max)
+      .localCheckpoint(false)
+    val exact = cosineTopK(emb, idCol, embCol, queryPred, k)
+      .localCheckpoint(false)
+    outDims.sorted.map { od =>
+      val sliced = proj.select(col("vec_id"),
+        slice(col("proj"), 1, od).as("proj"))
+      recallAtK(cosineTopK(sliced, "vec_id", "proj", queryPred, k), exact,
+        "query_id", "neighbor_id")
+        .agg(sum(col("hits")).as("sum_hits"), sum(col("k")).as("sum_k"))
+        .select(lit(od).as("out_dim"), col("sum_hits"), col("sum_k"))
+    }.reduce(_ unionByName _)
+      .withColumn("recall", col("sum_hits").cast("double") / col("sum_k"))
+  }
+
   /** Residual IVF-PQ top-k — the faithful IVFADC of Jégou et al. 2011
     * §IV: PQ encodes the RESIDUAL `x − c(x)` (each vector minus its
     * assigned cell's centroid) instead of the raw vector, and each query

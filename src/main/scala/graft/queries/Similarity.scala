@@ -311,8 +311,9 @@ object Similarity extends QuerySet {
     * to the sim57 coarse path — the top-3 in the 16-dim projected space
     * measured against the exact full-precision top-3 per query, hits/k.
     * This is the measured Johnson-Lindenstrauss quality knob for the
-    * sim57 pipeline (outDim is the dial; the sim55 sweep idiom applies);
-    * the join and aggregate are result-frame-sized, never corpus-sized.
+    * sim57 pipeline (outDim is the dial — sim59 sweeps it across
+    * {8, 16, 32} from one shared projection pass); the join and
+    * aggregate are result-frame-sized, never corpus-sized.
     */
   def sim58(s0: SparkSession, dir: String): DataFrame = {
     val s = withDot(s0)
@@ -323,6 +324,23 @@ object Similarity extends QuerySet {
     val exact = Ann.cosineTopK(e, "vec_id", "emb",
       queryPred = col("vec_id") < 5, k = 3)
     Ann.recallAtK(approx, exact, "query_id", "neighbor_id")
+  }
+
+  /** Projection-dimension recall sweep (sim59): sim58's measurement run
+    * for outDim ∈ {8, 16, 32} — the Johnson-Lindenstrauss quality/cost
+    * dial of the sim57 pipeline MEASURED, the sim55 sweep idiom applied
+    * to the projection family. One corpus projection pass at the widest
+    * dial serves every setting (narrower projections are prefix slices
+    * of the widest — the signs stream is row-independent), so the sweep
+    * costs one projection + one exact scan + three result-sized rank/
+    * join rounds. Fully oracled: DuckDB recomputes each projection,
+    * both rankings and the aggregate hit counts exactly.
+    */
+  def sim59(s0: SparkSession, dir: String): DataFrame = {
+    val s = withDot(s0)
+    Ann.projectionDimSweep(embD(s, dir), "vec_id", "emb",
+      queryPred = col("vec_id") < 5, k = 3, dim = 64,
+      outDims = Seq(8, 16, 32))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -348,7 +366,8 @@ object Similarity extends QuerySet {
     "sim55_nprobe_sweep" -> (sim55 _),
     "sim56_cluster_balanced_sample" -> (sim56 _),
     "sim57_random_projection_rerank" -> (sim57 _),
-    "sim58_projection_recall" -> (sim58 _))
+    "sim58_projection_recall" -> (sim58 _),
+    "sim59_projection_dim_sweep" -> (sim59 _))
 
   private def planeDotSql(j: Int): String =
     s"""list_sum([emb[i] * (CASE WHEN substr(md5('$j-' || i), 1, 1) < '8'
@@ -491,6 +510,31 @@ object Similarity extends QuerySet {
 
   private val rpProjSql: String =
     (0 until 16).map(rpDotSql).mkString("[", ", ", "]")
+
+  private def rpProjSqlN(n: Int): String =
+    (0 until n).map(rpDotSql).mkString("[", ", ", "]")
+
+  /** One outDim's CTE chunk for the sim59 sweep: project at `od` dims
+    * (the same rp sign stream — a prefix of the widest projection),
+    * rank the projected top-3, and count hits against the shared exact
+    * ground truth (`ext`). Mirrors the sim58 oracle body per dial.
+    */
+  private def rpSweepChunk(od: Int): String =
+    s"""p$od AS (SELECT vec_id, ${rpProjSqlN(od)} AS emb FROM e),
+       |pw$od AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM p$od),
+       |pq$od AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm FROM pw$od WHERE vec_id < 5),
+       |ax$od AS (SELECT pq.query_id, pw.vec_id,
+       |  list_sum([pw.emb[i] * pq.q_emb[i] for i in range(1, ${od + 1})]) / (pw.norm * pq.q_norm) AS ccos
+       | FROM pw$od pw, pq$od pq WHERE pw.vec_id <> pq.query_id),
+       |apx$od AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY ccos DESC, vec_id ASC) AS rank FROM ax$od)
+       | WHERE rank <= 3),
+       |r$od AS (SELECT CAST($od AS INTEGER) AS out_dim,
+       |  CAST(count(apx.vec_id) AS BIGINT) AS sum_hits,
+       |  CAST(count(*) AS BIGINT) AS sum_k,
+       |  CAST(count(apx.vec_id) AS DOUBLE) / count(*) AS recall
+       | FROM ext LEFT JOIN apx$od apx
+       |  ON ext.query_id = apx.query_id AND ext.vec_id = apx.vec_id)""".stripMargin
 
   /** sim39's oracle text, shared verbatim by the sim56 composition. */
   private val sim39Oracle: String =
@@ -791,6 +835,21 @@ object Similarity extends QuerySet {
          |FROM ext LEFT JOIN apx
          | ON ext.query_id = apx.query_id AND ext.vec_id = apx.vec_id
          |GROUP BY ext.query_id""".stripMargin,
+    // sim59 re-runs the sim58 measurement per outDim dial against ONE
+    // shared exact ground truth (the sim55 sweep idiom)
+    "sim59_projection_dim_sweep" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+         |w AS (SELECT vec_id, emb, sqrt(list_sum([v * v for v in emb])) AS norm FROM e),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm FROM w WHERE vec_id < 5),
+         |ex0 AS (SELECT q.query_id, w.vec_id,
+         |  list_sum([w.emb[i] * q.q_emb[i] for i in range(1, 65)]) / (w.norm * q.q_norm) AS cos_full
+         | FROM w, q WHERE w.vec_id <> q.query_id),
+         |ext AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cos_full DESC, vec_id ASC) AS rank FROM ex0)
+         | WHERE rank <= 3),
+         |${Seq(8, 16, 32).map(rpSweepChunk).mkString(",\n")}
+         |SELECT * FROM r8 UNION ALL SELECT * FROM r16 UNION ALL SELECT * FROM r32""".stripMargin,
     // sim57 recomputes the ±1 projection, the 16-dim coarse ranking and
     // the full-precision rerank from scratch
     "sim57_random_projection_rerank" ->
