@@ -82,7 +82,24 @@ object BenchHeavy {
     // r9 late: random-projection coarse search + exact rerank — the
     // projection and the 16-dim coarse scan both ride every replicated
     // vector
-    "sim57_random_projection_rerank")
+    "sim57_random_projection_rerank",
+    // r10 (verdict Next #4): the r9 entries that lacked measured heavy
+    // rows. td55 re-runs td52's corpus-proportional scoring plus a tiny
+    // confusion aggregate; td57 rides the full BPE encode over every
+    // replica; q61 composes td54's three corpus passes into one
+    // aggregate row; mm51 composes the q40 rule screen + td52 classifier
+    // (both corpus-proportional here) with the mm47 perceptual dedup
+    // (fixture-bounded: the synthetic image set is the 64 originals —
+    // replicas carry offset ids — so the media gate stays constant-sized
+    // while the text gates scale; documented in BASELINE);
+    // sim58/sim59 ride the projection + coarse scan over every vector,
+    // sim59 at three dial settings from one projection pass
+    "td55_nb_confusion",
+    "td57_tokenizer_fertility",
+    "q61_curation_funnel",
+    "mm51_pair_curation",
+    "sim58_projection_recall",
+    "sim59_projection_dim_sweep")
   // lineitem is replicated into the heavy dir (v4) for the Decimal-sum
   // class evidence recorded in BASELINE.md (q01 cents-long vs Decimal at
   // 6M rows, 2 MB grain: 0.78-0.80 s vs 1.07-1.20 s) and for scaling-curve

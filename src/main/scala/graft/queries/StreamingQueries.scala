@@ -477,6 +477,7 @@ object StreamingQueries extends QuerySet {
             }
           graft.streaming.DurableState.commit(stateDir, batchId,
             Seq("gold" -> merged))
+          graft.streaming.DurableState.prune(stateDir, keep = 2)
         }
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -827,6 +828,10 @@ object StreamingQueries extends QuerySet {
       }
     graft.streaming.DurableState.commit(stateDir, batchId,
       Seq("census" -> census, "scalars" -> scalars))
+    // retention: a maintenance query otherwise accumulates one
+    // model-sized version per trigger forever; keep = 2 preserves the
+    // version a replaying batch merges from
+    graft.streaming.DurableState.prune(stateDir, keep = 2)
     val rows = p.count()
     val bytes = new java.io.File(bdir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
@@ -1145,6 +1150,7 @@ object StreamingQueries extends QuerySet {
             }
           graft.streaming.DurableState.commit(stateDir, batchId,
             Seq("counts" -> counts, "stats" -> stats))
+          graft.streaming.DurableState.prune(stateDir, keep = 2)
         }
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

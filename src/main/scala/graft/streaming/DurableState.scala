@@ -66,4 +66,35 @@ object DurableState {
     }
     Files.writeString(d.resolve("_COMMIT"), "")
   }
+
+  /** Retention: keep the newest `keep` COMMITTED versions, delete every
+    * older version dir (committed or crash-orphaned). Without this a
+    * long-running maintenance query accumulates one model-sized version
+    * per trigger forever. Call from the same single-writer foreachBatch
+    * that commits — right after [[commit]] — so no concurrent write can
+    * be pruned; `keep >= 2` leaves the previous version intact for a
+    * replaying batch that merges from `latestBefore` (a replay of batch
+    * `b` reads strictly below `b`, which prune never touches when called
+    * with the committed `b` as the newest).
+    */
+  def prune(root: String, keep: Int): Unit = {
+    require(keep >= 2,
+      s"keep must be >= 2 (a replaying batch reads the previous version), got $keep")
+    val d = Paths.get(root)
+    if (!Files.isDirectory(d)) return
+    val versioned = d.toFile.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{9}"))
+    val committed = versioned
+      .filter(f => Files.exists(f.toPath.resolve("_COMMIT")))
+      .map(_.getName.drop(1).toLong).sorted
+    if (committed.size <= keep) return
+    val floor = committed.takeRight(keep).head
+    versioned.filter(_.getName.drop(1).toLong < floor).foreach { f =>
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(); ()
+      }
+      rm(f)
+    }
+  }
 }

@@ -104,4 +104,31 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkTestBase {
     assert(DurableState.latestBefore(root, 0) === None)
     assert(DurableState.read(spark, root, 1, "t").count() === 1)
   }
+
+  test("DurableState.prune keeps the newest k committed versions and " +
+      "sweeps crash orphans below them") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dprune_spec").toString
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    (0L to 4L).foreach(b => DurableState.commit(root, b, Seq("t" -> df)))
+    // an uncommitted orphan BELOW the retention floor must be swept too
+    df.write.parquet(
+      java.nio.file.Paths.get(root).resolve("v000000001x").toString)
+    df.write.mode("overwrite").parquet(java.nio.file.Paths.get(root)
+      .resolve("v000000002").resolve("extra").toString)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root).resolve("v000000002").resolve("_COMMIT"))
+    DurableState.prune(root, keep = 2)
+    val left = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{9}"))
+      .map(_.getName).sorted.toSeq
+    // v3/v4 survive (newest two committed); v0/v1 deleted; v2 (now an
+    // orphan: its marker was removed above) is below the floor → swept
+    assert(left === Seq("v000000003", "v000000004"), s"got $left")
+    assert(DurableState.latestBefore(root, Long.MaxValue) === Some(4L))
+    assert(DurableState.read(spark, root, 4, "t").count() === 1)
+    // a replaying batch 4 still finds its merge source
+    assert(DurableState.latestBefore(root, 4) === Some(3L))
+  }
 }
