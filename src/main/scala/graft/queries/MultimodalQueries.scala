@@ -179,18 +179,37 @@ object MultimodalQueries extends QuerySet {
     *    CLIP-style pair-consistency filter).
     * All three gates are existing ORACLED machinery; the oracle composes
     * the three component oracle texts verbatim (the td54 drift-detection
-    * idiom), so a drift in any component breaks this entry too. At
-    * 100 TB each gate is the component's own documented scale shape and
-    * the composition joins doc-keyed gate frames — one hash join per
-    * gate, no new corpus pass.
+    * idiom), so a drift in any component breaks this entry too.
+    *
+    * Pair-universe pushdown (r10): both text gates are POINTWISE per
+    * document once the NB model is trained — the screen rules are
+    * per-row and the classifier's model comes from the train half, never
+    * the test frame — so evaluating them on the PAIRED subset only is
+    * identity-preserving. This is the same cut DuckDB's optimizer
+    * derives from the media_id join; without it the Spark side scored
+    * the whole text corpus to keep 64 rows (the entry's first heavy row
+    * read 4.8× for exactly that reason — run 1 vs run 2 in BASELINE).
+    * The NB TRAIN side deliberately stays the full even half (the td52
+    * model), so predictions for the paired docs are unchanged. At 100 TB
+    * an image-text corpus pairs every document, so the gates are
+    * corpus-proportional either way; the pushdown is what keeps a
+    * SPARSELY paired corpus cheap.
     */
   def mm51(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val img = mm47(s, dir)
       .select(col("media_id"), col("canonical_id"), col("n_copies"))
-    val cap = TextOps.q40(s, dir).select(col("doc_id"), col("keep"))
-    val nb = TextOps.nbLangClassify(s, dir)
+    val all = Q.t(s, dir, "documents")
+    val paired = all.filter(col("doc_id") < 64)
+    val cap = graft.operators.TextAnalysis
+      .curationPipeline(TextOps.q40Injected(paired), "doc_id", "text",
+        fast = true)
+      .select(col("doc_id"), col("keep"))
+    val nb = graft.operators.Classification.nbClassify(
+        train = all.filter(col("doc_id") % 2 === 0), test = paired,
+        "doc_id", "text", "lang")
       .select(col("doc_id"), col("pred_label"))
-    val docs = Q.t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val docs = paired.select(col("doc_id"), col("lang"))
     img.join(cap, img("media_id") === cap("doc_id")).drop("doc_id")
       .join(nb, col("media_id") === nb("doc_id")).drop("doc_id")
       .join(docs, col("media_id") === docs("doc_id")).drop("doc_id")

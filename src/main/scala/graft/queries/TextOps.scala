@@ -242,19 +242,25 @@ object TextOps extends QuerySet {
     * oracle composes the proven td31/td37/td32/td34 SQL forms over the
     * normalized text in one CTE chain.
     */
+  /** q40's stopword-injection (td34/td37 convention): the fixture's
+    * random words carry no Gopher stopwords, so the even half gets a
+    * deterministic stopword-bearing tail — SAME construction in both
+    * engines. Shared with mm51's caption cut so the two sides can never
+    * drift.
+    */
+  private[queries] def q40Injected(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    concat(col("text"),
+      when(col("doc_id") % 2 === 0,
+        lit(" and so that was the end of it all"))
+        .otherwise(lit(""))).as("text"))
+
   def q40(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    // the fixture's random words carry no Gopher stopwords, so the even
-    // half gets a deterministic stopword-bearing tail (td34/td37 injection
-    // convention — SAME construction in both engines): those docs face the
-    // remaining screens, the odd half pins the stopword-floor rejection
-    val injected = Q.t(s, dir, "documents").select(
-      col("doc_id"),
-      concat(col("text"),
-        when(col("doc_id") % 2 === 0,
-          lit(" and so that was the end of it all"))
-          .otherwise(lit(""))).as("text"))
-    TextAnalysis.curationPipeline(injected, "doc_id", "text", fast = true)
+    // injected docs face the remaining screens; the odd half pins the
+    // stopword-floor rejection
+    TextAnalysis.curationPipeline(q40Injected(Q.t(s, dir, "documents")),
+      "doc_id", "text", fast = true)
   }
 
   /** BPE pair census (td41): the top-10 adjacent character pairs over the
@@ -501,6 +507,14 @@ object TextOps extends QuerySet {
     * per (labeled lang, predicted lang) document counts over td52's
     * classifier output. Integer-exact; the oracle composes the td52
     * oracle text verbatim, so classifier drift breaks this entry too.
+    * Shape note (r10, measured): the doc_id-keyed join back to documents
+    * to recover the label costs +0.2-0.45 s over td52 alone at the
+    * f10/f30 tiers; the tempting alternative — carrying lang THROUGH the
+    * scoring aggregate — was A/B'd strictly worse (+1.3 s: the string
+    * rides every (doc, token) row of the tf frame instead of one
+    * corpus-sized join), so the join form stands. The entry's tier ratio
+    * tracks td52's own engine-constant gap and falls with scale
+    * (BASELINE r10: 3.2x f10 -> 2.2x f30, td52's curve class).
     */
   def nbConfusion(s: SparkSession, dir: String): DataFrame = {
     val nb = nbLangClassify(s, dir).select(col("doc_id"), col("pred_label"))
