@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-handling utilities (SURVEY.md §7.4.4: partner-heavy distributions —
@@ -89,5 +90,130 @@ object Skew {
     val o = other.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     f.join(o, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Exact top-k per key WITHOUT a per-key global sort — the scale-safe
+    * form of `row_number().over(Window.partitionBy(key).orderBy(...))
+    * <= k` when the key has small, fixed cardinality (event types,
+    * languages, sources): the window form sorts each key's FULL row set
+    * on one task. Two phases:
+    *  1. rows spread across `salts` sub-partitions of their key (the
+    *     [[saltedAgg]] spread) and each (key, salt) keeps its LOCAL
+    *     top-k — any row outside a local top-k is outside the global one
+    *     (k survivors per sub-partition is a superset of each one's
+    *     contribution);
+    *  2. the global top-k window runs over the ≤ k·salts survivors per
+    *     key — bounded however large the key's row set.
+    * Output is byte-identical to the single-window form for any `salts`
+    * (the final rank rides the same total order).
+    *
+    * @param order  full ORDER BY spec, must be a total order (include an
+    *               id tiebreak) so ranks are deterministic
+    * @param saltBy high-cardinality column(s) inside hot keys (an id)
+    */
+  def topKPerKey(df: DataFrame, keyCol: String, order: Seq[Column],
+      saltBy: Column, k: Int, outRankCol: String = "rn",
+      salts: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(salts > 0, s"salts must be positive, got $salts")
+    val wLocal = Window
+      .partitionBy(col(keyCol), pmod(hash(saltBy), lit(salts)))
+      .orderBy(order: _*)
+    val wGlobal = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    df.withColumn("__lrn", row_number().over(wLocal))
+      .filter(col("__lrn") <= k)
+      .withColumn(outRankCol, row_number().over(wGlobal))
+      .filter(col(outRankCol) <= k)
+      .drop("__lrn")
+  }
+
+  /** Exact interpolated percentiles per key WITHOUT buffering a key's
+    * full value set — the scale-safe form of `percentile(value, p)` over
+    * a small fixed-cardinality key, where Spark's exact aggregate holds
+    * every (value, count) of a key in ONE task's hash map. The
+    * distributed-selection shape:
+    *  1. values land in coarse order-aligned buckets; per-(key, bucket)
+    *     counts are a TINY frame whose cumulative offsets + per-key
+    *     totals localize every order statistic: each requested p needs
+    *     only the values at 0-based ranks floor(p·(n−1)) and
+    *     ceil(p·(n−1)), and the count frame names WHICH bucket holds
+    *     each rank and the rank local to it;
+    *  2. only rows in those needed buckets survive a broadcast semi-cut
+    *     (a handful of buckets per key — the corpus is scanned, never
+    *     sorted), get a bucket-local rank on bounded partitions, and the
+    *     matching rows interpolate with Spark's `Percentile` arithmetic
+    *     term for term ((hi−pos)·x_lo + (pos−lo)·x_hi, lower value
+    *     verbatim when the position is integral) — bit-identical
+    *     doubles.
+    * Two column-pruned corpus scans, no corpus-wide sort or rank, no
+    * driver-side value buffering.
+    *
+    * @return one row per (key, percentage): (keyCol, p, pct)
+    */
+  def percentileExactByKey(df: DataFrame, keyCol: String, valueCol: String,
+      ps: Seq[Double], coarseScale: Double = 16.0): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentages must be within [0, 1], got $ps")
+    require(coarseScale > 0, s"coarseScale must be > 0, got $coarseScale")
+    val withKey = df.select(col(keyCol), col(valueCol))
+      .withColumn("__cb", floor(col(valueCol) * coarseScale).cast("long"))
+    val wOffset = Window.partitionBy(keyCol).orderBy("__cb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withKey
+      .groupBy(col(keyCol), col("__cb"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOffset), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(keyCol)))
+      .select(col(keyCol).as("__okey"), col("__cb").as("__ocb"),
+        col("__c"), col("__off"), col("__n"))
+      .localCheckpoint(false) // tiny; feeds needs + targets
+    // the ranks each percentage needs, per key (keys × ps × 2 rows)
+    val needs = offsets.select(col("__okey"), col("__n")).distinct()
+      .select(col("__okey"), col("__n"), explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("__pos", col("p") * (col("__n") - 1).cast("double"))
+      .withColumn("__lo", floor(col("__pos")).cast("long"))
+      .withColumn("__hi", ceil(col("__pos")).cast("long"))
+    // locate each needed rank: the bucket whose [off, off+c) span holds it,
+    // plus the rank local to that bucket — all arithmetic on tiny frames
+    val targets = needs
+      .select(col("__okey").as("__tkey"), col("p"), col("__pos"),
+        col("__lo"), col("__hi"), explode(array(
+          struct(col("__lo").as("r"), lit("lo").as("which")),
+          struct(col("__hi").as("r"), lit("hi").as("which")))).as("nr"))
+      .select(col("__tkey"), col("p"), col("__pos"), col("__lo"),
+        col("__hi"), col("nr.r").as("__r"), col("nr.which").as("__which"))
+      .join(offsets, col("__tkey") === col("__okey") &&
+        col("__r") >= col("__off") && col("__r") < col("__off") + col("__c"))
+      .select(col("__tkey"), col("__ocb").as("__tcb"), col("p"),
+        col("__pos"), col("__lo"), col("__hi"), col("__which"),
+        (col("__r") - col("__off")).as("__lr"))
+    // only the needed buckets' rows survive (broadcast cut, map-side) and
+    // get a bucket-local rank on bounded partitions
+    val cut = targets.select(col("__tkey").as("__ckey"),
+      col("__tcb").as("__ccb")).distinct()
+    val wLocal = Window.partitionBy(col(keyCol), col("__cb"))
+      .orderBy(col(valueCol))
+    val picked = withKey
+      .join(broadcast(cut),
+        col(keyCol) <=> col("__ckey") && col("__cb") <=> col("__ccb"))
+      .withColumn("__lrn0",
+        row_number().over(wLocal).cast("long") - 1)
+      .join(broadcast(targets), col(keyCol) <=> col("__tkey") &&
+        col("__cb") === col("__tcb") && col("__lrn0") === col("__lr"))
+    picked
+      .groupBy(col(keyCol), col("p"))
+      .agg(
+        max(when(col("__which") === "lo", col(valueCol))).as("__xlo"),
+        max(when(col("__which") === "hi", col(valueCol))).as("__xhi"),
+        first(col("__pos")).as("__pos"),
+        first(col("__lo")).as("__flo"),
+        first(col("__hi")).as("__fhi"))
+      // Spark Percentile.getPercentile verbatim: integral position
+      // returns the lower value; otherwise (hi−pos)·x_lo + (pos−lo)·x_hi
+      .withColumn("pct", when(col("__flo") === col("__fhi"), col("__xlo"))
+        .otherwise(
+          (col("__fhi").cast("double") - col("__pos")) * col("__xlo") +
+            (col("__pos") - col("__flo").cast("double")) * col("__xhi")))
+      .select(col(keyCol), col("p"), col("pct"))
   }
 }

@@ -42,29 +42,51 @@ object EventsAnalytics extends QuerySet {
         round((col("cnt") - col("n_errors")).cast("double") / col("cnt") * 100, 4))
 
   /** W3 (ref: portal-backend-spec.md:243,251 top-N per window) — top-3 rows
-    * per event_type by value, deterministic tiebreak.
+    * per event_type by value, deterministic tiebreak. event_type is a
+    * BOUNDED-cardinality key, so the plain
+    * `row_number().over(partitionBy(event_type))` form sorts each type's
+    * full event set on one task at corpus scale (the td56 class, r10
+    * audit); `Skew.topKPerKey` keeps the identical top-3 through a salted
+    * local pre-cut (≤ k·salts survivors per type reach the rank window).
     */
-  def q12(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("value").desc, col("event_id").asc)
-    Q.t(s, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+  def q12(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.topKPerKey(Q.t(s, dir, "events"), "event_type",
+        order = Seq(col("value").desc, col("event_id").asc),
+        saltBy = col("event_id"), k = 3)
       .select("event_type", "rn", "event_id", "user_id", "value")
-  }
 
   /** A17 (ref: portal-backend-spec.md:208 {avgMs,p95Ms,maxMs,count}) —
-    * exact interpolated percentiles per group.
+    * exact interpolated percentiles per group. Same bounded-key hazard as
+    * q12 but for Spark's exact `percentile` AGGREGATE, whose merge buffer
+    * holds every (value, count) of a type in one task's hash map at
+    * corpus scale; `Skew.percentileExactByKey` computes the identical
+    * interpolated values (Spark's Percentile arithmetic term for term)
+    * from bucketed exact ranks — bit-identical doubles, hash unchanged.
+    * The algebraic aggregates (count/max/decimal avg) keep their plain
+    * partial-aggregating groupBy (tiny state — never the hazard); the two
+    * type-keyed result frames join broadcast. Measured trade (r10): the
+    * selection form pays ~3 stage floors over the one-aggregate original
+    * at the fixture tiers (sf0.1 0.37 → 1.20 s, f10 1.70 s, f30 2.36 s —
+    * sublinear growth), the price of never holding a type's value set on
+    * one task; the q60/tokenBudget floor-vs-shape precedent.
     */
-  def q13(s: SparkSession, dir: String): DataFrame =
-    Q.t(s, dir, "events")
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val ev = Q.t(s, dir, "events")
+    val pcts = graft.operators.Skew
+      .percentileExactByKey(ev, "event_type", "value", Seq(0.5, 0.95))
       .groupBy("event_type")
       .agg(
+        round(max(when(col("p") === 0.5, col("pct"))), 4).as("p50"),
+        round(max(when(col("p") === 0.95, col("pct"))), 4).as("p95"))
+    ev.groupBy("event_type")
+      .agg(
         count(lit(1)).as("cnt"),
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.95)"), 4).as("p95"),
         max(col("value")).as("max_value"),
         Q.davg(col("value")).as("avg_value"))
+      .join(broadcast(pcts), Seq("event_type"))
+      .select(col("event_type"), col("cnt"), col("p50"), col("p95"),
+        col("max_value"), col("avg_value"))
+  }
 
   /** A15 (ref: monitoring/sftp-monitoring-queries.md:183-198 throughput by
     * bin+partner) — two-key time rollup with MB-style rounding.

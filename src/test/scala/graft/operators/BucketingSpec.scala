@@ -106,6 +106,59 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("topKPerKey is byte-identical to the single-window top-k — any " +
+      "salt count, ties included") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // key "b" is 10x hot; key "t" is all-ties (rank rides the id tiebreak)
+    val rows = (1L to 200L).map(i => ("a", i, math.sin(i.toDouble))) ++
+      (1L to 2000L).map(i => ("b", i, math.cos(i.toDouble))) ++
+      (1L to 50L).map(i => ("t", i, 1.0)) ++
+      (1L to 2L).map(i => ("s", i, i.toDouble)) // fewer rows than k
+    val df = rows.toDF("k", "id", "v")
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    for (salts <- Seq(1, 4, 64)) {
+      val got = Skew.topKPerKey(df, "k",
+        Seq(col("v").desc, col("id").asc), col("id"), k = 3, salts = salts)
+        .select("k", "id", "v", "rn")
+      assert(expected.except(got).count() == 0 &&
+        got.except(expected).count() == 0,
+        s"topKPerKey diverged from the window form at salts=$salts")
+    }
+  }
+
+  test("percentileExactByKey is bit-identical to Spark's exact " +
+      "percentile — integral and fractional positions, duplicates, " +
+      "negatives, single-row keys") {
+    import spark.implicits._
+    val rows =
+      (1L to 101L).map(i => ("a", math.sin(i.toDouble) * 10)) ++ // odd n
+      (1L to 100L).map(i => ("b", (i % 7).toDouble)) ++          // dups
+      (1L to 40L).map(i => ("c", -i.toDouble / 3.0)) ++          // negative
+      Seq(("d", 42.0))                                           // n = 1
+    val df = rows.toDF("k", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.95, 1.0)
+    val dAggs = ps.map(p => expr(s"percentile(v, $p)").as(s"p$p"))
+    val direct = df.groupBy("k").agg(dAggs.head, dAggs.tail: _*)
+    val gAggs = ps.map(p => max(when(col("p") === p, col("pct"))).as(s"p$p"))
+    val got = Skew.percentileExactByKey(df, "k", "v", ps)
+      .groupBy("k").agg(gAggs.head, gAggs.tail: _*)
+    // exact equality on the doubles — the operator replicates the
+    // Percentile interpolation arithmetic term for term
+    assert(direct.except(got).count() == 0 &&
+      got.except(direct).count() == 0,
+      s"bucketed percentiles diverged:\n${direct.collect().toSeq}\n" +
+        s"${got.collect().toSeq}")
+    for (scale <- Seq(0.5, 1000.0)) {
+      val g2 = Skew.percentileExactByKey(df, "k", "v", ps, coarseScale = scale)
+        .groupBy("k").agg(gAggs.head, gAggs.tail: _*)
+      assert(direct.except(g2).count() == 0 && g2.except(direct).count() == 0,
+        s"bucketed percentiles diverged at coarseScale=$scale")
+    }
+  }
+
   test("non-algebraic aggregates are rejected") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     intercept[IllegalArgumentException] {

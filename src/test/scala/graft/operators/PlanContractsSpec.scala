@@ -586,6 +586,53 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() > 0)
   }
 
+  test("q12 top-k per bounded key: the global rank window consumes the " +
+      "salted pre-cut, never the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window => LWindow}
+    val out = graft.queries.EventsAnalytics.q12(spark, dir)
+    val plan = out.queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.exists(_.partitionSpec.size == 2),
+      "expected the (event_type, salt) local top-k window")
+    def hasLocalCut(p: LogicalPlan): Boolean = p match {
+      case f: Filter if f.condition.toString.contains("__lrn") => true
+      case u: UnaryNode => hasLocalCut(u.child)
+      case _ => false
+    }
+    wins.filter(_.partitionSpec.size < 2).foreach { w =>
+      assert(hasLocalCut(w.child),
+        s"a window partitioned by the bounded-cardinality key alone " +
+          s"reads the CORPUS (single task per event_type at scale) — it " +
+          s"must consume the __lrn pre-cut survivors:\n$w")
+    }
+  }
+
+  test("q13 exact percentiles: no full-buffer percentile aggregate; " +
+      "corpus windows partition by (key, coarse bucket)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, UnaryNode, Window => LWindow}
+    val out = graft.queries.EventsAnalytics.q13(spark, dir)
+    val plan = out.queryExecution.optimizedPlan
+    // Spark's exact percentile aggregate holds every (value, count) of a
+    // group in one task's hash map — the bounded-key version of the td56
+    // class. The bucketed-rank rewrite must leave none anywhere.
+    assert(!plan.toString.contains("percentile("),
+      s"exact percentile aggregate reappeared:\n$plan")
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.exists(_.partitionSpec.size == 2),
+      "expected the (event_type, coarse-bucket) local-rank window")
+    def overAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case u: UnaryNode => overAggregate(u.child)
+      case _ => false
+    }
+    wins.filter(_.partitionSpec.size < 2).foreach { w =>
+      assert(overAggregate(w.child),
+        s"a corpus window partitions by the bounded-cardinality key " +
+          s"alone:\n$w")
+    }
+    assert(out.count() > 0)
+  }
+
   test("q60 admission filter rides the materialized gate, not the component branches") {
     import org.apache.spark.sql.catalyst.plans.logical.Filter
     val out = graft.queries.TextOps.curatedMix(spark, dir)
