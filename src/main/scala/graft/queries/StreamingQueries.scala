@@ -798,8 +798,9 @@ object StreamingQueries extends QuerySet {
       batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val bdir = s"$postingsDir/batch_id=$batchId"
-    graft.operators.Retrieval.bm25Postings(batch, "doc_id", "text")
-      .write.mode("overwrite").parquet(bdir)
+    graft.streaming.PostingsStore.write(
+      graft.operators.Retrieval.bm25Postings(batch, "doc_id", "text"),
+      postingsDir, batchId)
     // census + evidence read back the batch partition that actually
     // landed (batch-sized, never the accumulated index)
     val p = s.read.parquet(bdir)
@@ -853,7 +854,7 @@ object StreamingQueries extends QuerySet {
       .getOrElse(sys.error("maintained index: no committed state"))
     val census = graft.streaming.DurableState.read(s, stateDir, v, "census")
     val sc = graft.streaming.DurableState.read(s, stateDir, v, "scalars").head
-    val postings = s.read.parquet(postingsDir)
+    val postings = graft.streaming.PostingsStore.read(s, postingsDir)
     val query = Q.t(s, dir, "documents").filter(col("doc_id") === 0)
       .select(explode(split(col("text"), " ")).as("token")).distinct()
     graft.operators.Retrieval.bm25RankFromIndex(postings, census,
@@ -902,7 +903,7 @@ object StreamingQueries extends QuerySet {
     // batch-proportional evidence: every trigger wrote exactly its batch —
     // the logged per-batch rows sum to the on-disk total (a history
     // rewrite would overshoot), across the expected 3 triggers
-    val onDisk = s.read.parquet(postingsDir).count()
+    val onDisk = graft.streaming.PostingsStore.read(s, postingsDir).count()
     val logged = rowLog.values.map(_._1).sum
     require(rowLog.size == 3 && logged == onDisk,
       s"per-trigger postings writes are not batch-proportional: " +
@@ -965,7 +966,8 @@ object StreamingQueries extends QuerySet {
     * stream from scratch each time (fresh readStream + writeStream), as a
     * real restarted driver would.
     */
-  private def restartDrain(files: Seq[java.nio.file.Path], phase1: Int)
+  private def restartDrain(files: Seq[java.nio.file.Path], phase1: Int,
+      betweenPhases: () => Unit = () => ())
       (run: (String, String) => org.apache.spark.sql.streaming.StreamingQuery)
       : Unit = {
     val feed = tmp("graft_recov_feed")
@@ -977,6 +979,7 @@ object StreamingQueries extends QuerySet {
     }
     reveal(0 until phase1)
     run(feed, ckpt).awaitTermination()
+    betweenPhases() // maintenance window: the query is stopped (st68)
     reveal(phase1 until files.length)
     run(feed, ckpt).awaitTermination()
   }
@@ -1204,7 +1207,7 @@ object StreamingQueries extends QuerySet {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
-    val onDisk = s.read.parquet(postingsDir).count()
+    val onDisk = graft.streaming.PostingsStore.read(s, postingsDir).count()
     val logged = rowLog.values.map(_._1).sum
     require(rowLog.size == 3 && logged == onDisk,
       s"restarted index maintenance re-wrote or lost postings: " +
@@ -1216,6 +1219,63 @@ object StreamingQueries extends QuerySet {
     require(missing == 0 && extra == 0,
       s"maintained BM25 index diverged from the one-shot td49 twin " +
         s"after checkpoint restart: missing=$missing extra=$extra")
+    out
+  }
+
+  /** Index compaction maintenance (st68): the st66 sink accrues one
+    * small partition per trigger forever — a scan pays per-file overhead
+    * ∝ triggers — so the lifecycle needs the lakehouse OPTIMIZE step.
+    * Phase 1 drains two batches, the query stops, and the maintenance
+    * window runs [[graft.streaming.PostingsStore.compact]]: the live
+    * partitions fold into ONE negative-id segment whose `_SOURCES`
+    * manifest is the commit (a crash mid-compaction leaves an invisible
+    * segment; a crash before source GC leaves both, and reads stay
+    * exactly-once by excluding manifest-named sources). The restarted
+    * query appends batch 2 NEXT TO the segment, so the final live set is
+    * exactly {segment, batch 2} — asserted — and ranking from the
+    * compacted-then-extended index is `require`d row-identical to the
+    * ORACLED td49 twin. DurableState census/scalars are untouched by
+    * compaction (model state and data layout are independent).
+    */
+  def st68(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Q.t(s, dir, "documents")
+    val schema = docs.schema
+    val postingsDir = tmp("graft_st68_postings")
+    val stateDir = tmp("graft_st68_state")
+    val rowLog = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
+    val files = stageEach((0 until 3).map(i =>
+      docs.filter(col("doc_id") % 3 === i)))
+    restartDrain(files, phase1 = 2, betweenPhases = () => {
+      graft.streaming.PostingsStore.compact(s, postingsDir)
+      val live = graft.streaming.PostingsStore.livePaths(postingsDir)
+      require(live.size == 1 && live.head.contains("batch_id=-"),
+        s"compaction must leave one negative-id segment, got $live")
+    }) { (feed, ckpt) =>
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          indexMaintenanceBatch(postingsDir, stateDir, rowLog)(batch, batchId)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val live = graft.streaming.PostingsStore.livePaths(postingsDir)
+    require(live.size == 2,
+      s"expected {compacted segment, post-restart batch}, got $live")
+    val onDisk = graft.streaming.PostingsStore.read(s, postingsDir).count()
+    val logged = rowLog.values.map(_._1).sum
+    require(logged == onDisk,
+      s"compaction changed the row count: logged $logged, sink holds $onDisk")
+    val out = rankFromMaintainedIndex(s, postingsDir, stateDir, dir, topK = 10)
+    val twin = TextOps.bm25TopK(s, dir) // the ORACLED td49 twin
+    val missing = twin.except(out).count()
+    val extra = out.except(twin).count()
+    require(missing == 0 && extra == 0,
+      s"compacted-then-extended BM25 index diverged from the one-shot " +
+        s"td49 twin: missing=$missing extra=$extra")
     out
   }
 
@@ -1240,7 +1300,8 @@ object StreamingQueries extends QuerySet {
     "st63_recovery_running_counts" -> (st63 _),
     "st64_recovery_rolling_anomaly" -> (st64 _),
     "st65_recovery_model_maintenance" -> (st65 _),
-    "st67_recovery_index_maintenance" -> (st67 _))
+    "st67_recovery_index_maintenance" -> (st67 _),
+    "st68_index_compaction" -> (st68 _))
 
   // no DuckDB oracles: streaming drains are rows-only by design; the parity
   // require()s above carry the correctness assertion

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Append-mode partitioned data sink with crash-safe compaction — the
+  * storage half of the st66/st67 index maintenance (postings are
+  * DATA-sized per-document facts: a trigger writes only its batch), plus
+  * the maintenance operation that design creates a need for: after many
+  * triggers the sink holds many small partitions, and a scan pays
+  * per-file overhead ∝ triggers. `compact` folds the live set into one
+  * segment the way a lakehouse OPTIMIZE does, in miniature:
+  *
+  *  - layout: `root/batch_id=<id>/`, every partition dir IMMUTABLE once
+  *    committed. Writer batches use Spark's foreachBatch id (≥ 0; a
+  *    replayed batch overwrites its own dir — idempotent). Compacted
+  *    segments use NEGATIVE ids (never colliding with writer ids) and
+  *    carry a `_SOURCES` manifest naming the partitions they consumed;
+  *  - commit protocol: a writer partition is live iff its `_SUCCESS`
+  *    exists; a compacted segment is live iff `_SUCCESS` AND `_SOURCES`
+  *    exist (the manifest is written last, so a crash mid-compaction
+  *    leaves an invisible segment, never a double-count);
+  *  - read resolution: live partitions = committed dirs MINUS the
+  *    sources named by committed segments — a crash between segment
+  *    commit and source deletion leaves both on disk and reads stay
+  *    exactly-once; [[gc]] (idempotent, re-runnable) then deletes
+  *    consumed sources and crashed segment remnants.
+  *
+  * Concurrency contract: one streaming writer (appending new positive
+  * ids) plus one maintenance compactor. A batch landing after the
+  * compactor snapshots its live set is simply not consumed and stays
+  * live; the only unsafe interleaving would be the writer REPLAYING an
+  * id the compactor consumed, which Spark's checkpoint rules out once
+  * the batch is committed.
+  */
+object PostingsStore {
+
+  private val Sources = "_SOURCES"
+  private val Success = "_SUCCESS"
+
+  private def partDirs(root: String): Seq[Path] = {
+    val d = Paths.get(root)
+    if (!Files.isDirectory(d)) return Seq.empty
+    d.toFile.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.matches("batch_id=-?\\d+"))
+      .map(_.toPath)
+  }
+
+  private def partId(p: Path): Long =
+    p.getFileName.toString.stripPrefix("batch_id=").toLong
+
+  private def isCommitted(p: Path): Boolean = {
+    val ok = Files.exists(p.resolve(Success))
+    if (partId(p) < 0) ok && Files.exists(p.resolve(Sources)) else ok
+  }
+
+  private def consumedNames(root: String): Set[String] =
+    partDirs(root)
+      .filter(p => partId(p) < 0 && isCommitted(p))
+      .flatMap(p => Files.readAllLines(p.resolve(Sources))
+        .toArray(Array.empty[String]).toSeq)
+      .toSet
+
+  /** One trigger's append: the batch lands in its OWN partition; a
+    * replayed batch id overwrites the same dir and converges.
+    */
+  def write(batch: DataFrame, root: String, batchId: Long): Unit = {
+    require(batchId >= 0, s"writer batch ids are >= 0, got $batchId")
+    batch.write.mode("overwrite").parquet(s"$root/batch_id=$batchId")
+  }
+
+  /** The live partition dirs under the commit protocol above. */
+  def livePaths(root: String): Seq[String] = {
+    val consumed = consumedNames(root)
+    partDirs(root)
+      .filter(isCommitted)
+      .filterNot(p => consumed.contains(p.getFileName.toString))
+      .sortBy(partId)
+      .map(_.toString)
+  }
+
+  /** All live rows (no batch_id column — segment ids are storage detail). */
+  def read(s: SparkSession, root: String): DataFrame = {
+    val live = livePaths(root)
+    require(live.nonEmpty, s"PostingsStore: no committed partitions under $root")
+    s.read.parquet(live: _*)
+  }
+
+  /** Fold every live partition into ONE negative-id segment. Idempotent
+    * and crash-safe per the commit protocol; a no-op when the sink is
+    * already a single partition. Runs [[gc]] after committing.
+    */
+  def compact(s: SparkSession, root: String): Unit = {
+    val live = livePaths(root)
+    if (live.size <= 1) return
+    val nextId = -(partDirs(root).map(p => math.abs(partId(p))).max + 1)
+    val seg = Paths.get(s"$root/batch_id=$nextId")
+    s.read.parquet(live: _*).write.mode("overwrite").parquet(seg.toString)
+    // the manifest is the COMMIT: until it lands the segment is invisible
+    Files.write(seg.resolve(Sources),
+      live.map(p => Paths.get(p).getFileName.toString)
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    gc(root)
+  }
+
+  /** Idempotent cleanup: consumed sources and crashed (uncommitted)
+    * negative-id segments are deleted; re-running converges.
+    */
+  def gc(root: String): Unit = {
+    val consumed = consumedNames(root)
+    partDirs(root).foreach { p =>
+      val crashedSegment = partId(p) < 0 && !isCommitted(p)
+      if (consumed.contains(p.getFileName.toString) || crashedSegment) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(p.toFile)
+      }
+    }
+  }
+}

@@ -678,6 +678,13 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, dir)
       val plan = df.queryExecution.optimizedPlan
+      // piggyback contract (r10): no entry may physically plan a
+      // CartesianProduct — every cross-shaped join in the registry is a
+      // broadcast of a single-row/centroid frame (BroadcastNestedLoop),
+      // and a real cartesian at 100 TB is always a bug
+      assert(!df.queryExecution.executedPlan.toString
+          .contains("CartesianProduct"),
+        s"$n plans a CartesianProduct — a corpus-scale cross join")
       val allExprs = plan.collect { case p =>
         p.expressions.map(_.toString).mkString("\n")
       }.mkString("\n")
