@@ -1279,6 +1279,88 @@ object StreamingQueries extends QuerySet {
     out
   }
 
+  /** st57's maintained kNN graph made DURABLE (st69): st57 holds graph
+    * and corpus in session memory (eager localCheckpoints — the
+    * deliberately memory-resident fast form, like st61), so a driver
+    * restart loses both. This twin persists them with the state-kind
+    * split the index family established, extended to MUTABLE data-sized
+    * state:
+    *  - corpus batches APPEND through [[graft.streaming.PostingsStore]],
+    *    and each trigger reads "everything strictly below my batch id"
+    *    (the DurableState idiom) so a replaying batch never sees its own
+    *    failed attempt;
+    *  - the graph is data-sized but cell-MUTABLE — a batch invalidates
+    *    exactly its touched cells — so each trigger recomputes ONLY the
+    *    touched cells and replaces exactly those `cell=` partitions via
+    *    Spark's dynamic partition overwrite: untouched cells are never
+    *    read, never rewritten (the UPDATE complement of the postings
+    *    sink's append; a replayed batch recomputes the same cells from
+    *    the same strictly-below corpus and converges).
+    * Kill point after batch 1 of 3; the restarted query's batch 2 must
+    * find batches 0-1 in the corpus store and phase-1 cells on disk.
+    * Final graph `require`d row-identical to the ORACLED sim52
+    * full-rebuild twin — the st57 contract, now surviving a restart.
+    */
+  def st69(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    def embD(df: DataFrame): DataFrame = df.select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val allRaw = Q.t(s, dir, "embeddings")
+    val all = embD(allRaw)
+    val centroids = all.filter(col("vec_id") < 8).select(
+      col("vec_id").as("centroid_id"), col("emb").as("c_emb"),
+      sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb")))
+        .as("c_norm"))
+    val graphDir = tmp("graft_st69_graph")
+    val corpusDir = tmp("graft_st69_corpus")
+    // pre-stream state: the even-half graph, cell-partitioned on disk
+    val corpus0 = all.filter(col("vec_id") % 2 === 0)
+    graft.operators.Ann.knnGraph(corpus0, "vec_id", "emb", centroids, k = 3)
+      .write.mode("overwrite").partitionBy("cell").parquet(graphDir)
+    val schema = allRaw.schema
+    val files = stageEach(Seq(1, 3, 5).map(m =>
+      allRaw.filter(col("vec_id") % 6 === m)))
+    restartDrain(files, phase1 = 2) { (feed, ckpt) =>
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val b = embD(batch)
+          val prior = graft.streaming.PostingsStore
+            .livePaths(corpusDir, batchId)
+          val prev = if (prior.isEmpty) corpus0
+            else corpus0.unionByName(
+              embD(graft.streaming.PostingsStore.read(s, corpusDir, batchId)))
+          val touched = graft.operators.Ann
+            .ivfAssign(b, "vec_id", "emb", centroids)
+            .select(col("centroid_id")).distinct().localCheckpoint(false)
+          val assigned = graft.operators.Ann
+            .ivfAssign(prev.unionByName(b), "vec_id", "emb", centroids)
+            .select("vec_id", "centroid_id", "emb", "norm")
+            .join(touched, Seq("centroid_id"), "left_semi")
+          graft.operators.Ann.knnGraphFromAssigned(assigned, k = 3)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell").parquet(graphDir)
+          graft.streaming.PostingsStore.write(batch, corpusDir, batchId)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val maintained = s.read.parquet(graphDir)
+      .withColumn("cell", col("cell").cast("long"))
+      .select("query_id", "rank", "neighbor_id", "cell", "cos")
+    val twin = Similarity.sim52(s, dir) // the ORACLED batch twin
+    val missing = twin.except(maintained).count()
+    val extra = maintained.except(twin).count()
+    require(missing == 0 && extra == 0,
+      s"durably maintained kNN graph diverged from the sim52 twin " +
+        s"after checkpoint restart: missing=$missing extra=$extra")
+    maintained
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st47_stream_silver_drain" -> (st47 _),
     "st48_stream_dedup_replay" -> (st48 _),
@@ -1301,7 +1383,8 @@ object StreamingQueries extends QuerySet {
     "st64_recovery_rolling_anomaly" -> (st64 _),
     "st65_recovery_model_maintenance" -> (st65 _),
     "st67_recovery_index_maintenance" -> (st67 _),
-    "st68_index_compaction" -> (st68 _))
+    "st68_index_compaction" -> (st68 _),
+    "st69_recovery_knn_graph" -> (st69 _))
 
   // no DuckDB oracles: streaming drains are rows-only by design; the parity
   // require()s above carry the correctness assertion

@@ -69,19 +69,31 @@ object PostingsStore {
     batch.write.mode("overwrite").parquet(s"$root/batch_id=$batchId")
   }
 
-  /** The live partition dirs under the commit protocol above. */
-  def livePaths(root: String): Seq[String] = {
+  /** The live partition dirs under the commit protocol above.
+    *
+    * `beforeBatch` bounds WRITER ids strictly below it — the
+    * DurableState `latestBefore` idiom for replay safety: a replaying
+    * batch `b` that derives state from "everything before me" must not
+    * see its own failed attempt's partition. Compacted (negative-id)
+    * segments are always live; callers that mix `beforeBatch` with
+    * compaction must compact only ids already strictly below every
+    * future read bound.
+    */
+  def livePaths(root: String,
+      beforeBatch: Long = Long.MaxValue): Seq[String] = {
     val consumed = consumedNames(root)
     partDirs(root)
       .filter(isCommitted)
+      .filter(p => partId(p) < 0 || partId(p) < beforeBatch)
       .filterNot(p => consumed.contains(p.getFileName.toString))
       .sortBy(partId)
       .map(_.toString)
   }
 
   /** All live rows (no batch_id column — segment ids are storage detail). */
-  def read(s: SparkSession, root: String): DataFrame = {
-    val live = livePaths(root)
+  def read(s: SparkSession, root: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val live = livePaths(root, beforeBatch)
     require(live.nonEmpty, s"PostingsStore: no committed partitions under $root")
     s.read.parquet(live: _*)
   }

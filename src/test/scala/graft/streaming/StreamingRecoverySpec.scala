@@ -41,6 +41,11 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkTestBase {
     assert(StreamingQueries.st67(spark, dir).count() > 0)
   }
 
+  test("st69: durably maintained kNN graph (cell-partition overwrites + " +
+      "corpus store) survives a checkpoint restart") {
+    assert(StreamingQueries.st69(spark, dir).count() > 0)
+  }
+
   test("negative control: losing the checkpoint between phases re-emits " +
       "the replay (the recovery assertions have teeth)") {
     // st62's shape by hand, but phase 2 starts from a FRESH checkpoint
