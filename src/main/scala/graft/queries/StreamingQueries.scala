@@ -514,8 +514,10 @@ object StreamingQueries extends QuerySet {
     * `Ann.knnGraphIncrementalBatch` (the st50/st51 prebuilt-state pattern
     * applied to the graph family — the batch arrives as a FRAME, no
     * driver-side id collection). State (graph + corpus-so-far) is
-    * checkpoint-materialized per trigger, st56-style, so trigger N+1
-    * reads a frame, not a lineage chain. Because each patch is
+    * checkpoint-materialized per trigger — the deliberately
+    * memory-resident fast form whose DURABLE twin is st69 (cell-partition
+    * overwrites + PostingsStore corpus, restart-exercised) — so trigger
+    * N+1 reads a frame, not a lineage chain. Because each patch is
     * row-identical to a full rebuild (the sim54 contract), the final
     * state must equal the full-corpus graph REGARDLESS of how the feed
     * was micro-batched — parity-`require`d against the ORACLED sim52
