@@ -96,6 +96,9 @@ object BenchHeavy {
     // sim59 at three dial settings from one projection pass
     "td55_nb_confusion",
     "td57_tokenizer_fertility",
+    // r10 late: the LM-gate threshold sweep — the full td54 gate chain
+    // evaluated once, |T| conditional sums over the materialized frame
+    "td58_gate_threshold_sweep",
     "q61_curation_funnel",
     "mm51_pair_curation",
     "sim58_projection_recall",

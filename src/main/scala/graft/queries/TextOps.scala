@@ -524,6 +524,54 @@ object TextOps extends QuerySet {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** LM-gate threshold sweep (td58, r10): the tuning loop for td54's
+    * quality gate — the sim55 sweep idiom applied to the curation
+    * pipeline. td54 admits at the fixed per-position cutoff −5.5
+    * (`sum_lpq ≥ −5632·n_bigrams`); before trusting that dial a pipeline
+    * measures the retention curve around it: for each quantized cutoff
+    * thr_q ∈ {−7168..−4096} (−7.0 to −4.0 per position), how many
+    * documents pass the LM gate alone and how many survive the FULL
+    * admission (rule screen ∧ LM(thr) ∧ classifier agreement). The gate
+    * frame evaluates ONCE (lazy localCheckpoint — the q60 barrier) and
+    * the sweep explodes thresholds over its five narrow columns, so the
+    * dial costs |T| conditional sums, never |T| corpus passes. Stricter
+    * thresholds can only shrink both counts — emitted as oracle-pinned
+    * monotonicity booleans (the q28/sim55 contract idiom). The oracle
+    * composes the td40/td51/td52 texts verbatim (td54's drift chain).
+    */
+  def lmGateSweep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val thresholds = Seq(-7168L, -6144L, -5632L, -5120L, -4096L)
+    val cur = q40(s, dir).select(col("doc_id"), col("keep"))
+    val lm = lmQuality(s, dir)
+      .select(col("doc_id"), col("n_bigrams"), col("sum_lpq"))
+    val nb = nbLangClassify(s, dir).select(col("doc_id"), col("pred_label"))
+    val docs = Q.t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val gate = cur.join(lm, Seq("doc_id")).join(nb, Seq("doc_id"))
+      .join(docs, Seq("doc_id"))
+      .withColumn("lang_match", col("pred_label") === col("lang"))
+      .select("keep", "n_bigrams", "sum_lpq", "lang_match")
+      .localCheckpoint(false)
+    val swept = gate
+      .select(col("keep"), col("n_bigrams"), col("sum_lpq"),
+        col("lang_match"), explode(array(thresholds.map(lit): _*)).as("thr_q"))
+      .withColumn("lm_ok", col("sum_lpq") >= col("thr_q") * col("n_bigrams"))
+      .groupBy("thr_q")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lm_ok"), 1L).otherwise(0L)).as("n_lm_pass"),
+        sum(when(col("keep") && col("lm_ok") && col("lang_match"), 1L)
+          .otherwise(0L)).as("n_admitted"))
+    // the sweep summary is |T| rows — the ordering window is model-sized
+    val w = Window.orderBy(col("thr_q").asc)
+    swept
+      .withColumn("pass_non_increasing",
+        coalesce(col("n_lm_pass") <= lag(col("n_lm_pass"), 1).over(w),
+          lit(true)))
+      .withColumn("admitted_non_increasing",
+        coalesce(col("n_admitted") <= lag(col("n_admitted"), 1).over(w),
+          lit(true)))
+  }
+
   /** Curated training mix (q60): the END-TO-END assembly the whole
     * pipeline exists for — td54's composed model gate admits documents,
     * then the per-source token budget (q33's operator) cuts the admitted
@@ -669,6 +717,7 @@ object TextOps extends QuerySet {
     "td55_nb_confusion" -> (nbConfusion _),
     "td56_ppl_buckets" -> (pplBuckets _),
     "td57_tokenizer_fertility" -> (tokenizerFertility _),
+    "td58_gate_threshold_sweep" -> (lmGateSweep _),
     "q60_curated_mix" -> (curatedMix _),
     "q61_curation_funnel" -> (curationFunnel _))
 
@@ -1296,6 +1345,32 @@ object TextOps extends QuerySet {
          |FROM (${baseOracles("td43_bpe_encode")}) e
          |JOIN documents d ON e.doc_id = d.doc_id
          |GROUP BY d.lang""".stripMargin,
+    // td58 composes the td40/td51/td52 texts verbatim (the td54 drift
+    // chain) and sweeps the LM gate's quantized cutoff; the monotonicity
+    // booleans are the q28/sim55 oracle-pinned contract
+    "td58_gate_threshold_sweep" ->
+      s"""WITH g AS (SELECT a.keep, b.n_bigrams, b.sum_lpq,
+         |  (c.pred_label = dd.lang) AS lang_match
+         | FROM (${baseOracles("td40_curation_pipeline")}) a
+         | JOIN (${baseOracles("td51_lm_quality")}) b ON a.doc_id = b.doc_id
+         | JOIN (${baseOracles("td52_nb_classify")}) c ON a.doc_id = c.doc_id
+         | JOIN documents dd ON a.doc_id = dd.doc_id),
+         |s AS (SELECT CAST(t.thr_q AS BIGINT) AS thr_q,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (g.sum_lpq >= t.thr_q * g.n_bigrams)
+         |    AS BIGINT) AS n_lm_pass,
+         |  CAST(count(*) FILTER (g.keep
+         |    AND g.sum_lpq >= t.thr_q * g.n_bigrams AND g.lang_match)
+         |    AS BIGINT) AS n_admitted
+         | FROM g, (SELECT unnest([-7168, -6144, -5632, -5120, -4096])
+         |   AS thr_q) t
+         | GROUP BY t.thr_q)
+         |SELECT thr_q, n_docs, n_lm_pass, n_admitted,
+         | coalesce(n_lm_pass <= lag(n_lm_pass)
+         |   OVER (ORDER BY thr_q ASC), TRUE) AS pass_non_increasing,
+         | coalesce(n_admitted <= lag(n_admitted)
+         |   OVER (ORDER BY thr_q ASC), TRUE) AS admitted_non_increasing
+         |FROM s""".stripMargin,
     "q61_curation_funnel" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(count(*) FILTER (keep) AS BIGINT) AS n_rule_pass,
