@@ -160,9 +160,13 @@ object Sampling {
       coarseScale: Double = 16.0): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(coarseScale > 0, s"coarseScale must be > 0, got $coarseScale")
-    // one scan feeds both passes (the tokenBudget materialize-once note)
+    // one scan feeds both passes (the tokenBudget materialize-once note).
+    // Null order keys reproduce the window form's DESC default (NULLS
+    // LAST): they land in a dedicated max-long bucket after every real
+    // score bucket, tie-broken by id inside it (parity spec pins this)
     val withKey = df
-      .withColumn("__cb", floor(-col(orderCol) * coarseScale).cast("long"))
+      .withColumn("__cb", when(col(orderCol).isNull, lit(Long.MaxValue))
+        .otherwise(floor(-col(orderCol) * coarseScale).cast("long")))
       .localCheckpoint(false)
     val wOffset = Window.partitionBy(keyCol).orderBy("__cb")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -155,7 +155,10 @@ object Skew {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentages must be within [0, 1], got $ps")
     require(coarseScale > 0, s"coarseScale must be > 0, got $coarseScale")
+    // Spark's percentile aggregate IGNORES null values — drop them before
+    // counting or every position would shift (parity spec pins this)
     val withKey = df.select(col(keyCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
       .withColumn("__cb", floor(col(valueCol) * coarseScale).cast("long"))
     val wOffset = Window.partitionBy(keyCol).orderBy("__cb")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -138,7 +138,10 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
       (1L to 100L).map(i => ("b", (i % 7).toDouble)) ++          // dups
       (1L to 40L).map(i => ("c", -i.toDouble / 3.0)) ++          // negative
       Seq(("d", 42.0))                                           // n = 1
+    // Spark's percentile IGNORES null values — the bucketed form must too
     val df = rows.toDF("k", "v")
+      .unionByName(Seq("a", "b", "c").toDF("k")
+        .withColumn("v", lit(null).cast("double")))
     val ps = Seq(0.0, 0.25, 0.5, 0.95, 1.0)
     val dAggs = ps.map(p => expr(s"percentile(v, $p)").as(s"p$p"))
     val direct = df.groupBy("k").agg(dAggs.head, dAggs.tail: _*)

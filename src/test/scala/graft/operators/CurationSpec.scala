@@ -692,7 +692,11 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       (1L to 101L).map(i => ("c", i, -math.cos(i.toDouble) * 2.0)) ++
       (1L to 2L).map(i => ("d", i, -1.0)) ++
       (1L to 40L).map(i => ("t", i, -2.5))
+    // null scores must reproduce the window form's DESC default (NULLS
+    // LAST — the dedicated max-long bucket)
     val df = rows.toDF("k", "id", "score")
+      .unionByName((200L to 212L).map(i => ("a", i)).toDF("k", "id")
+        .withColumn("score", lit(null).cast("double")))
     val w = Window.partitionBy("k").orderBy(col("score").desc, col("id"))
     val expected = df.withColumn("nt", ntile(3).over(w))
     for (scale <- Seq(0.5, 16.0, 1000.0)) {
