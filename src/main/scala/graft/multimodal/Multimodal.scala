@@ -312,6 +312,90 @@ object MediaCodec {
     else Some(Y4mStats(w, h, nFrames, ySum, ySumSq))
   }
 
+  /** COMPRESSED-audio metadata walk — MPEG-1 Layer III (MP3) frame
+    * headers, pure byte arithmetic (r10): what a crawl curation pipeline
+    * actually needs from compressed audio is the duration/bitrate/
+    * channel metadata to FILTER on, and that is a header walk, not a PCM
+    * decode — every frame's length is a closed-form function of its
+    * 4-byte header, so walking sync → header → hop covers the whole
+    * stream without any codec library. This upgrades the codec stub's
+    * honest boundary: metadata extraction over compressed audio is REAL
+    * (this walker); only PCM synthesis (MDCT/huffman) remains the
+    * environment-blocked stub — no pure-JDK path, no resolvable
+    * dependency.
+    *
+    * Scope and fail-loud contract (the [[decodeWav]] stance): MPEG-1
+    * Layer III only, bitrate indexes 1-14 (free-format and reserved →
+    * None), sample-rate indexes 0-2; a leading ID3v2 tag (synchsafe
+    * size, footer flag honored) is skipped, a trailing 128-byte ID3v1
+    * "TAG" block is allowed at exact end; ANY malformed header,
+    * truncated frame, mid-stream sample-rate/channel change, or trailing
+    * garbage → None, never a partial parse.
+    *
+    * @return exact integer stats: sample rate, channels, frame count,
+    *         per-frame-kbps min/max/sum (CBR iff min == max) and
+    *         duration in microseconds (nFrames·1152·1e6 / rate, integer
+    *         division — hash-oracle-able, mm52)
+    */
+  final case class Mp3Stats(sampleRate: Int, channels: Int, nFrames: Long,
+      kbpsMin: Int, kbpsMax: Int, kbpsSum: Long, durationMicros: Long)
+
+  private val Mp3Kbps =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  def walkMp3(p: Array[Byte]): Option[Mp3Stats] = {
+    def u8(i: Int): Int = p(i) & 0xFF
+    var off = 0
+    // ID3v2: "ID3" vv flags + 4-byte SYNCHSAFE size (7 bits per byte),
+    // body follows; flags bit 4 adds a 10-byte footer
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+      val size = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+      if ((u8(6) | u8(7) | u8(8) | u8(9)) >= 0x80) return None // not synchsafe
+      off = 10 + size + (if ((u8(5) & 0x10) != 0) 10 else 0)
+      if (off >= p.length) return None
+    }
+    var sampleRate = 0
+    var channels = 0
+    var nFrames = 0L
+    var kbpsMin = Int.MaxValue
+    var kbpsMax = 0
+    var kbpsSum = 0L
+    while (off < p.length) {
+      // trailing ID3v1 block: exactly 128 bytes of "TAG" at stream end
+      if (p.length - off == 128 && p(off) == 'T' && p(off + 1) == 'A' &&
+          p(off + 2) == 'G') {
+        off = p.length
+      } else {
+        if (off + 4 > p.length) return None
+        val b1 = u8(off); val b2 = u8(off + 1)
+        val b3 = u8(off + 2); val b4 = u8(off + 3)
+        // sync 11 bits, version MPEG-1 (11), layer III (01)
+        if (b1 != 0xFF || (b2 & 0xF8) != 0xF8 || ((b2 >> 1) & 3) != 1)
+          return None
+        val brIdx = (b3 >> 4) & 0xF
+        val srIdx = (b3 >> 2) & 3
+        if (brIdx < 1 || brIdx > 14 || srIdx > 2) return None
+        val kbps = Mp3Kbps(brIdx)
+        val rate = Mp3Rates(srIdx)
+        val ch = if (((b4 >> 6) & 3) == 3) 1 else 2
+        if (nFrames == 0L) { sampleRate = rate; channels = ch }
+        else if (rate != sampleRate || ch != channels) return None
+        val pad = (b3 >> 1) & 1
+        val frameLen = 144000 * kbps / rate + pad
+        if (off + frameLen > p.length) return None // truncated frame
+        nFrames += 1
+        kbpsSum += kbps
+        if (kbps < kbpsMin) kbpsMin = kbps
+        if (kbps > kbpsMax) kbpsMax = kbps
+        off += frameLen
+      }
+    }
+    if (nFrames == 0L) None
+    else Some(Mp3Stats(sampleRate, channels, nFrames, kbpsMin, kbpsMax,
+      kbpsSum, nFrames * 1152L * 1000000L / sampleRate))
+  }
+
   /** Aspect-preserving fit of (w,h) into `maxSide` — the shared integer
     * dims contract for both the metadata-level mm43 check and the real
     * [[resizeBytes]]. Never upscales.

@@ -101,6 +101,53 @@ object SyntheticImages {
     * samples: RIFF/WAVE + `fmt ` + `data`, frames interleaved by channel —
     * what [[MediaCodec.decodeWav]] must parse back exactly.
     */
+  /** Synthetic MPEG-1 Layer III stream — every frame header a pure
+    * integer function of (id, frame index), frame bodies zero-filled
+    * (the walker never reads them): per-frame bitrate index
+    * `1 + (id·7 + f·3) mod 14` (a deterministic VBR pattern), padding
+    * bit `(id + f) mod 2`, sample-rate index `id mod 3`, mono when
+    * `id mod 4 == 0`. ids divisible by 5 carry a leading ID3v2 tag of
+    * `id mod 37` body bytes; ids divisible by 6 a trailing 128-byte
+    * ID3v1 block — both must be skipped by the walker. The mm52 oracle
+    * recomputes every expected stat from these formulas.
+    */
+  def mp3Stream(id: Long, nFrames: Int): Array[Byte] = {
+    val kbpsTable =
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val rates = Array(44100, 48000, 32000)
+    val srIdx = (id % 3).toInt
+    val rate = rates(srIdx)
+    val mono = id % 4 == 0
+    val out = new java.io.ByteArrayOutputStream()
+    if (id % 5 == 0) {
+      val tagLen = (id % 37).toInt
+      out.write(Array[Byte]('I', 'D', '3', 4, 0, 0))
+      out.write(Array[Byte](((tagLen >> 21) & 0x7F).toByte,
+        ((tagLen >> 14) & 0x7F).toByte, ((tagLen >> 7) & 0x7F).toByte,
+        (tagLen & 0x7F).toByte))
+      out.write(new Array[Byte](tagLen))
+    }
+    var f = 0
+    while (f < nFrames) {
+      val brIdx = (1 + (id * 7 + f * 3) % 14).toInt
+      val pad = ((id + f) % 2).toInt
+      val frameLen = 144000 * kbpsTable(brIdx) / rate + pad
+      val frame = new Array[Byte](frameLen)
+      frame(0) = 0xFF.toByte
+      frame(1) = 0xFB.toByte // MPEG-1, Layer III, no CRC
+      frame(2) = ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+      frame(3) = (if (mono) 0xC0 else 0x00).toByte
+      out.write(frame)
+      f += 1
+    }
+    if (id % 6 == 0) {
+      val tag = new Array[Byte](128)
+      tag(0) = 'T'; tag(1) = 'A'; tag(2) = 'G'
+      out.write(tag)
+    }
+    out.toByteArray
+  }
+
   def pcmWav(id: Long, sampleRate: Int, channels: Int,
       nFrames: Int): Array[Byte] = {
     val dataLen = nFrames * channels * 2

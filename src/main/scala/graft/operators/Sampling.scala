@@ -153,7 +153,10 @@ object Sampling {
     *
     * `coarseScale` only tunes bucket granularity (any value yields
     * identical output); pick it so ~corpus/(keys·scale·spread) rows share
-    * a bucket.
+    * a bucket. Degenerate case, stated honestly: a key whose order values
+    * CONCENTRATE in one coarse bucket (near-constant scores) puts that
+    * key's rows through one rank partition again — coarseScale is the
+    * dial, and the per-(key, bucket) count frame is the audit surface.
     */
   def ntileDescBucketed(df: DataFrame, keyCol: String, orderCol: String,
       idCol: String, n: Int, outCol: String,

@@ -146,7 +146,10 @@ object Skew {
     *     verbatim when the position is integral) — bit-identical
     *     doubles.
     * Two column-pruned corpus scans, no corpus-wide sort or rank, no
-    * driver-side value buffering.
+    * driver-side value buffering. Degenerate case, stated honestly: a
+    * key whose values concentrate in ONE coarse bucket ranks that whole
+    * key in one partition again — coarseScale is the dial, the count
+    * frame the audit surface (the [[Sampling.ntileDescBucketed]] note).
     *
     * @return one row per (key, percentage): (keyCol, p, pct)
     */

@@ -221,6 +221,34 @@ object MultimodalQueries extends QuerySet {
         "lang_match", "admitted")
   }
 
+  /** COMPRESSED-audio metadata walk (mm52, r10): 64 synthetic MPEG-1
+    * Layer III streams (every frame header a pure integer function of
+    * (id, frame) — deterministic VBR bitrate pattern, padding bits, a
+    * skipped ID3v2 prefix on ids%5=0 and an ID3v1 trailer on ids%6=0) →
+    * `MediaCodec.walkMp3` header walk → exact frame counts, channel
+    * mode, per-frame-kbps min/max/sum and integer microsecond duration.
+    * This is the metadata a crawl curation pipeline FILTERS compressed
+    * audio on — a header walk, not a decode — so the codec stub's
+    * boundary moves: only PCM synthesis remains environment-blocked.
+    * DuckDB recomputes every stat from the header formulas without
+    * touching the bytes; a wrong sync/length/skip diverges.
+    */
+  def mm52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Q.t(s, dir, "documents")
+      .filter(col("doc_id") < 64)
+      .select(col("doc_id").cast("long")).as[Long]
+    ids.map { i =>
+      val nf = (5 + i % 7).toInt
+      val st = MediaCodec.walkMp3(SyntheticImages.mp3Stream(i, nf))
+        .getOrElse(
+          throw new IllegalStateException(s"unwalkable synthetic mp3 $i"))
+      (i, st.sampleRate, st.channels, st.nFrames, st.durationMicros,
+        st.kbpsMin, st.kbpsMax, st.kbpsSum)
+    }.toDF("media_id", "sample_rate", "channels", "n_frames",
+      "duration_us", "kbps_min", "kbps_max", "kbps_sum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm39_media_features" -> (mm39 _),
     "mm43_media_resize" -> (mm43 _),
@@ -231,7 +259,8 @@ object MultimodalQueries extends QuerySet {
     "mm48_image_phash_near_pairs" -> (mm48 _),
     "mm49_audio_decode" -> (mm49 _),
     "mm50_video_decode" -> (mm50 _),
-    "mm51_pair_curation" -> (mm51 _))
+    "mm51_pair_curation" -> (mm51 _),
+    "mm52_mp3_frame_walk" -> (mm52 _))
 
   /** REAL raw-video decode, driver-oracled (mm50): 64 synthetic Y4M
     * streams (dimensions, frame counts AND every Y-plane byte pure
@@ -362,6 +391,27 @@ object MultimodalQueries extends QuerySet {
     // nearest-neighbor subsample (integer-division coordinates), integer
     // luminance, strict 64*lum > total threshold, two 32-bit halves
     "mm47_image_phash_dedup" -> mm47Sql,
+    // mm52 recomputes the synthetic MP3 header formulas: frame count,
+    // sample rate / channel tables, the deterministic VBR kbps pattern and
+    // the integer microsecond duration - never touching the bytes
+    "mm52_mp3_frame_walk" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 64),
+        |cfg AS (SELECT i, CAST(5 + i % 7 AS BIGINT) AS n_frames,
+        |    list_extract([44100, 48000, 32000], CAST(i % 3 AS INTEGER) + 1) AS sample_rate,
+        |    CASE WHEN i % 4 = 0 THEN 1 ELSE 2 END AS channels FROM ids),
+        |fr AS (SELECT c.i,
+        |    list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+        |      CAST(1 + (c.i*7 + f.f*3) % 14 AS INTEGER)) AS kbps
+        |  FROM cfg c, generate_series(0, 11) f(f) WHERE f.f < c.n_frames),
+        |agg AS (SELECT i, MIN(kbps) AS kbps_min, MAX(kbps) AS kbps_max,
+        |    SUM(kbps) AS kbps_sum FROM fr GROUP BY i)
+        |SELECT c.i AS media_id, CAST(c.sample_rate AS INTEGER) AS sample_rate,
+        |  CAST(c.channels AS INTEGER) AS channels, c.n_frames,
+        |  CAST(c.n_frames * 1152 * 1000000 // c.sample_rate AS BIGINT) AS duration_us,
+        |  CAST(a.kbps_min AS INTEGER) AS kbps_min,
+        |  CAST(a.kbps_max AS INTEGER) AS kbps_max,
+        |  CAST(a.kbps_sum AS BIGINT) AS kbps_sum
+        |FROM cfg c JOIN agg a ON c.i = a.i""".stripMargin,
     // the mm47 hash chain + 16-bit chunk blocking + exact bit_count filter
     "mm49_audio_decode" ->
       """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 64),

@@ -248,4 +248,41 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val ovf = "YUV4MPEG2 W60000 H60000 F25:1 C444\n".getBytes("US-ASCII") ++ frame
     assert(MediaCodec.decodeY4m(ovf).isEmpty)
   }
+
+  test("MP3 frame walk: header arithmetic recovers the synthetic stream " +
+      "formulas exactly; malformed streams fail loud") {
+    // ids exercising: ID3v2 prefix (0, 30), ID3v1 trailer (0, 6, 30),
+    // mono (0, 4), every sample rate, VBR bitrate patterns
+    for (i <- Seq(0L, 1L, 2L, 4L, 5L, 6L, 30L, 63L)) {
+      val nf = (5 + i % 7).toInt
+      val st = MediaCodec.walkMp3(SyntheticImages.mp3Stream(i, nf)).get
+      assert(st.nFrames == nf.toLong, s"id=$i")
+      assert(st.sampleRate == Array(44100, 48000, 32000)((i % 3).toInt))
+      assert(st.channels == (if (i % 4 == 0) 1 else 2))
+      val kbpsTable = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+        160, 192, 224, 256, 320)
+      val kbps = (0 until nf).map(f => kbpsTable((1 + (i * 7 + f * 3) % 14).toInt))
+      assert(st.kbpsMin == kbps.min && st.kbpsMax == kbps.max &&
+        st.kbpsSum == kbps.map(_.toLong).sum, s"id=$i")
+      assert(st.durationMicros == st.nFrames * 1152L * 1000000L / st.sampleRate)
+    }
+    val good = SyntheticImages.mp3Stream(1L, 6)
+    // truncating the last frame is a malformed stream, never a partial count
+    assert(MediaCodec.walkMp3(good.dropRight(1)).isEmpty)
+    // corrupting the first sync byte must be None immediately
+    val broken = good.clone()
+    broken(0) = 0x00
+    assert(MediaCodec.walkMp3(broken).isEmpty)
+    // free-format (bitrate idx 0) and reserved (15) are out of scope → None
+    val free = good.clone(); free(2) = (free(2) & 0x0F).toByte
+    assert(MediaCodec.walkMp3(free).isEmpty)
+    // a non-synchsafe ID3v2 size byte is malformed → None
+    val badId3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 0x80.toByte) ++ good
+    assert(MediaCodec.walkMp3(badId3).isEmpty)
+    // trailing garbage that is not an exact ID3v1 block → None
+    assert(MediaCodec.walkMp3(good ++ Array[Byte](1, 2, 3)).isEmpty)
+    // a mid-stream sample-rate change is a malformed stream → None
+    val mixed = SyntheticImages.mp3Stream(1L, 3) ++ SyntheticImages.mp3Stream(2L, 3)
+    assert(MediaCodec.walkMp3(mixed).isEmpty)
+  }
 }
