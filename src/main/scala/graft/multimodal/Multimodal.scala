@@ -396,6 +396,61 @@ object MediaCodec {
       kbpsSum, nFrames * 1152L * 1000000L / sampleRate))
   }
 
+  /** COMPRESSED-video metadata walk — H.264 Annex-B NAL units, the
+    * [[walkMp3]] stance applied to video (r10): the demuxer's first pass
+    * over an elementary stream is a start-code walk (00 00 01 /
+    * 00 00 00 01), and the unit CENSUS it yields — how many SPS/PPS
+    * parameter sets, IDR sync points and coded slices — is the
+    * structural metadata a curation run filters on (streams without
+    * parameter sets or sync points are undecodable uploads) before any
+    * pixel ever decodes. Pure byte arithmetic; pixel reconstruction
+    * remains the environment-blocked stub.
+    *
+    * Fail-loud contract: the stream must BEGIN with a start code; a set
+    * forbidden_zero_bit or an empty unit → None, never a partial census.
+    *
+    * @return exact counts: total units, SPS (7), PPS (8), IDR slices
+    *         (5), non-IDR slices (1), other types, and total unit bytes
+    *         (header + payload, start codes excluded)
+    */
+  final case class H264Stats(nNals: Long, nSps: Long, nPps: Long,
+      nIdr: Long, nNonIdr: Long, nOther: Long, unitBytes: Long)
+
+  def walkH264(p: Array[Byte]): Option[H264Stats] = {
+    def startCodeLen(i: Int): Int =
+      if (i + 3 <= p.length && p(i) == 0 && p(i + 1) == 0 && p(i + 2) == 1) 3
+      else if (i + 4 <= p.length && p(i) == 0 && p(i + 1) == 0 &&
+        p(i + 2) == 0 && p(i + 3) == 1) 4
+      else 0
+    if (p.isEmpty || startCodeLen(0) == 0) return None
+    var nNals = 0L; var nSps = 0L; var nPps = 0L
+    var nIdr = 0L; var nNonIdr = 0L; var nOther = 0L
+    var unitBytes = 0L
+    var i = 0
+    while (i < p.length) {
+      val sc = startCodeLen(i)
+      if (sc == 0) return None // must sit ON a start code here
+      val unitStart = i + sc
+      // unit runs to the next start code or end-of-stream
+      var j = unitStart
+      while (j < p.length && startCodeLen(j) == 0) j += 1
+      if (j == unitStart) return None // empty unit
+      val header = p(unitStart) & 0xFF
+      if ((header & 0x80) != 0) return None // forbidden_zero_bit
+      (header & 0x1F) match {
+        case 7 => nSps += 1
+        case 8 => nPps += 1
+        case 5 => nIdr += 1
+        case 1 => nNonIdr += 1
+        case _ => nOther += 1
+      }
+      nNals += 1
+      unitBytes += (j - unitStart).toLong
+      i = j
+    }
+    Some(H264Stats(nNals, nSps, nPps, nIdr, nNonIdr, nOther, unitBytes))
+  }
+
   /** Aspect-preserving fit of (w,h) into `maxSide` — the shared integer
     * dims contract for both the metadata-level mm43 check and the real
     * [[resizeBytes]]. Never upscales.

@@ -148,6 +148,31 @@ object SyntheticImages {
     out.toByteArray
   }
 
+  /** Synthetic H.264 Annex-B elementary stream: `4 + id mod 6` NAL units
+    * — unit 0 an SPS (type 7), unit 1 a PPS (8), every u ≡ 2 (mod 5) an
+    * IDR slice (5), the rest non-IDR slices (1); payload length
+    * `10 + (id·3 + u·7) mod 50` bytes of 0xAA (never 0x00, so no
+    * accidental start codes); the first start code 4-byte, the rest
+    * 3-byte (both legal, both must be recognized). The mm53 oracle
+    * recomputes the census from these formulas.
+    */
+  def h264Stream(id: Long, nUnits: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var u = 0
+    while (u < nUnits) {
+      out.write(if (u == 0) Array[Byte](0, 0, 0, 1) else Array[Byte](0, 0, 1))
+      val tpe = if (u == 0) 7 else if (u == 1) 8 else if (u % 5 == 2) 5 else 1
+      val refIdc = if (tpe == 1) 1 else 3
+      out.write((refIdc << 5) | tpe)
+      val payloadLen = (10 + (id * 3 + u * 7) % 50).toInt
+      val payload = new Array[Byte](payloadLen)
+      java.util.Arrays.fill(payload, 0xAA.toByte)
+      out.write(payload)
+      u += 1
+    }
+    out.toByteArray
+  }
+
   def pcmWav(id: Long, sampleRate: Int, channels: Int,
       nFrames: Int): Array[Byte] = {
     val dataLen = nFrames * channels * 2

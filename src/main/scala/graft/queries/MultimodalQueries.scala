@@ -249,6 +249,30 @@ object MultimodalQueries extends QuerySet {
       "duration_us", "kbps_min", "kbps_max", "kbps_sum")
   }
 
+  /** COMPRESSED-video structural walk (mm53, r10): 64 synthetic H.264
+    * Annex-B streams (unit types, payload lengths and start-code widths
+    * pure integer functions of (id, unit) — mixed 3/4-byte start codes,
+    * 0xAA payloads so boundaries are unambiguous) →
+    * `MediaCodec.walkH264` start-code walk → the exact NAL census
+    * (SPS/PPS/IDR/slice counts, unit bytes) a video curation run gates
+    * uploads on before any pixel decodes. The mm52 boundary applied to
+    * video: structural metadata real, pixel reconstruction the stub.
+    */
+  def mm53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Q.t(s, dir, "documents")
+      .filter(col("doc_id") < 64)
+      .select(col("doc_id").cast("long")).as[Long]
+    ids.map { i =>
+      val n = (4 + i % 6).toInt
+      val st = MediaCodec.walkH264(SyntheticImages.h264Stream(i, n))
+        .getOrElse(
+          throw new IllegalStateException(s"unwalkable synthetic h264 $i"))
+      (i, st.nNals, st.nSps, st.nPps, st.nIdr, st.nNonIdr, st.unitBytes)
+    }.toDF("media_id", "n_nals", "n_sps", "n_pps", "n_idr", "n_non_idr",
+      "unit_bytes")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm39_media_features" -> (mm39 _),
     "mm43_media_resize" -> (mm43 _),
@@ -260,7 +284,8 @@ object MultimodalQueries extends QuerySet {
     "mm49_audio_decode" -> (mm49 _),
     "mm50_video_decode" -> (mm50 _),
     "mm51_pair_curation" -> (mm51 _),
-    "mm52_mp3_frame_walk" -> (mm52 _))
+    "mm52_mp3_frame_walk" -> (mm52 _),
+    "mm53_h264_nal_walk" -> (mm53 _))
 
   /** REAL raw-video decode, driver-oracled (mm50): 64 synthetic Y4M
     * streams (dimensions, frame counts AND every Y-plane byte pure
@@ -391,6 +416,23 @@ object MultimodalQueries extends QuerySet {
     // nearest-neighbor subsample (integer-division coordinates), integer
     // luminance, strict 64*lum > total threshold, two 32-bit halves
     "mm47_image_phash_dedup" -> mm47Sql,
+    // mm53 recomputes the synthetic NAL census: type-by-unit-index rule,
+    // per-unit payload lengths (+1 header byte), start codes excluded
+    "mm53_h264_nal_walk" ->
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 64),
+        |cfg AS (SELECT i, 4 + i % 6 AS n FROM ids),
+        |units AS (SELECT c.i, u.u,
+        |    CASE WHEN u.u = 0 THEN 7 WHEN u.u = 1 THEN 8
+        |      WHEN u.u % 5 = 2 THEN 5 ELSE 1 END AS tpe,
+        |    1 + 10 + (c.i*3 + u.u*7) % 50 AS ubytes
+        |  FROM cfg c, generate_series(0, 9) u(u) WHERE u.u < c.n)
+        |SELECT i AS media_id, CAST(count(*) AS BIGINT) AS n_nals,
+        |  CAST(count(*) FILTER (tpe = 7) AS BIGINT) AS n_sps,
+        |  CAST(count(*) FILTER (tpe = 8) AS BIGINT) AS n_pps,
+        |  CAST(count(*) FILTER (tpe = 5) AS BIGINT) AS n_idr,
+        |  CAST(count(*) FILTER (tpe = 1) AS BIGINT) AS n_non_idr,
+        |  CAST(SUM(ubytes) AS BIGINT) AS unit_bytes
+        |FROM units GROUP BY i""".stripMargin,
     // mm52 recomputes the synthetic MP3 header formulas: frame count,
     // sample rate / channel tables, the deterministic VBR kbps pattern and
     // the integer microsecond duration - never touching the bytes

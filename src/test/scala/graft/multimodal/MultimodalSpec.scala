@@ -285,4 +285,29 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val mixed = SyntheticImages.mp3Stream(1L, 3) ++ SyntheticImages.mp3Stream(2L, 3)
     assert(MediaCodec.walkMp3(mixed).isEmpty)
   }
+
+  test("H.264 NAL walk: start-code census recovers the synthetic stream " +
+      "formulas exactly; malformed streams fail loud") {
+    for (i <- Seq(0L, 1L, 7L, 63L)) {
+      val n = (4 + i % 6).toInt
+      val st = MediaCodec.walkH264(SyntheticImages.h264Stream(i, n)).get
+      assert(st.nNals == n.toLong && st.nSps == 1L && st.nPps == 1L,
+        s"id=$i: $st")
+      val expIdr = (0 until n).count(u => u >= 2 && u % 5 == 2)
+      assert(st.nIdr == expIdr.toLong &&
+        st.nNonIdr == (n - 2 - expIdr).toLong && st.nOther == 0L, s"id=$i")
+      val expBytes = (0 until n).map(u => 1L + 10 + (i * 3 + u * 7) % 50).sum
+      assert(st.unitBytes == expBytes, s"id=$i")
+    }
+    val good = SyntheticImages.h264Stream(3L, 6)
+    // a stream not beginning with a start code fails loud
+    assert(MediaCodec.walkH264(Array[Byte](0x65, 1, 2) ++ good).isEmpty)
+    // a set forbidden_zero_bit fails loud (corrupt the first header byte)
+    val forb = good.clone(); forb(4) = (forb(4) | 0x80).toByte
+    assert(MediaCodec.walkH264(forb).isEmpty)
+    // an empty unit (start code immediately followed by another) fails
+    assert(MediaCodec.walkH264(
+      Array[Byte](0, 0, 0, 1) ++ Array[Byte](0, 0, 1) ++ good.drop(4)).isEmpty)
+    assert(MediaCodec.walkH264(Array.empty[Byte]).isEmpty)
+  }
 }
