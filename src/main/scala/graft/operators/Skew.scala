@@ -159,19 +159,27 @@ object Skew {
       s"percentages must be within [0, 1], got $ps")
     require(coarseScale > 0, s"coarseScale must be > 0, got $coarseScale")
     // Spark's percentile aggregate IGNORES null values — drop them before
-    // counting or every position would shift (parity spec pins this)
+    // counting or every position would shift (parity spec pins this).
+    // NaN values sort GREATER than every double in Spark's ordering (the
+    // ordering Percentile ranks by), so they route to a dedicated
+    // max-long bucket after every real bucket (r10 advice: floor(NaN·s)
+    // casts to 0, which would interleave NaN with real values)
     val withKey = df.select(col(keyCol), col(valueCol))
       .filter(col(valueCol).isNotNull)
-      .withColumn("__cb", floor(col(valueCol) * coarseScale).cast("long"))
+      .withColumn("__cb",
+        when(isnan(col(valueCol).cast("double")), lit(Long.MaxValue))
+          .otherwise(floor(col(valueCol) * coarseScale).cast("long")))
     val wOffset = Window.partitionBy(keyCol).orderBy("__cb")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = withKey
       .groupBy(col(keyCol), col("__cb"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c"),
+        min(col(valueCol)).as("__mnv"),
+        (min(col(valueCol)) <=> max(col(valueCol))).as("__tied"))
       .withColumn("__off", coalesce(sum(col("__c")).over(wOffset), lit(0L)))
       .withColumn("__n", sum(col("__c")).over(Window.partitionBy(keyCol)))
       .select(col(keyCol).as("__okey"), col("__cb").as("__ocb"),
-        col("__c"), col("__off"), col("__n"))
+        col("__c"), col("__mnv"), col("__tied"), col("__off"), col("__n"))
       .localCheckpoint(false) // tiny; feeds needs + targets
     // the ranks each percentage needs, per key (keys × ps × 2 rows)
     val needs = offsets.select(col("__okey"), col("__n")).distinct()
@@ -192,10 +200,23 @@ object Skew {
         col("__r") >= col("__off") && col("__r") < col("__off") + col("__c"))
       .select(col("__tkey"), col("__ocb").as("__tcb"), col("p"),
         col("__pos"), col("__lo"), col("__hi"), col("__which"),
-        (col("__r") - col("__off")).as("__lr"))
+        (col("__r") - col("__off")).as("__lr"),
+        col("__mnv"), col("__tied"))
+    // tied-bucket shortcut (r10 verdict watch — the degenerate-spread
+    // case): a bucket whose values are ALL EQUAL (min <=> max; an all-NaN
+    // bucket qualifies, Spark NaN = NaN) holds the same value at EVERY
+    // local rank, so a target landing in it resolves directly from the
+    // count frame — the corpus rows of fully-tied buckets are never
+    // scanned, never ranked. A key whose values concentrate in one bucket
+    // with DISTINCT values still ranks that bucket in one partition —
+    // there coarseScale is the dial and the count frame the audit surface.
+    val tiedPicks = targets.filter(col("__tied"))
+      .select(col("__tkey").as(keyCol), col("p"), col("__pos"),
+        col("__lo"), col("__hi"), col("__which"), col("__mnv").as(valueCol))
+    val untied = targets.filter(!col("__tied"))
     // only the needed buckets' rows survive (broadcast cut, map-side) and
     // get a bucket-local rank on bounded partitions
-    val cut = targets.select(col("__tkey").as("__ckey"),
+    val cut = untied.select(col("__tkey").as("__ckey"),
       col("__tcb").as("__ccb")).distinct()
     val wLocal = Window.partitionBy(col(keyCol), col("__cb"))
       .orderBy(col(valueCol))
@@ -204,9 +225,11 @@ object Skew {
         col(keyCol) <=> col("__ckey") && col("__cb") <=> col("__ccb"))
       .withColumn("__lrn0",
         row_number().over(wLocal).cast("long") - 1)
-      .join(broadcast(targets), col(keyCol) <=> col("__tkey") &&
+      .join(broadcast(untied), col(keyCol) <=> col("__tkey") &&
         col("__cb") === col("__tcb") && col("__lrn0") === col("__lr"))
-    picked
+      .select(col(keyCol), col("p"), col("__pos"), col("__lo"),
+        col("__hi"), col("__which"), col(valueCol))
+    picked.unionByName(tiedPicks)
       .groupBy(col(keyCol), col("p"))
       .agg(
         max(when(col("__which") === "lo", col(valueCol))).as("__xlo"),

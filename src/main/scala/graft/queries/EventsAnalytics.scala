@@ -83,7 +83,12 @@ object EventsAnalytics extends QuerySet {
         count(lit(1)).as("cnt"),
         max(col("value")).as("max_value"),
         Q.davg(col("value")).as("avg_value"))
-      .join(broadcast(pcts), Seq("event_type"))
+      // LEFT join (r10 advice): percentileExactByKey drops null values, so
+      // an event_type whose values are ALL NULL has no percentile rows at
+      // all — the group must still appear with cnt/max/avg populated and
+      // NULL p50/p95, exactly as Spark's percentile aggregate (NULL over
+      // an empty value set) and DuckDB's quantile_cont behave
+      .join(broadcast(pcts), Seq("event_type"), "left")
       .select(col("event_type"), col("cnt"), col("p50"), col("p95"),
         col("max_value"), col("avg_value"))
   }

@@ -41,8 +41,12 @@ object DurableState {
   def latestBefore(root: String, beforeBatch: Long): Option[Long] = {
     val d = Paths.get(root)
     if (!Files.isDirectory(d)) return None
+    // v\d{9,}: versionDir's %09d is a MINIMUM width — batch ids >= 1e9
+    // format with 10+ digits, and an anchored 9-digit match would make
+    // such versions invisible here (state silently regressing to an old
+    // version) and immune to prune (r10 advice)
     val vs = d.toFile.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.matches("v\\d{9}") &&
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{9,}") &&
         Files.exists(f.toPath.resolve("_COMMIT")))
       .map(_.getName.drop(1).toLong)
       .filter(_ < beforeBatch)
@@ -83,7 +87,7 @@ object DurableState {
     val d = Paths.get(root)
     if (!Files.isDirectory(d)) return
     val versioned = d.toFile.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.matches("v\\d{9}"))
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{9,}"))
     val committed = versioned
       .filter(f => Files.exists(f.toPath.resolve("_COMMIT")))
       .map(_.getName.drop(1).toLong).sorted

@@ -162,6 +162,40 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("percentileExactByKey: NaN values rank above every real, " +
+      "fully-tied keys resolve from the count frame, all-null keys " +
+      "emit no rows (q13's left join preserves the group)") {
+    import spark.implicits._
+    // NaN routes to the dedicated max-long bucket (r10 advice:
+    // floor(NaN·scale) casts to 0, interleaving NaN with real values) —
+    // Spark's double ordering puts NaN above every real, so high
+    // percentiles must land in the NaN region exactly as Spark's
+    // percentile aggregate does. Key "t" has ZERO value spread (the r10
+    // verdict watch): one coarse bucket holds every row, min <=> max, so
+    // both needed ranks resolve from the count frame without ranking a
+    // single corpus row. Key "z" is ALL NULL: percentile ignores nulls,
+    // the value set is empty, and the contract is NO output rows — the
+    // caller (q13) left-joins to keep the group with NULL percentiles.
+    val rows =
+      (1L to 60L).map(i => ("n", if (i % 6 == 0) Double.NaN else i.toDouble)) ++
+      (1L to 80L).map(_ => ("t", 3.5))
+    val df = rows.toDF("k", "v")
+      .unionByName((1L to 5L).map(_ => "z").toDF("k")
+        .withColumn("v", lit(null).cast("double")))
+    val ps = Seq(0.0, 0.5, 0.9, 1.0)
+    val got = Skew.percentileExactByKey(df, "k", "v", ps)
+    assert(got.filter(col("k") === "z").count() == 0,
+      "all-null key must produce no percentile rows")
+    val dAggs = ps.map(p => expr(s"percentile(v, $p)").as(s"p$p"))
+    val direct = df.filter(col("k") =!= "z").groupBy("k")
+      .agg(dAggs.head, dAggs.tail: _*)
+    val gAggs = ps.map(p => max(when(col("p") === p, col("pct"))).as(s"p$p"))
+    val gotW = got.groupBy("k").agg(gAggs.head, gAggs.tail: _*)
+    assert(direct.except(gotW).count() == 0 && gotW.except(direct).count() == 0,
+      s"NaN/tied percentiles diverged:\n${direct.collect().toSeq}\n" +
+        s"${gotW.collect().toSeq}")
+  }
+
   test("non-algebraic aggregates are rejected") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     intercept[IllegalArgumentException] {

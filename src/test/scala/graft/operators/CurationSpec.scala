@@ -715,4 +715,51 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
         s"bucketed ntile diverged at n=$nb")
     }
   }
+
+  test("ntileDescBucketed degenerate ties: an all-tied key refines into " +
+      "id sub-buckets byte-identically; NaN scores sort first; the " +
+      "broadcast count frame is fail-loud bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy(col("score").desc, col("id"))
+    // zero score spread — the r10 verdict watch case: every row of the
+    // key shares ONE score, so without refinement the whole key ranks in
+    // a single (key, coarse-bucket) task. tieIdScale = 16 forces the id
+    // refinement (300 > 16 → ~19 sub-buckets of ≤16 rows); ranks inside a
+    // tied bucket are pure id order, which any monotone-in-id split
+    // preserves — output must stay byte-identical to the window ntile.
+    val tied = (1L to 300L).map(i => ("k", i, 0.25)).toDF("k", "id", "score")
+    val exp = tied.withColumn("nt", ntile(7).over(w))
+    val got = Sampling.ntileDescBucketed(tied, "k", "score", "id",
+      n = 7, outCol = "nt", tieIdScale = 16L)
+    assert(exp.except(got).count() == 0 && got.except(exp).count() == 0,
+      "refined all-tied ntile diverged from the window form")
+    // NaN scores: Spark's double ordering puts NaN above every real —
+    // FIRST under DESC, before all real scores and before nulls; the
+    // dedicated min-long bucket must reproduce that (r10 advice:
+    // floor(NaN·scale) casts to 0, interleaving NaN with real scores)
+    val withNan = ((1L to 50L).map(i =>
+        ("k", i, if (i % 5 == 0) Double.NaN else math.sin(i.toDouble))) ++
+        (60L to 65L).map(i => ("k", i, Double.NaN)))
+      .toDF("k", "id", "score")
+    val expN = withNan.withColumn("nt", ntile(3).over(w))
+    val gotN = Sampling.ntileDescBucketed(withNan, "k", "score", "id",
+      n = 3, outCol = "nt")
+    assert(expN.except(gotN).count() == 0 && gotN.except(expN).count() == 0,
+      "NaN scores diverged from the window form's first-under-DESC order")
+    // the NaN bucket is itself tied (Spark NaN = NaN), so the refinement
+    // applies inside it too
+    val gotN2 = Sampling.ntileDescBucketed(withNan, "k", "score", "id",
+      n = 3, outCol = "nt", tieIdScale = 4L)
+    assert(expN.except(gotN2).count() == 0 && gotN2.except(expN).count() == 0,
+      "refined NaN bucket diverged from the window form")
+    // the per-(key, bucket) count frames broadcast — bounded fail-loud
+    // instead of OOMing the driver (r10 advice)
+    val err = intercept[IllegalArgumentException] {
+      Sampling.ntileDescBucketed(tied, "k", "score", "id", n = 3,
+        outCol = "nt", maxBucketFrameRows = 0L).collect()
+    }
+    assert(err.getMessage.contains("broadcast"),
+      s"expected the broadcast-bound message, got: ${err.getMessage}")
+  }
 }

@@ -565,18 +565,20 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.toString.contains("ntile("),
       s"ntile reappeared — the single-task per-language sort:\n$plan")
     val windows = plan.collect { case w: LWindow => w }
-    // ...and every window the CORPUS flows through partitions by
-    // (lang, __cb) — bounded tasks. Windows partitioned by lang alone
-    // are allowed only on the tiny per-(lang, bucket) counts frame —
-    // recognizable because they sit over the counts Aggregate through a
-    // unary chain (the corpus body reaches its window through a Join).
+    // ...and every window the CORPUS flows through partitions by at
+    // least (lang, __cb) — bounded tasks (r11 adds the tie-refinement
+    // sub-bucket as a third partition column). Windows partitioned by
+    // lang alone are allowed only on the tiny per-(lang, bucket) counts
+    // frame — since r11 that frame localCheckpoints after its windows,
+    // so they normally don't appear here at all; the Aggregate check
+    // remains for the un-checkpointed form.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, UnaryNode}
     def overAggregate(p: LogicalPlan): Boolean = p match {
       case _: Aggregate => true
       case u: UnaryNode => overAggregate(u.child)
       case _ => false
     }
-    assert(windows.exists(_.partitionSpec.size == 2),
+    assert(windows.exists(_.partitionSpec.size >= 2),
       "expected the (lang, coarse-bucket) local-rank window")
     windows.filter(_.partitionSpec.size < 2).foreach { w =>
       assert(overAggregate(w.child),
