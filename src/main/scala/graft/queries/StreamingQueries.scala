@@ -1286,22 +1286,36 @@ object StreamingQueries extends QuerySet {
     * deliberately memory-resident fast form, like st61), so a driver
     * restart loses both. This twin persists them with the state-kind
     * split the index family established, extended to MUTABLE data-sized
-    * state:
-    *  - corpus batches APPEND through [[graft.streaming.PostingsStore]],
-    *    and each trigger reads "everything strictly below my batch id"
-    *    (the DurableState idiom) so a replaying batch never sees its own
-    *    failed attempt;
+    * state — and (r10 verdict #1) with BATCH-PROPORTIONAL triggers: the
+    * corpus persists WITH its cell assignment (deterministic under the
+    * fixed centroids, computed once per batch at append time),
+    * partitioned by `centroid_id`, so a trigger never re-assigns or even
+    * reads the accumulated corpus — it reads exactly the touched cells'
+    * partitions plus its own batch:
+    *  - corpus batches APPEND through [[graft.streaming.PostingsStore]]
+    *    as pre-assigned (vec_id, centroid_id, emb, norm) rows,
+    *    sub-partitioned `centroid_id=` under `batch_id=`; each trigger
+    *    reads "everything strictly below my batch id" (the DurableState
+    *    idiom) FILTERED to its touched cells — partition pruning cuts
+    *    the listing to touched directories before any file opens (the
+    *    file-level metric is spec-pinned in PostingsStoreSpec);
     *  - the graph is data-sized but cell-MUTABLE — a batch invalidates
     *    exactly its touched cells — so each trigger recomputes ONLY the
     *    touched cells and replaces exactly those `cell=` partitions via
-    *    Spark's dynamic partition overwrite: untouched cells are never
-    *    read, never rewritten (the UPDATE complement of the postings
-    *    sink's append; a replayed batch recomputes the same cells from
-    *    the same strictly-below corpus and converges).
-    * Kill point after batch 1 of 3; the restarted query's batch 2 must
-    * find batches 0-1 in the corpus store and phase-1 cells on disk.
-    * Final graph `require`d row-identical to the ORACLED sim52
-    * full-rebuild twin — the st57 contract, now surviving a restart.
+    *    Spark's dynamic partition overwrite (a replayed batch recomputes
+    *    the same cells from the same strictly-below corpus and
+    *    converges).
+    * Proportionality is ASSERTED, not claimed (the st66 idiom): every
+    * trigger logs its touched-cell set, the prior rows it read, and the
+    * per-cell rows it wrote; after the drain a driver-side replay of the
+    * log must reproduce each trigger's read count from the touched
+    * cells' running totals alone, and at least one trigger must have
+    * read strictly less than the accumulated corpus (batch 1 is a single
+    * vector — one touched cell of 8). Kill point after batch 1 of 3; the
+    * restarted query's batch 2 must find batches 0-1 in the corpus store
+    * and phase-1 cells on disk. Final graph `require`d row-identical to
+    * the ORACLED sim52 full-rebuild twin — the st57 contract, surviving
+    * a restart at per-trigger cost O(batch + touched cells).
     */
   def st69(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -1316,41 +1330,104 @@ object StreamingQueries extends QuerySet {
         .as("c_norm"))
     val graphDir = tmp("graft_st69_graph")
     val corpusDir = tmp("graft_st69_corpus")
-    // pre-stream state: the even-half graph, cell-partitioned on disk
+    val corpus0Dir = tmp("graft_st69_corpus0")
+    // pre-stream state: the even-half corpus persisted WITH its cell
+    // assignment (cell-partitioned), and its graph
     val corpus0 = all.filter(col("vec_id") % 2 === 0)
-    graft.operators.Ann.knnGraph(corpus0, "vec_id", "emb", centroids, k = 3)
+    graft.operators.Ann.ivfAssign(corpus0, "vec_id", "emb", centroids)
+      .select("vec_id", "centroid_id", "emb", "norm")
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(corpus0Dir)
+    // touched-cell reads: corpus0 and the batch store are separate
+    // partitioned roots (the store needs its root as basePath — sibling
+    // batch_id= dirs are otherwise rejected as conflicting partition
+    // roots), each pruned on the centroid_id partition column
+    def readCells(priorPaths: Seq[String], touched: Seq[Long]): DataFrame = {
+      val frames = s.read.parquet(corpus0Dir) +:
+        (if (priorPaths.isEmpty) Seq.empty[DataFrame]
+         else Seq(s.read.option("basePath", corpusDir)
+           .parquet(priorPaths: _*)))
+      frames.map(_
+          .withColumn("centroid_id", col("centroid_id").cast("long"))
+          .filter(col("centroid_id").isin(touched: _*))
+          .select("vec_id", "centroid_id", "emb", "norm"))
+        .reduce(_ unionByName _)
+    }
+    graft.operators.Ann.knnGraphFromAssigned(
+        readCells(Seq.empty, (0L until 8L)), k = 3)
       .write.mode("overwrite").partitionBy("cell").parquet(graphDir)
+    // per-trigger evidence: batchId -> (touched cells, prior rows READ,
+    // per-cell rows written) — replay-overwriting, driver-side replayed
+    // after the drain
+    val readLog = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Seq[Long], Long, Map[Long, Long])]
     val schema = allRaw.schema
-    val files = stageEach(Seq(1, 3, 5).map(m =>
-      allRaw.filter(col("vec_id") % 6 === m)))
+    // batch 1 is deliberately a SINGLE vector: its trigger touches one
+    // cell of 8, so its logged read is strictly below the accumulated
+    // corpus — the pruning evidence the post-drain require checks
+    val files = stageEach(Seq(
+      allRaw.filter(col("vec_id") % 6 === 1 && col("vec_id") =!= 1),
+      allRaw.filter(col("vec_id") === 1),
+      allRaw.filter(col("vec_id") % 6 === 3 || col("vec_id") % 6 === 5)))
     restartDrain(files, phase1 = 2) { (feed, ckpt) =>
       s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(feed)
         .writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val b = embD(batch)
-          val prior = graft.streaming.PostingsStore
-            .livePaths(corpusDir, batchId)
-          val prev = if (prior.isEmpty) corpus0
-            else corpus0.unionByName(
-              embD(graft.streaming.PostingsStore.read(s, corpusDir, batchId)))
-          val touched = graft.operators.Ann
-            .ivfAssign(b, "vec_id", "emb", centroids)
-            .select(col("centroid_id")).distinct().localCheckpoint(false)
-          val assigned = graft.operators.Ann
-            .ivfAssign(prev.unionByName(b), "vec_id", "emb", centroids)
+          val bAssigned = graft.operators.Ann
+            .ivfAssign(embD(batch), "vec_id", "emb", centroids)
             .select("vec_id", "centroid_id", "emb", "norm")
-            .join(touched, Seq("centroid_id"), "left_semi")
-          graft.operators.Ann.knnGraphFromAssigned(assigned, k = 3)
+            .localCheckpoint(false)
+          // the touched-cell set is centroid-bounded (model-sized) —
+          // collected so the corpus reads prune on the partition column
+          val touched = bAssigned.select("centroid_id").distinct()
+            .collect().map(_.getLong(0)).sorted.toSeq
+          val priorPaths = graft.streaming.PostingsStore
+            .livePaths(corpusDir, batchId)
+          val prior = readCells(priorPaths, touched)
+          val priorRead = prior.count()
+          graft.operators.Ann
+            .knnGraphFromAssigned(prior.unionByName(bAssigned), k = 3)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell").parquet(graphDir)
-          graft.streaming.PostingsStore.write(batch, corpusDir, batchId)
+          graft.streaming.PostingsStore.write(bAssigned, corpusDir,
+            batchId, partitionColumns = Seq("centroid_id"))
+          val wrote = bAssigned.groupBy("centroid_id")
+            .agg(count(lit(1)).as("n")).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          readLog(batchId) = (touched, priorRead, wrote)
+          // scalastyle:off println — per-trigger cost evidence (driver log)
+          println(s"[st69] batch=$batchId touched=${touched.mkString(",")} " +
+            s"prior_rows_read=$priorRead batch_rows=${wrote.values.sum}")
+          // scalastyle:on println
         }
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
+    // replay the evidence log: each trigger's read must equal the touched
+    // cells' running totals EXACTLY (a read that included an untouched
+    // cell, or re-assigned the corpus, overshoots), and some trigger must
+    // have read strictly less than the accumulated corpus
+    var running: Map[Long, Long] = s.read.parquet(corpus0Dir)
+      .groupBy(col("centroid_id").cast("long").as("c"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var sawPruned = false
+    readLog.toSeq.sortBy(_._1).foreach { case (bid, (touched, got, wrote)) =>
+      val expected = touched.map(c => running.getOrElse(c, 0L)).sum
+      require(got == expected,
+        s"st69 batch $bid read $got prior rows; its touched cells " +
+          s"${touched.mkString(",")} held $expected — the read is not " +
+          "touched-cell-proportional")
+      if (got < running.values.sum) sawPruned = true
+      wrote.foreach { case (c, n) =>
+        running = running.updated(c, running.getOrElse(c, 0L) + n) }
+    }
+    require(sawPruned,
+      "st69: no trigger read less than the accumulated corpus — " +
+        "touched-cell pruning never engaged")
     val maintained = s.read.parquet(graphDir)
       .withColumn("cell", col("cell").cast("long"))
       .select("query_id", "rank", "neighbor_id", "cell", "cos")

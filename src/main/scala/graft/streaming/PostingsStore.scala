@@ -63,10 +63,21 @@ object PostingsStore {
 
   /** One trigger's append: the batch lands in its OWN partition; a
     * replayed batch id overwrites the same dir and converges.
+    * `partitionColumns` optionally sub-partitions the batch dir (e.g.
+    * `cell=` under `batch_id=` — the st69 corpus layout), so a reader
+    * filtering on those columns prunes at the FILE level: a touched-cell
+    * read lists only the touched cells' directories across every live
+    * batch, never the full corpus (partition discovery restores the
+    * columns; Spark evaluates partition-key filters against directory
+    * values before any file opens).
     */
-  def write(batch: DataFrame, root: String, batchId: Long): Unit = {
+  def write(batch: DataFrame, root: String, batchId: Long,
+      partitionColumns: Seq[String] = Seq.empty): Unit = {
     require(batchId >= 0, s"writer batch ids are >= 0, got $batchId")
-    batch.write.mode("overwrite").parquet(s"$root/batch_id=$batchId")
+    val w = batch.write.mode("overwrite")
+    val wp = if (partitionColumns.isEmpty) w
+      else w.partitionBy(partitionColumns: _*)
+    wp.parquet(s"$root/batch_id=$batchId")
   }
 
   /** The live partition dirs under the commit protocol above.

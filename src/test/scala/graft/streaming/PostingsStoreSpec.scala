@@ -24,6 +24,48 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestBase {
     root
   }
 
+  test("cell-partitioned batches: a touched-cell read prunes untouched " +
+      "partitions at the FILE level (st69's corpus layout)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = Files.createTempDirectory("graft_pstore_cells").toString
+    (0 until 2).foreach { b =>
+      PostingsStore.write(
+        (0 until 40).map(i => ((b * 100 + i).toLong, (i % 4).toLong, i.toDouble))
+          .toDF("vec_id", "cell_id", "x"),
+        root, b.toLong, partitionColumns = Seq("cell_id"))
+    }
+    def diskFiles(pred: String => Boolean): Int =
+      Files.walk(Paths.get(root)).toArray.map(_.toString)
+        .count(p => p.endsWith(".parquet") && pred(p))
+    val totalFiles = diskFiles(_ => true)
+    val touchedFiles = diskFiles(p =>
+      p.contains("cell_id=1/") || p.contains("cell_id=3/"))
+    assert(touchedFiles > 0 && touchedFiles < totalFiles)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // sibling batch_id= dirs need the store root as basePath (Spark
+      // otherwise rejects them as conflicting partition roots); the
+      // listing still covers ONLY the given live paths
+      val read = spark.read.option("basePath", root)
+        .parquet(PostingsStore.livePaths(root): _*)
+        .withColumn("cell_id", col("cell_id").cast("long"))
+        .filter(col("cell_id").isin(1L, 3L))
+      val rows = read.collect()
+      assert(rows.length == 40 &&
+        rows.forall(r => Set(1L, 3L)(r.getAs[Long]("cell_id"))))
+      // the scan must LIST only the touched cells' directories — the
+      // partition filter cuts files before any opens, which is what makes
+      // st69's per-trigger IO proportional to touched cells, not corpus
+      val scanned = read.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }
+      assert(scanned.nonEmpty && scanned.sum == touchedFiles,
+        s"scan read ${scanned.sum} files; the touched cells hold " +
+          s"$touchedFiles of $totalFiles")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("compact folds the live set into one negative-id segment, " +
       "row-identical, and gc removes the sources") {
     val root = freshStore(3)
