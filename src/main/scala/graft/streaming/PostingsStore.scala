@@ -29,9 +29,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Concurrency contract: one streaming writer (appending new positive
   * ids) plus one maintenance compactor. A batch landing after the
   * compactor snapshots its live set is simply not consumed and stays
-  * live; the only unsafe interleaving would be the writer REPLAYING an
-  * id the compactor consumed, which Spark's checkpoint rules out once
-  * the batch is committed.
+  * live (EXERCISED, not asserted: PostingsStoreSpec lands a committed
+  * batch inside compact's snapshot→`_SOURCES` window and reads stay
+  * exactly-once; st66/st67 run compaction from inside the maintenance
+  * loop itself every N batches, bounded by the in-flight batch id); the
+  * only unsafe interleaving would be the writer REPLAYING an id the
+  * compactor consumed, which Spark's checkpoint rules out once the
+  * batch is committed — and which `compact(beforeBatch = batchId)`
+  * rules out for the one batch that has NOT committed yet.
   */
 object PostingsStore {
 
@@ -109,12 +114,31 @@ object PostingsStore {
     s.read.parquet(live: _*)
   }
 
-  /** Fold every live partition into ONE negative-id segment. Idempotent
-    * and crash-safe per the commit protocol; a no-op when the sink is
+  /** Fold the live partitions into ONE negative-id segment. Idempotent
+    * and crash-safe per the commit protocol; a no-op when the live set is
     * already a single partition. Runs [[gc]] after committing.
+    *
+    * `beforeBatch` bounds the WRITER ids consumed (segments are always
+    * consumable) — the bound a compaction running INSIDE a foreachBatch
+    * trigger must pass as its own batch id: that batch has not committed
+    * to the checkpoint yet, so Spark may still replay it, and consuming
+    * its partition would double-count the replay's overwrite. Ids
+    * strictly below the current batch are checkpoint-committed (the
+    * AvailableNow trigger commits each batch before the next fires), so
+    * they are safe to fold mid-drain.
+    *
+    * `betweenSnapshotAndCommit` is a test seam: it runs after the live
+    * set is snapshotted and before the `_SOURCES` manifest commits, the
+    * window where a concurrent writer batch can land. Such a batch is
+    * simply not consumed — it is absent from the snapshot, so absent
+    * from the manifest, and stays live next to the segment
+    * (PostingsStoreSpec cuts this interleaving open).
     */
-  def compact(s: SparkSession, root: String): Unit = {
-    val live = livePaths(root)
+  def compact(s: SparkSession, root: String,
+      beforeBatch: Long = Long.MaxValue,
+      betweenSnapshotAndCommit: () => Unit = () => ()): Unit = {
+    val live = livePaths(root, beforeBatch)
+    betweenSnapshotAndCommit()
     if (live.size <= 1) return
     val nextId = -(partDirs(root).map(p => math.abs(partId(p))).max + 1)
     val seg = Paths.get(s"$root/batch_id=$nextId")

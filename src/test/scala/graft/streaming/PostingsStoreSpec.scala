@@ -66,6 +66,54 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("a writer batch COMMITTED between the compactor's snapshot and " +
+      "its _SOURCES commit stays live — reads exactly-once throughout") {
+    val root = freshStore(3)
+    val before = PostingsStore.read(spark, root).orderBy("doc_id")
+      .collect().toSeq
+    PostingsStore.compact(spark, root, betweenSnapshotAndCommit = () => {
+      // the concurrent writer lands batch 3 INSIDE the compactor's
+      // snapshot->commit window — the live-interleaving the scaladoc
+      // contract claims is safe
+      PostingsStore.write(Seq((3L, "tok3", 1L)).toDF("doc_id", "token", "tf"),
+        root, 3L)
+      // mid-window read: the segment is uncommitted (no _SOURCES yet),
+      // every source still live -> old rows exactly once + the new batch
+      assert(PostingsStore.read(spark, root).count() == before.size + 1,
+        "mid-compaction read lost or double-counted rows")
+    })
+    // the interleaved batch was absent from the snapshot, so absent from
+    // the manifest: it stays live NEXT TO the committed segment
+    val live = PostingsStore.livePaths(root)
+    assert(live.size == 2 && live.count(_.contains("batch_id=-")) == 1,
+      s"interleaved batch must stay live next to the segment: $live")
+    val after = PostingsStore.read(spark, root).orderBy("doc_id")
+      .collect().toSeq
+    assert(after.size == before.size + 1 &&
+      after.map(_.getLong(0)).toSet ==
+        (before.map(_.getLong(0)).toSet + 3L),
+      "post-compaction read must be old rows exactly once + the batch")
+    // the next maintenance pass folds the straggler too
+    PostingsStore.compact(spark, root)
+    assert(PostingsStore.livePaths(root).size == 1 &&
+      PostingsStore.read(spark, root).count() == before.size + 1)
+  }
+
+  test("compact(beforeBatch) leaves the in-flight batch a writer " +
+      "partition; its replay converges (the maintenance-loop bound)") {
+    val root = freshStore(4) // ids 0..3; 3 = the not-yet-committed batch
+    PostingsStore.compact(spark, root, beforeBatch = 3L)
+    val live = PostingsStore.livePaths(root)
+    assert(live.size == 2 && live.exists(_.endsWith("batch_id=3")) &&
+      live.count(_.contains("batch_id=-")) == 1,
+      s"ids >= beforeBatch must not be consumed: $live")
+    // the in-flight batch replays after a crash: same id, overwrite —
+    // converges instead of double-counting (it was never in a manifest)
+    PostingsStore.write(Seq((3L, "tok3b", 1L)).toDF("doc_id", "token", "tf"),
+      root, 3L)
+    assert(PostingsStore.read(spark, root).count() == 4)
+  }
+
   test("compact folds the live set into one negative-id segment, " +
       "row-identical, and gc removes the sources") {
     val root = freshStore(3)
