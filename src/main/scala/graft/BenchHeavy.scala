@@ -102,7 +102,16 @@ object BenchHeavy {
     "q61_curation_funnel",
     "mm51_pair_curation",
     "sim58_projection_recall",
-    "sim59_projection_dim_sweep")
+    "sim59_projection_dim_sweep",
+    // r11 (verdict Next #3): the compressed-media metadata walks, made
+    // corpus-proportional (one synthesized stream per document — the cap
+    // that froze them at 64 streams removed), so the tier measures the
+    // per-row synthesize+walk kernel against DuckDB's formula recompute
+    // (the Spark side does strictly more work: it builds and walks the
+    // actual bytes; the oracle never touches bytes — documented on the
+    // BASELINE rows)
+    "mm52_mp3_frame_walk",
+    "mm53_h264_nal_walk")
   // lineitem is replicated into the heavy dir (v4) for the Decimal-sum
   // class evidence recorded in BASELINE.md (q01 cents-long vs Decimal at
   // 6M rows, 2 MB grain: 0.78-0.80 s vs 1.07-1.20 s) and for scaling-curve

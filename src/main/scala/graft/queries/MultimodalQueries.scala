@@ -221,7 +221,9 @@ object MultimodalQueries extends QuerySet {
         "lang_match", "admitted")
   }
 
-  /** COMPRESSED-audio metadata walk (mm52, r10): 64 synthetic MPEG-1
+  /** COMPRESSED-audio metadata walk (mm52, r10; corpus-proportional
+    * since r11 — ONE stream per document, so the heavy tier measures a
+    * real scan instead of a 64-stream constant): synthetic MPEG-1
     * Layer III streams (every frame header a pure integer function of
     * (id, frame) — deterministic VBR bitrate pattern, padding bits, a
     * skipped ID3v2 prefix on ids%5=0 and an ID3v1 trailer on ids%6=0) →
@@ -236,7 +238,6 @@ object MultimodalQueries extends QuerySet {
   def mm52(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ids = Q.t(s, dir, "documents")
-      .filter(col("doc_id") < 64)
       .select(col("doc_id").cast("long")).as[Long]
     ids.map { i =>
       val nf = (5 + i % 7).toInt
@@ -249,7 +250,8 @@ object MultimodalQueries extends QuerySet {
       "duration_us", "kbps_min", "kbps_max", "kbps_sum")
   }
 
-  /** COMPRESSED-video structural walk (mm53, r10): 64 synthetic H.264
+  /** COMPRESSED-video structural walk (mm53, r10; corpus-proportional
+    * since r11, the mm52 note): synthetic H.264
     * Annex-B streams (unit types, payload lengths and start-code widths
     * pure integer functions of (id, unit) — mixed 3/4-byte start codes,
     * 0xAA payloads so boundaries are unambiguous) →
@@ -261,7 +263,6 @@ object MultimodalQueries extends QuerySet {
   def mm53(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ids = Q.t(s, dir, "documents")
-      .filter(col("doc_id") < 64)
       .select(col("doc_id").cast("long")).as[Long]
     ids.map { i =>
       val n = (4 + i % 6).toInt
@@ -419,7 +420,7 @@ object MultimodalQueries extends QuerySet {
     // mm53 recomputes the synthetic NAL census: type-by-unit-index rule,
     // per-unit payload lengths (+1 header byte), start codes excluded
     "mm53_h264_nal_walk" ->
-      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 64),
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
         |cfg AS (SELECT i, 4 + i % 6 AS n FROM ids),
         |units AS (SELECT c.i, u.u,
         |    CASE WHEN u.u = 0 THEN 7 WHEN u.u = 1 THEN 8
@@ -437,7 +438,7 @@ object MultimodalQueries extends QuerySet {
     // sample rate / channel tables, the deterministic VBR kbps pattern and
     // the integer microsecond duration - never touching the bytes
     "mm52_mp3_frame_walk" ->
-      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 64),
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
         |cfg AS (SELECT i, CAST(5 + i % 7 AS BIGINT) AS n_frames,
         |    list_extract([44100, 48000, 32000], CAST(i % 3 AS INTEGER) + 1) AS sample_rate,
         |    CASE WHEN i % 4 = 0 THEN 1 ELSE 2 END AS channels FROM ids),
