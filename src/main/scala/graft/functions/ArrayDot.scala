@@ -318,7 +318,117 @@ object GraftFunctions {
     }
   }
 
+  /** graft_nb_seen(tokens, lutMap, nLabels): the vocabulary lookup table
+    * must be FOLDABLE (a map<string, array<long>> literal — it IS the
+    * model, the graft_lm_score idiom) and is converted once to a hash
+    * table of primitive long arrays; nLabels a literal so an EMPTY vocab
+    * still types.
+    */
+  private[functions] val buildNbSeen: Seq[Expression] => Expression = children => {
+    if (children.length != 3)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_nb_seen: expected 3 " +
+          s"(graft_nb_seen(array<string>, map, nLabels)), got ${children.length}")
+    if (!children(1).foldable)
+      throw new IllegalArgumentException(
+        "graft_nb_seen lookup table must be foldable (a map literal)")
+    val nLabels = children(2) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n
+      case other => throw new IllegalArgumentException(
+        s"graft_nb_seen nLabels must be an int literal, got $other")
+    }
+    require(nLabels >= 1, s"graft_nb_seen nLabels must be >= 1, got $nLabels")
+    val md = children(1).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+    val m = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Array[Long]](
+      md.numElements() * 2)
+    val ks = md.keyArray()
+    val vs = md.valueArray()
+    var i = 0
+    while (i < md.numElements()) {
+      val a = vs.getArray(i).toLongArray()
+      require(a.length == nLabels,
+        s"graft_nb_seen: lut value arity ${a.length} != nLabels $nLabels")
+      m.put(ks.getUTF8String(i).clone(), a)
+      i += 1
+    }
+    NbSeen(children(0), m, nLabels)
+  }
+
+  private def toQueryIdx(e: Expression, fn: String)
+      : java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn query index must be foldable (a map literal)")
+    val md = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+    val m = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Integer](
+      md.numElements() * 2)
+    val ks = md.keyArray()
+    val vs = md.valueArray()
+    var i = 0
+    while (i < md.numElements()) {
+      m.put(ks.getUTF8String(i).clone(), Integer.valueOf(vs.getInt(i)))
+      i += 1
+    }
+    m
+  }
+
+  private def longLit(e: Expression, fn: String, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn $what must be a long literal, got $other")
+  }
+
+  /** graft_query_hits(tokens, qIdxMap): the query-slot map must be
+    * foldable (it is query-sized — the model idiom).
+    */
+  private[functions] val buildQueryHits: Seq[Expression] => Expression = children => {
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_query_hits: " +
+          s"expected 2, got ${children.length}")
+    val qIdx = toQueryIdx(children(1), "graft_query_hits")
+    val nq = if (qIdx.isEmpty) 0
+      else qIdx.values().stream().mapToInt(_.intValue()).max().getAsInt + 1
+    QueryHits(children(0), qIdx, nq)
+  }
+
+  /** graft_bm25q(tokens, qIdxMap, dfArray, nDocs, totTok, quantScale):
+    * everything but the tokens is query-sized/scalar and foldable.
+    */
+  private[functions] val buildBm25Q: Seq[Expression] => Expression = children => {
+    if (children.length != 6)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_bm25q: " +
+          s"expected 6, got ${children.length}")
+    val qIdx = toQueryIdx(children(1), "graft_bm25q")
+    if (!children(2).foldable)
+      throw new IllegalArgumentException(
+        "graft_bm25q df must be foldable (an array literal)")
+    val df = children(2).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    require(qIdx.values().stream().allMatch(v => v >= 0 && v < df.length),
+      s"graft_bm25q: query slot out of df range ${df.length}")
+    Bm25Q(children(0), qIdx, df,
+      longLit(children(3), "graft_bm25q", "nDocs"),
+      longLit(children(4), "graft_bm25q", "totTok"),
+      longLit(children(5), "graft_bm25q", "quantScale"))
+  }
+
   private val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_query_hits"),
+      new ExpressionInfo(classOf[QueryHits].getName, "graft_query_hits"),
+      buildQueryHits),
+    (FunctionIdentifier("graft_bm25q"),
+      new ExpressionInfo(classOf[Bm25Q].getName, "graft_bm25q"),
+      buildBm25Q),
+    (FunctionIdentifier("graft_nb_seen"),
+      new ExpressionInfo(classOf[NbSeen].getName, "graft_nb_seen"),
+      buildNbSeen),
     (FunctionIdentifier("graft_lm_score"),
       new ExpressionInfo(classOf[LmScore].getName, "graft_lm_score"),
       buildLmScore),
@@ -442,6 +552,35 @@ object GraftFunctions {
       org.apache.spark.sql.functions.typedlit(bi),
       org.apache.spark.sql.functions.typedlit(w),
       org.apache.spark.sql.functions.lit(lpq0))
+
+  /** Distinct matched query slots per document (see [[QueryHits]]);
+    * `qIdx` maps query token → slot index.
+    */
+  def queryHits(tokens: Column, qIdx: Map[String, Int]): Column =
+    org.apache.spark.sql.functions.call_function("graft_query_hits", tokens,
+      org.apache.spark.sql.functions.typedlit(qIdx))
+
+  /** Fused quantized BM25 per-document score (see [[Bm25Q]]); null when
+    * no query term matches. `df` indexed by `qIdx` slots.
+    */
+  def bm25q(tokens: Column, qIdx: Map[String, Int], df: Seq[Long],
+      nDocs: Long, totTok: Long, quantScale: Long): Column =
+    org.apache.spark.sql.functions.call_function("graft_bm25q", tokens,
+      org.apache.spark.sql.functions.typedlit(qIdx),
+      org.apache.spark.sql.functions.typedlit(df),
+      org.apache.spark.sql.functions.lit(nDocs),
+      org.apache.spark.sql.functions.lit(totTok),
+      org.apache.spark.sql.functions.lit(quantScale))
+
+  /** Per-doc Naive-Bayes seen-sums against an inlined vocabulary table
+    * (see [[NbSeen]]); `lut` maps token → per-label quantized log-probs
+    * (every value exactly `nLabels` long).
+    */
+  def nbSeen(tokens: Column, lut: Map[String, Seq[Long]],
+      nLabels: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_nb_seen", tokens,
+      org.apache.spark.sql.functions.typedlit(lut),
+      org.apache.spark.sql.functions.lit(nLabels))
 
   /** md5 digests of all sliding n-token windows, one fused codegen loop
     * (parity with the composable HOF form is spec-pinned).

@@ -44,12 +44,13 @@ object Classification {
   def nbClassify(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, labelCol: String,
       quantScale: Long = 1024L,
-      maxBroadcastVocabRows: Long = 4000000L): DataFrame = {
+      maxBroadcastVocabRows: Long = 4000000L,
+      fused: Option[Boolean] = None): DataFrame = {
     val counts = nbCensus(train, textCol, labelCol)
     val labelStats = nbLabelStats(train, textCol, labelCol)
     val nTrain = train.count()
     nbClassifyFromModel(counts, labelStats, nTrain, test, idCol, textCol,
-      quantScale, maxBroadcastVocabRows)
+      quantScale, maxBroadcastVocabRows, fused)
   }
 
   /** The per-label (token, count) census — train tf pre-aggregated per
@@ -88,7 +89,9 @@ object Classification {
   def nbClassifyFromModel(counts: DataFrame, labelStats: DataFrame,
       nTrain: Long, test: DataFrame, idCol: String, textCol: String,
       quantScale: Long = 1024L,
-      maxBroadcastVocabRows: Long = 4000000L): DataFrame = {
+      maxBroadcastVocabRows: Long = 4000000L,
+      fused: Option[Boolean] = None,
+      maxFusedVocabRows: Long = 1000000L): DataFrame = {
     graft.functions.GraftFunctions.register(test.sparkSession)
     val F = graft.functions.GraftFunctions
     val q = quantScale
@@ -121,25 +124,46 @@ object Classification {
       .select(col("token") +: labels.indices.map(i =>
         coalesce(col(s"`$i`"), lit(0L)).as(s"lpq_$i")): _*)
       .localCheckpoint(false)
-    // test side: per-doc tf frame (shuffle-free off the scan), ONE
-    // token-keyed lookup join, ONE per-doc aggregate carrying every
-    // label's seen-sum as a column
-    val tf = test.select(col(idCol).as("doc_id"),
-        explode(F.termFreq(split(col(textCol), " "))).as("t"))
-      .select(col("doc_id"), col("t.token").as("token"),
-        col("t.tf").as("tf"), col("t.n_terms").as("n_d"))
-    val seenCols = labels.indices.map(i =>
-      sum(col("tf") * coalesce(col(s"lpq_$i"), lit(0L))).as(s"seen_$i"))
-    // when the vocab fits the broadcast bound, the lookup broadcasts and
-    // the test frame keeps scan-order doc locality into the aggregate —
-    // partial aggregation collapses per doc map-side, leaving a
-    // doc-count-sized exchange; above the bound, key-bounded shuffle-hash
-    val vocabLk =
-      if (vocab <= maxBroadcastVocabRows) broadcast(pivoted)
-      else pivoted.hint("shuffle_hash")
-    val perDoc = tf.join(vocabLk, Seq("token"), "left")
-      .groupBy("doc_id")
-      .agg(max(col("n_d")).as("n_d"), seenCols: _*)
+    // test side, two plan shapes with IDENTICAL integer output
+    // (spec-pinned; the oracled td52/td55 hashes hold on either):
+    //  - FUSED (r10 verdict #5, the graft_gopher_stats precedent): the
+    //    pivoted census collects to the driver (vocabulary-bounded — it
+    //    IS the model) and inlines into one graft_nb_seen codegen loop,
+    //    so scoring is a pure projection: no per-token rows, no lookup
+    //    join, no per-doc re-aggregate;
+    //  - JOIN (the 100 TB-vocabulary path, and the A/B baseline —
+    //    GRAFT_NB_FUSED=0 forces it): per-doc tf frame (shuffle-free off
+    //    the scan), ONE token-keyed lookup join (broadcast under the
+    //    bound, else key-bounded shuffle-hash), ONE per-doc aggregate
+    //    (partial aggregation collapses per doc map-side).
+    val useFused = fused.getOrElse(
+      sys.env.get("GRAFT_NB_FUSED").forall(_ != "0") &&
+        vocab <= maxFusedVocabRows)
+    val perDoc = if (useFused) {
+      val lut: Map[String, Seq[Long]] = pivoted.collect().map { r =>
+        r.getString(0) -> labels.indices.map(i => r.getLong(i + 1))
+      }.toMap
+      val sc = F.nbSeen(split(col(textCol), " "), lut, labels.size)
+      test.select(col(idCol).as("doc_id"), sc.as("__sc"))
+        // the join form drops docs whose token array explodes to nothing
+        // (null text) — reproduce the row set exactly
+        .filter(col("__sc").isNotNull && col("__sc.n_d") > 0)
+        .select(col("doc_id") +: col("__sc.n_d").as("n_d") +:
+          labels.indices.map(i => col("__sc.seen")(i).as(s"seen_$i")): _*)
+    } else {
+      val tf = test.select(col(idCol).as("doc_id"),
+          explode(F.termFreq(split(col(textCol), " "))).as("t"))
+        .select(col("doc_id"), col("t.token").as("token"),
+          col("t.tf").as("tf"), col("t.n_terms").as("n_d"))
+      val seenCols = labels.indices.map(i =>
+        sum(col("tf") * coalesce(col(s"lpq_$i"), lit(0L))).as(s"seen_$i"))
+      val vocabLk =
+        if (vocab <= maxBroadcastVocabRows) broadcast(pivoted)
+        else pivoted.hint("shuffle_hash")
+      tf.join(vocabLk, Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(max(col("n_d")).as("n_d"), seenCols: _*)
+    }
     // exact integer argmax as a struct max: (score, -index) compares
     // score first, then index ASCENDING = label ascending (the label
     // list is sorted) — deterministic in any engine

@@ -70,7 +70,8 @@ object Retrieval {
     * @return (rank, doc_id, bm25q) — bm25q is the quantized integer score
     */
   def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
-      query: DataFrame, topK: Int, quantScale: Long = 1024L): DataFrame = {
+      query: DataFrame, topK: Int, quantScale: Long = 1024L,
+      fused: Option[Boolean] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val F = graft.functions.GraftFunctions
     val toks = split(col(textCol), " ")
@@ -104,17 +105,54 @@ object Retrieval {
     // production drops ultra-high-df terms, whose idf ≈ 0.
     val qdist = query.select("token").distinct()
     Ann.requireSmallQuerySet(qdist, "bm25Rank query", Ann.DefaultMaxQueryRows)
-    val qtf = docs.select(col(idCol).as("doc_id"),
-        explode(F.termFreq(toks)).as("t"))
-      .select(col("doc_id"), col("t.token").as("token"),
-        col("t.tf").as("tf"), col("t.n_terms").as("dl"))
-      .join(broadcast(qdist), Seq("token"))
-    // df census over the candidate frame (its rows are (doc, token)-
-    // distinct, so a plain count IS the document frequency — identical
-    // to the full-vocab census at the query's terms)
-    val census = qtf.groupBy("token").agg(count(lit(1)).as("df"))
-    scoreTop(qtf.join(broadcast(census), Seq("token")), nDocs, totTok,
-      quantScale, topK)
+    // two plan shapes with byte-identical scores (td49/td53 oracle hashes
+    // hold on either; the A/B dial is GRAFT_BM25_FUSED=1):
+    //  - FUSED (r10 verdict #5): the query set collects (query-sized —
+    //    already the broadcast bound above) and inlines into two codegen
+    //    expressions. Census pass: graft_query_hits emits only the
+    //    MATCHED slots per document, so the explode is candidate-sized
+    //    from the start (the join form generated every distinct token of
+    //    every document and cut afterwards); its counts ARE the df values
+    //    (query-sized driver array). Scoring pass: graft_bm25q computes
+    //    the whole quantized score per document in one projection — no
+    //    per-token rows, no joins, no per-doc re-aggregate.
+    //  - JOIN: the r9 candidate-cut shape below — THE DEFAULT: the r11
+    //    A/B measured the fused form a wash at the factor-30 tier
+    //    (join 2.35-2.43 s vs fused 2.39-2.62 s best-of-5 warm draws;
+    //    both are three tokenize passes over the corpus, and the
+    //    candidate volume the fusion saves is small at fixture
+    //    vocabularies), so the established shape keeps the default per
+    //    the measured-either-way rule (BASELINE r11).
+    val useFused = fused.getOrElse(
+      sys.env.get("GRAFT_BM25_FUSED").exists(_ == "1"))
+    if (useFused) {
+      val qTokens = qdist.collect().map(_.getString(0)).sorted
+      val qIdx = qTokens.zipWithIndex.toMap
+      val dfRows = docs.select(F.queryHits(toks, qIdx).as("__h"))
+        .filter(col("__h").isNotNull)
+        .select(explode(col("__h")).as("__i"))
+        .groupBy("__i").agg(count(lit(1)).as("df"))
+        .collect()
+      val dfArr = new Array[Long](qTokens.length)
+      dfRows.foreach(r => dfArr(r.getInt(0)) = r.getLong(1))
+      val scored = docs.select(col(idCol).as("doc_id"),
+          F.bm25q(toks, qIdx, dfArr.toSeq, nDocs, totTok, quantScale)
+            .as("bm25q"))
+        .filter(col("bm25q").isNotNull)
+      rankTail(scored, topK)
+    } else {
+      val qtf = docs.select(col(idCol).as("doc_id"),
+          explode(F.termFreq(toks)).as("t"))
+        .select(col("doc_id"), col("t.token").as("token"),
+          col("t.tf").as("tf"), col("t.n_terms").as("dl"))
+        .join(broadcast(qdist), Seq("token"))
+      // df census over the candidate frame (its rows are (doc, token)-
+      // distinct, so a plain count IS the document frequency — identical
+      // to the full-vocab census at the query's terms)
+      val census = qtf.groupBy("token").agg(count(lit(1)).as("df"))
+      scoreTop(qtf.join(broadcast(census), Seq("token")), nDocs, totTok,
+        quantScale, topK)
+    }
   }
 
   /** The quantized score + top-k tail shared by [[bm25Rank]] and
@@ -132,6 +170,11 @@ object Retrieval {
         expr(s"((2L * ${nDocs}L - 2L * df + 1L) * ${q}L) DIV (2L * df + 1L)"))
       .groupBy("doc_id")
       .agg(sum(col("tfq") * col("idfq")).as("bm25q"))
+    rankTail(scored, topK)
+  }
+
+  /** Shared top-k tail: TakeOrderedAndProject + the k-sized rank window. */
+  private def rankTail(scored: DataFrame, topK: Int): DataFrame = {
     val top = scored
       .orderBy(col("bm25q").desc, col("doc_id").asc).limit(topK)
     top.withColumn("rank",

@@ -24,6 +24,35 @@ class ClassificationSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Map(1L -> "fruit", 3L -> "hardware"))
   }
 
+  test("fused graft_nb_seen scoring is row-identical to the lookup-join " +
+      "path — duplicates, unseen tokens, ties, dropped null-text docs") {
+    import spark.implicits._
+    val train = Seq(
+      (0L, "aa bb aa cc", "x"),
+      (2L, "bb bb dd", "y"),
+      (4L, "cc dd dd ee", "z"),
+      (6L, "aa ee", "y")).toDF("doc_id", "text", "label")
+    val test = Seq(
+      (1L, "aa aa bb zz"),      // duplicates + an unseen token
+      (3L, "zz qq"),            // fully unseen — prior + length penalty
+      (5L, "bb dd"),            // cross-label evidence
+      (7L, "")).toDF("doc_id", "text") // one empty token
+      .unionByName(Seq(9L).toDF("doc_id")
+        .withColumn("text", org.apache.spark.sql.functions
+          .lit(null).cast("string"))) // dropped by BOTH paths
+    val fusedOut = Classification.nbClassify(train, test,
+      "doc_id", "text", "label", fused = Some(true))
+    val joinOut = Classification.nbClassify(train, test,
+      "doc_id", "text", "label", fused = Some(false))
+    assert(fusedOut.except(joinOut).count() == 0 &&
+      joinOut.except(fusedOut).count() == 0,
+      s"fused/join divergence:\n${fusedOut.collect().toSeq}\n" +
+        s"${joinOut.collect().toSeq}")
+    assert(fusedOut.filter(org.apache.spark.sql.functions.col("doc_id") === 9L)
+      .count() == 0, "null-text doc must be dropped on both paths")
+    assert(fusedOut.count() == 4)
+  }
+
   test("nbClassify: all-unseen tokens fall back to prior + length penalty") {
     import spark.implicits._
     // priors: a=2/3 docs, b=1/3; vocab V=2, T_a=2, T_b=1 → rate terms

@@ -523,15 +523,30 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() > 0)
   }
 
-  test("nbClassify: one vocab lookup join, no label Expand, struct-greatest argmax in projection") {
+  test("nbClassify: fused scoring is one projection (no join, no " +
+      "Expand, no Window); the join fallback broadcasts the vocab") {
     graft.functions.GraftFunctions.register(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    // FUSED (the model-sized-vocab default): scoring must be a pure
+    // graft_nb_seen projection — no per-token rows, no lookup join, no
+    // per-doc re-aggregate, and as before no label Expand and no window
+    val fusedOut = Classification.nbClassify(
+      train, docs, "doc_id", "text", "lang", fused = Some(true))
+    val fusedPlan = fusedOut.queryExecution.executedPlan.toString
+    assert(fusedPlan.contains("graft_nb_seen"),
+      s"fused scoring expression missing:\n$fusedPlan")
+    assert(!fusedPlan.contains("Join"),
+      s"fused scoring must not join (the model is inlined):\n$fusedPlan")
+    assert(!fusedPlan.contains("Expand") && !fusedPlan.contains("Window"),
+      s"no label expansion, no window argmax:\n$fusedPlan")
+    assert(fusedOut.count() > 0)
+    // JOIN (the 100 TB-vocabulary fallback): the pivoted vocab broadcasts
+    // onto the tf frame; the argmax is a projection, so no window/sort
+    // over (doc, label) rows and no L-way expansion of the test frame
     val out = Classification.nbClassify(
-      docs.filter(col("doc_id") % 2 === 0), docs, "doc_id", "text", "lang")
+      train, docs, "doc_id", "text", "lang", fused = Some(false))
     val plan = out.queryExecution.executedPlan.toString
-    // scoring side: the pivoted vocab broadcasts onto the tf frame; the
-    // argmax is a projection, so no window/sort over (doc, label) rows
-    // and no L-way expansion of the test frame
     assert(plan.contains("BroadcastHashJoin"),
       s"vocab lookup must broadcast under the bound:\n$plan")
     assert(!plan.contains("Expand"),

@@ -24,6 +24,32 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_._1) == (1 to out.size).toList, "ranks are dense from 1")
   }
 
+  test("fused graft_bm25q path is row-identical to the candidate-join " +
+      "path — ranks, quantized scores, and the absent no-match docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the zebra runs and runs the zebra"),
+      (1L, "the the the the cat naps"),
+      (2L, "the dog sits on the zebra rug"),
+      (3L, "fox jumps high"),           // matches nothing — absent
+      (4L, "zebra zebra zebra"),
+      (5L, "cat dog zebra the a an")).toDF("doc_id", "text")
+      .unionByName(Seq(9L).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string"))) // null text
+    val query = Seq("the", "zebra", "cat", "unicorn").toDF("token")
+    val joinOut = Retrieval.bm25Rank(docs, "doc_id", "text", query,
+      topK = 10, fused = Some(false))
+    val fusedOut = Retrieval.bm25Rank(docs, "doc_id", "text", query,
+      topK = 10, fused = Some(true))
+    assert(joinOut.except(fusedOut).count() == 0 &&
+      fusedOut.except(joinOut).count() == 0,
+      s"fused/join divergence:\n${joinOut.collect().toSeq}\n" +
+        s"${fusedOut.collect().toSeq}")
+    val ids = fusedOut.collect().map(_.getLong(1)).toSet
+    assert(!ids.contains(3L) && !ids.contains(9L),
+      "no-match and null-text docs must be absent on both paths")
+  }
+
   test("bm25Rank length normalization: same tf ranks the shorter doc higher") {
     import spark.implicits._
     val docs = Seq(
