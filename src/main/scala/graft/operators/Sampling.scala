@@ -206,50 +206,61 @@ object Sampling {
       s"ntileDescBucketed: per-(key, bucket) count frame exceeds " +
         s"$maxBucketFrameRows rows — it is broadcast to every executor; " +
         "lower coarseScale or raise maxBucketFrameRows")
-    // id refinement for oversized fully-tied buckets: rank inside such a
-    // bucket is id order, and floor(id / tieIdScale) is monotone in id,
-    // so (sub-bucket offset + sub-bucket-local rank) = the exact
-    // bucket-local rank. Mixed-score buckets keep __ib = 0 (the split
-    // would not respect (order DESC, id) there).
-    val refined = withKey
-      .join(broadcast(offsets),
-        col(keyCol) <=> col("__okey") && col("__cb") <=> col("__ocb"))
-      .withColumn("__ib",
-        if (tieIdScale > 0)
-          when(col("__tied") && col("__c") > tieIdScale,
-            floor(col(idCol).cast("double") / tieIdScale).cast("long"))
-            .otherwise(lit(0L))
-        else lit(0L))
-    val wSub = Window.partitionBy(col(keyCol), col("__cb")).orderBy("__ib")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val subOffsets = refined
-      .groupBy(col(keyCol), col("__cb"), col("__ib"))
-      .agg(count(lit(1)).as("__sc"))
-      .withColumn("__soff", coalesce(sum(col("__sc")).over(wSub), lit(0L)))
-      .select(col(keyCol).as("__skey"), col("__cb").as("__scb"),
-        col("__ib").as("__sib"), col("__soff"))
-      .localCheckpoint(false)
-    require(subOffsets.count() <= maxBucketFrameRows,
-      s"ntileDescBucketed: sub-bucket count frame exceeds " +
-        s"$maxBucketFrameRows rows — it is broadcast to every executor; " +
-        "raise tieIdScale or maxBucketFrameRows")
-    val wLocal = Window.partitionBy(col(keyCol), col("__cb"), col("__ib"))
-      .orderBy(col(orderCol).desc, col(idCol))
-    refined
-      .join(broadcast(subOffsets),
-        col(keyCol) <=> col("__skey") && col("__cb") <=> col("__scb") &&
-          col("__ib") === col("__sib"))
-      .withColumn("__r", col("__off") + col("__soff") +
-        row_number().over(wLocal).cast("long"))
-      // rank → ntile bucket: the first (__n % n) buckets hold (__n DIV n)+1
-      // rows; q = 0 keys (fewer rows than buckets) never reach the ELSE
-      // branch, so its DIV is never by zero
+    // rank → ntile bucket: the first (__n % n) buckets hold (__n DIV n)+1
+    // rows; q = 0 keys (fewer rows than buckets) never reach the ELSE
+    // branch, so its DIV is never by zero
+    def finish(ranked: DataFrame): DataFrame = ranked
       .withColumn(outCol, expr(
         s"CAST(CASE WHEN __r <= ((__n DIV $n) + 1) * (__n % $n) " +
           s"THEN (__r - 1) DIV ((__n DIV $n) + 1) + 1 " +
           s"ELSE (__n % $n) + (__r - 1 - ((__n DIV $n) + 1) * (__n % $n)) " +
           s"DIV (__n DIV $n) + 1 END AS INT)"))
       .select(df.columns.map(col) :+ col(outCol): _*)
+    val joined = withKey.join(broadcast(offsets),
+      col(keyCol) <=> col("__okey") && col("__cb") <=> col("__ocb"))
+    // the id refinement engages ONLY when some bucket is both fully tied
+    // and oversized — one probe of the materialized count frame decides
+    // (a heavy run with continuous scores pays nothing beyond the tied
+    // flag in the counts aggregate); deterministic given the data
+    val needsRefine = tieIdScale > 0 && !offsets
+      .filter(col("__tied") && col("__c") > tieIdScale).isEmpty
+    if (!needsRefine) {
+      val wLocal = Window.partitionBy(col(keyCol), col("__cb"))
+        .orderBy(col(orderCol).desc, col(idCol))
+      finish(joined.withColumn("__r",
+        col("__off") + row_number().over(wLocal).cast("long")))
+    } else {
+      // oversized fully-tied buckets: rank inside such a bucket is id
+      // order, and floor(id / tieIdScale) is monotone in id, so
+      // (sub-bucket offset + sub-bucket-local rank) = the exact
+      // bucket-local rank. Mixed-score buckets keep __ib = 0 (the split
+      // would not respect (order DESC, id) there).
+      val refined = joined.withColumn("__ib",
+        when(col("__tied") && col("__c") > tieIdScale,
+          floor(col(idCol).cast("double") / tieIdScale).cast("long"))
+          .otherwise(lit(0L)))
+      val wSub = Window.partitionBy(col(keyCol), col("__cb")).orderBy("__ib")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val subOffsets = refined
+        .groupBy(col(keyCol), col("__cb"), col("__ib"))
+        .agg(count(lit(1)).as("__sc"))
+        .withColumn("__soff", coalesce(sum(col("__sc")).over(wSub), lit(0L)))
+        .select(col(keyCol).as("__skey"), col("__cb").as("__scb"),
+          col("__ib").as("__sib"), col("__soff"))
+        .localCheckpoint(false)
+      require(subOffsets.count() <= maxBucketFrameRows,
+        s"ntileDescBucketed: sub-bucket count frame exceeds " +
+          s"$maxBucketFrameRows rows — it is broadcast to every executor; " +
+          "raise tieIdScale or maxBucketFrameRows")
+      val wLocal = Window.partitionBy(col(keyCol), col("__cb"), col("__ib"))
+        .orderBy(col(orderCol).desc, col(idCol))
+      finish(refined
+        .join(broadcast(subOffsets),
+          col(keyCol) <=> col("__skey") && col("__cb") <=> col("__scb") &&
+            col("__ib") === col("__sib"))
+        .withColumn("__r", col("__off") + col("__soff") +
+          row_number().over(wLocal).cast("long")))
+    }
   }
 
   /** Deterministic per-key cap ("reservoir" with a hash instead of RNG):
