@@ -753,6 +753,19 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       n = 3, outCol = "nt", tieIdScale = 4L)
     assert(expN.except(gotN2).count() == 0 && gotN2.except(expN).count() == 0,
       "refined NaN bucket diverged from the window form")
+    // a key holding BOTH an oversized tied bucket and mixed-score
+    // buckets: the refinement must split only the tied one (mixed
+    // buckets keep __ib = 0 — an id split would not respect
+    // (order DESC, id) there) and stay byte-identical end to end
+    val mixed = ((1L to 200L).map(i => ("k", i, 0.5)) ++           // tied
+        (201L to 260L).map(i => ("k", i, math.sin(i.toDouble))) ++ // mixed
+        (301L to 310L).map(i => ("k", i, 0.5 + (i % 3) * 1e-6)))   // near-tied
+      .toDF("k", "id", "score")
+    val expM = mixed.withColumn("nt", ntile(5).over(w))
+    val gotM = Sampling.ntileDescBucketed(mixed, "k", "score", "id",
+      n = 5, outCol = "nt", tieIdScale = 32L)
+    assert(expM.except(gotM).count() == 0 && gotM.except(expM).count() == 0,
+      "mixed tied/untied buckets diverged from the window form")
     // the per-(key, bucket) count frames broadcast — bounded fail-loud
     // instead of OOMing the driver (r10 advice)
     val err = intercept[IllegalArgumentException] {
