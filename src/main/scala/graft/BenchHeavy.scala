@@ -111,7 +111,10 @@ object BenchHeavy {
     // actual bytes; the oracle never touches bytes — documented on the
     // BASELINE rows)
     "mm52_mp3_frame_walk",
-    "mm53_h264_nal_walk")
+    "mm53_h264_nal_walk",
+    // r11 late: the vocabulary-sizing coverage curve — one corpus word
+    // census, then occupancy arithmetic on the count-of-counts frame
+    "td59_vocab_coverage")
   // lineitem is replicated into the heavy dir (v4) for the Decimal-sum
   // class evidence recorded in BASELINE.md (q01 cents-long vs Decimal at
   // 6M rows, 2 MB grain: 0.78-0.80 s vs 1.07-1.20 s) and for scaling-curve

@@ -489,6 +489,64 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Vocabulary coverage / OOV-rate curve (r11) — the tokenizer-SIZING
+    * dial read before committing to a vocab size: for each candidate
+    * size k, the share of corpus token OCCURRENCES the k most frequent
+    * words cover (rank order: count desc, token asc), and the residual
+    * OOV rate. The sim59/td58 sweep idiom applied to vocabulary choice.
+    *
+    * Scale shape — NO vocabulary-sized sort, rank, or window anywhere:
+    * the corpus collapses into a word census (one partial-aggregated
+    * exchange), the census into a COUNT-OF-COUNTS frame (one row per
+    * distinct frequency value — O(√occurrences) rows under any Zipf-ish
+    * law, model-sized), and every coverage value is occupancy arithmetic
+    * on that tiny frame's cumulative sums: a rank-k cut inside a
+    * frequency tie class is unambiguous because each of the first
+    * (k − tokens_before) words of the class contributes exactly `cnt`
+    * occurrences WHICHEVER words they are. All counts are exact longs;
+    * `oov_rate` is one IEEE division of identical longs on any engine.
+    *
+    * @return one row per k: (vocab_k, covered_occ, total_occ,
+    *         n_distinct_words, oov_rate)
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"vocab sizes must be >= 1, got $ks")
+    val s = docs.sparkSession
+    val census = docs
+      .select(explode(toks(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val cc = census.groupBy("cnt").agg(count(lit(1)).as("ntok"))
+      .withColumn("occ", col("cnt") * col("ntok"))
+    val wBefore = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = cc
+      .withColumn("tok_before", coalesce(sum(col("ntok")).over(wBefore), lit(0L)))
+      .withColumn("occ_before", coalesce(sum(col("occ")).over(wBefore), lit(0L)))
+      .localCheckpoint(false)
+    val t = cum.agg(sum(col("ntok")).as("nw"), sum(col("occ")).as("to")).head
+    val nWords = t.getLong(0)
+    val totalOcc = t.getLong(1)
+    s.range(1).select(explode(array(ks.map(lit): _*)).as("vocab_k"))
+      .join(broadcast(cum),
+        col("tok_before") < col("vocab_k") &&
+          col("vocab_k") <= col("tok_before") + col("ntok"), "left")
+      .select(col("vocab_k"),
+        // k beyond the distinct-word count covers everything (no bucket
+        // holds that rank — the left join's null arm)
+        when(col("cnt").isNull, lit(totalOcc))
+          .otherwise(col("occ_before") +
+            (col("vocab_k") - col("tok_before")) * col("cnt"))
+          .as("covered_occ"))
+      .withColumn("total_occ", lit(totalOcc))
+      .withColumn("n_distinct_words", lit(nWords))
+      .withColumn("oov_rate",
+        (col("total_occ") - col("covered_occ")).cast("double") /
+          col("total_occ"))
+  }
+
   // ---- BPE merge training ------------------------------------------------
 
   /** Symbol separator inside the SEP-joined word representation. A control

@@ -613,6 +613,19 @@ object TextOps extends QuerySet {
         sum(col("n_bpe_symbols")).as("n_bpe_symbols"))
   }
 
+  /** Vocabulary coverage / OOV-rate curve (td59, r11): the
+    * tokenizer-sizing dial — for each candidate vocab size k, the share
+    * of corpus word occurrences the k most frequent words cover and the
+    * residual OOV rate (the number that decides how large a trained
+    * vocabulary must be before rare-word fragmentation stops hurting).
+    * See [[graft.operators.TextAnalysis.vocabCoverage]] for the scale
+    * shape (count-of-counts occupancy arithmetic — no vocabulary-sized
+    * sort/rank/window). Dials follow the sim59/td58 sweep idiom.
+    */
+  def vocabCoverageCurve(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(Q.t(s, dir, "documents"), "text",
+      Seq(100L, 1000L, 4000L, 16000L))
+
   /** Curation funnel report (q61): the drop-off accounting a pipeline
     * operator reads before trusting its gates — per-gate pass counts over
     * td54's composed admission (rule screen, LM gate, classifier
@@ -718,6 +731,7 @@ object TextOps extends QuerySet {
     "td56_ppl_buckets" -> (pplBuckets _),
     "td57_tokenizer_fertility" -> (tokenizerFertility _),
     "td58_gate_threshold_sweep" -> (lmGateSweep _),
+    "td59_vocab_coverage" -> (vocabCoverageCurve _),
     "q60_curated_mix" -> (curatedMix _),
     "q61_curation_funnel" -> (curationFunnel _))
 
@@ -1371,6 +1385,40 @@ object TextOps extends QuerySet {
          | coalesce(n_admitted <= lag(n_admitted)
          |   OVER (ORDER BY thr_q ASC), TRUE) AS admitted_non_increasing
          |FROM s""".stripMargin,
+    // td59 mirrors the count-of-counts occupancy arithmetic: coverage at
+    // a rank-k cut inside a frequency tie class = occurrences of every
+    // class strictly above it plus (k - tokens_before)·cnt — exact longs;
+    // oov_rate is the single IEEE division of identical longs
+    "td59_vocab_coverage" ->
+      """WITH c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE len(token) > 0 GROUP BY token),
+        |cc AS (SELECT cnt, CAST(count(*) AS BIGINT) AS ntok,
+        |    CAST(cnt * count(*) AS BIGINT) AS occ FROM c GROUP BY cnt),
+        |cum AS (SELECT cnt, ntok, occ,
+        |    CAST(COALESCE(SUM(ntok) OVER (ORDER BY cnt DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tok_before,
+        |    CAST(COALESCE(SUM(occ) OVER (ORDER BY cnt DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS occ_before
+        |  FROM cc),
+        |tot AS (SELECT CAST(SUM(ntok) AS BIGINT) AS nw,
+        |    CAST(SUM(occ) AS BIGINT) AS total_occ FROM cc),
+        |ks AS (SELECT CAST(unnest([100, 1000, 4000, 16000]) AS BIGINT)
+        |    AS vocab_k)
+        |SELECT k.vocab_k,
+        |  CAST(COALESCE(c2.occ_before
+        |    + (k.vocab_k - c2.tok_before) * c2.cnt, t.total_occ)
+        |    AS BIGINT) AS covered_occ,
+        |  t.total_occ AS total_occ, t.nw AS n_distinct_words,
+        |  CAST(t.total_occ - COALESCE(c2.occ_before
+        |    + (k.vocab_k - c2.tok_before) * c2.cnt, t.total_occ)
+        |    AS DOUBLE) / t.total_occ AS oov_rate
+        |FROM ks k CROSS JOIN tot t
+        |LEFT JOIN cum c2 ON c2.tok_before < k.vocab_k
+        |  AND k.vocab_k <= c2.tok_before + c2.ntok""".stripMargin,
     "q61_curation_funnel" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(count(*) FILTER (keep) AS BIGINT) AS n_rule_pass,

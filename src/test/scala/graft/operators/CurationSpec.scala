@@ -679,6 +679,27 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "each of the 9 words must encode to exactly one symbol")
   }
 
+  test("vocabCoverage: occupancy arithmetic matches the brute-force " +
+      "rank cut — including a k that lands inside a frequency tie class") {
+    import spark.implicits._
+    // word frequencies: a=5, b=3, c=3, d=3, e=1, f=1 → total 16 occ,
+    // 6 distinct. Rank order (count desc, token asc): a,b,c,d,e,f.
+    // k=1 → 5; k=3 cuts INSIDE the freq-3 tie class → 5+3+3 = 11;
+    // k=4 → 14; k=5 → 15; k=99 > 6 distinct → all 16.
+    val docs = Seq(
+      (0L, "a a b c d"),
+      (1L, "a b c d e"),
+      (2L, "a a b c d f")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .vocabCoverage(docs, "text", Seq(1L, 3L, 4L, 5L, 99L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      1L -> ((5L, 16L, 6L)), 3L -> ((11L, 16L, 6L)),
+      4L -> ((14L, 16L, 6L)), 5L -> ((15L, 16L, 6L)),
+      99L -> ((16L, 16L, 6L))), s"coverage diverged: $got")
+  }
+
   test("ntileDescBucketed is byte-identical to the window ntile — " +
       "every remainder class, ties, tiny keys, any coarseScale") {
     import spark.implicits._
