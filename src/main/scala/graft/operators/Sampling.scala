@@ -263,6 +263,36 @@ object Sampling {
     }
   }
 
+  /** Temperature-scaled source mixing weights (r11) — the data-recipe
+    * step that DERIVES the weights [[weightedMix]] consumes (the GPT-3 /
+    * LLaMA-style recipe: sampling probability ∝ count^α, flattening the
+    * natural distribution toward small sources as α falls). α is
+    * restricted to the IEEE-exact dials {1, 1/2}: count and
+    * sqrt(count) are correctly rounded on every engine, while a general
+    * pow() is libm-dependent and would break cross-engine hashing — and
+    * α = 1/2 is the canonical flattening step between natural and
+    * heavily-tempered mixes. Per source: token count, the α = 1/2
+    * weight, each dial's share of the LARGEST source, and the implied
+    * upsampling boost of the flattened dial over natural (how many
+    * effective extra epochs the small source gets). Corpus work: ONE
+    * partial-aggregated census; everything after is
+    * source-cardinality-sized arithmetic (the max is a driver long).
+    */
+  def temperatureWeights(docs: DataFrame, sourceCol: String,
+      nTokensCol: String): DataFrame = {
+    val per = docs.groupBy(col(sourceCol))
+      .agg(sum(col(nTokensCol).cast("long")).as("n_tok"))
+      .localCheckpoint(false)
+    val mx = per.agg(max(col("n_tok"))).head.getLong(0)
+    require(mx >= 1, "temperatureWeights: empty corpus")
+    per
+      .withColumn("w_half", sqrt(col("n_tok").cast("double")))
+      .withColumn("r_flat", col("n_tok").cast("double") / lit(mx.toDouble))
+      .withColumn("r_half",
+        sqrt(col("n_tok").cast("double")) / lit(math.sqrt(mx.toDouble)))
+      .withColumn("boost_half", col("r_half") / col("r_flat"))
+  }
+
   /** Deterministic per-key cap ("reservoir" with a hash instead of RNG):
     * keep at most `k` rows per key, chosen by the stable hash order — the
     * per-source row cap a mixing pipeline applies before interleaving.

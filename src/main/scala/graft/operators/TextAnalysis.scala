@@ -510,13 +510,29 @@ object TextAnalysis {
     *         n_distinct_words, oov_rate)
     */
   def vocabCoverage(docs: DataFrame, textCol: String,
+      ks: Seq[Long]): DataFrame =
+    vocabCoverageFromCensus(wordCensus(docs, textCol), ks)
+
+  /** The (token, cnt) word census [[vocabCoverage]] ranks — exposed
+    * because counting is MERGEABLE state (two censuses union + re-sum to
+    * the census of the combined corpus, the st61/st66 property), which
+    * is what lets a streaming maintenance loop keep a continuously
+    * current coverage curve without re-scanning history (st70).
+    */
+  def wordCensus(docs: DataFrame, textCol: String): DataFrame = docs
+    .select(explode(toks(col(textCol))).as("token"))
+    .filter(length(col("token")) > 0)
+    .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** [[vocabCoverage]]'s occupancy arithmetic over a prebuilt census —
+    * how the census was accumulated (one shot or merged micro-batch
+    * partials) is invisible here, exactly as `nbClassifyFromModel` is to
+    * its counts (st70's restart parity rides that).
+    */
+  def vocabCoverageFromCensus(census: DataFrame,
       ks: Seq[Long]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), s"vocab sizes must be >= 1, got $ks")
-    val s = docs.sparkSession
-    val census = docs
-      .select(explode(toks(col(textCol))).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val s = census.sparkSession
     val cc = census.groupBy("cnt").agg(count(lit(1)).as("ntok"))
       .withColumn("occ", col("cnt") * col("ntok"))
     val wBefore = org.apache.spark.sql.expressions.Window

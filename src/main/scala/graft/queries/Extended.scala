@@ -163,6 +163,18 @@ object Extended extends QuerySet {
       weights = Map("src0" -> 3.0, "src1" -> 1.5), defaultWeight = 1.0,
       n = 300)
 
+  /** Temperature-scaled source mixing weights (q62, r11): derives the
+    * per-source sampling weights q35's interleave consumes — the GPT-3 /
+    * LLaMA count^α recipe at the IEEE-exact dials α ∈ {1, 1/2} (see
+    * [[graft.operators.Sampling.temperatureWeights]] for why pow() is
+    * off the table cross-engine). One census pass; source-sized output.
+    */
+  def q62(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureWeights(
+      Q.t(s, dir, "documents").select(col("source"),
+        size(split(col("text"), " ")).as("n_tokens")),
+      "source", "n_tokens")
+
   /** Sequence packing (concatenate-and-chunk): where each document's
     * tokens land in the fixed-512-token training-sequence layout (see
     * [[graft.operators.Sampling.packSequences]]).
@@ -560,6 +572,7 @@ object Extended extends QuerySet {
     "q33_token_budget" -> (q33 _),
     "q34_per_key_cap" -> (q34 _),
     "q35_weighted_mix" -> (q35 _),
+    "q62_temperature_weights" -> (q62 _),
     "q36_pack_sequences" -> (q36 _),
     "q37_salted_join" -> (q37 _),
     "q38_cube_rollup" -> (q38 _),
@@ -669,6 +682,22 @@ object Extended extends QuerySet {
         |  row_number() OVER (PARTITION BY user_id
         |   ORDER BY md5(user_id || '|' || CAST(event_id AS VARCHAR)), event_id) AS rn
         | FROM events) WHERE rn <= 3""".stripMargin,
+    // q62: every float is either a correctly-rounded sqrt of an exact
+    // long or a single division of two such values, in the SAME
+    // expression tree as the Spark side — bit-identical on any engine
+    "q62_temperature_weights" ->
+      """WITH per AS (SELECT source,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        | FROM documents GROUP BY source),
+        |mx AS (SELECT MAX(n_tok) AS m FROM per),
+        |w AS (SELECT p.source, p.n_tok,
+        |  sqrt(CAST(p.n_tok AS DOUBLE)) AS w_half,
+        |  CAST(p.n_tok AS DOUBLE) / CAST(m AS DOUBLE) AS r_flat,
+        |  sqrt(CAST(p.n_tok AS DOUBLE)) / sqrt(CAST(m AS DOUBLE)) AS r_half
+        | FROM per p CROSS JOIN mx)
+        |SELECT source, n_tok, w_half, r_flat, r_half,
+        |  r_half / r_flat AS boost_half
+        |FROM w""".stripMargin,
     "q35_weighted_mix" ->
       """WITH r AS (SELECT doc_id, source,
         |  md5(source || '|' || CAST(doc_id AS VARCHAR)) AS h,

@@ -1474,6 +1474,65 @@ object StreamingQueries extends QuerySet {
     maintained
   }
 
+  /** Maintained vocabulary-coverage curve across a restart (st70, r11):
+    * td59's word census is MERGEABLE counting (the st61/st66 property),
+    * so a streaming corpus keeps a continuously current tokenizer-sizing
+    * curve without ever re-scanning history — each micro-batch censuses
+    * ONLY its own documents and folds through
+    * [[graft.streaming.DurableState]] versioned commits (batch b merges
+    * from latestBefore(b), replay-idempotent; `prune(keep = 2)`
+    * retention), the census being MODEL-sized state under the
+    * established state-kind split. Kill after batch 1 of 3; the
+    * restarted query's batch 2 must find batch 1's census in
+    * DurableState — the in-memory form would restart the curve empty.
+    * The coverage computed from the maintained census must be
+    * row-identical (exact longs; the one-division doubles) to the
+    * ORACLED td59 one-shot curve: merged counts equal one-shot counts
+    * exactly, and `vocabCoverageFromCensus` cannot see how its census
+    * was accumulated.
+    */
+  def st70(s: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(s, dir, "documents")
+    val schema = docs.schema
+    val stateDir = tmp("graft_st70_state")
+    val files = stageEach((0 until 3).map(i =>
+      docs.filter(col("doc_id") % 3 === i)))
+    restartDrain(files, phase1 = 2) { (feed, ckpt) =>
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val c = graft.operators.TextAnalysis.wordCensus(batch, "text")
+          val merged = graft.streaming.DurableState
+            .latestBefore(stateDir, batchId) match {
+            case None => c
+            case Some(v) =>
+              graft.streaming.DurableState.read(s, stateDir, v, "census")
+                .unionByName(c)
+                .groupBy("token").agg(sum(col("cnt")).as("cnt"))
+          }
+          graft.streaming.DurableState.commit(stateDir, batchId,
+            Seq("census" -> merged))
+          graft.streaming.DurableState.prune(stateDir, keep = 2)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val v = graft.streaming.DurableState.latestBefore(stateDir, Long.MaxValue)
+      .getOrElse(sys.error("st70: no committed census"))
+    val census = graft.streaming.DurableState.read(s, stateDir, v, "census")
+    val out = graft.operators.TextAnalysis.vocabCoverageFromCensus(census,
+      Seq(100L, 1000L, 4000L, 16000L))
+    val twin = TextOps.vocabCoverageCurve(s, dir) // the ORACLED td59 twin
+    val missing = twin.except(out).count()
+    val extra = out.except(twin).count()
+    require(missing == 0 && extra == 0,
+      s"maintained vocab-coverage curve diverged from the one-shot td59 " +
+        s"twin after checkpoint restart: missing=$missing extra=$extra")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st47_stream_silver_drain" -> (st47 _),
     "st48_stream_dedup_replay" -> (st48 _),
@@ -1497,7 +1556,8 @@ object StreamingQueries extends QuerySet {
     "st65_recovery_model_maintenance" -> (st65 _),
     "st67_recovery_index_maintenance" -> (st67 _),
     "st68_index_compaction" -> (st68 _),
-    "st69_recovery_knn_graph" -> (st69 _))
+    "st69_recovery_knn_graph" -> (st69 _),
+    "st70_recovery_vocab_coverage" -> (st70 _))
 
   // no DuckDB oracles: streaming drains are rows-only by design; the parity
   // require()s above carry the correctness assertion
