@@ -624,6 +624,28 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("td59 vocab coverage: no vocabulary-sized sort/rank — the only " +
+      "window rides the count-of-counts aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, UnaryNode, Window => LWindow}
+    val out = graft.queries.TextOps.vocabCoverageCurve(spark, dir)
+    val plan = out.queryExecution.optimizedPlan
+    // the census is vocabulary-sized and the coverage arithmetic must
+    // never rank it: the cumulative-sum window may only consume the
+    // COUNT-OF-COUNTS aggregate (one row per distinct frequency), and
+    // nothing in the plan may sort or window the token-keyed frame
+    def overAggregate(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case u: UnaryNode => overAggregate(u.child)
+      case _ => false
+    }
+    plan.collect { case w: LWindow => w }.foreach { w =>
+      assert(overAggregate(w.child),
+        s"a window consumes a non-aggregated frame (vocabulary-sized " +
+          s"rank at corpus scale):\n$w")
+    }
+    assert(out.count() == 4)
+  }
+
   test("q13 exact percentiles: no full-buffer percentile aggregate; " +
       "corpus windows partition by (key, coarse bucket)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, UnaryNode, Window => LWindow}
