@@ -140,6 +140,13 @@ object Classification {
       sys.env.get("GRAFT_NB_FUSED").forall(_ != "0") &&
         vocab <= maxFusedVocabRows)
     val perDoc = if (useFused) {
+      // fail-loud, not OOM, when the fused path is FORCED past the bound
+      // (the requireSmallQuerySet convention): the driver collect below
+      // is vocabulary-sized
+      require(vocab <= maxFusedVocabRows,
+        s"nbClassifyFromModel: fused scoring collects the $vocab-token " +
+          s"vocabulary to the driver, above maxFusedVocabRows " +
+          s"($maxFusedVocabRows) — use the join form or raise the bound")
       val lut: Map[String, Seq[Long]] = pivoted.collect().map { r =>
         r.getString(0) -> labels.indices.map(i => r.getLong(i + 1))
       }.toMap

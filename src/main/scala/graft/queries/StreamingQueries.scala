@@ -1416,25 +1416,35 @@ object StreamingQueries extends QuerySet {
           // collected so the corpus reads prune on the partition column
           val touched = bAssigned.select("centroid_id").distinct()
             .collect().map(_.getLong(0)).sorted.toSeq
-          val priorPaths = graft.streaming.PostingsStore
-            .livePaths(corpusDir, batchId)
-          val prior = readCells(priorPaths, touched)
-          val priorRead = prior.count()
-          graft.operators.Ann
-            .knnGraphFromAssigned(prior.unionByName(bAssigned), k = 3)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cell").parquet(graphDir)
-          graft.streaming.PostingsStore.write(bAssigned, corpusDir,
-            batchId, partitionColumns = Seq("centroid_id"))
-          val wrote = bAssigned.groupBy("centroid_id")
-            .agg(count(lit(1)).as("n")).collect()
-            .map(r => r.getLong(0) -> r.getLong(1)).toMap
-          readLog(batchId) = (touched, priorRead, wrote)
-          // scalastyle:off println — per-trigger cost evidence (driver log)
-          println(s"[st69] batch=$batchId touched=${touched.mkString(",")} " +
-            s"prior_rows_read=$priorRead batch_rows=${wrote.values.sum}")
-          // scalastyle:on println
+          // empty-micro-batch guard (the st66 r9 advice, sharper here: a
+          // rows-less partitionBy write leaves a schema-less batch dir
+          // that would fail the NEXT trigger's corpus read): zero vectors
+          // touch zero cells — log and write NOTHING, so the
+          // strictly-below read bound never sees the id at all
+          if (touched.isEmpty) {
+            readLog(batchId) = (touched, 0L, Map.empty)
+          } else {
+            val priorPaths = graft.streaming.PostingsStore
+              .livePaths(corpusDir, batchId)
+            val prior = readCells(priorPaths, touched)
+            val priorRead = prior.count()
+            graft.operators.Ann
+              .knnGraphFromAssigned(prior.unionByName(bAssigned), k = 3)
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("cell").parquet(graphDir)
+            graft.streaming.PostingsStore.write(bAssigned, corpusDir,
+              batchId, partitionColumns = Seq("centroid_id"))
+            val wrote = bAssigned.groupBy("centroid_id")
+              .agg(count(lit(1)).as("n")).collect()
+              .map(r => r.getLong(0) -> r.getLong(1)).toMap
+            readLog(batchId) = (touched, priorRead, wrote)
+            // scalastyle:off println — per-trigger cost evidence
+            println(s"[st69] batch=$batchId " +
+              s"touched=${touched.mkString(",")} " +
+              s"prior_rows_read=$priorRead batch_rows=${wrote.values.sum}")
+            // scalastyle:on println
+          }
         }
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
