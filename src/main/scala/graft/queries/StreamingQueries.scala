@@ -797,7 +797,10 @@ object StreamingQueries extends QuerySet {
     */
   private def indexMaintenanceBatch(postingsDir: String, stateDir: String,
       rowLog: scala.collection.mutable.LinkedHashMap[Long, (Long, Long)],
-      compactEvery: Int = 0)(
+      compactEvery: Int = 0, mergeWidth: Int = 0,
+      compactLog: scala.collection.mutable.ArrayBuffer[
+        graft.streaming.PostingsStore.Compaction] =
+        scala.collection.mutable.ArrayBuffer.empty)(
       batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val bdir = s"$postingsDir/batch_id=$batchId"
@@ -850,10 +853,23 @@ object StreamingQueries extends QuerySet {
     // batch has not committed to the checkpoint yet, so a crash could
     // replay it; everything strictly below is committed and safe to fold
     // (the live writer+compactor interleaving contract,
-    // PostingsStore.scala)
+    // PostingsStore.scala). SIZE-TIERED (r11 verdict #1): each fold
+    // consumes only the `mergeWidth` smallest live partitions, so the
+    // per-compaction read volume is tier-proportional — the full-fold
+    // form re-read the whole accumulated index every compactEvery
+    // batches, O(N²/compactEvery) write volume over a long drain. The
+    // returned evidence is logged; the caller ASSERTS tier
+    // proportionality against it after the drain (the st66 idiom).
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
       graft.streaming.PostingsStore.compact(s, postingsDir,
-        beforeBatch = batchId)
+        beforeBatch = batchId, mergeWidth = mergeWidth).foreach { ev =>
+        compactLog += ev
+        // scalastyle:off println
+        println(s"[st66] compaction at batch=$batchId folded=" +
+          s"${ev.folded.size}/${ev.liveCount} bytesRead=${ev.foldedBytes}" +
+          s"/${ev.liveBytes}")
+        // scalastyle:on println
+      }
     }
   }
 
@@ -887,35 +903,51 @@ object StreamingQueries extends QuerySet {
     * (st67 exercises exactly that). Batch-proportional cost is ASSERTED,
     * not claimed: the per-trigger logged row counts must sum to the
     * on-disk postings total — a trigger that rewrote history would
-    * overshoot. The maintenance loop also runs its own retention (r10
-    * verdict #6): every 2nd batch compacts everything strictly below the
-    * in-flight batch id from INSIDE foreachBatch while the query drains,
-    * so the live partition count stays bounded (≤ 1 segment +
-    * compactEvery recent batches) across an arbitrarily long drain
-    * instead of growing one partition per trigger until an external
-    * st68-style window runs. After the drain, `bm25RankFromIndex`
-    * answers td49's query from the maintained index — and because merged
-    * counts equal one-shot counts exactly (integer arithmetic
-    * end-to-end), the ranking must be row-identical (rank, doc_id,
-    * quantized score) to the ORACLED td49 one-shot twin.
+    * overshoot. The maintenance loop also runs its own retention —
+    * SIZE-TIERED since r12 (r11 verdict #1): every 2nd batch folds the
+    * `mergeWidth` SMALLEST live partitions strictly below the in-flight
+    * batch id from INSIDE foreachBatch. The r11 form folded the WHOLE
+    * live set each time — O(index) read+write per fold,
+    * O(N²/compactEvery) over a long drain, the exact cost class the
+    * per-trigger asserts forbid elsewhere (and one the postings-WRITE
+    * evidence could not see: segment re-writes land in negative-id
+    * dirs). Tiered, each row is re-folded O(log_mergeWidth N) times and
+    * the live partition count stays ≤ mergeWidth + compactEvery across
+    * an arbitrarily long drain. Both properties are ASSERTED from the
+    * compaction evidence log over this 12-batch drain: every fold read
+    * exactly its mergeWidth-sized tier and strictly less than the live
+    * total, and the cumulative fold read volume stays inside the
+    * O(N log N) budget (tiered ~1.4× the data volume here; full folds
+    * would pay ~2.3× and rising with N). After the drain,
+    * `bm25RankFromIndex` answers td49's query from the maintained index
+    * — and because merged counts equal one-shot counts exactly (integer
+    * arithmetic end-to-end), the ranking must be row-identical (rank,
+    * doc_id, quantized score) to the ORACLED td49 one-shot twin.
     */
   def st66(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val staged = tmp(s"graft_st66_feed_$key")
     Q.t(s, dir, "documents")
-      .repartitionByRange(6, col("doc_id"))
+      .repartitionByRange(12, col("doc_id"))
       .write.mode("overwrite").parquet(staged)
     val schema = s.read.parquet(staged).schema
+    val nStaged = new java.io.File(staged).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    require(nStaged == 12,
+      s"st66 staging must yield 12 single-file batches, got $nStaged")
     val feed = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
     val postingsDir = tmp("graft_st66_postings")
     val stateDir = tmp("graft_st66_state")
     val rowLog = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
+    val compactLog = scala.collection.mutable.ArrayBuffer
+      .empty[graft.streaming.PostingsStore.Compaction]
     val q = feed.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         indexMaintenanceBatch(postingsDir, stateDir, rowLog,
-          compactEvery = 2)(batch, batchId)
+          compactEvery = 2, mergeWidth = 3, compactLog = compactLog)(
+          batch, batchId)
       }
       .option("checkpointLocation", tmp("graft_st66_ckpt"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -924,17 +956,36 @@ object StreamingQueries extends QuerySet {
     // batch-proportional evidence: every trigger wrote exactly its batch —
     // the logged per-batch rows sum to the on-disk total (a history
     // rewrite would overshoot, a lossy compaction would undershoot),
-    // across the expected 6 triggers
+    // across the expected 12 triggers
     val onDisk = graft.streaming.PostingsStore.read(s, postingsDir).count()
     val logged = rowLog.values.map(_._1).sum
-    require(rowLog.size == 6 && logged == onDisk,
+    require(rowLog.size == 12 && logged == onDisk,
       s"per-trigger postings writes are not batch-proportional: " +
         s"${rowLog.size} triggers logged $logged rows, sink holds $onDisk")
-    // bounded-lifecycle evidence: in-flight compaction kept the live set
-    // at {1 segment} + the batches since the last fold — 6 triggers with
-    // compactEvery = 2 end at exactly {segment(0..3), batch 4, batch 5}
+    // tier-proportional compaction evidence (r11 verdict #1): batch 2's
+    // attempt is a no-op (2 live < mergeWidth); batches 4/6/8/10 each
+    // fold exactly the 3 smallest of 4 live partitions — reading
+    // STRICTLY less than the live total — and no snapshot ever saw the
+    // live count exceed mergeWidth + compactEvery
+    require(compactLog.size == 4 && compactLog.forall(ev =>
+        ev.folded.size == 3 && ev.liveCount <= 5 &&
+          (ev.liveCount <= 3 || ev.foldedBytes < ev.liveBytes)),
+      s"in-loop compaction was not tier-proportional: $compactLog")
+    // O(N log N) write-volume budget over the drain: the tiered folds
+    // re-read 3+3+5+5 = 16 batch-units of postings against 12 written
+    // (each row re-folded ~log_3 N times); the full-fold policy would
+    // have re-read 4+6+8+10 = 28 and grows quadratically with N. Bound
+    // the cumulative fold read volume at 2× the data volume (~1.4×
+    // measured; parquet re-encoding gives the slack)
+    val dataBytes = rowLog.values.map(_._2).sum
+    val foldBytes = compactLog.map(_.foldedBytes).sum
+    require(foldBytes < 2L * dataBytes,
+      s"compaction read volume $foldBytes exceeds the O(N log N) budget " +
+        s"for $dataBytes data bytes — the policy is rewriting history")
+    // bounded-lifecycle evidence: the drain ends at exactly
+    // {segment, segment, batch 10, batch 11}
     val live = graft.streaming.PostingsStore.livePaths(postingsDir)
-    require(live.size == 3 && live.count(_.contains("batch_id=-")) == 1,
+    require(live.size == 4 && live.count(_.contains("batch_id=-")) == 2,
       s"in-flight compaction did not bound the partition count: $live")
     val out = rankFromMaintainedIndex(s, postingsDir, stateDir, dir, topK = 10)
     val twin = TextOps.bm25TopK(s, dir) // the ORACLED td49 twin
@@ -1210,10 +1261,12 @@ object StreamingQueries extends QuerySet {
     * never re-run, so batch 2 must find batch 1's census/scalars in
     * [[graft.streaming.DurableState]] and the postings sink must already
     * hold partitions `batch_id=0,1` — the in-memory r9 design lost BOTH
-    * on restart. The RESTARTED query also runs the in-flight compaction
-    * (r10 verdict #6): its batch 2 folds the recovered phase-1 partitions
-    * into a segment mid-drain, so recovery and retention compose — the
-    * final live set is exactly {segment(0,1), batch 2}. Ranking from the
+    * on restart. The RESTARTED query also runs the in-flight SIZE-TIERED
+    * compaction (r10 verdict #6, tiered per r11 verdict #1): its batch 2
+    * folds a mergeWidth-sized tier — exactly the two recovered phase-1
+    * partitions, asserted from the evidence log — into a segment
+    * mid-drain, so recovery and tiered retention compose — the final
+    * live set is exactly {segment(0,1), batch 2}. Ranking from the
     * recovered-and-completed index is `require`d row-identical to the
     * ORACLED td49 one-shot twin, and the per-trigger row log (which only
     * saw the post-restart batch in phase 2) must still sum with the
@@ -1226,6 +1279,8 @@ object StreamingQueries extends QuerySet {
     val postingsDir = tmp("graft_st67_postings")
     val stateDir = tmp("graft_st67_state")
     val rowLog = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
+    val compactLog = scala.collection.mutable.ArrayBuffer
+      .empty[graft.streaming.PostingsStore.Compaction]
     val files = stageEach((0 until 3).map(i =>
       docs.filter(col("doc_id") % 3 === i)))
     restartDrain(files, phase1 = 2) { (feed, ckpt) =>
@@ -1234,7 +1289,8 @@ object StreamingQueries extends QuerySet {
         .writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           indexMaintenanceBatch(postingsDir, stateDir, rowLog,
-            compactEvery = 2)(batch, batchId)
+            compactEvery = 2, mergeWidth = 2, compactLog = compactLog)(
+            batch, batchId)
         }
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1245,6 +1301,11 @@ object StreamingQueries extends QuerySet {
     require(rowLog.size == 3 && logged == onDisk,
       s"restarted index maintenance re-wrote or lost postings: " +
         s"${rowLog.size} triggers logged $logged rows, sink holds $onDisk")
+    // the post-restart batch 2 ran the one size-tiered fold: its tier is
+    // exactly the two recovered phase-1 partitions (recovery and tiered
+    // retention compose)
+    require(compactLog.size == 1 && compactLog.head.folded.size == 2,
+      s"expected one 2-wide post-restart fold, got $compactLog")
     val live = graft.streaming.PostingsStore.livePaths(postingsDir)
     require(live.size == 2 && live.count(_.contains("batch_id=-")) == 1,
       s"post-restart in-flight compaction did not fold phase 1: $live")

@@ -8,8 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * DATA-sized per-document facts: a trigger writes only its batch), plus
   * the maintenance operation that design creates a need for: after many
   * triggers the sink holds many small partitions, and a scan pays
-  * per-file overhead ∝ triggers. `compact` folds the live set into one
-  * segment the way a lakehouse OPTIMIZE does, in miniature:
+  * per-file overhead ∝ triggers. `compact` folds live partitions into a
+  * segment the way a lakehouse OPTIMIZE does, in miniature — either the
+  * whole live set (the maintenance-window form) or, size-tiered, just
+  * the `mergeWidth` smallest (the in-loop form whose total write volume
+  * over an N-batch drain is O(N log N), not O(N²)):
   *
   *  - layout: `root/batch_id=<id>/`, every partition dir IMMUTABLE once
   *    committed. Writer batches use Spark's foreachBatch id (≥ 0; a
@@ -40,6 +43,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PostingsStore {
 
+  /** What one [[compact]] invocation actually did — the proportionality
+    * evidence surface (the st66 idiom: cost claims are ASSERTED against
+    * a log, never just stated). `foldedBytes` is the parquet volume the
+    * fold READ (and re-wrote); `liveBytes`/`liveCount` describe the full
+    * live set at snapshot time — what a full fold would have read. A
+    * size-tiered drain must show `foldedBytes < liveBytes` whenever
+    * `liveCount > mergeWidth`: the fold paid for its tier, not the index.
+    */
+  final case class Compaction(folded: Seq[String], foldedBytes: Long,
+      liveCount: Int, liveBytes: Long, segment: String)
+
   private val Sources = "_SOURCES"
   private val Success = "_SUCCESS"
 
@@ -57,6 +71,18 @@ object PostingsStore {
   private def isCommitted(p: Path): Boolean = {
     val ok = Files.exists(p.resolve(Success))
     if (partId(p) < 0) ok && Files.exists(p.resolve(Sources)) else ok
+  }
+
+  /** Parquet bytes under a partition dir (recursive — sub-partitioned
+    * `cell=` layouts count their leaves). The compaction cost unit.
+    */
+  private def dirBytes(p: Path): Long = {
+    val st = Files.walk(p)
+    try st.toArray.map(_.asInstanceOf[Path])
+      .filter(f => Files.isRegularFile(f) &&
+        f.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    finally st.close()
   }
 
   private def consumedNames(root: String): Set[String] =
@@ -114,9 +140,30 @@ object PostingsStore {
     s.read.parquet(live: _*)
   }
 
-  /** Fold the live partitions into ONE negative-id segment. Idempotent
-    * and crash-safe per the commit protocol; a no-op when the live set is
-    * already a single partition. Runs [[gc]] after committing.
+  /** Fold live partitions into ONE negative-id segment. Idempotent and
+    * crash-safe per the commit protocol; returns `None` (no-op) when
+    * nothing needs folding. Runs [[gc]] after committing.
+    *
+    * `mergeWidth` picks the policy (r11 verdict #1):
+    *  - `0` — FULL fold: the whole live set becomes one segment. The
+    *    maintenance-WINDOW form (st68's stopped-query OPTIMIZE): correct
+    *    when invoked rarely, but O(index) write volume per call — run
+    *    every `compactEvery` batches it re-writes the accumulated index
+    *    each time, O(N²/compactEvery) over an N-batch drain.
+    *  - `>= 2` — SIZE-TIERED fold (the LSM / lakehouse policy): fold
+    *    only the `mergeWidth` SMALLEST live partitions by parquet bytes
+    *    (ties by name, so the pick is deterministic), no-op while fewer
+    *    exist. Greedy smallest-first K-way merging re-writes each row
+    *    O(log_mergeWidth N) times over a drain — O(N log N) total write
+    *    volume — while the live partition count stays bounded by
+    *    ~mergeWidth + batches-since-last-fold. THE shape for in-loop
+    *    compaction (st66/st67), and the returned [[Compaction]] evidence
+    *    is asserted there: bytes read per fold ∝ the folded tier, never
+    *    the live total. The `_SOURCES` manifest names ONLY the folded
+    *    tier, so every crash window of the full fold carries over
+    *    unchanged (spec-cut for the partial fold too): a crash before
+    *    the manifest leaves an invisible segment and every source live;
+    *    after it, reads exclude exactly the tier.
     *
     * `beforeBatch` bounds the WRITER ids consumed (segments are always
     * consumable) — the bound a compaction running INSIDE a foreachBatch
@@ -136,34 +183,62 @@ object PostingsStore {
     */
   def compact(s: SparkSession, root: String,
       beforeBatch: Long = Long.MaxValue,
-      betweenSnapshotAndCommit: () => Unit = () => ()): Unit = {
+      mergeWidth: Int = 0,
+      betweenSnapshotAndCommit: () => Unit = () => ()): Option[Compaction] = {
+    require(mergeWidth == 0 || mergeWidth >= 2,
+      s"mergeWidth must be 0 (full fold) or >= 2 (tiered), got $mergeWidth")
     val live = livePaths(root, beforeBatch)
     betweenSnapshotAndCommit()
-    if (live.size <= 1) return
+    if (live.size <= 1 || (mergeWidth >= 2 && live.size < mergeWidth))
+      return None
+    val sized = live.map(p => (p, dirBytes(Paths.get(p))))
+    val fold =
+      if (mergeWidth == 0) sized
+      else sized.sortBy { case (p, b) => (b, p) }.take(mergeWidth)
     val nextId = -(partDirs(root).map(p => math.abs(partId(p))).max + 1)
     val seg = Paths.get(s"$root/batch_id=$nextId")
-    s.read.parquet(live: _*).write.mode("overwrite").parquet(seg.toString)
+    s.read.parquet(fold.map(_._1): _*)
+      .write.mode("overwrite").parquet(seg.toString)
     // the manifest is the COMMIT: until it lands the segment is invisible
     Files.write(seg.resolve(Sources),
-      live.map(p => Paths.get(p).getFileName.toString)
+      fold.map { case (p, _) => Paths.get(p).getFileName.toString }
         .mkString("", "\n", "\n").getBytes("UTF-8"))
     gc(root)
+    Some(Compaction(fold.map(_._1), fold.map(_._2).sum,
+      live.size, sized.map(_._2).sum, seg.toString))
   }
 
   /** Idempotent cleanup: consumed sources and crashed (uncommitted)
     * negative-id segments are deleted; re-running converges.
+    *
+    * Deletion ORDER is crash-safety (size-tiered folds make
+    * segment-consuming-segment chains routine): a committed segment's
+    * `_SOURCES` manifest is the only record excluding its own sources
+    * from the live set, so the segment may be deleted only once every
+    * dir it names is already gone — otherwise a crash between the two
+    * deletions resurrects the sources and double-counts. Consumption
+    * points strictly backward in time (a fold consumes only
+    * previously-committed dirs, and segment |id|s grow monotonically),
+    * so writer partitions first, then consumed segments oldest
+    * (smallest |id|) first, is a topological order of that DAG; a crash
+    * between ANY two deletions leaves reads exactly-once and a re-run
+    * converges (spec-cut via the `afterDelete` seam).
     */
-  def gc(root: String): Unit = {
+  def gc(root: String, afterDelete: String => Unit = _ => ()): Unit = {
     val consumed = consumedNames(root)
-    partDirs(root).foreach { p =>
-      val crashedSegment = partId(p) < 0 && !isCommitted(p)
-      if (consumed.contains(p.getFileName.toString) || crashedSegment) {
+    val victims = partDirs(root).filter { p =>
+      consumed.contains(p.getFileName.toString) ||
+        (partId(p) < 0 && !isCommitted(p))
+    }
+    victims.sortBy(p => (if (partId(p) >= 0) 0L else 1L,
+        math.abs(partId(p))))
+      .foreach { p =>
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete(); ()
         }
         rm(p.toFile)
+        afterDelete(p.getFileName.toString)
       }
-    }
   }
 }

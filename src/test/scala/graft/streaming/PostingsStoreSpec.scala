@@ -170,6 +170,170 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestBase {
       .collect().toSeq == before)
   }
 
+  // --- size-tiered compaction (r11 verdict #1) --------------------------
+
+  private def dirBytes(path: String): Long = {
+    val st = Files.walk(Paths.get(path))
+    try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    finally st.close()
+  }
+
+  test("tiered compact folds exactly the mergeWidth SMALLEST live " +
+      "partitions; no-op below the width") {
+    val root = Files.createTempDirectory("graft_pstore_tier").toString
+    // batch 0 is deliberately FAT (it must never be in a 2-wide tier
+    // while thinner partitions exist)
+    PostingsStore.write(
+      (0 until 400).map(i => (i.toLong, s"t$i", 1L))
+        .toDF("doc_id", "token", "tf"), root, 0L)
+    PostingsStore.write(Seq((1000L, "a", 1L)).toDF("doc_id", "token", "tf"),
+      root, 1L)
+    // two live partitions below a width-3 tier -> no-op, nothing folded
+    assert(PostingsStore.compact(spark, root, mergeWidth = 3).isEmpty)
+    assert(PostingsStore.livePaths(root).size == 2)
+    PostingsStore.write(Seq((1001L, "b", 1L)).toDF("doc_id", "token", "tf"),
+      root, 2L)
+    val sizes = PostingsStore.livePaths(root).map(p => p -> dirBytes(p)).toMap
+    val ev = PostingsStore.compact(spark, root, mergeWidth = 2)
+      .getOrElse(fail("3 live partitions at width 2 must fold"))
+    // the tier is the two thin batches — independently recomputed sizes
+    // agree with the evidence, and the fat batch 0 was not touched
+    val expected = sizes.toSeq.sortBy { case (p, b) => (b, p) }.take(2)
+    assert(ev.folded.sorted == expected.map(_._1).sorted)
+    assert(ev.foldedBytes == expected.map(_._2).sum)
+    assert(ev.liveCount == 3 && ev.foldedBytes < ev.liveBytes)
+    val live = PostingsStore.livePaths(root)
+    assert(live.exists(_.endsWith("batch_id=0")),
+      "the fat partition must survive a tiered fold untouched")
+    assert(live.size == 2 && PostingsStore.read(spark, root).count() == 402)
+  }
+
+  test("a 16-batch tiered drain: every fold reads its tier (never the " +
+      "live total), cumulative volume is O(N log N), live count bounded") {
+    val root = Files.createTempDirectory("graft_pstore_drain").toString
+    val w = 4
+    val evs = scala.collection.mutable.ArrayBuffer.empty[PostingsStore.Compaction]
+    var written = 0L
+    (0 until 16).foreach { b =>
+      PostingsStore.write(
+        (0 until 50).map(i => ((b * 100 + i).toLong, s"tok$i", 1L))
+          .toDF("doc_id", "token", "tf"), root, b.toLong)
+      written += dirBytes(s"$root/batch_id=$b")
+      // the st66 loop shape: every 2nd batch, fold one tier bounded by
+      // the in-flight id
+      if (b > 0 && b % 2 == 0) {
+        PostingsStore.compact(spark, root, beforeBatch = b.toLong,
+          mergeWidth = w).foreach { ev =>
+          // tier-proportional: the fold read never approaches the live
+          // total once the index outgrows one tier
+          assert(ev.folded.size == w)
+          assert(ev.liveCount <= w || ev.foldedBytes < ev.liveBytes,
+            s"fold read the whole live set: $ev")
+          evs += ev
+        }
+      }
+      val liveN = PostingsStore.livePaths(root).size
+      assert(liveN <= w + 2,
+        s"live partition count $liveN escaped the mergeWidth+compactEvery " +
+          s"bound after batch $b")
+    }
+    assert(PostingsStore.read(spark, root).count() == 16L * 50)
+    assert(evs.nonEmpty)
+    // O(N log N): cumulative fold read volume across the whole drain
+    // stays within ceil(log_4 16) = 2x the data written (a full-fold
+    // policy at the same cadence pays ~4.4x here and grows with N)
+    val foldTotal = evs.map(_.foldedBytes).sum
+    assert(foldTotal < 2L * written,
+      s"tiered drain re-read $foldTotal bytes for $written written")
+  }
+
+  test("a crash before a TIERED fold's _SOURCES leaves every partition " +
+      "live; after it, reads exclude exactly the tier (non-tier intact)") {
+    val root = freshStore(5)
+    val before = PostingsStore.read(spark, root).orderBy("doc_id")
+      .collect().toSeq
+    // crash window A: tier segment parquet landed, manifest did not
+    val tier = PostingsStore.livePaths(root).take(3)
+    spark.read.parquet(tier: _*).write.parquet(s"$root/batch_id=-9")
+    assert(PostingsStore.read(spark, root).orderBy("doc_id")
+      .collect().toSeq == before,
+      "an uncommitted tier segment must be invisible")
+    PostingsStore.gc(root)
+    assert(!Files.exists(Paths.get(root).resolve("batch_id=-9")))
+    // crash window B: manifest committed, gc not yet run — the tier is
+    // excluded (exactly-once), the non-tier partitions stay live
+    spark.read.parquet(tier: _*).write.parquet(s"$root/batch_id=-10")
+    Files.write(Paths.get(root).resolve("batch_id=-10").resolve("_SOURCES"),
+      tier.map(p => Paths.get(p).getFileName.toString)
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(PostingsStore.read(spark, root).orderBy("doc_id")
+      .collect().toSeq == before,
+      "a committed tier fold must read exactly-once pre-gc")
+    val live = PostingsStore.livePaths(root)
+    assert(live.count(_.contains("batch_id=-")) == 1 && live.size == 3,
+      s"non-tier partitions must stay live next to the tier segment: $live")
+    PostingsStore.gc(root)
+    assert(PostingsStore.read(spark, root).orderBy("doc_id")
+      .collect().toSeq == before)
+  }
+
+  test("gc deletes a consumed segment only AFTER the dirs its manifest " +
+      "names — a crash between any two deletions stays exactly-once") {
+    // tiered folds make segment-consuming-segment chains routine: build
+    // S1 <- {b0,b1} (gc CRASHED: S1's sources still on disk) then fold
+    // S2 <- {S1, b2}. If gc removed S1 before b0/b1, a crash in between
+    // would resurrect them (S1's manifest was their only exclusion) and
+    // double-count against S2.
+    val root = freshStore(3)
+    val before = PostingsStore.read(spark, root).orderBy("doc_id")
+      .collect().toSeq
+    val s1Input = Seq(s"$root/batch_id=0", s"$root/batch_id=1")
+    spark.read.parquet(s1Input: _*).write.parquet(s"$root/batch_id=-1")
+    Files.write(Paths.get(root).resolve("batch_id=-1").resolve("_SOURCES"),
+      "batch_id=0\nbatch_id=1\n".getBytes("UTF-8"))
+    // S2 folds {S1, b2} — compact's own gc is what we're testing, so
+    // commit S2 by hand too
+    spark.read.parquet(s"$root/batch_id=-1", s"$root/batch_id=2")
+      .write.parquet(s"$root/batch_id=-2")
+    Files.write(Paths.get(root).resolve("batch_id=-2").resolve("_SOURCES"),
+      "batch_id=-1\nbatch_id=2\n".getBytes("UTF-8"))
+    assert(PostingsStore.read(spark, root).orderBy("doc_id")
+      .collect().toSeq == before)
+    // drive gc one deletion at a time: every run deletes exactly the
+    // next victim in gc's order and CRASHES (exception); after every
+    // such partial prefix the store must read exactly-once, and the
+    // re-run must converge
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    var done = false
+    while (!done) {
+      try {
+        PostingsStore.gc(root, afterDelete = name => {
+          deleted += name
+          throw new RuntimeException("injected gc crash")
+        })
+        done = true // no victims left: gc converged
+      } catch {
+        case e: RuntimeException if e.getMessage == "injected gc crash" =>
+          assert(PostingsStore.read(spark, root).orderBy("doc_id")
+            .collect().toSeq == before,
+            s"rows lost/duplicated after gc crash (deleted: $deleted)")
+      }
+    }
+    // the topological order: writer partitions strictly before the
+    // segments that name them, S1 (older) before S2's manifest is gone...
+    // S1 must come after b0/b1 which its manifest names
+    val s1Pos = deleted.indexOf("batch_id=-1")
+    assert(s1Pos > deleted.indexOf("batch_id=0") &&
+      s1Pos > deleted.indexOf("batch_id=1"),
+      s"gc deleted S1 before its named sources: $deleted")
+    assert(PostingsStore.read(spark, root).orderBy("doc_id")
+      .collect().toSeq == before)
+    assert(PostingsStore.livePaths(root) == Seq(s"$root/batch_id=-2"))
+  }
+
   test("a second compaction consumes the first segment plus newer " +
       "writer batches") {
     val root = freshStore(2)
