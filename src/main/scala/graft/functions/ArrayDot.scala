@@ -370,7 +370,15 @@ object GraftFunctions {
     val vs = md.valueArray()
     var i = 0
     while (i < md.numElements()) {
-      m.put(ks.getUTF8String(i).clone(), Integer.valueOf(vs.getInt(i)))
+      val slot = vs.getInt(i)
+      // fail at plan build on the driver, not AIOOBE at executor time
+      // inside the hits array (r11 advice: buildBm25Q range-checked its
+      // slots, this shared builder did not)
+      if (slot < 0)
+        throw new IllegalArgumentException(
+          s"$fn: query slot $slot for token '${ks.getUTF8String(i)}' " +
+            "must be >= 0")
+      m.put(ks.getUTF8String(i).clone(), Integer.valueOf(slot))
       i += 1
     }
     m

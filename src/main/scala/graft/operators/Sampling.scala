@@ -100,15 +100,15 @@ object Sampling {
       .withColumn("__h", hashOrder(col(sourceCol), col(idCol)))
       .withColumn("__b", substring(col("__h"), 1, bucketChars))
       .localCheckpoint(false)
-    // pass 1: per-bucket subtotals (tiny: sources × 16^bucketChars rows);
-    // the offset window runs over this aggregate, never the corpus
-    val wOffset = Window.partitionBy(sourceCol).orderBy("__b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withKey
-      .groupBy(col(sourceCol), col("__b"))
-      .agg(sum(col(tokenCountCol).cast("long")).as("__sub"))
-      .withColumn("__off", coalesce(sum(col("__sub")).over(wOffset), lit(0L)))
-      .select(col(sourceCol), col("__b"), col("__off"))
+    // pass 1: per-bucket subtotals (tiny: sources × 16^bucketChars rows —
+    // structurally bounded, so no guard count job); the offset window
+    // runs over this aggregate, never the corpus (the shared
+    // BucketedOffsets core, r11 verdict #3)
+    val offsets = BucketedOffsets.frame(withKey,
+      keyCol = col(sourceCol), bucketCol = col("__b"),
+      cAgg = sum(col(tokenCountCol).cast("long")), extras = Seq.empty,
+      withTotal = false, materialize = false, maxRows = -1L,
+      op = "tokenBudget", hint = "")
     // pass 2: running sum local to each (source, bucket) partition —
     // bounded tasks even when one source is 90% of the corpus. The offset
     // join is NULL-SAFE: a null source or id hashes to a null bucket, and
@@ -117,11 +117,9 @@ object Sampling {
     val wLocal = Window.partitionBy(col(sourceCol), col("__b"))
       .orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val off = offsets
-      .withColumnRenamed(sourceCol, "__osrc").withColumnRenamed("__b", "__ob")
     withKey
-      .join(broadcast(off),
-        col(sourceCol) <=> col("__osrc") && col("__b") <=> col("__ob"))
+      .join(broadcast(offsets),
+        col(sourceCol) <=> col("__okey") && col("__b") <=> col("__ocb"))
       .withColumn("__cum_tokens",
         col("__off") + sum(col(tokenCountCol).cast("long")).over(wLocal))
       .filter(col("__cum_tokens") <= budget)
@@ -180,32 +178,23 @@ object Sampling {
     // one scan feeds both passes (the tokenBudget materialize-once note).
     // Null order keys reproduce the window form's DESC default (NULLS
     // LAST): they land in a dedicated max-long bucket after every real
-    // score bucket, tie-broken by id inside it (parity spec pins this)
+    // score bucket, tie-broken by id inside it (parity spec pins this);
+    // NaN routes to the min-long bucket — FIRST under DESC. Both
+    // policies live in the shared BucketedOffsets core (r11 verdict #3)
     val withKey = df
-      .withColumn("__cb",
-        when(col(orderCol).isNull, lit(Long.MaxValue))
-          .when(isnan(col(orderCol).cast("double")), lit(Long.MinValue))
-          .otherwise(floor(-col(orderCol) * coarseScale).cast("long")))
+      .withColumn("__cb", BucketedOffsets.coarseBucket(col(orderCol),
+        coarseScale, desc = true, nullBucket = Some(Long.MaxValue)))
       .localCheckpoint(false)
-    val wOffset = Window.partitionBy(keyCol).orderBy("__cb")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // the count frame checkpoints AFTER its windows (the Skew.percentile
-    // layout): the guard count and the broadcast join both ride the
-    // materialized tiny frame — no recomputation, and the key-alone
-    // windows never see corpus rows
-    val offsets = withKey
-      .groupBy(col(keyCol), col("__cb"))
-      .agg(count(lit(1)).as("__c"),
-        (min(col(orderCol)) <=> max(col(orderCol))).as("__tied"))
-      .withColumn("__off", coalesce(sum(col("__c")).over(wOffset), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(keyCol)))
-      .select(col(keyCol).as("__okey"), col("__cb").as("__ocb"),
-        col("__c"), col("__tied"), col("__off"), col("__n"))
-      .localCheckpoint(false)
-    require(offsets.count() <= maxBucketFrameRows,
-      s"ntileDescBucketed: per-(key, bucket) count frame exceeds " +
-        s"$maxBucketFrameRows rows — it is broadcast to every executor; " +
-        "lower coarseScale or raise maxBucketFrameRows")
+    // the count frame materializes so the guard count, the refinement
+    // probe, and the broadcast join all ride one computation, and the
+    // key-alone windows never see corpus rows
+    val offsets = BucketedOffsets.frame(withKey,
+      keyCol = col(keyCol), bucketCol = col("__cb"),
+      cAgg = count(lit(1)),
+      extras = Seq((min(col(orderCol)) <=> max(col(orderCol))).as("__tied")),
+      withTotal = true, materialize = true, maxRows = maxBucketFrameRows,
+      op = "ntileDescBucketed",
+      hint = "lower coarseScale or raise maxBucketFrameRows")
     // rank → ntile bucket: the first (__n % n) buckets hold (__n DIV n)+1
     // rows; q = 0 keys (fewer rows than buckets) never reach the ELSE
     // branch, so its DIV is never by zero
@@ -221,8 +210,22 @@ object Sampling {
     // the id refinement engages ONLY when some bucket is both fully tied
     // and oversized — one probe of the materialized count frame decides
     // (a heavy run with continuous scores pays nothing beyond the tied
-    // flag in the counts aggregate); deterministic given the data
-    val needsRefine = tieIdScale > 0 && !offsets
+    // flag in the counts aggregate); deterministic given the data.
+    // GATED on an integral id type (r11 advice): the sub-bucket split
+    // floor(id / tieIdScale) must be monotone in the id tiebreak order,
+    // which holds for byte/short/int/long ids but NOT for strings
+    // (lexical "10" < "9" while 10 > 9 numerically — and a non-numeric
+    // cast yields null, silently dropping rows through the join). A
+    // non-integral id falls back to the unrefined single-partition rank
+    // for the tied bucket — always correct, just not split.
+    val idIsIntegral = {
+      import org.apache.spark.sql.types._
+      df.schema(idCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    val needsRefine = tieIdScale > 0 && idIsIntegral && !offsets
       .filter(col("__tied") && col("__c") > tieIdScale).isEmpty
     if (!needsRefine) {
       val wLocal = Window.partitionBy(col(keyCol), col("__cb"))
@@ -234,30 +237,29 @@ object Sampling {
       // order, and floor(id / tieIdScale) is monotone in id, so
       // (sub-bucket offset + sub-bucket-local rank) = the exact
       // bucket-local rank. Mixed-score buckets keep __ib = 0 (the split
-      // would not respect (order DESC, id) there).
+      // would not respect (order DESC, id) there). Null ids land in a
+      // null sub-bucket that windows FIRST — matching their NULLS-FIRST
+      // position in the ASC id tiebreak — and survive the join via <=>
+      // (r11 advice: === dropped them).
       val refined = joined.withColumn("__ib",
         when(col("__tied") && col("__c") > tieIdScale,
           floor(col(idCol).cast("double") / tieIdScale).cast("long"))
           .otherwise(lit(0L)))
-      val wSub = Window.partitionBy(col(keyCol), col("__cb")).orderBy("__ib")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val subOffsets = refined
-        .groupBy(col(keyCol), col("__cb"), col("__ib"))
-        .agg(count(lit(1)).as("__sc"))
-        .withColumn("__soff", coalesce(sum(col("__sc")).over(wSub), lit(0L)))
-        .select(col(keyCol).as("__skey"), col("__cb").as("__scb"),
-          col("__ib").as("__sib"), col("__soff"))
-        .localCheckpoint(false)
-      require(subOffsets.count() <= maxBucketFrameRows,
-        s"ntileDescBucketed: sub-bucket count frame exceeds " +
-          s"$maxBucketFrameRows rows — it is broadcast to every executor; " +
-          "raise tieIdScale or maxBucketFrameRows")
+      val subOffsets = BucketedOffsets.frame(refined,
+        keyCol = struct(col(keyCol), col("__cb")), bucketCol = col("__ib"),
+        cAgg = count(lit(1)), extras = Seq.empty,
+        withTotal = false, materialize = true,
+        maxRows = maxBucketFrameRows, op = "ntileDescBucketed",
+        hint = "raise tieIdScale or maxBucketFrameRows")
+        .select(col("__okey.*"), col("__ocb").as("__sib"),
+          col("__off").as("__soff"))
+        .toDF("__skey", "__scb", "__sib", "__soff")
       val wLocal = Window.partitionBy(col(keyCol), col("__cb"), col("__ib"))
         .orderBy(col(orderCol).desc, col(idCol))
       finish(refined
         .join(broadcast(subOffsets),
           col(keyCol) <=> col("__skey") && col("__cb") <=> col("__scb") &&
-            col("__ib") === col("__sib"))
+            col("__ib") <=> col("__sib"))
         .withColumn("__r", col("__off") + col("__soff") +
           row_number().over(wLocal).cast("long")))
     }
@@ -283,8 +285,13 @@ object Sampling {
     val per = docs.groupBy(col(sourceCol))
       .agg(sum(col(nTokensCol).cast("long")).as("n_tok"))
       .localCheckpoint(false)
-    val mx = per.agg(max(col("n_tok"))).head.getLong(0)
-    require(mx >= 1, "temperatureWeights: empty corpus")
+    // null-safe max read (r11 advice): an empty corpus yields zero rows
+    // and an all-null token column a null max — either must reach the
+    // friendly require, not NPE inside getLong
+    val mxRow = per.agg(max(col("n_tok"))).head
+    val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+    require(mx >= 1,
+      "temperatureWeights: empty corpus (no rows or all-null token counts)")
     per
       .withColumn("w_half", sqrt(col("n_tok").cast("double")))
       .withColumn("r_flat", col("n_tok").cast("double") / lit(mx.toDouble))

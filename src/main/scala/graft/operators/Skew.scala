@@ -160,27 +160,24 @@ object Skew {
     require(coarseScale > 0, s"coarseScale must be > 0, got $coarseScale")
     // Spark's percentile aggregate IGNORES null values — drop them before
     // counting or every position would shift (parity spec pins this).
-    // NaN values sort GREATER than every double in Spark's ordering (the
-    // ordering Percentile ranks by), so they route to a dedicated
-    // max-long bucket after every real bucket (r10 advice: floor(NaN·s)
-    // casts to 0, which would interleave NaN with real values)
+    // NaN values sort GREATER than every real double in Spark's ordering
+    // (the ordering Percentile ranks by) — the routing policy lives in
+    // the shared BucketedOffsets core (r11 verdict #3), here ASC so NaN
+    // takes the max-long bucket after every real bucket
     val withKey = df.select(col(keyCol), col(valueCol))
       .filter(col(valueCol).isNotNull)
-      .withColumn("__cb",
-        when(isnan(col(valueCol).cast("double")), lit(Long.MaxValue))
-          .otherwise(floor(col(valueCol) * coarseScale).cast("long")))
-    val wOffset = Window.partitionBy(keyCol).orderBy("__cb")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withKey
-      .groupBy(col(keyCol), col("__cb"))
-      .agg(count(lit(1)).as("__c"),
-        min(col(valueCol)).as("__mnv"),
-        (min(col(valueCol)) <=> max(col(valueCol))).as("__tied"))
-      .withColumn("__off", coalesce(sum(col("__c")).over(wOffset), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(keyCol)))
-      .select(col(keyCol).as("__okey"), col("__cb").as("__ocb"),
-        col("__c"), col("__mnv"), col("__tied"), col("__off"), col("__n"))
-      .localCheckpoint(false) // tiny; feeds needs + targets
+      .withColumn("__cb", BucketedOffsets.coarseBucket(col(valueCol),
+        coarseScale, desc = false, nullBucket = None))
+    // tiny, materialized once; feeds needs + targets (the offsets frame
+    // is joined query-sized-to-tiny, never broadcast corpus-wide, so no
+    // guard count job — structurally bucket-bounded like tokenBudget's)
+    val offsets = BucketedOffsets.frame(withKey,
+      keyCol = col(keyCol), bucketCol = col("__cb"),
+      cAgg = count(lit(1)),
+      extras = Seq(min(col(valueCol)).as("__mnv"),
+        (min(col(valueCol)) <=> max(col(valueCol))).as("__tied")),
+      withTotal = true, materialize = true, maxRows = -1L,
+      op = "percentileExactByKey", hint = "")
     // the ranks each percentage needs, per key (keys × ps × 2 rows)
     val needs = offsets.select(col("__okey"), col("__n")).distinct()
       .select(col("__okey"), col("__n"), explode(array(ps.map(lit): _*)).as("p"))

@@ -528,13 +528,30 @@ object TextAnalysis {
     * how the census was accumulated (one shot or merged micro-batch
     * partials) is invisible here, exactly as `nbClassifyFromModel` is to
     * its counts (st70's restart parity rides that).
+    *
+    * The count-of-counts frame is model-sized under any Zipf-ish corpus
+    * (one row per DISTINCT frequency value — O(√occurrences)), but a
+    * pathological census with near-all-distinct counts (pre-scaled or
+    * synthetic frequencies) would make the global window single-task
+    * sort and the broadcast below vocabulary-sized — so the frame is
+    * fail-loud bounded by `maxBucketFrameRows` BEFORE either runs (the
+    * `ntileDescBucketed` idiom, same default; r11 verdict #2).
     */
   def vocabCoverageFromCensus(census: DataFrame,
-      ks: Seq[Long]): DataFrame = {
+      ks: Seq[Long], maxBucketFrameRows: Long = 4000000L): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), s"vocab sizes must be >= 1, got $ks")
     val s = census.sparkSession
+    // materialized before the count so the guard probe and the window
+    // read the same tiny frame — never the corpus-sized census twice
     val cc = census.groupBy("cnt").agg(count(lit(1)).as("ntok"))
       .withColumn("occ", col("cnt") * col("ntok"))
+      .localCheckpoint(false)
+    require(cc.count() <= maxBucketFrameRows,
+      s"vocabCoverageFromCensus: count-of-counts frame exceeds " +
+        s"$maxBucketFrameRows rows — it is globally windowed and " +
+        "broadcast; such a census is not count-of-counts-compressible " +
+        "(near-all-distinct frequencies); raise maxBucketFrameRows only " +
+        "if the frame genuinely fits the driver")
     val wBefore = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -76,10 +76,20 @@ object DurableState {
     * long-running maintenance query accumulates one model-sized version
     * per trigger forever. Call from the same single-writer foreachBatch
     * that commits — right after [[commit]] — so no concurrent write can
-    * be pruned; `keep >= 2` leaves the previous version intact for a
-    * replaying batch that merges from `latestBefore` (a replay of batch
-    * `b` reads strictly below `b`, which prune never touches when called
-    * with the committed `b` as the newest).
+    * be pruned.
+    *
+    * KEEP-FLOOR CONTRACT (r11 verdict #5, spec-cut in
+    * StreamingRecoverySpec): when prune runs with batch `b` as the
+    * newest committed version, the floor is the `keep`-th newest
+    * committed id — with `keep >= 2` that floor is at most `b − 1`, so
+    * `latestBefore(b)` survives ANY replay Spark can issue. foreachBatch
+    * replays at most the single newest batch id after an unclean stop
+    * (the one whose checkpoint commit never landed; everything below it
+    * is checkpoint-committed and never re-fires), and that replay merges
+    * from `latestBefore(b) = v(b−1)` — which the commit-then-prune done
+    * inside batch `b` itself provably kept. Hence the `keep >= 2`
+    * require below: `keep = 1` would evict the replay's merge source in
+    * exactly the crash window that needs it.
     */
   def prune(root: String, keep: Int): Unit = {
     require(keep >= 2,

@@ -50,6 +50,19 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       "no-match and null-text docs must be absent on both paths")
   }
 
+  test("graft_query_hits rejects a negative query slot at PLAN BUILD on " +
+      "the driver (r11 advice: executor-time AIOOBE otherwise)") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_query_hits(array('a'), map('a', -1))")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("must be >= 0")),
+      s"expected the driver-side slot-range message, got: $e")
+  }
+
   test("bm25Rank length normalization: same tf ranks the shorter doc higher") {
     import spark.implicits._
     val docs = Seq(
