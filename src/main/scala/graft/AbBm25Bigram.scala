@@ -27,6 +27,9 @@ object AbBm25Bigram {
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_HEAVY_FACTOR", "30").toInt
+    // "bigram" (default) or "unigram" — the latter reproduces the r11
+    // fixture-vocabulary wash on the SAME machine-day for an honest pair
+    val mode = sys.env.getOrElse("SPARK_GRAFT_AB_TOKENS", "bigram")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,11 +42,11 @@ object AbBm25Bigram {
     // bigram corpus, replicated and materialized once (BenchHeavy's
     // splittable single-file layout so the scan parallelizes)
     val root = Paths.get(
-      s"${System.getProperty("java.io.tmpdir")}/graft_bigram_heavy")
+      s"${System.getProperty("java.io.tmpdir")}/graft_${mode}_heavy")
     Files.createDirectories(root)
     val corpus = root.resolve("documents.parquet")
     val manifest = root.resolve("_manifest.txt")
-    val stamp = s"base=$base factor=$factor v=1 bigram"
+    val stamp = s"base=$base factor=$factor v=1 $mode"
     if (!Files.exists(manifest) || Files.readString(manifest) != stamp) {
       val staging = Files.createTempDirectory("graft_bigram_stage")
         .resolve("base.parquet")
@@ -52,8 +55,9 @@ object AbBm25Bigram {
           "slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)), " +
           "slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)), " +
           "(a, b) -> concat(a, '~', b)), ' ')")
+      val tokText = if (mode == "unigram") col("text") else bigramText
       val docs = spark.read.parquet(s"$base/documents.parquet")
-        .select(col("doc_id"), bigramText.as("text"))
+        .select(col("doc_id"), tokText.as("text"))
       docs.coalesce(1).write.mode("overwrite")
         .parquet(staging.getParent.toString)
       val part = staging.getParent.toFile.listFiles()
@@ -93,7 +97,7 @@ object AbBm25Bigram {
     val fusedAll = runs.map(_._2)
     val nVocab = docs
       .select(explode(split(col("text"), " ")).as("t")).distinct().count()
-    println(s"""{"metric":"ab_bm25_bigram","factor":$factor,""" +
+    println(s"""{"metric":"ab_bm25_$mode","factor":$factor,""" +
       s""""vocab":$nVocab,"query_terms":${query.count()},""" +
       s""""join_best":${joinAll.min},"fused_best":${fusedAll.min},""" +
       s""""join_all":[${joinAll.mkString(",")}],""" +

@@ -13,14 +13,19 @@ import org.apache.spark.sql.functions._
   * (reciprocal-rank fusion) into one list.
   *
   * Scale contracts (100 TB stance):
-  *  - [[bm25Rank]] runs ZERO corpus-wide exchanges (r9): the broadcast
-  *    query-term cut lands directly on the `graft_tf` explode (the td45
-  *    machinery), so only the candidate (doc, query-term) rows — the
-  *    inverted-index probe set, Σ_t df(t) — survive into the df census
-  *    (a query-sized exchange) and the scoring aggregate; the resulting
-  *    ≤|query| (token, df) rows broadcast back onto the same frame. The
-  *    final top-k is `TakeOrderedAndProject` — per-partition heaps, no
-  *    global sort.
+  *  - [[bm25Rank]] runs ZERO corpus-wide exchanges (r9), and since r12
+  *    defaults to the FUSED kernel (the wide-vocabulary A/B winner —
+  *    see the in-method note): the census is a `graft_query_hits`
+  *    matched-slot explode (candidate-sized from the first row) and the
+  *    score ONE `graft_bm25q` codegen projection — no joins at all. The
+  *    join fallback keeps the r9 shape: the broadcast query-term cut
+  *    lands directly on the `graft_tf` explode (the td45 machinery), so
+  *    only the candidate (doc, query-term) rows — the inverted-index
+  *    probe set, Σ_t df(t) — survive into the df census (a query-sized
+  *    exchange) and the scoring aggregate; the resulting ≤|query|
+  *    (token, df) rows broadcast back onto the same frame. Either way
+  *    the final top-k is `TakeOrderedAndProject` — per-partition heaps,
+  *    no global sort.
   *  - BM25 arithmetic is INTEGER-exact, not float: with k1 = 1.2 and
   *    b = 0.75 the score term
   *    `idf · tf(k1+1) / (tf + k1(1 − b + b·dl/avgdl))` clears to the
@@ -106,25 +111,29 @@ object Retrieval {
     val qdist = query.select("token").distinct()
     Ann.requireSmallQuerySet(qdist, "bm25Rank query", Ann.DefaultMaxQueryRows)
     // two plan shapes with byte-identical scores (td49/td53 oracle hashes
-    // hold on either; the A/B dial is GRAFT_BM25_FUSED=1):
-    //  - FUSED (r10 verdict #5): the query set collects (query-sized —
-    //    already the broadcast bound above) and inlines into two codegen
-    //    expressions. Census pass: graft_query_hits emits only the
-    //    MATCHED slots per document, so the explode is candidate-sized
-    //    from the start (the join form generated every distinct token of
-    //    every document and cut afterwards); its counts ARE the df values
-    //    (query-sized driver array). Scoring pass: graft_bm25q computes
-    //    the whole quantized score per document in one projection — no
-    //    per-token rows, no joins, no per-doc re-aggregate.
-    //  - JOIN: the r9 candidate-cut shape below — THE DEFAULT: the r11
-    //    A/B measured the fused form a wash at the factor-30 tier
-    //    (join 2.35-2.43 s vs fused 2.39-2.62 s best-of-5 warm draws;
-    //    both are three tokenize passes over the corpus, and the
-    //    candidate volume the fusion saves is small at fixture
-    //    vocabularies), so the established shape keeps the default per
-    //    the measured-either-way rule (BASELINE r11).
+    // hold on either; the A/B dial is GRAFT_BM25_FUSED=0/1):
+    //  - FUSED — THE DEFAULT since r12: the query set collects
+    //    (query-sized — already the broadcast bound above) and inlines
+    //    into two codegen expressions. Census pass: graft_query_hits
+    //    emits only the MATCHED slots per document, so the explode is
+    //    candidate-sized from the start (the join form generates every
+    //    distinct token of every document and cuts afterwards); its
+    //    counts ARE the df values (query-sized driver array). Scoring
+    //    pass: graft_bm25q computes the whole quantized score per
+    //    document in one projection — no per-token rows, no joins, no
+    //    per-doc re-aggregate. The r11 wash was a narrow-vocabulary
+    //    artifact: the fixture's 31-word universe lets a one-doc query
+    //    cover ~80% of all tokens, so the cut kills almost nothing. The
+    //    r12 same-session A/B (AbBm25Bigram, factor 30) reads unigram
+    //    join 2.69 s vs fused 2.68 s (wash) but bigram — 931 tokens,
+    //    query covering ~6%, the direction every real vocabulary goes —
+    //    join 2.68 s vs fused 2.09 s best-of-5: the fusion's saved
+    //    explode volume GROWS with the vocabulary, which is the 100 TB
+    //    regime (BASELINE r12).
+    //  - JOIN: the r9 candidate-cut shape below — the GRAFT_BM25_FUSED=0
+    //    fallback and A/B baseline, row-identity spec-pinned.
     val useFused = fused.getOrElse(
-      sys.env.get("GRAFT_BM25_FUSED").exists(_ == "1"))
+      sys.env.get("GRAFT_BM25_FUSED").forall(_ != "0"))
     if (useFused) {
       val qTokens = qdist.collect().map(_.getString(0)).sorted
       val qIdx = qTokens.zipWithIndex.toMap

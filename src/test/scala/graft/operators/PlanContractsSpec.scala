@@ -488,17 +488,34 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     assert(df.count() == 20)
   }
 
-  test("bm25Rank: query-sized broadcasts, top-k via TakeOrderedAndProject") {
+  test("bm25Rank: fused default scores as a pure projection (no join); " +
+      "the join fallback broadcasts query-sized sides only; both " +
+      "top-k via TakeOrderedAndProject") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val query = docs.filter(col("doc_id") === 0)
       .select(explode(split(col("text"), " ")).as("token")).distinct()
-    val out = Retrieval.bm25Rank(docs, "doc_id", "text", query, topK = 10)
+    // FUSED (the r12 default — the wide-vocabulary A/B winner): the
+    // whole quantized score is one graft_bm25q projection over the
+    // corpus scan — no joins anywhere, and the top-k cut never
+    // global-sorts
+    val fusedOut = Retrieval.bm25Rank(docs, "doc_id", "text", query,
+      topK = 10, fused = Some(true))
+    val fusedPlan = fusedOut.queryExecution.executedPlan.toString
+    assert(fusedPlan.contains("graft_bm25q"),
+      s"fused scoring expression missing:\n$fusedPlan")
+    assert(!fusedPlan.contains("Join"),
+      s"fused scoring must not join:\n$fusedPlan")
+    assert(fusedPlan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$fusedPlan")
+    assert(fusedOut.count() > 0)
+    // JOIN fallback (GRAFT_BM25_FUSED=0): the query terms and the
+    // query-cut census broadcast back onto the shuffle-free tf frame —
+    // the corpus side must never broadcast and never sort-merge
+    val out = Retrieval.bm25Rank(docs, "doc_id", "text", query, topK = 10,
+      fused = Some(false))
     val plan = out.queryExecution.executedPlan.toString
-    // the query terms and the query-cut census broadcast back onto the
-    // shuffle-free tf frame — the corpus side must never broadcast and
-    // never sort-merge
     assert(plan.contains("BroadcastHashJoin"),
       s"query-sized sides must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
