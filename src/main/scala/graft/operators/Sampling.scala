@@ -338,18 +338,18 @@ object Sampling {
       .withColumn("__h", hashOrder(lit("pack"), col(idCol)))
       .withColumn("__b", substring(col("__h"), 1, bucketChars))
       .localCheckpoint(false)
-    val wOffset = Window.orderBy("__b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withKey
-      .groupBy(col("__b"))
-      .agg(sum(col(tokenCountCol).cast("long")).as("__sub"))
-      .withColumn("__off", coalesce(sum(col("__sub")).over(wOffset), lit(0L)))
-      .select(col("__b").as("__ob"), col("__off"))
+    // the shared core with a CONSTANT key: one global layout, the offset
+    // window runs over the 16^bucketChars-row frame only (r11 verdict #3)
+    val offsets = BucketedOffsets.frame(withKey,
+      keyCol = lit("pack"), bucketCol = col("__b"),
+      cAgg = sum(col(tokenCountCol).cast("long")), extras = Seq.empty,
+      withTotal = false, materialize = false, maxRows = -1L,
+      op = "packSequences", hint = "")
     val wLocal = Window.partitionBy(col("__b"))
       .orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     withKey
-      .join(broadcast(offsets), col("__b") <=> col("__ob"))
+      .join(broadcast(offsets), col("__b") <=> col("__ocb"))
       .withColumn("start_offset",
         col("__off") + coalesce(
           sum(col(tokenCountCol).cast("long")).over(wLocal), lit(0L)))
@@ -400,18 +400,17 @@ object Sampling {
       .withColumn("__h", hashOrder(col(sourceCol), col(idCol)))
       .withColumn("__b", substring(col("__h"), 1, bucketChars))
       .localCheckpoint(false)
-    val wOffset = Window.partitionBy(sourceCol).orderBy("__b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withKey
-      .groupBy(col(sourceCol), col("__b"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOffset), lit(0L)))
-      .select(col(sourceCol).as("__osrc"), col("__b").as("__ob"), col("__off"))
+    // per-source ranks through the shared core (r11 verdict #3)
+    val offsets = BucketedOffsets.frame(withKey,
+      keyCol = col(sourceCol), bucketCol = col("__b"),
+      cAgg = count(lit(1)), extras = Seq.empty,
+      withTotal = false, materialize = false, maxRows = -1L,
+      op = "weightedMix", hint = "")
     val wLocal = Window.partitionBy(col(sourceCol), col("__b"))
       .orderBy(col("__h"), col(idCol))
     withKey
       .join(broadcast(offsets),
-        col(sourceCol) <=> col("__osrc") && col("__b") <=> col("__ob"))
+        col(sourceCol) <=> col("__okey") && col("__b") <=> col("__ocb"))
       .withColumn("__k",
         (col("__off") + row_number().over(wLocal)).cast("double") / weight)
       .orderBy(col("__k"), col("__h"), col(idCol))

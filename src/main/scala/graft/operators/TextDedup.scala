@@ -522,6 +522,50 @@ object TextDedup {
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Leakage-safe train/val/test split (r12): assign each duplicate
+    * CLUSTER — not each document — to a split by the deterministic hash
+    * of its canonical id, so near-duplicates can never straddle the
+    * train/eval boundary. A document-level random split leaks: with a
+    * 10× duplication rate, ~all eval documents have a near-twin in
+    * train and the eval loss measures memorization, not generalization
+    * — the contamination vector [[dupClusters]] exists to close.
+    * Documents in no cluster are their own unit (their id hashes
+    * directly), so the split is defined for the whole corpus.
+    *
+    * The assignment is the [[Sampling.stratified]] 16-bit md5 bucket on
+    * the SPLIT KEY (canonical cluster id): stateless, engine-exact,
+    * mergeable — re-running after new documents arrive never moves an
+    * existing cluster between splits, which is what makes incremental
+    * corpus refreshes eval-stable. Scale shape: one key-join of the
+    * corpus against the data-sized cluster frame (the [[applyDedup]]
+    * economics — AQE broadcasts when the cluster set fits, shuffles
+    * bare ids otherwise) plus a stateless projection; no window, no
+    * sort, no driver state.
+    *
+    * @param clusters (doc_id, cluster_id) as produced by [[dupClusters]]
+    * @return docs' columns + (split_key, split) where split ∈
+    *         {train, val, test}
+    */
+  def clusterSafeSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+      trainPct: Double, valPct: Double): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 1,
+      s"invalid split fractions: train=$trainPct val=$valPct")
+    val trainThr = (trainPct * 65536).toInt
+    val valThr = ((trainPct + valPct) * 65536).toInt
+    docs
+      .join(clusters.select(col("doc_id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("__bkt",
+        conv(substring(md5(concat(lit("split|"),
+          col("split_key").cast("string"))), 1, 4), 16, 10).cast("int"))
+      .withColumn("split",
+        when(col("__bkt") < trainThr, lit("train"))
+          .when(col("__bkt") < valThr, lit("val"))
+          .otherwise(lit("test")))
+      .drop("__bkt", "cluster_id")
+  }
+
   /** The production near-dedup PIPELINE — the composed whole a curation run
     * actually calls: MinHash-LSH candidates → exact Jaccard verification on
     * ONLY the candidate pairs → connected-component clusters → apply.

@@ -353,6 +353,19 @@ object Dedup extends QuerySet {
       "doc_id", "text", blockCol = "source", threshold = 0.3, fast = true)
   }
 
+  /** Leakage-safe train/val/test split (dd54, r12): dd36's duplicate
+    * clusters assign as UNITS — the canonical cluster id hashes to the
+    * split, so near-duplicates never straddle the train/eval boundary;
+    * singletons hash on their own id. 90/5/5 at the q32 16-bit md5
+    * thresholds; the oracle recomputes the clusters with its recursive
+    * CTE and the identical bucket arithmetic, so the hash-match checks
+    * BOTH halves (cluster equality and the stateless assignment).
+    */
+  def dd54(s: SparkSession, dir: String): DataFrame =
+    TextDedup.clusterSafeSplit(
+      Q.t(s, dir, "documents").select("doc_id", "source"),
+      "doc_id", dd36(s, dir), trainPct = 0.9, valPct = 0.05)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
@@ -377,7 +390,8 @@ object Dedup extends QuerySet {
     "dd50_substring_dedup" -> (dd50 _),
     "dd51_semantic_screen_incremental" -> (dd51 _),
     "dd52_bloom_screen" -> (dd52 _),
-    "dd53_containment_pairs" -> (dd53 _))
+    "dd53_containment_pairs" -> (dd53 _),
+    "dd54_cluster_safe_split" -> (dd54 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -693,6 +707,40 @@ object Dedup extends QuerySet {
          | FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id)
          |SELECT doc_a, doc_b, common, containment_a, containment_b FROM sc
          |WHERE greatest(containment_a, containment_b) >= 0.3""".stripMargin,
+    // dd54: dd36's cluster CTE + the q32 md5-bucket arithmetic on the
+    // canonical id (singletons fall back to their own doc_id);
+    // 90/5/5 thresholds floor(p*65536) = 58982 / 62259
+    "dd54_cluster_safe_split" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+         |g AS (SELECT doc_id, $bigramsSql AS bg FROM d),
+         |sigs AS (SELECT doc_id,
+         |  md5(list_min(list_transform(bg, x -> md5('1' || x)))
+         |   || list_min(list_transform(bg, x -> md5('2' || x)))) AS b1,
+         |  md5(list_min(list_transform(bg, x -> md5('3' || x)))
+         |   || list_min(list_transform(bg, x -> md5('4' || x)))) AS b2
+         | FROM g),
+         |p AS (SELECT DISTINCT doc_a, doc_b FROM (
+         | SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM sigs x JOIN sigs y
+         |  ON x.b1 = y.b1 AND x.doc_id < y.doc_id
+         | UNION ALL
+         | SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y
+         |  ON x.b2 = y.b2 AND x.doc_id < y.doc_id)),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |walk(id, label) AS (
+         | SELECT src, src FROM edges
+         | UNION
+         | SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id),
+         |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+         |k AS (SELECT doc.doc_id, doc.source,
+         |  COALESCE(cl.cluster_id, doc.doc_id) AS split_key
+         | FROM documents doc LEFT JOIN cl ON doc.doc_id = cl.doc_id),
+         |b AS (SELECT *, CAST('0x' || substr(md5('split|' ||
+         |  CAST(split_key AS VARCHAR)), 1, 4) AS INTEGER) AS bkt FROM k)
+         |SELECT doc_id, source, split_key,
+         | CASE WHEN bkt < 58982 THEN 'train'
+         |      WHEN bkt < 62259 THEN 'val' ELSE 'test' END AS split
+         |FROM b""".stripMargin,
     "dd51_semantic_screen_incremental" ->
       s"""WITH $ivfAssignCte,
          |r AS (SELECT * FROM a WHERE vec_id % 2 = 0),

@@ -532,4 +532,45 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
       .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("simhash", "sh_b"), "id_b")
     assert(withHashes.filter(col("sh_a") =!= col("sh_b")).count() == 0)
   }
+
+  test("clusterSafeSplit: a cluster never straddles splits, singletons " +
+      "hash on their own id, and the split survives corpus growth") {
+    import spark.implicits._
+    val corpus = (0L to 199L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    // clusters: {0,1,2} -> 0, {10,11} -> 10, everything else singleton
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val out = TextDedup.clusterSafeSplit(corpus, "doc_id", clusters,
+      trainPct = 0.6, valPct = 0.2)
+    assert(out.count() == 200)
+    // every cluster member shares its canonical's split (zero straddle)
+    val perCluster = out.groupBy("split_key")
+      .agg(countDistinct(col("split")).as("nsplits"))
+    assert(perCluster.filter(col("nsplits") > 1).count() == 0,
+      "a cluster straddled the train/eval boundary")
+    assert(out.filter(col("doc_id").isin(0L, 1L, 2L))
+      .select("split").distinct().count() == 1)
+    // all three splits are populated at 60/20/20 over 200 units-ish
+    val bySplit = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), s"got $bySplit")
+    assert(bySplit("train") > bySplit("val") &&
+      bySplit("train") > bySplit("test"), s"got $bySplit")
+    // growth stability: re-running over a BIGGER corpus (new singleton
+    // docs) never moves an existing unit between splits — the property
+    // that keeps eval sets stable across corpus refreshes
+    val grown = (0L to 399L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val out2 = TextDedup.clusterSafeSplit(grown, "doc_id", clusters,
+      trainPct = 0.6, valPct = 0.2)
+    val moved = out.select(col("doc_id"), col("split").as("s1"))
+      .join(out2.select(col("doc_id"), col("split").as("s2")), "doc_id")
+      .filter(col("s1") =!= col("s2"))
+    assert(moved.count() == 0, "existing units moved splits on growth")
+    // fail-loud on nonsense fractions
+    intercept[IllegalArgumentException] {
+      TextDedup.clusterSafeSplit(corpus, "doc_id", clusters, 0.9, 0.2)
+    }
+  }
 }
