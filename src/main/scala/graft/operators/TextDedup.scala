@@ -522,6 +522,52 @@ object TextDedup {
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Eval→train shingle-leakage audit for a split assignment (r12) —
+    * the QA read-out that tells you whether a split actually separates:
+    * for every eval (non-train) document, how many of its distinct
+    * bigram shingles also occur anywhere in the train half, aggregated
+    * to one row: eval doc count, docs whose shingle overlap reaches
+    * `contaminatedAt` (the memorization-risk class — a near-twin in
+    * train), and the corpus-level leak ratio. Run against
+    * [[clusterSafeSplit]] vs a naive doc-hash split it quantifies
+    * exactly what cluster-unit assignment buys.
+    *
+    * Scale shape: the train shingle set is CORPUS-sized, so unlike the
+    * benchmark-contamination screen (whose benchmark side broadcasts)
+    * the eval↔train shingle join is deliberately UNHINTED — AQE
+    * broadcasts only if the train set's runtime size fits, else a
+    * shuffled join on the shingle key; one exchange of bare shingles.
+    * Everything after the per-doc counts is a single aggregate row.
+    */
+  def splitLeakageAudit(split: DataFrame, idCol: String, textCol: String,
+      splitCol: String, contaminatedAt: Double = 0.5): DataFrame = {
+    require(contaminatedAt > 0 && contaminatedAt <= 1,
+      s"contaminatedAt must be in (0, 1], got $contaminatedAt")
+    val trainSh = split.filter(col(splitCol) === "train")
+      .select(explode(bigramShingles(col(textCol))).as("shingle"))
+      .distinct()
+    val evalDocs = split.filter(col(splitCol) =!= "train")
+      .select(col(idCol).as("doc_id"), bigramShingles(col(textCol)).as("__sh"))
+    val shared = evalDocs
+      .select(col("doc_id"), explode(col("__sh")).as("shingle"))
+      .join(trainSh, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    evalDocs.select(col("doc_id"), size(col("__sh")).as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .agg(
+        count(lit(1)).as("n_eval_docs"),
+        sum(when(col("n_shingles") > 0 &&
+            col("n_shared").cast("double") >=
+              lit(contaminatedAt) * col("n_shingles").cast("double"),
+          lit(1L)).otherwise(lit(0L))).as("n_contaminated"),
+        sum(col("n_shared")).as("shared_shingles"),
+        sum(col("n_shingles").cast("long")).as("eval_shingles"))
+      .withColumn("leak_ratio",
+        round(col("shared_shingles").cast("double") /
+          col("eval_shingles").cast("double"), 6))
+  }
+
   /** Leakage-safe train/val/test split (r12): assign each duplicate
     * CLUSTER — not each document — to a split by the deterministic hash
     * of its canonical id, so near-duplicates can never straddle the

@@ -366,6 +366,31 @@ object Dedup extends QuerySet {
       Q.t(s, dir, "documents").select("doc_id", "source"),
       "doc_id", dd36(s, dir), trainPct = 0.9, valPct = 0.05)
 
+  /** Split-leakage audit (dd55, r12): the eval→train shingle-overlap
+    * read-out for dd54's cluster-safe split NEXT TO the naive doc-hash
+    * split (the latter is [[TextDedup.clusterSafeSplit]] against an
+    * EMPTY cluster frame — every document its own unit, same bucket
+    * arithmetic), one row per strategy. The cluster-safe row's
+    * memorization-risk count (eval docs ≥50% covered by train shingles)
+    * is what cluster-unit assignment buys; the oracle recomputes both
+    * strategies end-to-end, clusters included.
+    */
+  def dd55(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Q.t(s, dir, "documents").select("doc_id", "text")
+    val noClusters = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    def audit(clusters: DataFrame, label: String): DataFrame =
+      TextDedup.splitLeakageAudit(
+        TextDedup.clusterSafeSplit(docs, "doc_id", clusters,
+          trainPct = 0.9, valPct = 0.05),
+        "doc_id", "text", "split")
+        .withColumn("strategy", lit(label))
+    audit(dd36(s, dir), "cluster_safe")
+      .unionByName(audit(noClusters, "doc_hash"))
+      .select(col("strategy"), col("n_eval_docs"), col("n_contaminated"),
+        col("shared_shingles"), col("eval_shingles"), col("leak_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
@@ -391,7 +416,8 @@ object Dedup extends QuerySet {
     "dd51_semantic_screen_incremental" -> (dd51 _),
     "dd52_bloom_screen" -> (dd52 _),
     "dd53_containment_pairs" -> (dd53 _),
-    "dd54_cluster_safe_split" -> (dd54 _))
+    "dd54_cluster_safe_split" -> (dd54 _),
+    "dd55_split_leakage_audit" -> (dd55 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -741,6 +767,66 @@ object Dedup extends QuerySet {
          | CASE WHEN bkt < 58982 THEN 'train'
          |      WHEN bkt < 62259 THEN 'val' ELSE 'test' END AS split
          |FROM b""".stripMargin,
+    // dd55: both strategies recomputed end-to-end — dd54's cluster CTE
+    // feeds the cluster_safe split keys, doc_hash keys are the ids; the
+    // shingle frames reuse g's distinct bigrams
+    "dd55_split_leakage_audit" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+         |g AS (SELECT doc_id, $bigramsSql AS bg FROM d),
+         |sigs AS (SELECT doc_id,
+         |  md5(list_min(list_transform(bg, x -> md5('1' || x)))
+         |   || list_min(list_transform(bg, x -> md5('2' || x)))) AS b1,
+         |  md5(list_min(list_transform(bg, x -> md5('3' || x)))
+         |   || list_min(list_transform(bg, x -> md5('4' || x)))) AS b2
+         | FROM g),
+         |p AS (SELECT DISTINCT doc_a, doc_b FROM (
+         | SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM sigs x JOIN sigs y
+         |  ON x.b1 = y.b1 AND x.doc_id < y.doc_id
+         | UNION ALL
+         | SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y
+         |  ON x.b2 = y.b2 AND x.doc_id < y.doc_id)),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |walk(id, label) AS (
+         | SELECT src, src FROM edges
+         | UNION
+         | SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id),
+         |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+         |keys AS (
+         | SELECT 'cluster_safe' AS strategy, doc.doc_id,
+         |  COALESCE(cl.cluster_id, doc.doc_id) AS split_key
+         | FROM documents doc LEFT JOIN cl ON doc.doc_id = cl.doc_id
+         | UNION ALL
+         | SELECT 'doc_hash', doc_id, doc_id FROM documents),
+         |sp2 AS (SELECT strategy, doc_id,
+         |  CASE WHEN CAST('0x' || substr(md5('split|' ||
+         |    CAST(split_key AS VARCHAR)), 1, 4) AS INTEGER) < 58982
+         |   THEN 'train' ELSE 'eval' END AS half FROM keys),
+         |train_sh AS (SELECT DISTINCT s.strategy, u.shingle
+         | FROM sp2 s JOIN g USING (doc_id), unnest(g.bg) AS u(shingle)
+         | WHERE s.half = 'train'),
+         |ev AS (SELECT s.strategy, s.doc_id, len(g.bg) AS n_shingles
+         | FROM sp2 s JOIN g USING (doc_id) WHERE s.half <> 'train'),
+         |ev_sh AS (SELECT s.strategy, s.doc_id, u.shingle
+         | FROM sp2 s JOIN g USING (doc_id), unnest(g.bg) AS u(shingle)
+         | WHERE s.half <> 'train'),
+         |shared AS (SELECT e.strategy, e.doc_id, count(*) AS n_shared
+         | FROM ev_sh e JOIN train_sh t
+         |  ON e.strategy = t.strategy AND e.shingle = t.shingle
+         | GROUP BY 1, 2),
+         |per AS (SELECT ev.strategy, ev.doc_id, ev.n_shingles,
+         |  COALESCE(s.n_shared, 0) AS n_shared
+         | FROM ev LEFT JOIN shared s
+         |  ON ev.strategy = s.strategy AND ev.doc_id = s.doc_id)
+         |SELECT strategy, CAST(count(*) AS BIGINT) AS n_eval_docs,
+         | CAST(SUM(CASE WHEN n_shingles > 0
+         |   AND n_shared >= 0.5 * n_shingles THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_contaminated,
+         | CAST(SUM(n_shared) AS BIGINT) AS shared_shingles,
+         | CAST(SUM(n_shingles) AS BIGINT) AS eval_shingles,
+         | round(CAST(SUM(n_shared) AS DOUBLE) / SUM(n_shingles), 6)
+         |  AS leak_ratio
+         |FROM per GROUP BY 1""".stripMargin,
     "dd51_semantic_screen_incremental" ->
       s"""WITH $ivfAssignCte,
          |r AS (SELECT * FROM a WHERE vec_id % 2 = 0),

@@ -573,4 +573,42 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
       TextDedup.clusterSafeSplit(corpus, "doc_id", clusters, 0.9, 0.2)
     }
   }
+
+  test("splitLeakageAudit: a near-twin straddling the boundary is the " +
+      "memorization-risk class; twins kept together audit clean") {
+    import spark.implicits._
+    // docs 0/1 are near-twins (share almost all bigrams); 2 and 3 are
+    // unrelated. Hand-assigned splits isolate the audit's semantics from
+    // hash luck: split A keeps the twins together in train, split B
+    // straddles them across the boundary.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (2L, "one two three four five six"),
+      (3L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    def withSplit(train: Set[Long]) = docs.withColumn("split",
+      when(col("doc_id").isin(train.toSeq: _*), "train").otherwise("test"))
+    // twins together in train; eval = {2, 3}, zero shared shingles
+    val together = TextDedup.splitLeakageAudit(
+      withSplit(Set(0L, 1L)), "doc_id", "text", "split").head
+    assert(together.getAs[Long]("n_eval_docs") == 2 &&
+      together.getAs[Long]("n_contaminated") == 0 &&
+      together.getAs[Long]("shared_shingles") == 0,
+      s"clean split must audit clean: $together")
+    // twin 1 in eval while twin 0 trains: 6 of its 7 bigrams leak -> the
+    // >= 50% contaminated class catches exactly it
+    val straddle = TextDedup.splitLeakageAudit(
+      withSplit(Set(0L, 2L)), "doc_id", "text", "split").head
+    assert(straddle.getAs[Long]("n_eval_docs") == 2 &&
+      straddle.getAs[Long]("n_contaminated") == 1 &&
+      straddle.getAs[Long]("shared_shingles") == 6,
+      s"straddling twin must be flagged: $straddle")
+    // the threshold dial: at contaminatedAt = 1.0 the 6/7 twin is below
+    // the bar
+    val strict = TextDedup.splitLeakageAudit(
+      withSplit(Set(0L, 2L)), "doc_id", "text", "split",
+      contaminatedAt = 1.0).head
+    assert(strict.getAs[Long]("n_contaminated") == 0, s"got $strict")
+  }
 }
