@@ -114,7 +114,15 @@ object BenchHeavy {
     "mm53_h264_nal_walk",
     // r11 late: the vocabulary-sizing coverage curve — one corpus word
     // census, then occupancy arithmetic on the count-of-counts frame
-    "td59_vocab_coverage")
+    "td59_vocab_coverage",
+    // r12: sequence packing — the global-layout two-pass prefix sum over
+    // every replicated document (the q33 machinery at corpus-global key)
+    "q36_pack_sequences",
+    // r12: the split-leakage audit — dd36's clusters + the cluster-unit
+    // split + two corpus-shingle joins per strategy (eval vs train);
+    // oracle-excluded like dd36/dd45 (the recursive-CTE closure is
+    // infeasible at the 10x tier, which is itself the scale point)
+    "dd55_split_leakage_audit")
   // lineitem is replicated into the heavy dir (v4) for the Decimal-sum
   // class evidence recorded in BASELINE.md (q01 cents-long vs Decimal at
   // 6M rows, 2 MB grain: 0.78-0.80 s vs 1.07-1.20 s) and for scaling-curve
@@ -124,7 +132,8 @@ object BenchHeavy {
   // and the tier exists to measure plan shape.
   // dd45 composes the same recursive-CTE closure as dd36 — both oracles
   // are infeasible at the 10x tier (which is itself the scale point)
-  private val oracleExcluded = Set("dd36_dup_clusters", "dd45_neardedup_pipeline")
+  private val oracleExcluded = Set("dd36_dup_clusters",
+    "dd45_neardedup_pipeline", "dd55_split_leakage_audit")
 
   /** Replicate a table `factor`x with offset ids, written as ONE parquet
     * file so the DuckDB sidecar's `FROM 'path.parquet'` view works — but
