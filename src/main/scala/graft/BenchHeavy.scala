@@ -221,7 +221,15 @@ object BenchHeavy {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
-    // heavier distributed-parse throughput point: 4x the standard bench corpus
+    // heavier distributed-parse throughput point: 4x the standard bench
+    // corpus. Measured on a CLEAN cache (r12): 42 tier entries leave
+    // persisted edge frames and localCheckpoint blocks behind, and the
+    // parse's wholetext read competes with that leftover storage for
+    // executor memory — the r12 draws read the same parse at half the
+    // bench_local rate until the eviction pressure was removed; the
+    // throughput point exists to measure the parse, not the tier's
+    // residue
+    spark.catalog.clearCache()
     val txPerSec = BenchHarness.txParseThroughput(spark,
       s"${System.getProperty("java.io.tmpdir")}/graft_x12_heavy_corpus",
       nFiles = 2400, seed = 7L)
