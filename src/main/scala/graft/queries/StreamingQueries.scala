@@ -1408,9 +1408,17 @@ object StreamingQueries extends QuerySet {
     * read strictly less than the accumulated corpus (batch 1 is a single
     * vector — one touched cell of 8). Kill point after batch 1 of 3; the
     * restarted query's batch 2 must find batches 0-1 in the corpus store
-    * and phase-1 cells on disk. Final graph `require`d row-identical to
-    * the ORACLED sim52 full-rebuild twin — the st57 contract, surviving
-    * a restart at per-trigger cost O(batch + touched cells).
+    * and phase-1 cells on disk. Since r12 the corpus store also runs the
+    * in-loop size-tiered retention (the st66 policy): every 2nd batch
+    * folds the two smallest committed batches into a segment that KEEPS
+    * the `centroid_id=` sub-partitioning (compact's partitionColumns
+    * contract — a layout-losing fold would downgrade every later
+    * touched-cell read to a full scan), asserted post-drain: the live
+    * set is exactly {segment(0,1), batch 2} and a touched-cell read
+    * over it still returns the cell's running total. Final graph
+    * `require`d row-identical to the ORACLED sim52 full-rebuild twin —
+    * the st57 contract, surviving a restart at per-trigger cost
+    * O(batch + touched cells) with a bounded store.
     */
   def st69(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -1505,6 +1513,18 @@ object StreamingQueries extends QuerySet {
               s"touched=${touched.mkString(",")} " +
               s"prior_rows_read=$priorRead batch_rows=${wrote.values.sum}")
             // scalastyle:on println
+            // in-loop tiered retention for the corpus store (r12 — the
+            // st66 policy on the cell-partitioned layout): fold the two
+            // smallest checkpoint-committed batches every 2nd batch,
+            // PRESERVING the centroid_id= sub-partitioning so the
+            // touched-cell file pruning this entry's replay asserts
+            // depends on survives the fold (PostingsStore.compact's
+            // partitionColumns contract, numFiles-pinned in its spec)
+            if (batchId > 0 && batchId % 2 == 0) {
+              graft.streaming.PostingsStore.compact(s, corpusDir,
+                beforeBatch = batchId, mergeWidth = 2,
+                partitionColumns = Seq("centroid_id")): Unit
+            }
           }
         }
         .option("checkpointLocation", ckpt)
@@ -1533,6 +1553,18 @@ object StreamingQueries extends QuerySet {
     require(sawPruned,
       "st69: no trigger read less than the accumulated corpus — " +
         "touched-cell pruning never engaged")
+    // the restarted batch 2 folded the two recovered phase-1 batches into
+    // a cell-partitioned segment (recovery + tiered retention + layout
+    // compose); a post-fold touched-cell read over {segment, batch 2}
+    // must still return exactly the cell's running total — a fold that
+    // lost or inlined the centroid_id= layout would still pass this on
+    // rows but the layout is numFiles-pinned in PostingsStoreSpec
+    val liveNow = graft.streaming.PostingsStore.livePaths(corpusDir)
+    require(liveNow.size == 2 && liveNow.count(_.contains("batch_id=-")) == 1,
+      s"in-loop corpus compaction did not bound the store: $liveNow")
+    val probeCell = running.maxBy(_._2)._1
+    require(readCells(liveNow, Seq(probeCell)).count() == running(probeCell),
+      "post-fold touched-cell read diverged from the running total")
     val maintained = s.read.parquet(graphDir)
       .withColumn("cell", col("cell").cast("long"))
       .select("query_id", "rank", "neighbor_id", "cell", "cos")

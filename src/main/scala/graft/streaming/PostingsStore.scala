@@ -180,10 +180,24 @@ object PostingsStore {
     * simply not consumed — it is absent from the snapshot, so absent
     * from the manifest, and stays live next to the segment
     * (PostingsStoreSpec cuts this interleaving open).
+    *
+    * `partitionColumns` (r12) must name the SAME sub-partitioning the
+    * writers used, when they used one: the fold re-reads the sources
+    * with the store root as base path (sibling `batch_id=` roots are
+    * otherwise rejected as conflicting partition roots) and re-writes
+    * the segment `partitionBy` those columns, so the file-level pruning
+    * contract — a touched-cell read lists only touched directories —
+    * survives compaction (st69's corpus store folds without losing its
+    * `centroid_id=` layout; spec-pinned via the scan's numFiles metric
+    * across a mixed segment+batch live set). Folding a sub-partitioned
+    * store WITHOUT naming the columns would inline them into the
+    * segment's rows and silently downgrade every later touched-cell
+    * read to a full scan.
     */
   def compact(s: SparkSession, root: String,
       beforeBatch: Long = Long.MaxValue,
       mergeWidth: Int = 0,
+      partitionColumns: Seq[String] = Seq.empty,
       betweenSnapshotAndCommit: () => Unit = () => ()): Option[Compaction] = {
     require(mergeWidth == 0 || mergeWidth >= 2,
       s"mergeWidth must be 0 (full fold) or >= 2 (tiered), got $mergeWidth")
@@ -197,8 +211,13 @@ object PostingsStore {
       else sized.sortBy { case (p, b) => (b, p) }.take(mergeWidth)
     val nextId = -(partDirs(root).map(p => math.abs(partId(p))).max + 1)
     val seg = Paths.get(s"$root/batch_id=$nextId")
-    s.read.parquet(fold.map(_._1): _*)
-      .write.mode("overwrite").parquet(seg.toString)
+    val folded =
+      if (partitionColumns.isEmpty) s.read.parquet(fold.map(_._1): _*)
+      else s.read.option("basePath", root).parquet(fold.map(_._1): _*)
+        .drop("batch_id")
+    val w = folded.write.mode("overwrite")
+    (if (partitionColumns.isEmpty) w else w.partitionBy(partitionColumns: _*))
+      .parquet(seg.toString)
     // the manifest is the COMMIT: until it lands the segment is invisible
     Files.write(seg.resolve(Sources),
       fold.map { case (p, _) => Paths.get(p).getFileName.toString }

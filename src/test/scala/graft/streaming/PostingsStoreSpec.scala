@@ -63,6 +63,37 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestBase {
       assert(scanned.nonEmpty && scanned.sum == touchedFiles,
         s"scan read ${scanned.sum} files; the touched cells hold " +
           s"$touchedFiles of $totalFiles")
+
+      // a tiered fold with partitionColumns PRESERVES the layout (r12):
+      // add a third batch, fold the two smallest keeping cell_id=, and
+      // the touched-cell read over {segment, remaining batch} must still
+      // prune at the FILE level — a layout-losing fold would read every
+      // file of the segment
+      PostingsStore.write(
+        (0 until 20).map(i => ((300 + i).toLong, (i % 4).toLong, i.toDouble))
+          .toDF("vec_id", "cell_id", "x"),
+        root, 2L, partitionColumns = Seq("cell_id"))
+      val ev = PostingsStore.compact(spark, root, mergeWidth = 2,
+        partitionColumns = Seq("cell_id"))
+        .getOrElse(fail("3 live partitions at width 2 must fold"))
+      assert(ev.folded.size == 2)
+      val live = PostingsStore.livePaths(root)
+      assert(live.size == 2 && live.count(_.contains("batch_id=-")) == 1)
+      val segTouched = diskFiles(p =>
+        p.contains("cell_id=1/") || p.contains("cell_id=3/"))
+      val segTotal = diskFiles(_ => true)
+      assert(segTouched < segTotal, "the fold must keep cell_id= dirs")
+      val read2 = spark.read.option("basePath", root).parquet(live: _*)
+        .withColumn("cell_id", col("cell_id").cast("long"))
+        .filter(col("cell_id").isin(1L, 3L))
+      // collect through read2's OWN query execution so its scan metrics
+      // populate (count() would plan a separate execution)
+      assert(read2.collect().length == 50) // 2x20 original + 10 of batch 2
+      val scanned2 = read2.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }
+      assert(scanned2.nonEmpty && scanned2.sum == segTouched,
+        s"post-fold scan read ${scanned2.sum} files; the touched cells " +
+          s"hold $segTouched of $segTotal")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
