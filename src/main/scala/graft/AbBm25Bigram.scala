@@ -30,6 +30,9 @@ object AbBm25Bigram {
     // "bigram" (default) or "unigram" — the latter reproduces the r11
     // fixture-vocabulary wash on the SAME machine-day for an honest pair
     val mode = sys.env.getOrElse("SPARK_GRAFT_AB_TOKENS", "bigram")
+    require(mode == "bigram" || mode == "unigram",
+      s"SPARK_GRAFT_AB_TOKENS must be bigram or unigram, got '$mode' — " +
+        "a typo'd mode would record a mislabeled measurement")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

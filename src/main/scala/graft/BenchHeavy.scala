@@ -229,7 +229,12 @@ object BenchHeavy {
     // bench_local rate until the eviction pressure was removed; the
     // throughput point exists to measure the parse, not the tier's
     // residue
+    // clearCache drops catalog-registered cached relations only; the
+    // tier's localCheckpoint blocks live as persisted RDDs outside the
+    // catalog and are otherwise freed only when the ContextCleaner GCs
+    // them — unpersist those explicitly too
     spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val txPerSec = BenchHarness.txParseThroughput(spark,
       s"${System.getProperty("java.io.tmpdir")}/graft_x12_heavy_corpus",
       nFiles = 2400, seed = 7L)

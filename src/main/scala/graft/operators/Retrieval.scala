@@ -133,7 +133,14 @@ object Retrieval {
     //  - JOIN: the r9 candidate-cut shape below — the GRAFT_BM25_FUSED=0
     //    fallback and A/B baseline, row-identity spec-pinned.
     val useFused = fused.getOrElse(
-      sys.env.get("GRAFT_BM25_FUSED").forall(_ != "0"))
+      sys.env.get("GRAFT_BM25_FUSED") match {
+        case None | Some("1") => true
+        case Some("0") => false
+        // fail loud: a typo'd dial ("false", "") silently selecting the
+        // fused kernel would corrupt an A/B's join arm
+        case Some(other) => throw new IllegalArgumentException(
+          s"GRAFT_BM25_FUSED must be 0 or 1, got '$other'")
+      })
     if (useFused) {
       val qTokens = qdist.collect().map(_.getString(0)).sorted
       val qIdx = qTokens.zipWithIndex.toMap

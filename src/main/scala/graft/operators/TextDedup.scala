@@ -538,6 +538,19 @@ object TextDedup {
     * broadcasts only if the train set's runtime size fits, else a
     * shuffled join on the shingle key; one exchange of bare shingles.
     * Everything after the per-doc counts is a single aggregate row.
+    * The shingled frame is deliberately NOT materialized even though
+    * three consumers re-tokenize (the bm25Rank candidate-frame
+    * decision): the shingle arrays are corpus-sized, so storing them
+    * trades three cheap codegen map passes for a corpus-scale resident
+    * intermediate — at 100 TB re-scanning keeps memory flat.
+    *
+    * Every row is audited on exactly one side: a NULL split value — a
+    * partial assignment joined in, corrupt input — is NEVER train and
+    * counts as eval (the null-safe `<=>` arm; a null-rejecting `=!=`
+    * would silently drop such rows from BOTH sides and a leaky split
+    * could audit clean). Conservative by construction: an unassigned
+    * document cannot leak INTO train, and it stays in the audited
+    * denominator.
     */
   def splitLeakageAudit(split: DataFrame, idCol: String, textCol: String,
       splitCol: String, contaminatedAt: Double = 0.5): DataFrame = {
@@ -546,7 +559,7 @@ object TextDedup {
     val trainSh = split.filter(col(splitCol) === "train")
       .select(explode(bigramShingles(col(textCol))).as("shingle"))
       .distinct()
-    val evalDocs = split.filter(col(splitCol) =!= "train")
+    val evalDocs = split.filter(!(col(splitCol) <=> "train"))
       .select(col(idCol).as("doc_id"), bigramShingles(col(textCol)).as("__sh"))
     val shared = evalDocs
       .select(col("doc_id"), explode(col("__sh")).as("shingle"))

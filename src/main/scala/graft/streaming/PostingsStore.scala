@@ -74,9 +74,11 @@ object PostingsStore {
   }
 
   /** Parquet bytes under a partition dir (recursive — sub-partitioned
-    * `cell=` layouts count their leaves). The compaction cost unit.
+    * `cell=` layouts count their leaves). The compaction cost unit;
+    * package-visible so the spec's byte accounting asserts against the
+    * REAL cost unit instead of a drifting copy.
     */
-  private def dirBytes(p: Path): Long = {
+  private[streaming] def dirBytes(p: Path): Long = {
     val st = Files.walk(p)
     try st.toArray.map(_.asInstanceOf[Path])
       .filter(f => Files.isRegularFile(f) &&
@@ -254,7 +256,17 @@ object PostingsStore {
       .foreach { p =>
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
+          // fail LOUD on a deletion that did not take (straggler handle,
+          // foreign file, races): silently proceeding past a surviving
+          // consumed source to delete the segment whose manifest was its
+          // only exclusion record would resurrect the source on the next
+          // read and double-count — the exact hazard the topological
+          // order exists to prevent. gc is idempotent, so the caller
+          // simply re-runs after the transient clears.
+          if (!f.delete() && f.exists())
+            throw new IllegalStateException(
+              s"PostingsStore.gc: could not delete $f; aborting before " +
+                "any later deletion can orphan its exclusion record")
         }
         rm(p.toFile)
         afterDelete(p.getFileName.toString)

@@ -610,5 +610,18 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
       withSplit(Set(0L, 2L)), "doc_id", "text", "split",
       contaminatedAt = 1.0).head
     assert(strict.getAs[Long]("n_contaminated") == 0, s"got $strict")
+    // a NULL split value (corrupt/partial assignment) is audited as
+    // EVAL, never dropped — a null-rejecting filter would exclude the
+    // straddling twin from both sides and the leaky split would audit
+    // clean
+    val withNull = docs.withColumn("split",
+      when(col("doc_id") === 0L, "train")
+        .when(col("doc_id") === 2L, "train")
+        .otherwise(lit(null).cast("string")))
+    val nullAudit = TextDedup.splitLeakageAudit(
+      withNull, "doc_id", "text", "split").head
+    assert(nullAudit.getAs[Long]("n_eval_docs") == 2 &&
+      nullAudit.getAs[Long]("n_contaminated") == 1,
+      s"null-split docs must be audited as eval: $nullAudit")
   }
 }

@@ -203,14 +203,9 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestBase {
 
   // --- size-tiered compaction (r11 verdict #1) --------------------------
 
-  private def dirBytes(path: String): Long = {
-    val st = Files.walk(Paths.get(path))
-    try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .map(Files.size).sum
-    finally st.close()
-  }
+  // the REAL compaction cost unit, not a drifting copy
+  private def dirBytes(path: String): Long =
+    PostingsStore.dirBytes(Paths.get(path))
 
   test("tiered compact folds exactly the mergeWidth SMALLEST live " +
       "partitions; no-op below the width") {
