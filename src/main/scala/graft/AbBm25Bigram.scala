@@ -24,15 +24,8 @@ import org.apache.spark.sql.functions._
   */
 object AbBm25Bigram {
 
-  def main(args: Array[String]): Unit = {
-    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_HEAVY_FACTOR", "30").toInt
-    // "bigram" (default) or "unigram" — the latter reproduces the r11
-    // fixture-vocabulary wash on the SAME machine-day for an honest pair
-    val mode = sys.env.getOrElse("SPARK_GRAFT_AB_TOKENS", "bigram")
-    require(mode == "bigram" || mode == "unigram",
-      s"SPARK_GRAFT_AB_TOKENS must be bigram or unigram, got '$mode' — " +
-        "a typo'd mode would record a mislabeled measurement")
+  /** Shared A/B session builder (AbBm25Bigram + AbBm25Multi). */
+  private[graft] def abSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,9 +34,22 @@ object AbBm25Bigram {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    // bigram corpus, replicated and materialized once (BenchHeavy's
-    // splittable single-file layout so the scan parallelizes)
+  /** The wide-vocabulary corpus, replicated and materialized once
+    * (BenchHeavy's splittable single-file layout so the scan
+    * parallelizes); `mode` is "bigram" (each text rewritten as its
+    * space-joined adjacent-word bigrams — ~30× the unigram vocabulary)
+    * or "unigram" (the raw fixture text). Returns the corpus parquet
+    * path; reused manifest-stamped across runs and across the two A/B
+    * mains.
+    */
+  private[graft] def ensureCorpus(spark: SparkSession, base: String,
+      factor: Int, mode: String): String = {
+    require(mode == "bigram" || mode == "unigram",
+      s"token mode must be bigram or unigram, got '$mode' — " +
+        "a typo'd mode would record a mislabeled measurement")
     val root = Paths.get(
       s"${System.getProperty("java.io.tmpdir")}/graft_${mode}_heavy")
     Files.createDirectories(root)
@@ -72,7 +78,17 @@ object AbBm25Bigram {
       BenchHeavy.replicate(spark, basePath.toString, corpus, "doc_id", factor)
       Files.writeString(manifest, stamp)
     }
-    val docs = spark.read.parquet(corpus.toString)
+    corpus.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_HEAVY_FACTOR", "30").toInt
+    // "bigram" (default) or "unigram" — the latter reproduces the r11
+    // fixture-vocabulary wash on the SAME machine-day for an honest pair
+    val mode = sys.env.getOrElse("SPARK_GRAFT_AB_TOKENS", "bigram")
+    val spark = abSession()
+    val docs = spark.read.parquet(ensureCorpus(spark, base, factor, mode))
     val query = docs.filter(col("doc_id") === 0)
       .select(explode(split(col("text"), " ")).as("token")).distinct()
       .filter(length(col("token")) > 0)

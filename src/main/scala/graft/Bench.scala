@@ -65,9 +65,12 @@ object Bench {
       s"${System.getProperty("java.io.tmpdir")}/graft_x12_bench_corpus",
       nFiles = 600, seed = 7L)
     // BASELINE.md 2x gate, MEASURED: time each DuckDB oracle over the same
-    // tables and report spark/duck ratios (see BenchHarness).
+    // tables and report spark/duck ratios (see BenchHarness). 30 minutes,
+    // matching BenchHeavy: the 10-minute budget silently lost BENCH_r12's
+    // oracle — the dd54/dd55 recursive-CTE oracles each pay ~50-60 s at
+    // sf0.1 and DuckDB itself ran 2-3x slow that day (r12 verdict #2).
     val oracleJson = BenchHarness.runOracleSidecar(sfDir, oracleSql, qs,
-      timeoutMinutes = 10)
+      timeoutMinutes = 30)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"x12_parse_tx_per_sec":$txPerSec,"oracle":$oracleJson,"sf":"$sfDir"}""")
     spark.stop()
   }

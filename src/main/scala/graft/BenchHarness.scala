@@ -35,8 +35,13 @@ object BenchHarness {
 
   /** Time each DuckDB oracle over the same tables via the python sidecar
     * (driver-side tooling, not a library dependency). Returns the sidecar's
-    * JSON object, or "null" on any failure/timeout — a bench line never
-    * fails because python/duckdb are absent.
+    * JSON object; on failure a DISTINGUISHABLE JSON string — a bench line
+    * never fails because python/duckdb are absent, but a missing gate must
+    * be loud in the artifact (r12 verdict finding #2: BENCH_r12 ended
+    * `"oracle": null` on a sidecar timeout and the 2x gate became
+    * unreadable from the driver's own artifact). `"oracle_timeout"` =
+    * the child outlived timeoutMinutes; `"oracle_error"` = it exited
+    * non-zero, emitted non-JSON, or could not be launched at all.
     */
   def runOracleSidecar(tablesDir: String, oracleSql: Map[String, String],
       sparkTimingsJson: String, timeoutMinutes: Long): String = try {
@@ -60,13 +65,13 @@ object BenchHarness {
     reader.setDaemon(true)
     reader.start()
     val done = proc.waitFor(timeoutMinutes, java.util.concurrent.TimeUnit.MINUTES)
-    if (!done) { proc.destroyForcibly(); "null" }
+    if (!done) { proc.destroyForcibly(); "\"oracle_timeout\"" }
     else {
       reader.join(10000)
       val out = outBuf.get()
-      if (proc.exitValue() == 0 && out.startsWith("{")) out else "null"
+      if (proc.exitValue() == 0 && out.startsWith("{")) out else "\"oracle_error\""
     }
-  } catch { case _: Throwable => "null" }
+  } catch { case _: Throwable => "\"oracle_error\"" }
 
   /** X12 distributed-parse throughput (transactions/sec) over a generated
     * corpus of `nFiles` — the comparison point for the reference's

@@ -122,7 +122,15 @@ object BenchHeavy {
     // split + two corpus-shingle joins per strategy (eval vs train);
     // oracle-excluded like dd36/dd45 (the recursive-CTE closure is
     // infeasible at the 10x tier, which is itself the scale point)
-    "dd55_split_leakage_audit")
+    "dd55_split_leakage_audit",
+    // r13 (r12 verdict #4/#5): dd56 isolates the split+audit term over
+    // PREBUILT clusters (run1 pays the dd36 build into the manifest-
+    // stamped store; warm best-of measures the production shape —
+    // oracle-excluded, its oracle recomputes the recursive CTE); dd57's
+    // synthesized wide-vocabulary twin corpus has an ANALYTIC cluster
+    // frame, so it stays fully oracled even here
+    "dd56_split_audit_prebuilt",
+    "dd57_split_divergence")
   // lineitem is replicated into the heavy dir (v4) for the Decimal-sum
   // class evidence recorded in BASELINE.md (q01 cents-long vs Decimal at
   // 6M rows, 2 MB grain: 0.78-0.80 s vs 1.07-1.20 s) and for scaling-curve
@@ -133,7 +141,8 @@ object BenchHeavy {
   // dd45 composes the same recursive-CTE closure as dd36 — both oracles
   // are infeasible at the 10x tier (which is itself the scale point)
   private val oracleExcluded = Set("dd36_dup_clusters",
-    "dd45_neardedup_pipeline", "dd55_split_leakage_audit")
+    "dd45_neardedup_pipeline", "dd55_split_leakage_audit",
+    "dd56_split_audit_prebuilt")
 
   /** Replicate a table `factor`x with offset ids, written as ONE parquet
     * file so the DuckDB sidecar's `FROM 'path.parquet'` view works — but

@@ -263,7 +263,8 @@ object Retrieval {
     */
   def bm25RankQueries(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, topK: Int,
-      quantScale: Long = 1024L): DataFrame = {
+      quantScale: Long = 1024L,
+      fused: Option[Boolean] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val F = graft.functions.GraftFunctions
     val toks = split(col(textCol), " ")
@@ -278,32 +279,82 @@ object Retrieval {
     val qTerms = queries.select(col("query_id"), col("token")).distinct()
     Ann.requireSmallQuerySet(qTerms, "bm25RankQueries query set",
       Ann.DefaultMaxQueryRows)
-    // the bm25Rank candidate-cut shape (see its comment): the broadcast
-    // token-set cut rides the explode into both consumers, and the
-    // census carries df for every term ANY query uses before fanning
-    // out per query_id
-    val qtf = docs.select(col(idCol).as("doc_id"),
-        explode(F.termFreq(toks)).as("t"))
-      .select(col("doc_id"), col("t.token").as("token"),
-        col("t.tf").as("tf"), col("t.n_terms").as("dl"))
-      .join(broadcast(qTerms.select("token").distinct()), Seq("token"))
-    val census = qtf.groupBy("token").agg(count(lit(1)).as("df"))
-      .join(broadcast(qTerms), Seq("token"))
-    val q = quantScale
-    val scored = qtf.join(broadcast(census), Seq("token"))
-      .withColumn("tfq",
-        expr(s"(22L * ${totTok}L * tf * ${q}L) DIV " +
-          s"(10L * ${totTok}L * tf + 3L * ${totTok}L + 9L * ${nDocs}L * dl)"))
-      .withColumn("idfq",
-        expr(s"((2L * ${nDocs}L - 2L * df + 1L) * ${q}L) DIV (2L * df + 1L)"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("tfq") * col("idfq")).as("bm25q"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("bm25q").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("bm25q"))
+    // two plan shapes with byte-identical output (the bm25Rank A/B
+    // discipline, extended to the multi-query kernel — r12 verdict #6;
+    // dial GRAFT_BM25_MULTI_FUSED=0/1, measured by graft.AbBm25Multi):
+    //  - FUSED: ONE graft_query_hits census pass over the UNION token
+    //    set (df is per-token, query-independent, so every query shares
+    //    it), then per query one graft_bm25q projection + its own
+    //    TakeOrderedAndProject — Q corpus map passes, zero joins, no
+    //    partitionBy window.
+    //  - JOIN: one termFreq explode cut to the union token set feeding
+    //    a shared census, then the per-(query, doc) aggregate and a
+    //    query-partitioned rank window — one corpus pass regardless of
+    //    Q, at the cost of explode volume and two shuffles.
+    val useFused = fused.getOrElse(
+      sys.env.get("GRAFT_BM25_MULTI_FUSED") match {
+        case None | Some("0") => false
+        case Some("1") => true
+        case Some(other) => throw new IllegalArgumentException(
+          s"GRAFT_BM25_MULTI_FUSED must be 0 or 1, got '$other'")
+      })
+    if (useFused) {
+      // the query table collects ONCE — query-sized, already inside the
+      // broadcast bound checked above
+      val qRows = qTerms.collect()
+        .map(r => (r.get(0), r.getString(1)))
+      val unionTokens = qRows.map(_._2).distinct.sorted
+      val qIdx = unionTokens.zipWithIndex.toMap
+      val dfRows = docs.select(F.queryHits(toks, qIdx).as("__h"))
+        .filter(col("__h").isNotNull)
+        .select(explode(col("__h")).as("__i"))
+        .groupBy("__i").agg(count(lit(1)).as("df"))
+        .collect()
+      val dfArr = new Array[Long](unionTokens.length)
+      dfRows.foreach(r => dfArr(r.getInt(0)) = r.getLong(1))
+      qRows.groupBy(_._1).toSeq.sortBy(_._1.toString)
+        .map { case (qid, rows) =>
+          val qTok = rows.map(_._2).distinct.sorted
+          val qIdxQ = qTok.zipWithIndex.toMap
+          val dfQ = qTok.map(t => dfArr(qIdx(t))).toSeq
+          val scored = docs.select(col(idCol).as("doc_id"),
+              F.bm25q(toks, qIdxQ, dfQ, nDocs, totTok, quantScale)
+                .as("bm25q"))
+            .filter(col("bm25q").isNotNull)
+          rankTail(scored, topK)
+            .withColumn("query_id", lit(qid))
+            .select(col("query_id"), col("rank"), col("doc_id"),
+              col("bm25q"))
+        }
+        .reduce(_ unionByName _)
+    } else {
+      // the bm25Rank candidate-cut shape (see its comment): the broadcast
+      // token-set cut rides the explode into both consumers, and the
+      // census carries df for every term ANY query uses before fanning
+      // out per query_id
+      val qtf = docs.select(col(idCol).as("doc_id"),
+          explode(F.termFreq(toks)).as("t"))
+        .select(col("doc_id"), col("t.token").as("token"),
+          col("t.tf").as("tf"), col("t.n_terms").as("dl"))
+        .join(broadcast(qTerms.select("token").distinct()), Seq("token"))
+      val census = qtf.groupBy("token").agg(count(lit(1)).as("df"))
+        .join(broadcast(qTerms), Seq("token"))
+      val q = quantScale
+      val scored = qtf.join(broadcast(census), Seq("token"))
+        .withColumn("tfq",
+          expr(s"(22L * ${totTok}L * tf * ${q}L) DIV " +
+            s"(10L * ${totTok}L * tf + 3L * ${totTok}L + 9L * ${nDocs}L * dl)"))
+        .withColumn("idfq",
+          expr(s"((2L * ${nDocs}L - 2L * df + 1L) * ${q}L) DIV (2L * df + 1L)"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("tfq") * col("idfq")).as("bm25q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("bm25q").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("bm25q"))
+    }
   }
 
   /** Reciprocal-rank fusion of two ranked lists (Cormack 2009):

@@ -565,7 +565,13 @@ object TextDedup {
       .select(col("doc_id"), explode(col("__sh")).as("shingle"))
       .join(trainSh, Seq("shingle"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    evalDocs.select(col("doc_id"), size(col("__sh")).as("n_shingles"))
+    // null/missing text audits as ZERO shingles (it contributes no rows to
+    // the overlap join either) — bare size() would yield -1 (legacy
+    // sizeOfNull) or NULL (ANSI) for a null shingle array and DECREMENT
+    // eval_shingles, while the oracle's SUM(len(bg)) drops the NULL: the
+    // two sides would diverge on any corpus with null text (r12 advice)
+    evalDocs.select(col("doc_id"),
+        greatest(coalesce(size(col("__sh")), lit(0)), lit(0)).as("n_shingles"))
       .join(shared, Seq("doc_id"), "left")
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .agg(
@@ -609,12 +615,22 @@ object TextDedup {
       trainPct: Double, valPct: Double): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 1,
       s"invalid split fractions: train=$trainPct val=$valPct")
+    // the output columns would silently SHADOW caller data (withColumn
+    // replaces by name), and a caller-side cluster_id would both make the
+    // join key ambiguous and be swallowed by a drop-by-name — fail loud
+    // instead of corrupting either (r12 advice); the cluster frame's
+    // column rides an internal alias so only internal names are dropped
+    for (c <- Seq("split_key", "split", "__csplit_cid", "__bkt"))
+      require(!docs.columns.contains(c),
+        s"clusterSafeSplit: docs already has a '$c' column — rename it " +
+          "(the split output and its internals would shadow caller data)")
     val trainThr = (trainPct * 65536).toInt
     val valThr = ((trainPct + valPct) * 65536).toInt
     docs
-      .join(clusters.select(col("doc_id").as(idCol), col("cluster_id")),
+      .join(clusters.select(col("doc_id").as(idCol),
+          col("cluster_id").as("__csplit_cid")),
         Seq(idCol), "left")
-      .withColumn("split_key", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split_key", coalesce(col("__csplit_cid"), col(idCol)))
       .withColumn("__bkt",
         conv(substring(md5(concat(lit("split|"),
           col("split_key").cast("string"))), 1, 4), 16, 10).cast("int"))
@@ -622,7 +638,7 @@ object TextDedup {
         when(col("__bkt") < trainThr, lit("train"))
           .when(col("__bkt") < valThr, lit("val"))
           .otherwise(lit("test")))
-      .drop("__bkt", "cluster_id")
+      .drop("__bkt", "__csplit_cid")
   }
 
   /** The production near-dedup PIPELINE — the composed whole a curation run

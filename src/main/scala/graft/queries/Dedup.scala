@@ -391,6 +391,88 @@ object Dedup extends QuerySet {
         col("shared_shingles"), col("eval_shingles"), col("leak_ratio"))
   }
 
+  /** The dd36 cluster frame persisted once per fixture dir (manifest-
+    * stamped, BenchHeavy's reuse idiom) — the PRODUCTION shape for
+    * split/audit consumers: duplicate clusters are maintained
+    * incrementally by the dedup pipeline, never rebuilt per split, so
+    * dd56's warm timing isolates the split+audit term dd55's tier row
+    * buries under the ~20-tiny-job pointer-jumping recompute (r12
+    * verdict #4). First call per dir pays the build; the result on disk
+    * is byte-stable, so correctness is unchanged either way.
+    */
+  private def prebuiltClusters(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val loc = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_dd56_clusters_$key")
+    val marker = loc.resolve("_manifest.txt")
+    val stamp = s"src=$dir v=1"
+    if (!Files.exists(marker) || Files.readString(marker) != stamp) {
+      dd36(s, dir).write.mode("overwrite").parquet(loc.toString)
+      Files.writeString(marker, stamp)
+    }
+    s.read.parquet(loc.toString)
+  }
+
+  /** Split + leakage audit over PREBUILT clusters (dd56, r13): dd55's
+    * cluster_safe row computed the production way — the cluster frame is
+    * read from its maintained store instead of recomputed, so the entry's
+    * cost IS the split's one key-join plus the audit's two shingle
+    * passes. The oracle still recomputes the clusters from scratch
+    * (recursive CTE), so the hash-match checks the persisted frame
+    * against a from-scratch rebuild end-to-end.
+    */
+  def dd56(s: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(s, dir, "documents").select("doc_id", "text")
+    TextDedup.splitLeakageAudit(
+      TextDedup.clusterSafeSplit(docs, "doc_id", prebuiltClusters(s, dir),
+        trainPct = 0.9, valPct = 0.05),
+      "doc_id", "text", "split")
+      .withColumn("strategy", lit("cluster_safe"))
+      .select(col("strategy"), col("n_eval_docs"), col("n_contaminated"),
+        col("shared_shingles"), col("eval_shingles"), col("leak_ratio"))
+  }
+
+  /** Split-strategy divergence on a WIDE-vocabulary twin corpus (dd57,
+    * r13): dd55's fixture saturates both strategies' leak ratios near 1.0
+    * (a 31-word vocabulary makes every bigram common), so its oracle row
+    * cannot show what cluster-unit assignment buys. This entry
+    * synthesizes the adversarial real-world shape deterministically from
+    * doc_ids alone: consecutive ids form twin PAIRS sharing 21 md5-hex
+    * tokens unique to the pair — an effectively unbounded vocabulary, the
+    * AbBm25Bigram direction — with the analytic cluster frame (pair
+    * minimum) standing in for dd36. Cluster-safe assignment keeps every
+    * twin pair on one side of the boundary: its contamination count MUST
+    * read 0 while the naive doc-hash split strands ~90% of eval docs'
+    * twins in train at 100% shingle overlap — the two oracle rows
+    * finally DIVERGE, which is the entry's point. Same audit operator,
+    * same bucket arithmetic, both recomputed end-to-end by DuckDB
+    * (md5-exact, no recursive CTE — the clusters are analytic).
+    */
+  def dd57(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Q.t(s, dir, "documents").select("doc_id")
+      .withColumn("__k", expr("doc_id DIV 2"))
+    val docs = ids.withColumn("text",
+        concat_ws(" ", transform(sequence(lit(0), lit(20)),
+          p => substring(md5(concat(col("__k").cast("string"), lit(":"),
+            p.cast("string"))), 1, 8))))
+      .select("doc_id", "text")
+    val twinClusters = ids
+      .select(col("doc_id"), (col("__k") * 2).as("cluster_id"))
+    val noClusters = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    def audit(clusters: DataFrame, label: String): DataFrame =
+      TextDedup.splitLeakageAudit(
+        TextDedup.clusterSafeSplit(docs, "doc_id", clusters,
+          trainPct = 0.9, valPct = 0.05),
+        "doc_id", "text", "split")
+        .withColumn("strategy", lit(label))
+    audit(twinClusters, "cluster_safe")
+      .unionByName(audit(noClusters, "doc_hash"))
+      .select(col("strategy"), col("n_eval_docs"), col("n_contaminated"),
+        col("shared_shingles"), col("eval_shingles"), col("leak_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
@@ -417,7 +499,9 @@ object Dedup extends QuerySet {
     "dd52_bloom_screen" -> (dd52 _),
     "dd53_containment_pairs" -> (dd53 _),
     "dd54_cluster_safe_split" -> (dd54 _),
-    "dd55_split_leakage_audit" -> (dd55 _))
+    "dd55_split_leakage_audit" -> (dd55 _),
+    "dd56_split_audit_prebuilt" -> (dd56 _),
+    "dd57_split_divergence" -> (dd57 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -827,6 +911,105 @@ object Dedup extends QuerySet {
          | round(CAST(SUM(n_shared) AS DOUBLE) / SUM(n_shingles), 6)
          |  AS leak_ratio
          |FROM per GROUP BY 1""".stripMargin,
+    // dd56: the cluster_safe strategy alone, clusters recomputed from
+    // scratch by the same recursive CTE — the Spark side reads a
+    // PERSISTED cluster frame, so the hash-match pins persisted == rebuilt
+    "dd56_split_audit_prebuilt" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+         |g AS (SELECT doc_id, $bigramsSql AS bg FROM d),
+         |sigs AS (SELECT doc_id,
+         |  md5(list_min(list_transform(bg, x -> md5('1' || x)))
+         |   || list_min(list_transform(bg, x -> md5('2' || x)))) AS b1,
+         |  md5(list_min(list_transform(bg, x -> md5('3' || x)))
+         |   || list_min(list_transform(bg, x -> md5('4' || x)))) AS b2
+         | FROM g),
+         |p AS (SELECT DISTINCT doc_a, doc_b FROM (
+         | SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM sigs x JOIN sigs y
+         |  ON x.b1 = y.b1 AND x.doc_id < y.doc_id
+         | UNION ALL
+         | SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y
+         |  ON x.b2 = y.b2 AND x.doc_id < y.doc_id)),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |walk(id, label) AS (
+         | SELECT src, src FROM edges
+         | UNION
+         | SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id),
+         |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+         |keys AS (SELECT doc.doc_id,
+         |  COALESCE(cl.cluster_id, doc.doc_id) AS split_key
+         | FROM documents doc LEFT JOIN cl ON doc.doc_id = cl.doc_id),
+         |sp2 AS (SELECT doc_id,
+         |  CASE WHEN CAST('0x' || substr(md5('split|' ||
+         |    CAST(split_key AS VARCHAR)), 1, 4) AS INTEGER) < 58982
+         |   THEN 'train' ELSE 'eval' END AS half FROM keys),
+         |train_sh AS (SELECT DISTINCT u.shingle
+         | FROM sp2 s JOIN g USING (doc_id), unnest(g.bg) AS u(shingle)
+         | WHERE s.half = 'train'),
+         |ev AS (SELECT s.doc_id, len(g.bg) AS n_shingles
+         | FROM sp2 s JOIN g USING (doc_id) WHERE s.half <> 'train'),
+         |ev_sh AS (SELECT s.doc_id, u.shingle
+         | FROM sp2 s JOIN g USING (doc_id), unnest(g.bg) AS u(shingle)
+         | WHERE s.half <> 'train'),
+         |shared AS (SELECT e.doc_id, count(*) AS n_shared
+         | FROM ev_sh e JOIN train_sh t ON e.shingle = t.shingle
+         | GROUP BY 1),
+         |per AS (SELECT ev.doc_id, ev.n_shingles,
+         |  COALESCE(s.n_shared, 0) AS n_shared
+         | FROM ev LEFT JOIN shared s ON ev.doc_id = s.doc_id)
+         |SELECT 'cluster_safe' AS strategy,
+         | CAST(count(*) AS BIGINT) AS n_eval_docs,
+         | CAST(SUM(CASE WHEN n_shingles > 0
+         |   AND n_shared >= 0.5 * n_shingles THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_contaminated,
+         | CAST(SUM(n_shared) AS BIGINT) AS shared_shingles,
+         | CAST(SUM(n_shingles) AS BIGINT) AS eval_shingles,
+         | round(CAST(SUM(n_shared) AS DOUBLE) / SUM(n_shingles), 6)
+         |  AS leak_ratio
+         |FROM per""".stripMargin,
+    // dd57: the synthesized twin-pair corpus and the analytic cluster
+    // frame (pair minimum) recomputed end-to-end — md5-exact, no
+    // recursive CTE, so this one stays ORACLED even at the heavy tier
+    "dd57_split_divergence" ->
+      """WITH tw AS (SELECT doc_id, doc_id // 2 AS k FROM documents),
+        |txt AS (SELECT doc_id, k,
+        |  list_transform(range(0, 21), p ->
+        |    substr(md5(CAST(k AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 8)) AS tk
+        | FROM tw),
+        |g AS (SELECT doc_id, k,
+        |  list_distinct([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS bg
+        | FROM txt),
+        |keys AS (
+        | SELECT 'cluster_safe' AS strategy, doc_id, k * 2 AS split_key, bg FROM g
+        | UNION ALL
+        | SELECT 'doc_hash', doc_id, doc_id, bg FROM g),
+        |sp2 AS (SELECT strategy, doc_id, bg,
+        |  CASE WHEN CAST('0x' || substr(md5('split|' ||
+        |    CAST(split_key AS VARCHAR)), 1, 4) AS INTEGER) < 58982
+        |   THEN 'train' ELSE 'eval' END AS half FROM keys),
+        |train_sh AS (SELECT DISTINCT strategy, u.shingle
+        | FROM sp2, unnest(sp2.bg) AS u(shingle) WHERE half = 'train'),
+        |ev AS (SELECT strategy, doc_id, len(bg) AS n_shingles
+        | FROM sp2 WHERE half <> 'train'),
+        |ev_sh AS (SELECT strategy, doc_id, u.shingle
+        | FROM sp2, unnest(sp2.bg) AS u(shingle) WHERE half <> 'train'),
+        |shared AS (SELECT e.strategy, e.doc_id, count(*) AS n_shared
+        | FROM ev_sh e JOIN train_sh t
+        |  ON e.strategy = t.strategy AND e.shingle = t.shingle
+        | GROUP BY 1, 2),
+        |per AS (SELECT ev.strategy, ev.doc_id, ev.n_shingles,
+        |  COALESCE(s.n_shared, 0) AS n_shared
+        | FROM ev LEFT JOIN shared s
+        |  ON ev.strategy = s.strategy AND ev.doc_id = s.doc_id)
+        |SELECT strategy, CAST(count(*) AS BIGINT) AS n_eval_docs,
+        | CAST(SUM(CASE WHEN n_shingles > 0
+        |   AND n_shared >= 0.5 * n_shingles THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_contaminated,
+        | CAST(SUM(n_shared) AS BIGINT) AS shared_shingles,
+        | CAST(SUM(n_shingles) AS BIGINT) AS eval_shingles,
+        | round(CAST(SUM(n_shared) AS DOUBLE) / SUM(n_shingles), 6)
+        |  AS leak_ratio
+        |FROM per GROUP BY 1""".stripMargin,
     "dd51_semantic_screen_incremental" ->
       s"""WITH $ivfAssignCte,
          |r AS (SELECT * FROM a WHERE vec_id % 2 = 0),

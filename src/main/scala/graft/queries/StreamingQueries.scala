@@ -971,17 +971,36 @@ object StreamingQueries extends QuerySet {
         ev.folded.size == 3 && ev.liveCount <= 5 &&
           (ev.liveCount <= 3 || ev.foldedBytes < ev.liveBytes)),
       s"in-loop compaction was not tier-proportional: $compactLog")
-    // O(N log N) write-volume budget over the drain: the tiered folds
-    // re-read 3+3+5+5 = 16 batch-units of postings against 12 written
-    // (each row re-folded ~log_3 N times); the full-fold policy would
-    // have re-read 4+6+8+10 = 28 and grows quadratically with N. Bound
-    // the cumulative fold read volume at 2× the data volume (~1.4×
-    // measured; parquet re-encoding gives the slack)
+    // O(N log N) write-volume budget over the drain, asserted in BATCH
+    // UNITS (r12 advice): the byte form (foldBytes < 2×dataBytes) bound a
+    // correctness gate to parquet re-encoding ratios — a codec/block-size
+    // change could trip it spuriously. Units are policy-exact: a writer
+    // partition is 1 batch-unit, a segment is the sum of what it folded,
+    // so the unit ledger reconstructs from the evidence log alone. Tiered
+    // folds must read exactly 3+3+5+5 = 16 units (each row re-folded
+    // ~log_3 N times); the full-fold policy would read 4+6+8+10 = 28 and
+    // grow quadratically with N.
+    val unitLedger = scala.collection.mutable.Map.empty[String, Long]
+    def unitsOf(path: String): Long = {
+      val name = java.nio.file.Paths.get(path).getFileName.toString
+      unitLedger.getOrElse(name, 1L) // writer dirs are 1 batch-unit
+    }
+    val foldUnits = compactLog.map { ev =>
+      val u = ev.folded.map(unitsOf).sum
+      unitLedger(java.nio.file.Paths.get(ev.segment).getFileName.toString) = u
+      u
+    }
+    require(foldUnits == Seq(3L, 3L, 5L, 5L),
+      s"compaction read volume $foldUnits batch-units is not the tiered " +
+        "policy's 3+3+5+5 (full folds would read 4+6+8+10) — the policy " +
+        "is rewriting history")
+    // the byte ratio stays LOGGED evidence (measured ~1.4× the data
+    // volume vs the full fold's 2.3×+), no longer a gate
     val dataBytes = rowLog.values.map(_._2).sum
     val foldBytes = compactLog.map(_.foldedBytes).sum
-    require(foldBytes < 2L * dataBytes,
-      s"compaction read volume $foldBytes exceeds the O(N log N) budget " +
-        s"for $dataBytes data bytes — the policy is rewriting history")
+    System.err.println(f"[st66] fold read volume: $foldBytes bytes over " +
+      f"$dataBytes data bytes (${foldBytes.toDouble / dataBytes}%.2fx), " +
+      s"${foldUnits.sum} batch-units vs 28 full-fold")
     // bounded-lifecycle evidence: the drain ends at exactly
     // {segment, segment, batch 10, batch 11}
     val live = graft.streaming.PostingsStore.livePaths(postingsDir)

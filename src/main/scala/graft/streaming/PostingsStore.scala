@@ -87,6 +87,24 @@ object PostingsStore {
     finally st.close()
   }
 
+  /** The partition-column CHAIN a fold source's dirs actually encode
+    * (`cell=3/…` → Seq("cell")), descending the first branch — Spark
+    * writes a uniform layout, so one branch names them all. Empty for a
+    * flat source. Drives compact()'s layout validation.
+    */
+  private def partitionChain(dir: Path): Seq[String] = {
+    @annotation.tailrec
+    def loop(d: Path, acc: Vector[String]): Vector[String] = {
+      val sub = Option(d.toFile.listFiles()).toSeq.flatten
+        .find(f => f.isDirectory && f.getName.contains("="))
+      sub match {
+        case Some(f) => loop(f.toPath, acc :+ f.getName.takeWhile(_ != '='))
+        case None => acc
+      }
+    }
+    loop(dir, Vector.empty)
+  }
+
   private def consumedNames(root: String): Set[String] =
     partDirs(root)
       .filter(p => partId(p) < 0 && isCommitted(p))
@@ -211,6 +229,22 @@ object PostingsStore {
     val fold =
       if (mergeWidth == 0) sized
       else sized.sortBy { case (p, b) => (b, p) }.take(mergeWidth)
+    // the layout contract is ENFORCED, not just documented (r12 advice):
+    // a fold source carrying `col=` sub-dirs the caller did not name
+    // would silently inline the writers' sub-partitioning into the
+    // segment's rows — every later touched-cell read downgrades from
+    // file pruning to a full scan; wrong names fail late on conflicting
+    // partition roots. Read each source's actual dir chain and require
+    // it to match. (A source with NO chain is fine when columns are
+    // named — the values then live in its rows and partitionBy re-cuts
+    // them into the layout.)
+    for ((p, chain) <- fold.map { case (p, _) =>
+        (p, partitionChain(Paths.get(p))) } if chain.nonEmpty)
+      require(chain == partitionColumns,
+        s"PostingsStore.compact: fold source $p is sub-partitioned by " +
+          s"[${chain.mkString(", ")}] but partitionColumns=" +
+          s"[${partitionColumns.mkString(", ")}] — folding would " +
+          "destroy (or mis-cut) the store's file-pruning layout")
     val nextId = -(partDirs(root).map(p => math.abs(partId(p))).max + 1)
     val seg = Paths.get(s"$root/batch_id=$nextId")
     val folded =

@@ -624,4 +624,52 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
       nullAudit.getAs[Long]("n_contaminated") == 1,
       s"null-split docs must be audited as eval: $nullAudit")
   }
+
+  test("splitLeakageAudit: null text audits as ZERO shingles — never a " +
+      "negative eval_shingles contribution (r12 advice)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "train"),
+      (1L, "alpha beta gamma iota", "test"),
+      (2L, null.asInstanceOf[String], "test"))
+      .toDF("doc_id", "text", "split")
+    val row = TextDedup.splitLeakageAudit(docs, "doc_id", "text", "split").head
+    // doc 1 has 3 bigrams (2 shared with train); the null-text doc 2 is
+    // counted in the denominator docs but contributes 0 shingles — under
+    // the raw size() it contributed -1 and skewed eval_shingles to 2
+    assert(row.getAs[Long]("n_eval_docs") == 2, s"got $row")
+    assert(row.getAs[Long]("eval_shingles") == 3, s"got $row")
+    assert(row.getAs[Long]("shared_shingles") == 2, s"got $row")
+    // and the zero-shingle doc can never be "contaminated"
+    assert(row.getAs[Long]("n_contaminated") == 1, s"got $row")
+  }
+
+  test("clusterSafeSplit fails loud when docs carries a column the split " +
+      "would shadow or swallow (r12 advice)") {
+    import spark.implicits._
+    val clusters = Seq((0L, 0L), (1L, 0L)).toDF("doc_id", "cluster_id")
+    val base = (0L to 9L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    // a pre-existing split/split_key would be shadowed by withColumn —
+    // loud failure naming the column
+    for (c <- Seq("split", "split_key")) {
+      val ex = intercept[IllegalArgumentException] {
+        TextDedup.clusterSafeSplit(base.withColumn(c, lit(42L)),
+          "doc_id", clusters, trainPct = 0.6, valPct = 0.2)
+      }
+      assert(ex.getMessage.contains(c), s"expected loud failure naming $c")
+    }
+    // a pre-existing cluster_id used to be silently SWALLOWED by the
+    // trailing drop-by-name (drop removes every match); the cluster
+    // frame's column now rides an internal alias, so caller data survives
+    val withCid = TextDedup.clusterSafeSplit(
+      base.withColumn("cluster_id", lit(42L)),
+      "doc_id", clusters, trainPct = 0.6, valPct = 0.2)
+    assert(withCid.columns.count(_ == "cluster_id") == 1 &&
+      withCid.filter(col("cluster_id") =!= 42L).count() == 0,
+      "caller's cluster_id column must pass through untouched")
+    // and the collision-free caller is untouched: the output still has
+    // exactly docs' columns + (split_key, split)
+    val out = TextDedup.clusterSafeSplit(base, "doc_id", clusters, 0.6, 0.2)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "split_key", "split"))
+  }
 }

@@ -97,6 +97,39 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("compact validates partitionColumns against the fold sources' " +
+      "actual dir layout — fail loud, never silently inline (r12 advice)") {
+    val root = Files.createTempDirectory("graft_pstore_layoutval").toString
+    (0 until 2).foreach { b =>
+      PostingsStore.write(
+        (0 until 8).map(i => ((b * 10 + i).toLong, (i % 2).toLong, i.toDouble))
+          .toDF("vec_id", "cell_id", "x"),
+        root, b.toLong, partitionColumns = Seq("cell_id"))
+    }
+    // omitting the columns on a sub-partitioned store would inline
+    // cell_id= into the segment's rows and downgrade every later
+    // touched-cell read to a full scan — the hazard is now enforced
+    val exOmit = intercept[IllegalArgumentException] {
+      PostingsStore.compact(spark, root)
+    }
+    assert(exOmit.getMessage.contains("cell_id"), exOmit.getMessage)
+    // wrong names fail the same check, naming both sides
+    val exWrong = intercept[IllegalArgumentException] {
+      PostingsStore.compact(spark, root, mergeWidth = 2,
+        partitionColumns = Seq("vec_id"))
+    }
+    assert(exWrong.getMessage.contains("cell_id") &&
+      exWrong.getMessage.contains("vec_id"), exWrong.getMessage)
+    // the store is untouched by the rejected folds: both writers live,
+    // no segment dir committed or leaked
+    assert(PostingsStore.livePaths(root).size == 2)
+    // and the correctly-named fold still proceeds
+    val ev = PostingsStore.compact(spark, root,
+      partitionColumns = Seq("cell_id"))
+      .getOrElse(fail("the matching fold must proceed"))
+    assert(ev.folded.size == 2)
+  }
+
   test("a writer batch COMMITTED between the compactor's snapshot and " +
       "its _SOURCES commit stays live — reads exactly-once throughout") {
     val root = freshStore(3)

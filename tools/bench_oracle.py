@@ -45,7 +45,15 @@ def main(sf_dir, oracle_file, timings_file):
         ratio = round(spark_s / duck_s, 3) if duck_s > 0 and spark_s >= 0 else None
         per_query[name] = {"spark_s": round(spark_s, 4),
                            "duck_s": round(duck_s, 4), "ratio": ratio}
-        if ratio is not None and ratio > 2.0:
+        # Flag only WORK-DOMINATED entries (r12 verdict #3): at sf0.1 a
+        # sub-second Spark absolute is the fixed per-job floor (scheduler +
+        # stage setup) against an in-process oracle answering in
+        # milliseconds — ~130 of 164 entries "flagged" and the list lost
+        # all signal. 0.75 s is the same floor-class line Bench's
+        # third-timing rule already uses; entries under it are floor, not
+        # plan shape, and the floor amortizes to zero at the design scale
+        # (the floor-subtracted aggregate below keeps them in the gate).
+        if ratio is not None and ratio > 2.0 and spark_s >= 0.75:
             flagged.append(name)
     spark_total = sum(v for v in spark.values() if v >= 0)
     duck_total = sum(v["duck_s"] for v in per_query.values() if v["duck_s"] > 0)
