@@ -282,19 +282,26 @@ object Retrieval {
     // two plan shapes with byte-identical output (the bm25Rank A/B
     // discipline, extended to the multi-query kernel — r12 verdict #6;
     // dial GRAFT_BM25_MULTI_FUSED=0/1, measured by graft.AbBm25Multi):
-    //  - FUSED: ONE graft_query_hits census pass over the UNION token
-    //    set (df is per-token, query-independent, so every query shares
-    //    it), then per query one graft_bm25q projection + its own
-    //    TakeOrderedAndProject — Q corpus map passes, zero joins, no
-    //    partitionBy window.
+    //  - FUSED — THE DEFAULT since r13: ONE graft_query_hits census pass
+    //    over the UNION token set (df is per-token, query-independent,
+    //    so every query shares it), then per query one graft_bm25q
+    //    projection + its own TakeOrderedAndProject — Q corpus map
+    //    passes, zero joins, no partitionBy window.
     //  - JOIN: one termFreq explode cut to the union token set feeding
     //    a shared census, then the per-(query, doc) aggregate and a
     //    query-partitioned rank window — one corpus pass regardless of
     //    Q, at the cost of explode volume and two shuffles.
+    // The r12 deferral guessed the join form's amortized single pass
+    // might hold as Q grows; the measurement says otherwise (AbBm25Multi,
+    // bigram 931-token vocab, factor 30, best-of-5): Q=2 fused 2.59 s vs
+    // join 3.39 s, Q=8 fused 4.03 s vs join 5.49 s — the Q cheap codegen
+    // projections beat the explode volume + two shuffles at every
+    // measured Q, and unigram reproduces the known wash (3.35/3.39).
+    // Decision recorded in BASELINE.md r13.
     val useFused = fused.getOrElse(
       sys.env.get("GRAFT_BM25_MULTI_FUSED") match {
-        case None | Some("0") => false
-        case Some("1") => true
+        case None | Some("1") => true
+        case Some("0") => false
         case Some(other) => throw new IllegalArgumentException(
           s"GRAFT_BM25_MULTI_FUSED must be 0 or 1, got '$other'")
       })
