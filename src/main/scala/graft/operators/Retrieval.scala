@@ -310,6 +310,10 @@ object Retrieval {
       // broadcast bound checked above
       val qRows = qTerms.collect()
         .map(r => (r.get(0), r.getString(1)))
+      // fail loud instead of an obscure empty-reduce crash; the join form
+      // returns an empty frame for an empty query set if that is intended
+      require(qRows.nonEmpty, "bm25RankQueries(fused): empty query set — " +
+        "use GRAFT_BM25_MULTI_FUSED=0 if an empty result is intended")
       val unionTokens = qRows.map(_._2).distinct.sorted
       val qIdx = unionTokens.zipWithIndex.toMap
       val dfRows = docs.select(F.queryHits(toks, qIdx).as("__h"))

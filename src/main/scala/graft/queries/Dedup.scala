@@ -406,7 +406,13 @@ object Dedup extends QuerySet {
     val loc = Paths.get(
       s"${System.getProperty("java.io.tmpdir")}/graft_dd56_clusters_$key")
     val marker = loc.resolve("_manifest.txt")
-    val stamp = s"src=$dir v=1"
+    // the stamp fingerprints the SOURCE file (size + mtime), not just its
+    // path: a regenerated fixture at the same path must invalidate the
+    // persisted clusters, or the entry would serve stale ones and the
+    // oracle (which always recomputes from the live table) would diverge
+    val src = Paths.get(s"$dir/documents.parquet")
+    val stamp = s"src=$dir v=1 bytes=${Files.size(src)} " +
+      s"mtime=${Files.getLastModifiedTime(src).toMillis}"
     if (!Files.exists(marker) || Files.readString(marker) != stamp) {
       dd36(s, dir).write.mode("overwrite").parquet(loc.toString)
       Files.writeString(marker, stamp)
