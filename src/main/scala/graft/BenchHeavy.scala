@@ -130,7 +130,12 @@ object BenchHeavy {
     // synthesized wide-vocabulary twin corpus has an ANALYTIC cluster
     // frame, so it stays fully oracled even here
     "dd56_split_audit_prebuilt",
-    "dd57_split_divergence")
+    "dd57_split_divergence",
+    // r13: the epoch shuffle — one hash projection + the (shard, bucket)
+    // bounded window over every replicated document; the oracle pays a
+    // plain per-shard sort (q64 epoch allocation stays OUT of the tier:
+    // the q62 census engine-constant class, documented)
+    "q63_epoch_shuffle")
   // lineitem is replicated into the heavy dir (v4) for the Decimal-sum
   // class evidence recorded in BASELINE.md (q01 cents-long vs Decimal at
   // 6M rows, 2 MB grain: 0.78-0.80 s vs 1.07-1.20 s) and for scaling-curve

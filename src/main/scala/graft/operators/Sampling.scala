@@ -366,6 +366,106 @@ object Sampling {
         col("first_seq"), col("last_seq"), col("n_seqs"))): _*)
   }
 
+  /** Deterministic epoch shuffle (r13): the training-ORDER step a shard
+    * writer runs after curation — every document gets a shard and a
+    * 1-based position within that shard under the seed's pseudo-random
+    * permutation (order = md5("epoch<seed>|" + id), the [[stratified]]
+    * hash discipline), so the read order is "random" yet exactly
+    * reproducible on any engine and any partitioning, and a re-run with
+    * a new seed is a fresh epoch permutation. Shard assignment is the
+    * hash's own 16-bit bucket mod `nShards`: stable under corpus growth
+    * (an existing document never changes shard), uniform, and
+    * uncorrelated with any data column.
+    *
+    * Scale shape: a naive `Window.partitionBy(shard)` rank would sort
+    * each shard's FULL row set on one task — at 100 TB / 1024 shards
+    * that is ~100 GB per task. Instead the rank rides the
+    * [[BucketedOffsets]] two-pass prefix idiom on (shard, hash-prefix
+    * bucket): per-(shard, bucket) counts form a tiny frame (≤ nShards ×
+    * 16^bucketChars rows), offsets broadcast back, and the residual
+    * row_number runs inside (shard, bucket) partitions — bounded tasks
+    * at any corpus size. The hash-prefix bucket is order-aligned by
+    * construction (it IS a prefix of the order key).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long, nShards: Int,
+      bucketChars: Int = 3): DataFrame = {
+    require(nShards >= 1 && nShards <= 65536,
+      s"nShards must be in [1, 65536], got $nShards")
+    require(bucketChars >= 1 && bucketChars <= 8,
+      s"bucketChars must be in [1,8], got $bucketChars")
+    val withKey = df
+      .withColumn("__h", hashOrder(lit(s"epoch$seed"), col(idCol)))
+      .withColumn("shard",
+        conv(substring(col("__h"), 1, 4), 16, 10).cast("long")
+          % lit(nShards.toLong))
+      .withColumn("__b", substring(col("__h"), 1, bucketChars))
+      .localCheckpoint(false)
+    val offsets = BucketedOffsets.frame(withKey,
+      keyCol = col("shard"), bucketCol = col("__b"),
+      cAgg = count(lit(1)), extras = Seq.empty,
+      withTotal = false, materialize = false, maxRows = -1L,
+      op = "epochShuffle", hint = "")
+    val wLocal = Window.partitionBy(col("shard"), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+    withKey
+      .join(broadcast(offsets),
+        col("shard") <=> col("__okey") && col("__b") <=> col("__ocb"))
+      .withColumn("pos",
+        col("__off") + row_number().over(wLocal).cast("long"))
+      .select((df.columns.map(col) ++ Seq(col("shard"), col("pos"))): _*)
+  }
+
+  /** Token-budget allocation across sources (r13): the data-recipe
+    * PLANNING table — given each source's available tokens and the
+    * [[temperatureWeights]] α = 1/2 flattening, how many tokens of a
+    * global training budget each source contributes and how many
+    * effective epochs of it that implies (the LLaMA-style "sampling
+    * prop / epochs" table). All cross-engine-exact: the weight is
+    * `floor(sqrt(n_tok) · 2^20)` (sqrt is correctly rounded everywhere,
+    * the floor quantizes it to a long), the allocation is integer
+    * arithmetic `budget · wq DIV Σwq`, and epochs is ONE double division
+    * of two exact longs — no float summation anywhere, so the oracle
+    * hash-matches bit-for-bit (the q62 discipline; a float Σw would be
+    * summation-order-dependent).
+    *
+    * Scale: one partial-aggregated census pass; everything after is
+    * source-cardinality arithmetic (Σwq is a window over the tiny
+    * per-source frame).
+    */
+  def epochAllocation(docs: DataFrame, sourceCol: String,
+      nTokensCol: String, budgetTokens: Long,
+      weightScale: Long = 1L << 20): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    require(weightScale >= 1, s"weightScale must be >= 1, got $weightScale")
+    // quantized sqrt weight: the 2^20 default keeps sqrt(n_tok) exact to
+    // ~1e-6 relative; the per-source frame is model-sized, so Σwq and
+    // max(wq) are two driver longs (the temperatureWeights idiom)
+    val wq = docs.groupBy(col(sourceCol))
+      .agg(sum(col(nTokensCol).cast("long")).as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("wq",
+        floor(sqrt(col("n_tok").cast("double")) * lit(weightScale.toDouble))
+          .cast("long"))
+      .localCheckpoint(false)
+    val row = wq.agg(sum(col("wq")), max(col("wq"))).head
+    require(!row.isNullAt(0),
+      "epochAllocation: empty corpus (no rows or all-null token counts)")
+    val (wsum, wmax) = (row.getLong(0), row.getLong(1))
+    // fail loud before the 64-bit product can wrap (the
+    // requireNoBm25Overflow discipline): budget × wq must fit Int64
+    require(BigInt(budgetTokens) * wmax <= Long.MaxValue,
+      s"epochAllocation: budget ($budgetTokens) x max weight ($wmax) " +
+        "overflows Int64 — reduce weightScale or shard the budget")
+    wq
+      .withColumn("target_tokens",
+        expr(s"(${budgetTokens}L * wq) DIV ${wsum}L"))
+      .withColumn("epochs",
+        col("target_tokens").cast("double") / col("n_tok").cast("double"))
+      .withColumn("upsampled", col("epochs") > 1.0)
+      .select(col(sourceCol), col("n_tok"), col("wq"),
+        col("target_tokens"), col("epochs"), col("upsampled"))
+  }
+
   /** Mixture-weighted corpus interleave (training-data mixing weights):
     * pick the `n` rows with the smallest weighted rank `r_s / w_s`, where
     * `r_s` is the row's deterministic hash-order rank WITHIN its source

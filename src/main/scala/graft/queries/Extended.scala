@@ -175,6 +175,30 @@ object Extended extends QuerySet {
         size(split(col("text"), " ")).as("n_tokens")),
       "source", "n_tokens")
 
+  /** Deterministic epoch shuffle (q63, r13): every document's shard and
+    * within-shard training position under seed 7's permutation, 8 shards
+    * (see [[graft.operators.Sampling.epochShuffle]] — the bucketed
+    * two-pass rank, never a per-shard single-task sort). The oracle
+    * recomputes the same md5 permutation and ranks with a plain
+    * partitioned ROW_NUMBER.
+    */
+  def q63(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.epochShuffle(
+      Q.t(s, dir, "documents").select(col("doc_id"), col("source")),
+      "doc_id", seed = 7L, nShards = 8)
+
+  /** Token-budget allocation across sources (q64, r13): the LLaMA-style
+    * "sampling proportion / epochs" planning table at a 1M-token budget
+    * over the α = 1/2 flattened weights (see
+    * [[graft.operators.Sampling.epochAllocation]] — integer-exact
+    * allocation, one double division per row).
+    */
+  def q64(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.epochAllocation(
+      Q.t(s, dir, "documents").select(col("source"),
+        size(split(col("text"), " ")).as("n_tokens")),
+      "source", "n_tokens", budgetTokens = 1000000L)
+
   /** Sequence packing (concatenate-and-chunk): where each document's
     * tokens land in the fixed-512-token training-sequence layout (see
     * [[graft.operators.Sampling.packSequences]]).
@@ -574,6 +598,8 @@ object Extended extends QuerySet {
     "q35_weighted_mix" -> (q35 _),
     "q62_temperature_weights" -> (q62 _),
     "q36_pack_sequences" -> (q36 _),
+    "q63_epoch_shuffle" -> (q63 _),
+    "q64_epoch_allocation" -> (q64 _),
     "q37_salted_join" -> (q37 _),
     "q38_cube_rollup" -> (q38 _),
     "q44_funnel_steps" -> (q44 _),
@@ -708,6 +734,37 @@ object Extended extends QuerySet {
         |ORDER BY rnk / CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.5
         |  ELSE 1.0 END ASC, h ASC NULLS FIRST, doc_id ASC
         |LIMIT 300""".stripMargin,
+    // q63: the identical md5 permutation, shard = the hash's own 16-bit
+    // bucket mod 8, rank via a plain partitioned ROW_NUMBER (the oracle
+    // can afford the per-shard sort; the Spark side must not)
+    "q63_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  md5('epoch7|' || CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+        |s AS (SELECT doc_id, source, hk,
+        |  CAST('0x' || substr(hk, 1, 4) AS INTEGER) % 8 AS shard FROM h)
+        |SELECT doc_id, source, CAST(shard AS BIGINT) AS shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id)
+        |   AS BIGINT) AS pos
+        |FROM s""".stripMargin,
+    // q64: quantized-sqrt weights summed as exact longs, integer
+    // allocation, one double division per row — bit-identical on any
+    // engine (the q62 discipline)
+    "q64_epoch_allocation" ->
+      """WITH per AS (SELECT source,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        | FROM documents GROUP BY source HAVING n_tok > 0),
+        |w AS (SELECT source, n_tok,
+        |  CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1048576.0) AS BIGINT)
+        |   AS wq FROM per),
+        |t AS (SELECT *, (SELECT SUM(wq) FROM w) AS wsum FROM w),
+        |a AS (SELECT source, n_tok, wq,
+        |  (1000000 * wq) // wsum AS target_tokens FROM t)
+        |SELECT source, n_tok, wq, CAST(target_tokens AS BIGINT)
+        |  AS target_tokens,
+        | CAST(target_tokens AS DOUBLE) / CAST(n_tok AS DOUBLE) AS epochs,
+        | CAST(target_tokens AS DOUBLE) / CAST(n_tok AS DOUBLE) > 1.0
+        |  AS upsampled
+        |FROM a""".stripMargin,
     "q36_pack_sequences" ->
       """WITH d AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens

@@ -135,6 +135,89 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(packed.exists(_._6 > 1))
   }
 
+  test("epochShuffle: bucketed rank equals the single-window form, shard " +
+      "assignment is growth-stable, a new seed is a new permutation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 500L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "src")
+    val out = Sampling.epochShuffle(docs, "doc_id", seed = 7L, nShards = 4)
+    // parity with the naive per-shard window (the form the operator
+    // exists to avoid at scale), bucket grain included
+    val hk = md5(concat(lit("epoch7|"), col("doc_id").cast("string")))
+    val expected = docs
+      .withColumn("__hk", hk)
+      .withColumn("shard",
+        conv(substring(col("__hk"), 1, 4), 16, 10).cast("long") % 4L)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("__hk"), col("doc_id")))
+        .cast("long"))
+      .select("doc_id", "src", "shard", "pos")
+    assert(out.except(expected).count() == 0 &&
+      expected.except(out).count() == 0)
+    // positions are a contiguous 1..n_shard enumeration per shard
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"),
+        countDistinct("pos").as("nd")).collect()
+    assert(perShard.nonEmpty && perShard.forall(r =>
+      r.getLong(2) == 1L && r.getLong(3) == r.getLong(1) &&
+        r.getLong(4) == r.getLong(1)))
+    // growth stability: doubling the corpus never moves an existing
+    // document's shard, and surviving docs keep their relative order
+    val grown = (0L until 1000L).map(i => (i, s"s${i % 3}"))
+      .toDF("doc_id", "src")
+    val out2 = Sampling.epochShuffle(grown, "doc_id", seed = 7L, nShards = 4)
+    val joined = out.select(col("doc_id"), col("shard").as("sh1"),
+        col("pos").as("p1"))
+      .join(out2.select(col("doc_id"), col("shard").as("sh2"),
+        col("pos").as("p2")), "doc_id")
+    assert(joined.filter(col("sh1") =!= col("sh2")).count() == 0,
+      "growth moved a document between shards")
+    val orderFlips = joined.as("a").join(joined.as("b"),
+        col("a.sh1") === col("b.sh1") && col("a.p1") < col("b.p1") &&
+          col("a.p2") >= col("b.p2"))
+    assert(orderFlips.count() == 0, "growth reordered surviving documents")
+    // a different seed is a genuinely different permutation
+    val reseeded = Sampling.epochShuffle(docs, "doc_id", seed = 8L,
+      nShards = 4)
+    assert(out.select("doc_id", "shard", "pos")
+      .except(reseeded.select("doc_id", "shard", "pos")).count() > 0)
+    // fail-loud dials
+    intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(docs, "doc_id", 7L, nShards = 0)
+    }
+  }
+
+  test("epochAllocation: integer-exact budget split, epochs arithmetic, " +
+      "overflow and empty-corpus guards fail loud") {
+    import spark.implicits._
+    // perfect-square token totals make the quantized weights exact:
+    // sqrt ratios 10 : 20 : 50
+    val docs = Seq.fill(4)(("a", 25)) ++ Seq.fill(4)(("b", 100)) ++
+      Seq.fill(4)(("c", 625))
+    val df = docs.toDF("src", "n")
+    val out = Sampling.epochAllocation(df, "src", "n", budgetTokens = 1600L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    // wq = sqrt(n_tok) * 2^20 exactly; targets = 1600 * wq / 80*2^20
+    assert(out("a") == ((100L, 10L << 20, 200L, 2.0, true)), out("a"))
+    assert(out("b") == ((400L, 20L << 20, 400L, 1.0, false)), out("b"))
+    assert(out("c") == ((2500L, 50L << 20, 1000L, 0.4, false)), out("c"))
+    // the floor allocation never exceeds the budget
+    assert(out.values.map(_._3).sum <= 1600L)
+    // overflow guard: a budget x max-weight product past Int64 fails loud
+    val exOver = intercept[IllegalArgumentException] {
+      Sampling.epochAllocation(df, "src", "n",
+        budgetTokens = Long.MaxValue / 4)
+    }
+    assert(exOver.getMessage.contains("overflow"), exOver.getMessage)
+    // empty corpus fails loud, never an NPE
+    val exEmpty = intercept[IllegalArgumentException] {
+      Sampling.epochAllocation(df.filter(col("n") < 0), "src", "n", 100L)
+    }
+    assert(exEmpty.getMessage.contains("empty"), exEmpty.getMessage)
+  }
+
   test("tokenBudget matches the single-window reference on a 90%-skewed corpus") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
