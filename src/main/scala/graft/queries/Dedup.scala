@@ -479,6 +479,30 @@ object Dedup extends QuerySet {
         col("shared_shingles"), col("eval_shingles"), col("leak_ratio"))
   }
 
+  /** Incremental cluster maintenance (dd58, r13): the corpus arrives as
+    * TWO batches (even doc_ids, then odd) and
+    * [[TextDedup.mergeClusters]] folds each into the maintained label +
+    * signature stores; the final labels must be IDENTICAL to dd36's
+    * from-scratch run over the whole corpus — the oracle IS dd36's
+    * recursive CTE verbatim, so the hash-match pins the incremental
+    * algebra (batch pairs + cross-store probes + star-edge relabeling of
+    * the blast radius) against the direct transitive closure.
+    */
+  def dd58(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val all = Q.t(s, dir, "documents")
+    val emptyLabels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val emptyPost = Seq.empty[(Long, String)].toDF("doc_id", "bucket")
+    val (l1, p1) = TextDedup.mergeClusters(emptyLabels, emptyPost,
+      all.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      bands = 2, rowsPerBand = 2, fast = true)
+    val (l2, _) = TextDedup.mergeClusters(l1, p1,
+      all.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+      bands = 2, rowsPerBand = 2, fast = true)
+    l2
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd30_exact_dedup" -> (dd30 _),
     "dd31_ngram_jaccard" -> (dd31 _),
@@ -507,7 +531,8 @@ object Dedup extends QuerySet {
     "dd54_cluster_safe_split" -> (dd54 _),
     "dd55_split_leakage_audit" -> (dd55 _),
     "dd56_split_audit_prebuilt" -> (dd56 _),
-    "dd57_split_divergence" -> (dd57 _))
+    "dd57_split_divergence" -> (dd57 _),
+    "dd58_clusters_incremental" -> (dd58 _))
 
   private val simhashSumsSql = (0 until 16)
     .map(j => s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
@@ -621,6 +646,32 @@ object Dedup extends QuerySet {
          |FROM w x JOIN w y ON x.label = y.label AND x.vec_id < y.vec_id
          |WHERE round($cosSql, 4) >= 0.3""".stripMargin,
     "dd36_dup_clusters" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+         |g AS (SELECT doc_id, $bigramsSql AS bg FROM d),
+         |sigs AS (SELECT doc_id,
+         |  md5(list_min(list_transform(bg, x -> md5('1' || x)))
+         |   || list_min(list_transform(bg, x -> md5('2' || x)))) AS b1,
+         |  md5(list_min(list_transform(bg, x -> md5('3' || x)))
+         |   || list_min(list_transform(bg, x -> md5('4' || x)))) AS b2
+         | FROM g),
+         |p AS (SELECT DISTINCT doc_a, doc_b FROM (
+         | SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM sigs x JOIN sigs y
+         |  ON x.b1 = y.b1 AND x.doc_id < y.doc_id
+         | UNION ALL
+         | SELECT x.doc_id, y.doc_id FROM sigs x JOIN sigs y
+         |  ON x.b2 = y.b2 AND x.doc_id < y.doc_id)),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |walk(id, label) AS (
+         | SELECT src, src FROM edges
+         | UNION
+         | SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id)
+         |SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id""".stripMargin,
+    // dd58: incremental maintenance must equal the from-scratch closure —
+    // the oracle is dd36's verbatim (arrival order cannot matter: bucket
+    // co-membership is per-doc arithmetic, so the union of batch-internal
+    // and cross-store pairs is exactly the full run's pair set)
+    "dd58_clusters_incremental" ->
       s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
          |g AS (SELECT doc_id, $bigramsSql AS bg FROM d),
          |sigs AS (SELECT doc_id,

@@ -1655,6 +1655,89 @@ object StreamingQueries extends QuerySet {
     out
   }
 
+  /** Streaming duplicate-cluster maintenance across a restart (st71,
+    * r13): the dd58 incremental algebra run as a real drain — per
+    * trigger, [[graft.operators.TextDedup.mergeClusters]] folds the
+    * batch into the maintained label store
+    * ([[graft.streaming.DurableState]], versioned + replay-idempotent)
+    * and the band-postings signature store
+    * ([[graft.streaming.PostingsStore]], batch-partition overwrites),
+    * with the cross probe reading STRICTLY below the in-flight batch id
+    * (a replayed batch must not see its own crashed write — the
+    * compact-beforeBatch discipline applied to reads). Kill after batch
+    * 1 of 3 (the st62-65 kill point); the restarted query's batch 2 must
+    * recover the labels from DurableState and probe the two recovered
+    * postings partitions. Final labels are `require`d row-identical to
+    * the ORACLED dd36 from-scratch twin — incremental maintenance,
+    * micro-batching, AND a driver restart must all be invisible in the
+    * result. Per-trigger postings writes are evidence-logged and must
+    * sum to the on-disk total (batch-proportional, no history rewrite).
+    */
+  def st71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val docs = Q.t(s, dir, "documents")
+    val schema = docs.schema
+    val postDir = tmp("graft_st71_postings")
+    val stateDir = tmp("graft_st71_state")
+    val emptyLabels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val emptyPost = Seq.empty[(Long, String)].toDF("doc_id", "bucket")
+    val rowLog = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    val files = stageEach((0 until 3).map(i =>
+      docs.filter(col("doc_id") % 3 === i)))
+    restartDrain(files, phase1 = 2) { (feed, ckpt) =>
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val prevLabels = graft.streaming.DurableState
+            .latestBefore(stateDir, batchId) match {
+              case None => emptyLabels
+              case Some(v) => graft.streaming.DurableState
+                .read(s, stateDir, v, "labels")
+            }
+          // live paths resolve EAGERLY here, so the frame is pinned to
+          // partitions strictly below this batch even though it
+          // evaluates after the write below
+          val prevPost =
+            if (graft.streaming.PostingsStore
+                .livePaths(postDir, batchId).isEmpty) emptyPost
+            else graft.streaming.PostingsStore.read(s, postDir,
+              beforeBatch = batchId)
+          val (labels, post) = graft.operators.TextDedup.mergeClusters(
+            prevLabels, prevPost, batch, "doc_id", "text",
+            bands = 2, rowsPerBand = 2, fast = true)
+          graft.streaming.PostingsStore.write(post, postDir, batchId)
+          graft.streaming.DurableState.commit(stateDir, batchId,
+            Seq("labels" -> labels))
+          graft.streaming.DurableState.prune(stateDir, keep = 2)
+          val written = s.read.parquet(s"$postDir/batch_id=$batchId").count()
+          rowLog(batchId) = written
+          System.err.println(s"[st71] batch=$batchId postings_rows=$written")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val v = graft.streaming.DurableState.latestBefore(stateDir, Long.MaxValue)
+      .getOrElse(sys.error("st71: no committed label state"))
+    val out = graft.streaming.DurableState.read(s, stateDir, v, "labels")
+    // batch-proportional evidence: per-trigger postings writes sum to the
+    // on-disk total across the expected 3 triggers
+    val onDisk = graft.streaming.PostingsStore.read(s, postDir).count()
+    val logged = rowLog.values.sum
+    require(rowLog.size == 3 && logged == onDisk,
+      s"per-trigger postings writes are not batch-proportional: " +
+        s"${rowLog.size} triggers logged $logged rows, sink holds $onDisk")
+    val twin = Dedup.dd36(s, dir) // the ORACLED from-scratch twin
+    val missing = twin.except(out).count()
+    val extra = out.except(twin).count()
+    require(missing == 0 && extra == 0,
+      s"maintained cluster store diverged from the from-scratch dd36 " +
+        s"twin after checkpoint restart: missing=$missing extra=$extra")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st47_stream_silver_drain" -> (st47 _),
     "st48_stream_dedup_replay" -> (st48 _),
@@ -1679,7 +1762,8 @@ object StreamingQueries extends QuerySet {
     "st67_recovery_index_maintenance" -> (st67 _),
     "st68_index_compaction" -> (st68 _),
     "st69_recovery_knn_graph" -> (st69 _),
-    "st70_recovery_vocab_coverage" -> (st70 _))
+    "st70_recovery_vocab_coverage" -> (st70 _),
+    "st71_recovery_cluster_maintenance" -> (st71 _))
 
   // no DuckDB oracles: streaming drains are rows-only by design; the parity
   // require()s above carry the correctness assertion

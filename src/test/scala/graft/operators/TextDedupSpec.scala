@@ -625,6 +625,48 @@ class TextDedupSpec extends AnyFunSuite with SparkTestBase {
       s"null-split docs must be audited as eval: $nullAudit")
   }
 
+  test("property: chained mergeClusters equals the from-scratch LSH " +
+      "clusters on random corpora, including cross-batch merges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    var sawCrossBatchCluster = false
+    for (_ <- 1 to 3) {
+      // a 5-word pool makes identical/near-identical texts common, so
+      // clusters routinely span the batch boundaries below
+      val words = Vector("aa", "bb", "cc", "dd", "ee")
+      val docs = (0L until 60L).map { i =>
+        val n = 2 + rnd.nextInt(4)
+        (i, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val full = TextDedup.dupClusters(
+        TextDedup.minhashLshPairs(docs, "doc_id", "text",
+          bands = 2, rowsPerBand = 2))
+      var labels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+      var store = Seq.empty[(Long, String)].toDF("doc_id", "bucket")
+      for (b <- 0 until 3) {
+        val batch = docs.filter(col("doc_id") >= b * 20L &&
+          col("doc_id") < (b + 1) * 20L)
+        val (l2, p2) = TextDedup.mergeClusters(labels, store, batch,
+          "doc_id", "text", bands = 2, rowsPerBand = 2)
+        labels = l2.localCheckpoint(true)
+        store = store.unionByName(p2).localCheckpoint(true)
+      }
+      assert(labels.except(full).count() == 0 &&
+        full.except(labels).count() == 0,
+        "incremental labels diverged from the from-scratch clusters")
+      // no singletons, canonical = component minimum (inherited contract)
+      val perCluster = labels.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("mn"))
+      assert(perCluster.filter(col("n") < 2).count() == 0)
+      assert(perCluster.filter(col("mn") =!= col("cluster_id")).count() == 0)
+      if (labels.filter(col("cluster_id") < 20L && col("doc_id") >= 20L)
+          .count() > 0) sawCrossBatchCluster = true
+    }
+    // the equality above is only a strong check if batches actually merge
+    assert(sawCrossBatchCluster,
+      "fixture never exercised a cross-batch cluster merge")
+  }
+
   test("splitLeakageAudit: null text audits as ZERO shingles — never a " +
       "negative eval_shingles contribution (r12 advice)") {
     import spark.implicits._
