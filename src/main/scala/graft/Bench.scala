@@ -24,6 +24,10 @@ object Bench {
         s"${System.getProperty("java.io.tmpdir")}/graft_x12_corpus_v1", 45, seed = 42L)
       SparkEntry.queries("x12_61_silver_parse")(spark, sfDir).count()
     } catch { case _: Throwable => }
+    // drift canary (r13 verdict #2): pinned query timed warm at sweep
+    // start and again at sweep end — see BenchHarness.canaryOnce
+    val canaryStart = try BenchHarness.canaryWarm(spark, sfDir)
+      catch { case _: Throwable => -1.0 }
     // best-of-2 per query: the second run reflects steady-state (codegen
     // compiled, JIT warm) — the DuckDB oracle sidecar times best-of-2 too.
     // Floor-class entries (both runs under 0.75 s) get a THIRD run and keep
@@ -69,9 +73,16 @@ object Bench {
     // matching BenchHeavy: the 10-minute budget silently lost BENCH_r12's
     // oracle — the dd54/dd55 recursive-CTE oracles each pay ~50-60 s at
     // sf0.1 and DuckDB itself ran 2-3x slow that day (r12 verdict #2).
+    // end canary AFTER the Spark sweep + parse point, BEFORE the oracle
+    // child (whose CPU load would contaminate it): the pair brackets every
+    // Spark-side timing in the artifact
+    val canaryEnd = try BenchHarness.canaryOnce(spark, sfDir)
+      catch { case _: Throwable => -1.0 }
     val oracleJson = BenchHarness.runOracleSidecar(sfDir, oracleSql, qs,
       timeoutMinutes = 30)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"x12_parse_tx_per_sec":$txPerSec,"oracle":$oracleJson,"sf":"$sfDir"}""")
+    BenchHarness.emit(
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_start_s":$canaryStart,"canary_end_s":$canaryEnd,"queries":$qs,"x12_parse_tx_per_sec":$txPerSec,"oracle":$oracleJson,"sf":"$sfDir"}""",
+      "graft_bench_latest.json")
     spark.stop()
   }
 }

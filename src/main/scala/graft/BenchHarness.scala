@@ -23,6 +23,50 @@ object BenchHarness {
   def executeFully(df: org.apache.spark.sql.DataFrame): Long =
     df.queryExecution.toRdd.count()
 
+  /** Pinned canary query — ONE fixed cheap scan+agg over documents, timed
+    * warm at sweep start AND end (r13 verdict finding #2): the r13 session
+    * showed per-job constants drifting monotonically 1.5-3× within a single
+    * day at byte-identical source, which made late-session artifacts
+    * unreadable without BASELINE.md's out-of-band load notes. The canary
+    * pair makes a drifted draw machine-detectable from the artifact alone:
+    * canary_end_s / canary_start_s > ~1.5 ⇒ the sweep is a drift envelope,
+    * not a representative reading. The query is pinned forever — changing
+    * it breaks cross-round comparability.
+    */
+  def canaryOnce(spark: SparkSession, tablesDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    executeFully(spark.read.parquet(s"$tablesDir/documents.parquet")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars")))
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Warm the canary's codegen path (2 runs, keep the 2nd) so the start
+    * reading is steady-state — the end reading then compares like-for-like.
+    */
+  def canaryWarm(spark: SparkSession, tablesDir: String): Double = {
+    canaryOnce(spark, tablesDir); canaryOnce(spark, tablesDir)
+  }
+
+  /** Emit the bench metric line AND persist it as a sidecar file (r13
+    * verdict finding #1): the driver scrapes sbt stdout where every line
+    * rides an `[info] ` prefix, so BENCH_r12/r13 both carried
+    * `"parsed": null` and the structured gate survived only inside the raw
+    * tail string. The sidecar goes to java.io.tmpdir (stable machine path)
+    * and, best-effort, the working directory — the repo copy rides the
+    * round commit so the artifact is parseable with no stdout scraping.
+    */
+  def emit(json: String, sidecarName: String): Unit = {
+    println(json)
+    for (dir <- Seq(System.getProperty("java.io.tmpdir"),
+                    System.getProperty("user.dir")))
+      try Files.writeString(
+        java.nio.file.Paths.get(dir).resolve(sidecarName), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] sidecar write to $dir failed: ${e.getMessage}") }
+  }
+
   def escJson(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"

@@ -219,6 +219,10 @@ object BenchHeavy {
     // warm codegen/session paths off the clock
     try spark.read.parquet(s"$dir/documents.parquet").agg(count(lit(1))).collect()
     catch { case _: Throwable => }
+    // drift canary (r13 verdict #2) — same pinned query as graft.Bench,
+    // over the heavy documents table
+    val canaryStart = try BenchHarness.canaryWarm(spark, dir)
+      catch { case _: Throwable => -1.0 }
 
     val results = heavySpark.map { name =>
       def once(): Double = {
@@ -253,13 +257,19 @@ object BenchHeavy {
       s"${System.getProperty("java.io.tmpdir")}/graft_x12_heavy_corpus",
       nFiles = 2400, seed = 7L)
 
+    // end canary before the oracle child loads the machine
+    val canaryEnd = try BenchHarness.canaryOnce(spark, dir)
+      catch { case _: Throwable => -1.0 }
+
     // DuckDB oracle sidecar over the SAME heavy tables (timing only)
     val oracleJson = BenchHarness.runOracleSidecar(dir,
       SparkEntry.oracleSql.filter { case (k, _) =>
         heavySpark.contains(k) && !oracleExcluded(k) },
       qs, timeoutMinutes = 30)
 
-    println(s"""{"metric":"heavy_total","value":$total,"unit":"sec","factor":$factor,"queries":$qs,"x12_parse_tx_per_sec":$txPerSec,"oracle":$oracleJson,"base":"$base"}""")
+    BenchHarness.emit(
+      s"""{"metric":"heavy_total","value":$total,"unit":"sec","factor":$factor,"canary_start_s":$canaryStart,"canary_end_s":$canaryEnd,"queries":$qs,"x12_parse_tx_per_sec":$txPerSec,"oracle":$oracleJson,"base":"$base"}""",
+      "graft_bench_heavy_latest.json")
     spark.stop()
   }
 }
