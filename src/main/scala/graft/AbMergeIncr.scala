@@ -10,17 +10,40 @@ import org.apache.spark.sql.functions._
   * parity of the two outputs is asserted before any timing. Best-of-N
   * alternating warm draws, ONE JSON line. Run with the machine quiet;
   * record the load average (BASELINE control protocol).
+  *
+  * `SPARK_GRAFT_AB_DUP=low` (r13 verdict #3): the heavy fixture's 10×
+  * duplication rate is ADVERSARIAL for the incremental form — nearly
+  * every cluster sits in a batch's blast radius, so the r13 win read
+  * only 1.9×. The design point is a production-rate corpus where most
+  * documents are unique; this mode synthesizes one deterministically
+  * from ids alone (20 md5-hex tokens per document — the dd57
+  * wide-vocabulary construction — with every 20th id pair sharing text,
+  * duplication 20/19 ≈ 1.05×), built off the clock, and measures the
+  * same merge-vs-rebuild A/B on it.
   */
 object AbMergeIncr {
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sfheavy_v1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_AB_RUNS", "3").toInt
+    val dup = sys.env.getOrElse("SPARK_GRAFT_AB_DUP", "fixture")
     val spark = AbBm25Bigram.abSession()
     import graft.operators.TextDedup
     graft.functions.GraftFunctions.register(spark)
 
-    val all = graft.queries.Q.t(spark, dir, "documents")
+    val all = if (dup == "low") {
+      val n = sys.env.getOrElse("SPARK_GRAFT_AB_ROWS", "50000").toLong
+      spark.range(n).toDF("doc_id")
+        .withColumn("__base",
+          when(col("doc_id") % 20 === 1, col("doc_id") - 1)
+            .otherwise(col("doc_id")))
+        .withColumn("text",
+          array_join(transform(sequence(lit(0), lit(19)),
+            j => md5(concat(lit("lowdup|"), col("__base").cast("string"),
+              lit("|"), j.cast("string")))), " "))
+        .select("doc_id", "text")
+        .localCheckpoint(true)
+    } else graft.queries.Q.t(spark, dir, "documents")
     val storeDocs = all.filter(col("doc_id") % 12 =!= 0)
     val batch = all.filter(col("doc_id") % 12 === 0)
 
@@ -53,6 +76,7 @@ object AbMergeIncr {
     val incrAll = draws.map(_._1)
     val fullAll = draws.map(_._2)
     println(s"""{"metric":"ab_merge_incremental","dir":"$dir",""" +
+      s""""dup":"$dup",""" +
       s""""batch_rows":${batch.count()},"store_rows":${storeDocs.count()},""" +
       s""""incr_best":${incrAll.min},"full_best":${fullAll.min},""" +
       s""""incr_all":[${incrAll.mkString(",")}],""" +

@@ -76,7 +76,7 @@ object Bench {
     // end canary AFTER the Spark sweep + parse point, BEFORE the oracle
     // child (whose CPU load would contaminate it): the pair brackets every
     // Spark-side timing in the artifact
-    val canaryEnd = try BenchHarness.canaryOnce(spark, sfDir)
+    val canaryEnd = try BenchHarness.canarySteady(spark, sfDir)
       catch { case _: Throwable => -1.0 }
     val oracleJson = BenchHarness.runOracleSidecar(sfDir, oracleSql, qs,
       timeoutMinutes = 30)

@@ -42,12 +42,20 @@ object BenchHarness {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Warm the canary's codegen path (2 runs, keep the 2nd) so the start
-    * reading is steady-state — the end reading then compares like-for-like.
+  /** Steady-state canary reading: discard one JIT run, keep the min of
+    * the next 3 (the r14 draw-1 artifact showed a 2-run warmup still
+    * carrying JIT — start 0.63 s vs end 0.27 s on a drift-free sweep).
+    * The END reading uses the same min-of-3 via [[canarySteady]], so the
+    * pair compares like-for-like.
     */
   def canaryWarm(spark: SparkSession, tablesDir: String): Double = {
-    canaryOnce(spark, tablesDir); canaryOnce(spark, tablesDir)
+    canaryOnce(spark, tablesDir)
+    canarySteady(spark, tablesDir)
   }
+
+  /** min-of-3 canary draws (no discard — call when the path is warm). */
+  def canarySteady(spark: SparkSession, tablesDir: String): Double =
+    Seq.fill(3)(canaryOnce(spark, tablesDir)).min
 
   /** Emit the bench metric line AND persist it as a sidecar file (r13
     * verdict finding #1): the driver scrapes sbt stdout where every line

@@ -258,7 +258,7 @@ object BenchHeavy {
       nFiles = 2400, seed = 7L)
 
     // end canary before the oracle child loads the machine
-    val canaryEnd = try BenchHarness.canaryOnce(spark, dir)
+    val canaryEnd = try BenchHarness.canarySteady(spark, dir)
       catch { case _: Throwable => -1.0 }
 
     // DuckDB oracle sidecar over the SAME heavy tables (timing only)

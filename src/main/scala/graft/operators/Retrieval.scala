@@ -310,10 +310,24 @@ object Retrieval {
       // broadcast bound checked above
       val qRows = qTerms.collect()
         .map(r => (r.get(0), r.getString(1)))
-      // fail loud instead of an obscure empty-reduce crash; the join form
-      // returns an empty frame for an empty query set if that is intended
-      require(qRows.nonEmpty, "bm25RankQueries(fused): empty query set — " +
-        "use GRAFT_BM25_MULTI_FUSED=0 if an empty result is intended")
+      // empty query set → empty typed frame, matching the join form's
+      // behavior (r13 advice: the r13 require() here was a silent API
+      // behavior change for library callers, and the suggested env-var
+      // workaround was process-global, not per-call)
+      if (qRows.isEmpty) {
+        val s = docs.sparkSession
+        return s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id",
+              qTerms.schema("query_id").dataType),
+            org.apache.spark.sql.types.StructField("rank",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("doc_id",
+              docs.schema(idCol).dataType),
+            org.apache.spark.sql.types.StructField("bm25q",
+              org.apache.spark.sql.types.LongType))))
+      }
       val unionTokens = qRows.map(_._2).distinct.sorted
       val qIdx = unionTokens.zipWithIndex.toMap
       val dfRows = docs.select(F.queryHits(toks, qIdx).as("__h"))

@@ -393,6 +393,13 @@ object Sampling {
       s"nShards must be in [1, 65536], got $nShards")
     require(bucketChars >= 1 && bucketChars <= 8,
       s"bucketChars must be in [1,8], got $bucketChars")
+    // fail loud on caller columns the builder would silently overwrite
+    // (the clusterSafeSplit collision discipline, r13 advice): "shard"
+    // and "pos" are output names, "__h"/"__b" are internals
+    for (c <- Seq("shard", "pos", "__h", "__b"))
+      require(!df.columns.contains(c),
+        s"epochShuffle: input already has a '$c' column — rename it " +
+          "before calling (it would be overwritten or shadow data)")
     val withKey = df
       .withColumn("__h", hashOrder(lit(s"epoch$seed"), col(idCol)))
       .withColumn("shard",
@@ -437,6 +444,13 @@ object Sampling {
       weightScale: Long = 1L << 20): DataFrame = {
     require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
     require(weightScale >= 1, s"weightScale must be >= 1, got $weightScale")
+    // same collision discipline: the output/internal names must not
+    // collide with the caller's source column (the grouped frame would
+    // silently shadow it)
+    for (c <- Seq("n_tok", "wq", "target_tokens", "epochs", "upsampled"))
+      require(sourceCol != c && nTokensCol != c,
+        s"epochAllocation: column '$c' is an output name — rename the " +
+          "source/token column before calling")
     // quantized sqrt weight: the 2^20 default keeps sqrt(n_tok) exact to
     // ~1e-6 relative; the per-source frame is model-sized, so Σwq and
     // max(wq) are two driver longs (the temperatureWeights idiom)
@@ -464,6 +478,50 @@ object Sampling {
       .withColumn("upsampled", col("epochs") > 1.0)
       .select(col(sourceCol), col("n_tok"), col("wq"),
         col("target_tokens"), col("epochs"), col("upsampled"))
+  }
+
+  /** Epoch materialization (r14): turn [[epochAllocation]]'s PLAN into
+    * the per-document integer repeat counts a shard writer consumes —
+    * the step between "source X contributes T tokens" and an actual
+    * training stream. Each document repeats `target DIV n_tok` times
+    * (the whole epochs every document of the source gets), plus ONE
+    * extra repeat for a deterministic hash-chosen subset sized so the
+    * expected extra tokens equal the fractional remainder
+    * `target MOD n_tok`: extra iff `h16 · n_tok < rem · 2^16`, with h16
+    * the 16-bit md5 bucket of (seed, id). All-integer and engine-exact
+    * (no float epochs anywhere near the decision), stable under re-runs
+    * and corpus growth (a document's repeat count changes only if its
+    * source's allocation does).
+    *
+    * Scale: one census pass (inside [[epochAllocation]]), the
+    * model-sized allocation broadcast back, one hash projection per
+    * row — no shuffle touches the corpus. The h·n_tok product is guarded
+    * against Int64 wrap (n_tok < 2^47, i.e. ~140 T tokens per source)
+    * the same fail-loud way as the allocation itself.
+    */
+  def epochMaterialize(docs: DataFrame, sourceCol: String, idCol: String,
+      nTokensCol: String, budgetTokens: Long, seed: Long = 7L,
+      weightScale: Long = 1L << 20): DataFrame = {
+    for (c <- Seq("n_tok", "repeats", "__whole", "__rem"))
+      require(!docs.columns.contains(c),
+        s"epochMaterialize: column '$c' is an output/internal name — " +
+          "rename it before calling")
+    val alloc = epochAllocation(docs, sourceCol, nTokensCol, budgetTokens,
+        weightScale)
+      .select(col(sourceCol), col("n_tok"),
+        expr("target_tokens DIV n_tok").as("__whole"),
+        expr("target_tokens % n_tok").as("__rem"))
+    val maxTok = alloc.agg(max(col("n_tok"))).head.getLong(0)
+    require(BigInt(maxTok) * 65536 <= Long.MaxValue,
+      s"epochMaterialize: source token count ($maxTok) x 2^16 overflows " +
+        "Int64 — shard the source")
+    docs.join(broadcast(alloc), Seq(sourceCol))
+      .withColumn("repeats",
+        col("__whole") +
+          when(bucket(lit(s"mat$seed"), col(idCol)).cast("long")
+            * col("n_tok") < col("__rem") * lit(65536L), 1L)
+            .otherwise(0L))
+      .select(col(idCol), col(sourceCol), col(nTokensCol), col("repeats"))
   }
 
   /** Mixture-weighted corpus interleave (training-data mixing weights):

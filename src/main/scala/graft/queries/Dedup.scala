@@ -411,8 +411,19 @@ object Dedup extends QuerySet {
     // persisted clusters, or the entry would serve stale ones and the
     // oracle (which always recomputes from the live table) would diverge
     val src = Paths.get(s"$dir/documents.parquet")
-    val stamp = s"src=$dir v=1 bytes=${Files.size(src)} " +
-      s"mtime=${Files.getLastModifiedTime(src).toMillis}"
+    // a Spark-written fixture is a DIRECTORY of part files whose own
+    // size/mtime does not track content (r13 advice) — fingerprint the
+    // children recursively (sorted name+size+mtime per regular file) so a
+    // regenerated multi-file fixture invalidates the store too
+    def fp(p: java.nio.file.Path): String =
+      if (Files.isDirectory(p)) {
+        val kids = Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .sortBy(_.getFileName.toString)
+        kids.map(fp).mkString(";")
+      } else s"${p.getFileName}:${Files.size(p)}:" +
+        s"${Files.getLastModifiedTime(p).toMillis}"
+    val stamp = s"src=$dir v=2 " +
+      s"h=${java.util.UUID.nameUUIDFromBytes(fp(src).getBytes("UTF-8"))}"
     if (!Files.exists(marker) || Files.readString(marker) != stamp) {
       dd36(s, dir).write.mode("overwrite").parquet(loc.toString)
       Files.writeString(marker, stamp)

@@ -199,6 +199,41 @@ object Extended extends QuerySet {
         size(split(col("text"), " ")).as("n_tokens")),
       "source", "n_tokens", budgetTokens = 1000000L)
 
+  /** Epoch materialization (q65, r14): q64's allocation realized as
+    * per-document integer repeat counts — whole epochs for every
+    * document, the fractional remainder as one extra repeat for a
+    * deterministic 16-bit-hash subset (see
+    * [[graft.operators.Sampling.epochMaterialize]] — all-integer, one
+    * broadcast join, no corpus shuffle). The oracle recomputes the
+    * identical allocation + hash decision in SQL.
+    */
+  def q65(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.epochMaterialize(
+      Q.t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tokens")),
+      "source", "doc_id", "n_tokens", budgetTokens = 1000000L)
+
+  /** The end-to-end epoch stream (q66, r14): what the trainer actually
+    * reads — q65's repeat instances exploded and run through the q63
+    * epoch shuffle, so every (document, repeat) occurrence gets its own
+    * shard and position under a fresh permutation (two reads of the
+    * same document land far apart). Composes the planning (q64),
+    * materialization (q65) and layout (q63) operators into the final
+    * shard-writer manifest; instance identity is the "doc#rep" string,
+    * so the permutation is stable under corpus growth.
+    */
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    val inst = q65(s, dir)
+      .filter(col("repeats") >= 1)
+      .withColumn("rep", explode(sequence(lit(1L), col("repeats"))))
+      .withColumn("iid", concat(col("doc_id").cast("string"), lit("#"),
+        col("rep").cast("string")))
+      .select(col("doc_id"), col("rep"), col("iid"))
+    graft.operators.Sampling.epochShuffle(inst, "iid", seed = 11L,
+        nShards = 8)
+      .select(col("doc_id"), col("rep"), col("shard"), col("pos"))
+  }
+
   /** Sequence packing (concatenate-and-chunk): where each document's
     * tokens land in the fixed-512-token training-sequence layout (see
     * [[graft.operators.Sampling.packSequences]]).
@@ -600,6 +635,8 @@ object Extended extends QuerySet {
     "q36_pack_sequences" -> (q36 _),
     "q63_epoch_shuffle" -> (q63 _),
     "q64_epoch_allocation" -> (q64 _),
+    "q65_epoch_materialize" -> (q65 _),
+    "q66_epoch_stream" -> (q66 _),
     "q37_salted_join" -> (q37 _),
     "q38_cube_rollup" -> (q38 _),
     "q44_funnel_steps" -> (q44 _),
@@ -765,6 +802,64 @@ object Extended extends QuerySet {
         | CAST(target_tokens AS DOUBLE) / CAST(n_tok AS DOUBLE) > 1.0
         |  AS upsampled
         |FROM a""".stripMargin,
+    // q65: the q64 allocation CTE verbatim, reduced to whole/remainder,
+    // then the identical 16-bit md5 extra-repeat decision per document
+    "q65_epoch_materialize" ->
+      """WITH per AS (SELECT source,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        | FROM documents GROUP BY source HAVING n_tok > 0),
+        |w AS (SELECT source, n_tok,
+        |  CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1048576.0) AS BIGINT)
+        |   AS wq FROM per),
+        |t AS (SELECT *, (SELECT SUM(wq) FROM w) AS wsum FROM w),
+        |a AS (SELECT source, n_tok,
+        |  CAST((1000000 * wq) // wsum AS BIGINT) AS target_tokens FROM t),
+        |r AS (SELECT source, n_tok, target_tokens // n_tok AS whole,
+        |  target_tokens % n_tok AS rem FROM a),
+        |d AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        | FROM documents)
+        |SELECT d.doc_id, d.source, d.n_tokens,
+        | CAST(r.whole + CASE WHEN
+        |   CAST('0x' || substr(md5('mat7|' || CAST(d.doc_id AS VARCHAR)),
+        |     1, 4) AS BIGINT) * r.n_tok < r.rem * 65536
+        |  THEN 1 ELSE 0 END AS BIGINT) AS repeats
+        |FROM d JOIN r USING (source)""".stripMargin,
+    // q66: q65's repeats exploded via generate_series, then the q63
+    // shard/rank idiom over the instance key 'doc#rep'
+    "q66_epoch_stream" ->
+      """WITH per AS (SELECT source,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        | FROM documents GROUP BY source HAVING n_tok > 0),
+        |w AS (SELECT source, n_tok,
+        |  CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1048576.0) AS BIGINT)
+        |   AS wq FROM per),
+        |t AS (SELECT *, (SELECT SUM(wq) FROM w) AS wsum FROM w),
+        |a AS (SELECT source, n_tok,
+        |  CAST((1000000 * wq) // wsum AS BIGINT) AS target_tokens FROM t),
+        |r AS (SELECT source, n_tok, target_tokens // n_tok AS whole,
+        |  target_tokens % n_tok AS rem FROM a),
+        |mat AS (SELECT d.doc_id,
+        |  r.whole + CASE WHEN
+        |    CAST('0x' || substr(md5('mat7|' || CAST(d.doc_id AS VARCHAR)),
+        |      1, 4) AS BIGINT) * r.n_tok < r.rem * 65536
+        |   THEN 1 ELSE 0 END AS repeats
+        | FROM documents d JOIN r USING (source)),
+        |inst AS (SELECT doc_id,
+        |  unnest(generate_series(1, repeats)) AS rep
+        | FROM mat WHERE repeats >= 1),
+        |h AS (SELECT doc_id, CAST(rep AS BIGINT) AS rep,
+        |  md5('epoch11|' || CAST(doc_id AS VARCHAR) || '#' ||
+        |    CAST(rep AS VARCHAR)) AS hk,
+        |  CAST(doc_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR) AS iid
+        | FROM inst)
+        |SELECT doc_id, rep,
+        | CAST(CAST('0x' || substr(hk, 1, 4) AS INTEGER) % 8 AS BIGINT)
+        |  AS shard,
+        | CAST(row_number() OVER (
+        |   PARTITION BY CAST('0x' || substr(hk, 1, 4) AS INTEGER) % 8
+        |   ORDER BY hk, iid) AS BIGINT) AS pos
+        |FROM h""".stripMargin,
     "q36_pack_sequences" ->
       """WITH d AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens

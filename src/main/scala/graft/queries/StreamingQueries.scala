@@ -803,13 +803,13 @@ object StreamingQueries extends QuerySet {
         scala.collection.mutable.ArrayBuffer.empty)(
       batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
-    val bdir = s"$postingsDir/batch_id=$batchId"
     graft.streaming.PostingsStore.write(
       graft.operators.Retrieval.bm25Postings(batch, "doc_id", "text"),
       postingsDir, batchId)
     // census + evidence read back the batch partition that actually
-    // landed (batch-sized, never the accumulated index)
-    val p = s.read.parquet(bdir)
+    // landed (batch-sized, never the accumulated index) — via the store
+    // API, not a string-built path (r13 verdict #5)
+    val p = graft.streaming.PostingsStore.readBatch(s, postingsDir, batchId)
     val c = p.groupBy("token").agg(count(lit(1)).as("df"))
     // empty-batch safe (r9 advice): coalesce the sum/max aggregates so a
     // rows=0 micro-batch contributes zeros instead of NULL-NPEing
@@ -840,8 +840,7 @@ object StreamingQueries extends QuerySet {
     // version a replaying batch merges from
     graft.streaming.DurableState.prune(stateDir, keep = 2)
     val rows = p.count()
-    val bytes = new java.io.File(bdir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val bytes = graft.streaming.PostingsStore.batchBytes(postingsDir, batchId)
     rowLog(batchId) = (rows, bytes)
     // scalastyle:off println — the per-trigger cost evidence the entry's
     // batch-proportionality require reads; goes to the driver log
@@ -1711,7 +1710,10 @@ object StreamingQueries extends QuerySet {
           graft.streaming.DurableState.commit(stateDir, batchId,
             Seq("labels" -> labels))
           graft.streaming.DurableState.prune(stateDir, keep = 2)
-          val written = s.read.parquet(s"$postDir/batch_id=$batchId").count()
+          // evidence read via the store API, not a string-built path
+          // (r13 verdict #5: layout coupling broke silently on scheme change)
+          val written = graft.streaming.PostingsStore
+            .readBatch(s, postDir, batchId).count()
           rowLog(batchId) = written
           System.err.println(s"[st71] batch=$batchId postings_rows=$written")
         }

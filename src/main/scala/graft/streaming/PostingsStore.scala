@@ -88,21 +88,33 @@ object PostingsStore {
   }
 
   /** The partition-column CHAIN a fold source's dirs actually encode
-    * (`cell=3/…` → Seq("cell")), descending the first branch — Spark
-    * writes a uniform layout, so one branch names them all. Empty for a
-    * flat source. Drives compact()'s layout validation.
+    * (`cell=3/…` → Seq("cell")). Validates EVERY `=`-named child at every
+    * level (r13 advice: descending only the first branch let a
+    * non-uniform layout — mixed writers, partial corruption — pass when
+    * its first branch happened to match, while other branches got
+    * silently inlined or mis-cut): all siblings must name one column and
+    * agree on the chain below it, or this fails loud. Empty for a flat
+    * source. Drives compact()'s layout validation. Depth is bounded by
+    * the partition-column count, so the full walk stays cheap.
     */
   private def partitionChain(dir: Path): Seq[String] = {
-    @annotation.tailrec
-    def loop(d: Path, acc: Vector[String]): Vector[String] = {
-      val sub = Option(d.toFile.listFiles()).toSeq.flatten
-        .find(f => f.isDirectory && f.getName.contains("="))
-      sub match {
-        case Some(f) => loop(f.toPath, acc :+ f.getName.takeWhile(_ != '='))
-        case None => acc
+    def chain(d: Path): Vector[String] = {
+      val subs = Option(d.toFile.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.contains("="))
+      if (subs.isEmpty) Vector.empty
+      else {
+        val cols = subs.map(_.getName.takeWhile(_ != '=')).distinct
+        require(cols.size == 1,
+          s"PostingsStore: non-uniform partition layout under $d — " +
+            s"mixed partition columns: ${cols.sorted.mkString(", ")}")
+        val tails = subs.map(f => chain(f.toPath)).distinct
+        require(tails.size == 1,
+          s"PostingsStore: non-uniform partition layout under $d — " +
+            s"branches disagree below '${cols.head}='")
+        cols.head +: tails.head
       }
     }
-    loop(dir, Vector.empty)
+    chain(dir)
   }
 
   private def consumedNames(root: String): Set[String] =
@@ -159,6 +171,26 @@ object PostingsStore {
     require(live.nonEmpty, s"PostingsStore: no committed partitions under $root")
     s.read.parquet(live: _*)
   }
+
+  /** ONE writer batch's partition, resolved through the store's own
+    * directory listing (r13 verdict #5: callers that string-build
+    * `"$root/batch_id=N"` couple to the layout and break silently if the
+    * partition scheme changes). The per-trigger evidence read for
+    * batch-proportionality assertions. Fails loud on a missing batch.
+    */
+  def readBatch(s: SparkSession, root: String, batchId: Long): DataFrame =
+    s.read.parquet(batchDir(root, batchId).toString)
+
+  /** The parquet bytes one writer batch landed — same resolution rule as
+    * [[readBatch]], same cost unit as compaction ([[dirBytes]]).
+    */
+  def batchBytes(root: String, batchId: Long): Long =
+    dirBytes(batchDir(root, batchId))
+
+  private def batchDir(root: String, batchId: Long): Path =
+    partDirs(root).find(d => partId(d) == batchId)
+      .getOrElse(sys.error(
+        s"PostingsStore: no batch_id=$batchId partition under $root"))
 
   /** Fold live partitions into ONE negative-id segment. Idempotent and
     * crash-safe per the commit protocol; returns `None` (no-op) when

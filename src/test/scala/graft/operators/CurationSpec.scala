@@ -187,6 +187,56 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("epochMaterialize: whole epochs for every document, remainder as " +
+      "a deterministic hash subset; collision guards fail loud") {
+    import spark.implicits._
+    // the epochAllocation fixture with ids: targets a=200/n_tok=100
+    // (whole 2, rem 0), b=400/400 (1, 0), c=1000/2500 (0, 1000)
+    val docs = ((0L until 4L).map(i => (i, "a", 25)) ++
+      (4L until 8L).map(i => (i, "b", 100)) ++
+      (8L until 12L).map(i => (i, "c", 625))).toDF("id", "src", "n")
+    val out = Sampling.epochMaterialize(docs, "src", "id", "n",
+      budgetTokens = 1600L)
+    assert(out.columns.toSeq == Seq("id", "src", "n", "repeats"))
+    val rep = out.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // rem = 0 sources get exactly their whole epochs, no hash extras
+    assert((0L until 4L).forall(rep(_) == 2L), rep)
+    assert((4L until 8L).forall(rep(_) == 1L), rep)
+    // source c: whole = 0, extra iff h16 · 2500 < 1000 · 2^16 —
+    // recompute the identical md5 decision test-side
+    def h16(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mat7|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(4), 16)
+    }
+    (8L until 12L).foreach { id =>
+      val expect = if (h16(id) * 2500L < 1000L * 65536L) 1L else 0L
+      assert(rep(id) == expect, s"doc $id: got ${rep(id)}, want $expect")
+    }
+    // and the subset is non-trivial on a wider corpus: some-but-not-all
+    // of a fractional source's documents get the extra repeat
+    val wide = (0L until 200L).map(i => (i, "c", 625)).toDF("id", "src", "n")
+    val extras = Sampling.epochMaterialize(wide, "src", "id", "n",
+        budgetTokens = 50000L) // n_tok=125k, target=50k: whole 0, rem 50k
+      .agg(sum(col("repeats"))).head.getLong(0)
+    assert(extras > 0 && extras < 200, s"extras=$extras")
+    // collision guards (r13 advice): output/internal names fail loud in
+    // epochMaterialize, epochShuffle AND epochAllocation
+    intercept[IllegalArgumentException] {
+      Sampling.epochMaterialize(docs.withColumnRenamed("n", "repeats"),
+        "src", "id", "repeats", 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(docs.withColumnRenamed("n", "shard"), "id",
+        7L, nShards = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochAllocation(docs.withColumnRenamed("src", "wq"),
+        "wq", "n", 100L)
+    }
+  }
+
   test("epochAllocation: integer-exact budget split, epochs arithmetic, " +
       "overflow and empty-corpus guards fail loud") {
     import spark.implicits._

@@ -90,6 +90,25 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(single == multi)
   }
 
+  test("bm25RankQueries(fused) on an EMPTY query set returns an empty " +
+      "typed frame, matching the join form (r13 advice)") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val none = Seq.empty[(Long, String)].toDF("query_id", "token")
+    val f = Retrieval.bm25RankQueries(docs, "doc_id", "text", none,
+      topK = 5, fused = Some(true))
+    assert(f.count() == 0)
+    assert(f.columns.toSeq == Seq("query_id", "rank", "doc_id", "bm25q"))
+    assert(f.schema("query_id").dataType == none.schema("query_id").dataType)
+    assert(f.schema("rank").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(f.schema("doc_id").dataType == docs.schema("doc_id").dataType)
+    val j = Retrieval.bm25RankQueries(docs, "doc_id", "text", none,
+      topK = 5, fused = Some(false))
+    assert(j.count() == 0 && j.columns.toSeq == f.columns.toSeq)
+  }
+
   test("bm25RankFromIndex on merged batch partials equals bm25Rank one-shot") {
     import spark.implicits._
     // the st66 property at unit grain: postings APPEND, the df census and

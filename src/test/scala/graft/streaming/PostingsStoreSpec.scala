@@ -130,6 +130,44 @@ class PostingsStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(ev.folded.size == 2)
   }
 
+  test("a non-uniform partition layout under a fold source fails loud — " +
+      "every '='-branch is validated, not just the first (r13 advice)") {
+    val root = Files.createTempDirectory("graft_pstore_mixed").toString
+    (0 until 2).foreach { b =>
+      PostingsStore.write(
+        (0 until 8).map(i => ((b * 10 + i).toLong, (i % 2).toLong, i.toDouble))
+          .toDF("vec_id", "cell_id", "x"),
+        root, b.toLong, partitionColumns = Seq("cell_id"))
+    }
+    // corrupt ONE sibling branch — a mixed writer / partial copy that
+    // encoded a different partition column; the r13 first-branch descent
+    // passed this whenever listing order served cell_id= first
+    val bdir = Paths.get(root, "batch_id=0")
+    Files.move(bdir.resolve("cell_id=1"), bdir.resolve("bucket=1"))
+    val ex = intercept[IllegalArgumentException] {
+      PostingsStore.compact(spark, root, partitionColumns = Seq("cell_id"))
+    }
+    assert(ex.getMessage.contains("non-uniform") &&
+      ex.getMessage.contains("bucket") && ex.getMessage.contains("cell_id"),
+      ex.getMessage)
+    // nothing was folded or consumed by the rejected compaction
+    assert(PostingsStore.livePaths(root).size == 2)
+  }
+
+  test("readBatch/batchBytes resolve one writer batch through the store " +
+      "layout and fail loud on a missing id (r13 verdict #5)") {
+    val root = Files.createTempDirectory("graft_pstore_readbatch").toString
+    PostingsStore.write(
+      Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("doc_id", "token", "tf"),
+      root, 3L)
+    assert(PostingsStore.readBatch(spark, root, 3L).count() == 2)
+    assert(PostingsStore.batchBytes(root, 3L) > 0L)
+    val ex = intercept[RuntimeException] {
+      PostingsStore.readBatch(spark, root, 4L)
+    }
+    assert(ex.getMessage.contains("no batch_id=4"), ex.getMessage)
+  }
+
   test("a writer batch COMMITTED between the compactor's snapshot and " +
       "its _SOURCES commit stays live — reads exactly-once throughout") {
     val root = freshStore(3)
