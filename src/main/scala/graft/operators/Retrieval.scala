@@ -43,6 +43,15 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Largest distinct-query count [[bm25RankQueries]] routes to the FUSED
+    * kernel by default. Measured crossover (AbBm25Multi, bigram
+    * 931-token vocabulary, factor 30, best-of-5 alternating warm draws):
+    * fused wins every Q ≤ 32 by 1.2-1.4×, Q=64 is a wash with medians
+    * reversed — above this the join form's amortized single corpus pass
+    * beats Q fused passes. Callers pin a shape with the `fused` param.
+    */
+  val FusedQueryRouteMax: Long = 32L
+
   /** The quantized BM25 factors are Int64 arithmetic in non-ANSI Spark, so
     * an out-of-range corpus would WRAP silently and mis-rank instead of
     * erroring. Bound both worst-case terms up front (tf ≤ dl ≤ maxDl):
@@ -291,17 +300,25 @@ object Retrieval {
     //    a shared census, then the per-(query, doc) aggregate and a
     //    query-partitioned rank window — one corpus pass regardless of
     //    Q, at the cost of explode volume and two shuffles.
-    // The r12 deferral guessed the join form's amortized single pass
-    // might hold as Q grows; the measurement says otherwise (AbBm25Multi,
-    // bigram 931-token vocab, factor 30, best-of-5): Q=2 fused 2.59 s vs
-    // join 3.39 s, Q=8 fused 4.03 s vs join 5.49 s — the Q cheap codegen
-    // projections beat the explode volume + two shuffles at every
-    // measured Q, and unigram reproduces the known wash (3.35/3.39).
-    // Decision recorded in BASELINE.md r13.
+    // The fused cost is LINEAR in Q (Q corpus passes) while the join
+    // form amortizes its one explode across all queries, so a crossover
+    // must exist; the default routes on the measured points (AbBm25Multi,
+    // bigram 931-token vocab, factor 30, best-of-5, r13+r14): fused wins
+    // Q=2 (2.59 vs 3.39 s), Q=8 (4.03 vs 5.49), Q=32 (6.62 vs 8.16) and
+    // is a wash inside run noise at Q=64 (best 10.64 vs 11.14, medians
+    // REVERSED 13.1 vs 11.6 — the fused variance grows with its pass
+    // count). Queries route FUSED up to Q = FusedQueryRouteMax and JOIN
+    // above; both shapes are byte-identical (A/B parity-asserted), so
+    // routing never changes results. Decisions recorded in BASELINE.md
+    // r13/r14; override per-call via `fused` or process-wide via the env.
     val useFused = fused.getOrElse(
       sys.env.get("GRAFT_BM25_MULTI_FUSED") match {
-        case None | Some("1") => true
+        case Some("1") => true
         case Some("0") => false
+        case None =>
+          // one tiny distinct-count job over the already-bounded query
+          // frame — model-sized by the requireSmallQuerySet above
+          qTerms.select("query_id").distinct().count() <= FusedQueryRouteMax
         case Some(other) => throw new IllegalArgumentException(
           s"GRAFT_BM25_MULTI_FUSED must be 0 or 1, got '$other'")
       })

@@ -90,6 +90,30 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(single == multi)
   }
 
+  test("bm25RankQueries Q-routing (fused <= 32 < join) never changes " +
+      "results: routed, fused and join outputs are row-identical past " +
+      "the threshold") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    // 33 distinct query ids — one past FusedQueryRouteMax, so the
+    // default routes JOIN while both pinned shapes must agree with it
+    val qs = docs.filter(col("doc_id") < 33)
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0).distinct()
+    assert(Retrieval.FusedQueryRouteMax == 32L)
+    val routed = Retrieval.bm25RankQueries(docs, "doc_id", "text", qs,
+      topK = 3)
+    val fusedR = Retrieval.bm25RankQueries(docs, "doc_id", "text", qs,
+      topK = 3, fused = Some(true))
+    val joinR = Retrieval.bm25RankQueries(docs, "doc_id", "text", qs,
+      topK = 3, fused = Some(false))
+    assert(routed.except(joinR).count() == 0 &&
+      joinR.except(routed).count() == 0)
+    assert(fusedR.except(joinR).count() == 0 &&
+      joinR.except(fusedR).count() == 0)
+  }
+
   test("bm25RankQueries(fused) on an EMPTY query set returns an empty " +
       "typed frame, matching the join form (r13 advice)") {
     import spark.implicits._
