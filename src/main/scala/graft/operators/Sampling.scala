@@ -388,7 +388,48 @@ object Sampling {
     * construction (it IS a prefix of the order key).
     */
   def epochShuffle(df: DataFrame, idCol: String, seed: Long, nShards: Int,
-      bucketChars: Int = 3): DataFrame = {
+      bucketChars: Int = 3): DataFrame =
+    shuffleRank(df, idCol, s"epoch$seed", nShards, bucketChars,
+      tier = None, op = "epochShuffle")
+
+  /** Curriculum shuffle (r14): [[epochShuffle]] with a TIER-MAJOR order
+    * inside every shard — the curriculum-scheduling step ("train
+    * short/easy documents first"): within a shard, all tier-0 documents
+    * precede all tier-1 documents, and inside one tier the order is the
+    * seed's md5 permutation (so the curriculum is still shuffled, just
+    * stratified by difficulty). Shard assignment stays the hash's own
+    * bucket — uniform and tier-uncorrelated, so every shard sees the
+    * same curriculum ramp.
+    *
+    * Scale shape: identical to [[epochShuffle]] — the rank rides the
+    * bucketed two-pass prefix idiom with the bucket string
+    * `zero-padded tier ++ hash prefix`, which is order-aligned with
+    * (tier ASC, hash ASC) by construction; no per-shard single-task
+    * sort at any corpus size. Tier values must be integral and in
+    * [0, 9999] (the zero-pad width that keeps string order = numeric
+    * order) — checked with one partial-aggregated min/max pass, fail
+    * loud.
+    */
+  def curriculumShuffle(df: DataFrame, idCol: String, tierCol: String,
+      seed: Long, nShards: Int, bucketChars: Int = 3): DataFrame = {
+    val r = df.agg(min(col(tierCol).cast("long")),
+      max(col(tierCol).cast("long"))).head
+    require(!r.isNullAt(0) && r.getLong(0) >= 0 && r.getLong(1) <= 9999L,
+      s"curriculumShuffle: tier '$tierCol' must be non-null integral in " +
+        s"[0, 9999], got [${r.get(0)}, ${r.get(1)}]")
+    shuffleRank(df, idCol, s"curr$seed", nShards, bucketChars,
+      tier = Some(tierCol), op = "curriculumShuffle")
+  }
+
+  /** Shared (shard, pos) builder for [[epochShuffle]] /
+    * [[curriculumShuffle]] — see epochShuffle's scaladoc for the
+    * two-pass bucketed-prefix scale argument. `tier` prepends a
+    * zero-padded tier to the bucket string, making the within-shard
+    * order tier-major.
+    */
+  private def shuffleRank(df: DataFrame, idCol: String, tag: String,
+      nShards: Int, bucketChars: Int, tier: Option[String],
+      op: String): DataFrame = {
     require(nShards >= 1 && nShards <= 65536,
       s"nShards must be in [1, 65536], got $nShards")
     require(bucketChars >= 1 && bucketChars <= 8,
@@ -398,20 +439,25 @@ object Sampling {
     // and "pos" are output names, "__h"/"__b" are internals
     for (c <- Seq("shard", "pos", "__h", "__b"))
       require(!df.columns.contains(c),
-        s"epochShuffle: input already has a '$c' column — rename it " +
+        s"$op: input already has a '$c' column — rename it " +
           "before calling (it would be overwritten or shadow data)")
+    val prefix = substring(col("__h"), 1, bucketChars)
     val withKey = df
-      .withColumn("__h", hashOrder(lit(s"epoch$seed"), col(idCol)))
+      .withColumn("__h", hashOrder(lit(tag), col(idCol)))
       .withColumn("shard",
         conv(substring(col("__h"), 1, 4), 16, 10).cast("long")
           % lit(nShards.toLong))
-      .withColumn("__b", substring(col("__h"), 1, bucketChars))
+      .withColumn("__b", tier match {
+        case Some(t) =>
+          concat(lpad(col(t).cast("long").cast("string"), 4, "0"), prefix)
+        case None => prefix
+      })
       .localCheckpoint(false)
     val offsets = BucketedOffsets.frame(withKey,
       keyCol = col("shard"), bucketCol = col("__b"),
       cAgg = count(lit(1)), extras = Seq.empty,
       withTotal = false, materialize = false, maxRows = -1L,
-      op = "epochShuffle", hint = "")
+      op = op, hint = "")
     val wLocal = Window.partitionBy(col("shard"), col("__b"))
       .orderBy(col("__h"), col(idCol))
     withKey

@@ -234,6 +234,19 @@ object Extended extends QuerySet {
       .select(col("doc_id"), col("rep"), col("shard"), col("pos"))
   }
 
+  /** Curriculum ordering (q67, r14): the length-curriculum schedule —
+    * documents bucketed into 128-token length tiers (capped at 9), then
+    * [[graft.operators.Sampling.curriculumShuffle]] lays every shard out
+    * tier-major (all shorter docs first) with the seed's md5 permutation
+    * inside each tier. Same two-pass bucketed-prefix rank as q63; the
+    * oracle pays a plain per-shard (tier, hash) sort.
+    */
+  def q67(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.curriculumShuffle(
+      Q.t(s, dir, "documents").select(col("doc_id"),
+        expr("least(size(split(text, ' ')) DIV 128, 9L)").as("tier")),
+      "doc_id", "tier", seed = 5L, nShards = 8)
+
   /** Sequence packing (concatenate-and-chunk): where each document's
     * tokens land in the fixed-512-token training-sequence layout (see
     * [[graft.operators.Sampling.packSequences]]).
@@ -637,6 +650,7 @@ object Extended extends QuerySet {
     "q64_epoch_allocation" -> (q64 _),
     "q65_epoch_materialize" -> (q65 _),
     "q66_epoch_stream" -> (q66 _),
+    "q67_curriculum_order" -> (q67 _),
     "q37_salted_join" -> (q37 _),
     "q38_cube_rollup" -> (q38 _),
     "q44_funnel_steps" -> (q44 _),
@@ -860,6 +874,21 @@ object Extended extends QuerySet {
         |   PARTITION BY CAST('0x' || substr(hk, 1, 4) AS INTEGER) % 8
         |   ORDER BY hk, iid) AS BIGINT) AS pos
         |FROM h""".stripMargin,
+    // q67: the q63 shard idiom under a TIER-MAJOR within-shard order —
+    // the oracle ranks with a plain partitioned (tier, hash) sort
+    "q67_curriculum_order" ->
+      """WITH d AS (SELECT doc_id,
+        |  least(len(string_split(text, ' ')) // 128, 9) AS tier
+        | FROM documents),
+        |h AS (SELECT doc_id, tier,
+        |  md5('curr5|' || CAST(doc_id AS VARCHAR)) AS hk FROM d),
+        |s AS (SELECT doc_id, tier, hk,
+        |  CAST('0x' || substr(hk, 1, 4) AS INTEGER) % 8 AS shard FROM h)
+        |SELECT doc_id, CAST(tier AS BIGINT) AS tier,
+        | CAST(shard AS BIGINT) AS shard,
+        | CAST(row_number() OVER (PARTITION BY shard
+        |   ORDER BY tier, hk, doc_id) AS BIGINT) AS pos
+        |FROM s""".stripMargin,
     "q36_pack_sequences" ->
       """WITH d AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens

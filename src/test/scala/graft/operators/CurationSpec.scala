@@ -187,6 +187,47 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("curriculumShuffle: tier-major within-shard order equals the " +
+      "single-window form; tiers ramp monotonically along pos; bounds " +
+      "fail loud") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 500L).map(i => (i, i % 4)).toDF("doc_id", "tier")
+    val out = Sampling.curriculumShuffle(docs, "doc_id", "tier",
+      seed = 5L, nShards = 4)
+    // parity with the naive per-shard (tier, hash) window
+    val hk = md5(concat(lit("curr5|"), col("doc_id").cast("string")))
+    val expected = docs
+      .withColumn("__hk", hk)
+      .withColumn("shard",
+        conv(substring(col("__hk"), 1, 4), 16, 10).cast("long") % 4L)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard")
+          .orderBy(col("tier"), col("__hk"), col("doc_id")))
+        .cast("long"))
+      .select("doc_id", "tier", "shard", "pos")
+    assert(out.except(expected).count() == 0 &&
+      expected.except(out).count() == 0)
+    // the curriculum ramp: along pos within a shard, tier never decreases
+    val wPrev = Window.partitionBy("shard").orderBy("pos")
+    assert(out.withColumn("__pt", lag(col("tier"), 1).over(wPrev))
+      .filter(col("__pt").isNotNull && col("tier") < col("__pt"))
+      .count() == 0, "tier decreased along pos inside a shard")
+    // every shard sees every tier (the ramp is per-shard, not global)
+    assert(out.select("shard", "tier").distinct().count() == 16)
+    // bounds fail loud: negative and > 9999 tiers break the zero-pad
+    // string order and must never pass silently
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumShuffle(
+        docs.withColumn("tier", col("tier") - 1), "doc_id", "tier", 5L, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumShuffle(
+        docs.withColumn("tier", col("tier") + 10000L), "doc_id", "tier",
+        5L, 4)
+    }
+  }
+
   test("epochMaterialize: whole epochs for every document, remainder as " +
       "a deterministic hash subset; collision guards fail loud") {
     import spark.implicits._
