@@ -107,6 +107,34 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
       s"expected partial + final WindowGroupLimit:\n$capPlan")
   }
 
+  test("epoch/curriculum shuffle: the corpus rank window partitions by " +
+      "(shard, bucket), never shard alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val docs = (1L to 200L).map(i => (i, i % 3)).toDF("id", "tier")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // a partition spec of just the shard would sort ~100 GB per task at
+      // 100 TB / 1024 shards — the bucket column must stay in the spec
+      for (df <- Seq(
+          Sampling.epochShuffle(docs, "id", seed = 7L, nShards = 4),
+          Sampling.curriculumShuffle(docs, "id", "tier", seed = 5L,
+            nShards = 4))) {
+        val ws = df.queryExecution.executedPlan.collect {
+          case w: WindowExec
+              if w.find(_.isInstanceOf[BroadcastHashJoinExec]).isDefined => w
+        }
+        assert(ws.nonEmpty, "expected a window over the joined corpus")
+        ws.foreach(w => assert(w.partitionSpec.size == 2,
+          s"corpus window must partition by (shard, bucket):\n" +
+            df.queryExecution.executedPlan))
+        assert(df.count() == 200)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("checkpoint preserves the edge frame's partitioning: per-round join exchanges only the label side") {
     import spark.implicits._
     // the dupClusters per-round contract: the edge frame is repartitioned +
