@@ -135,7 +135,16 @@ object BenchHeavy {
     // bounded window over every replicated document; the oracle pays a
     // plain per-shard sort (q64 epoch allocation stays OUT of the tier:
     // the q62 census engine-constant class, documented)
-    "q63_epoch_shuffle")
+    "q63_epoch_shuffle",
+    // r14 (added after the round's paired draws, so r15's tier is the
+    // first to carry them): q66 composes allocation -> materialization ->
+    // shuffle over the replicated corpus (instances scale with the
+    // budget, the census+explode with the corpus); q67 rides the same
+    // corpus window as q63 under the tier-major bucket (q65 epoch
+    // materialization stays OUT: the q64/q62 census engine-constant
+    // class — its f10 TimeQueries floor is recorded in BASELINE)
+    "q66_epoch_stream",
+    "q67_curriculum_order")
   // lineitem is replicated into the heavy dir (v4) for the Decimal-sum
   // class evidence recorded in BASELINE.md (q01 cents-long vs Decimal at
   // 6M rows, 2 MB grain: 0.78-0.80 s vs 1.07-1.20 s) and for scaling-curve

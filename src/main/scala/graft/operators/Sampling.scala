@@ -497,11 +497,31 @@ object Sampling {
       require(sourceCol != c && nTokensCol != c,
         s"epochAllocation: column '$c' is an output name — rename the " +
           "source/token column before calling")
+    epochAllocationFromCensus(
+      docs.groupBy(col(sourceCol))
+        .agg(sum(col(nTokensCol).cast("long")).as("n_tok")),
+      sourceCol, budgetTokens, weightScale)
+  }
+
+  /** [[epochAllocation]] from a pre-computed per-source token census
+    * `(sourceCol, n_tok)` — the MAINTAINED-state entry point: a streaming
+    * pipeline folds per-batch census deltas into a durable store (token
+    * counts are mergeable longs, so merged == one-shot exactly) and keeps
+    * a continuously current allocation table without re-scanning history
+    * (st72). Identical arithmetic to the one-shot form by construction —
+    * this IS the one-shot form's tail.
+    */
+  def epochAllocationFromCensus(census: DataFrame, sourceCol: String,
+      budgetTokens: Long, weightScale: Long = 1L << 20): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    require(weightScale >= 1, s"weightScale must be >= 1, got $weightScale")
+    require(census.columns.toSet == Set(sourceCol, "n_tok"),
+      s"epochAllocationFromCensus: census must be exactly ($sourceCol, " +
+        s"n_tok), got ${census.columns.mkString(", ")}")
     // quantized sqrt weight: the 2^20 default keeps sqrt(n_tok) exact to
     // ~1e-6 relative; the per-source frame is model-sized, so Σwq and
     // max(wq) are two driver longs (the temperatureWeights idiom)
-    val wq = docs.groupBy(col(sourceCol))
-      .agg(sum(col(nTokensCol).cast("long")).as("n_tok"))
+    val wq = census
       .filter(col("n_tok") > 0)
       .withColumn("wq",
         floor(sqrt(col("n_tok").cast("double")) * lit(weightScale.toDouble))

@@ -1740,6 +1740,64 @@ object StreamingQueries extends QuerySet {
     out
   }
 
+  /** Maintained epoch-allocation table across a restart (st72, r14): the
+    * q64 planning table kept continuously current as corpus batches land —
+    * each micro-batch censuses ONLY its own documents' per-source token
+    * counts and folds them through [[graft.streaming.DurableState]]
+    * versioned commits (mergeable longs: merged == one-shot exactly, the
+    * st70 census discipline), then the allocation derives from the
+    * maintained census via
+    * [[graft.operators.Sampling.epochAllocationFromCensus]] — which IS
+    * the one-shot form's tail, so it cannot see how its census was
+    * accumulated. Kill after batch 1 of 3; the restarted batch 2 must
+    * find batch 1's census in DurableState. Final table `require`d
+    * row-identical to the ORACLED q64 batch twin (exact longs; the one
+    * double division).
+    */
+  def st72(s: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(s, dir, "documents")
+    val schema = docs.schema
+    val stateDir = tmp("graft_st72_state")
+    val files = stageEach((0 until 3).map(i =>
+      docs.filter(col("doc_id") % 3 === i)))
+    restartDrain(files, phase1 = 2) { (feed, ckpt) =>
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val c = batch.groupBy(col("source"))
+            .agg(sum(size(split(col("text"), " ")).cast("long"))
+              .as("n_tok"))
+          val merged = graft.streaming.DurableState
+            .latestBefore(stateDir, batchId) match {
+            case None => c
+            case Some(v) =>
+              graft.streaming.DurableState.read(s, stateDir, v, "census")
+                .unionByName(c)
+                .groupBy("source").agg(sum(col("n_tok")).as("n_tok"))
+          }
+          graft.streaming.DurableState.commit(stateDir, batchId,
+            Seq("census" -> merged))
+          graft.streaming.DurableState.prune(stateDir, keep = 2)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val v = graft.streaming.DurableState.latestBefore(stateDir, Long.MaxValue)
+      .getOrElse(sys.error("st72: no committed census"))
+    val census = graft.streaming.DurableState.read(s, stateDir, v, "census")
+    val out = graft.operators.Sampling.epochAllocationFromCensus(census,
+      "source", budgetTokens = 1000000L)
+    val twin = Extended.q64(s, dir) // the ORACLED batch twin
+    val missing = twin.except(out).count()
+    val extra = out.except(twin).count()
+    require(missing == 0 && extra == 0,
+      s"maintained allocation table diverged from the one-shot q64 twin " +
+        s"after checkpoint restart: missing=$missing extra=$extra")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st47_stream_silver_drain" -> (st47 _),
     "st48_stream_dedup_replay" -> (st48 _),
@@ -1765,7 +1823,8 @@ object StreamingQueries extends QuerySet {
     "st68_index_compaction" -> (st68 _),
     "st69_recovery_knn_graph" -> (st69 _),
     "st70_recovery_vocab_coverage" -> (st70 _),
-    "st71_recovery_cluster_maintenance" -> (st71 _))
+    "st71_recovery_cluster_maintenance" -> (st71 _),
+    "st72_recovery_epoch_allocation" -> (st72 _))
 
   // no DuckDB oracles: streaming drains are rows-only by design; the parity
   // require()s above carry the correctness assertion
