@@ -399,6 +399,52 @@ object Retrieval {
     }
   }
 
+  /** Retrieval-quality evaluation (r14): per-query IR metrics over a
+    * ranked result set and a relevance-label set — the EVALUATION step a
+    * retrieval/dedup/contamination pipeline needs before its rankings are
+    * trusted. Per query: `n_rel` (labeled relevant docs), `first_rank`
+    * (rank of the first relevant hit, null on a miss), `rr_q` (the
+    * reciprocal rank QUANTIZED as `rrScale DIV first_rank` — an exact
+    * long, so MRR aggregates by integer sum + ONE division instead of
+    * order-dependent float summation: the q62 discipline), and
+    * `hits_at_k` COUNTS for each cutoff (consumers divide by `n_rel` for
+    * recall@k — emitting exact counts keeps every row engine-exact).
+    * Queries with no relevant hit in the ranking keep their row (miss =
+    * zeros, never a dropped query silently inflating the mean).
+    *
+    * Scale: `ranked` is Q·k rows by construction (it comes out of a
+    * top-k) and `relevant` is label-set-sized — every join here is
+    * trivially small at any corpus scale; the corpus cost lives in the
+    * upstream ranking.
+    *
+    * @param ranked   (query_id, rank, doc_id) — rank 1-based
+    * @param relevant (query_id, doc_id) relevance labels
+    * @return (query_id, n_rel, first_rank, rr_q, hits_at_k...)
+    */
+  def retrievalEval(ranked: DataFrame, relevant: DataFrame,
+      ks: Seq[Int] = Seq(1, 5, 10), rrScale: Long = 65536L): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks == ks.sorted,
+      s"ks must be non-empty ascending positive cutoffs, got $ks")
+    require(rrScale >= 1, s"rrScale must be >= 1, got $rrScale")
+    val nrel = relevant.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val hits = ranked.select("query_id", "doc_id", "rank")
+      .join(relevant.select("query_id", "doc_id").distinct(),
+        Seq("query_id", "doc_id"))
+    val perQ = hits.groupBy(col("query_id"))
+      .agg(min(col("rank")).as("first_rank"),
+        ks.map(k => sum(when(col("rank") <= k, 1L).otherwise(0L))
+          .as(s"hits_at_$k")): _*)
+    nrel
+      .join(perQ, Seq("query_id"), "left")
+      .withColumn("rr_q",
+        coalesce(expr(s"${rrScale}L DIV first_rank"), lit(0L)))
+      .select(col("query_id") +: col("n_rel") +: col("first_rank") +:
+        col("rr_q") +:
+        ks.map(k => coalesce(col(s"hits_at_$k"), lit(0L))
+          .as(s"hits_at_$k")): _*)
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (Cormack 2009):
     * `score(id) = Σ_lists 1/(rrfK + rank)`, absent-from-a-list
     * contributing 0. Inputs are (id, rank) frames — k-sized by

@@ -469,6 +469,30 @@ object TextOps extends QuerySet {
       queries, topK = 5)
   }
 
+  /** Retrieval-quality evaluation (td60, r14): the self-retrieval
+    * sanity eval — 16 queries, query q = doc q's token set, relevant =
+    * the seed doc itself — through
+    * [[graft.operators.Retrieval.retrievalEval]]: per query the
+    * first-relevant rank, quantized reciprocal rank, and hits@{1,5,10}
+    * counts over the BM25 top-10. The fixture's duplicate texts make
+    * this non-trivial: a seed doc whose twin has a smaller id ranks
+    * BELOW the twin (identical bm25q, id-ascending tiebreak), so
+    * first_rank > 1 rows appear naturally. All-integer output; the
+    * oracle replays td53's BM25 CTE at Q=16 and the same metric
+    * arithmetic.
+    */
+  def retrievalEvalSelf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 16)
+      .select(col("doc_id").as("query_id"), explode(tokens).as("token"))
+      .distinct()
+    val ranked = graft.operators.Retrieval.bm25RankQueries(docs, "doc_id",
+      "text", queries, topK = 10)
+    val relevant = docs.filter(col("doc_id") < 16)
+      .select(col("doc_id").as("query_id"), col("doc_id"))
+    graft.operators.Retrieval.retrievalEval(ranked, relevant)
+  }
+
   /** Model-gated curation (td54): the parts-to-pipeline entry for the
     * round's model operators — a document is ADMITTED to the training
     * mix iff it passes the td40 rule screen (Gopher keep), the td51 LM
@@ -732,6 +756,7 @@ object TextOps extends QuerySet {
     "td57_tokenizer_fertility" -> (tokenizerFertility _),
     "td58_gate_threshold_sweep" -> (lmGateSweep _),
     "td59_vocab_coverage" -> (vocabCoverageCurve _),
+    "td60_retrieval_eval" -> (retrievalEvalSelf _),
     "q60_curated_mix" -> (curatedMix _),
     "q61_curation_funnel" -> (curationFunnel _))
 
@@ -841,6 +866,44 @@ object TextOps extends QuerySet {
          |    (ORDER BY bm25q DESC, doc_id ASC) AS INTEGER) AS rank,
          |   doc_id, bm25q FROM agg)
          |WHERE rank <= 10""".stripMargin,
+    // td60: td53's multi-query BM25 CTE at Q=16 + the all-integer metric
+    // arithmetic (quantized reciprocal rank, hits@k counts)
+    "td60_retrieval_eval" ->
+      s"""WITH $bm25BaseSql,
+         |qt2 AS (SELECT DISTINCT doc_id AS query_id, unnest(sp) AS token
+         | FROM d WHERE doc_id < 16),
+         |sc2 AS (SELECT qt2.query_id, tf.doc_id,
+         |  ((22 * nn.tt * tf.tf * 1024) //
+         |    (10 * nn.tt * tf.tf + 3 * nn.tt + 9 * nn.nd * tf.dl))
+         |  * (((2 * nn.nd - 2 * dfc.df + 1) * 1024) // (2 * dfc.df + 1))
+         |    AS contrib
+         | FROM tf JOIN qt2 USING (token) JOIN dfc USING (token), nn),
+         |agg2 AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT)
+         |  AS bm25q FROM sc2 GROUP BY 1, 2),
+         |topk AS (SELECT query_id, doc_id, rank FROM (
+         |  SELECT query_id, doc_id, CAST(row_number() OVER
+         |    (PARTITION BY query_id ORDER BY bm25q DESC, doc_id ASC)
+         |    AS INTEGER) AS rank FROM agg2) WHERE rank <= 10),
+         |rel AS (SELECT DISTINCT doc_id AS query_id, doc_id
+         | FROM documents WHERE doc_id < 16),
+         |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+         | FROM rel GROUP BY 1),
+         |hit AS (SELECT r.query_id, t.rank FROM rel r
+         | JOIN topk t ON t.query_id = r.query_id AND t.doc_id = r.doc_id),
+         |per AS (SELECT query_id, CAST(min(rank) AS INTEGER) AS first_rank,
+         |  CAST(SUM(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hits_at_1,
+         |  CAST(SUM(CASE WHEN rank <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hits_at_5,
+         |  CAST(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hits_at_10
+         | FROM hit GROUP BY 1)
+         |SELECT nrel.query_id, nrel.n_rel, per.first_rank,
+         | CAST(coalesce(65536 // per.first_rank, 0) AS BIGINT) AS rr_q,
+         | CAST(coalesce(per.hits_at_1, 0) AS BIGINT) AS hits_at_1,
+         | CAST(coalesce(per.hits_at_5, 0) AS BIGINT) AS hits_at_5,
+         | CAST(coalesce(per.hits_at_10, 0) AS BIGINT) AS hits_at_10
+         |FROM nrel LEFT JOIN per USING (query_id)""".stripMargin,
     "td50_hybrid_rrf" ->
       s"""WITH $bm25BaseSql,
          |bm AS (SELECT doc_id AS id, CAST(row_number() OVER

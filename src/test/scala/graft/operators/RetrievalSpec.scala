@@ -90,6 +90,35 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(single == multi)
   }
 
+  test("retrievalEval: first-rank/quantized-RR/hits@k from a hand " +
+      "fixture — multi-relevant, miss, and partial-recall queries all " +
+      "keep exact-integer rows") {
+    import spark.implicits._
+    // q1: relevant {10, 11}, ranked hits at 1 and 7 → first 1, rr 65536
+    // q2: relevant {20}, ranked hit at 3 → rr = 65536 DIV 3 = 21845
+    // q3: relevant {30}, never retrieved → miss row, zeros + null rank
+    val ranked = Seq(
+      (1L, 1, 10L), (1L, 2, 99L), (1L, 7, 11L),
+      (2L, 1, 98L), (2L, 2, 97L), (2L, 3, 20L),
+      (3L, 1, 96L)).toDF("query_id", "rank", "doc_id")
+    val relevant = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.retrievalEval(ranked, relevant)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1 else r.getInt(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out(1L) == ((2L, 1, 65536L, 1L, 1L, 2L)), out(1L))
+    assert(out(2L) == ((1L, 3, 21845L, 0L, 1L, 1L)), out(2L))
+    assert(out(3L) == ((1L, -1, 0L, 0L, 0L, 0L)), out(3L))
+    // dials fail loud: unsorted cutoffs and a zero scale
+    intercept[IllegalArgumentException] {
+      Retrieval.retrievalEval(ranked, relevant, ks = Seq(5, 1))
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.retrievalEval(ranked, relevant, rrScale = 0L)
+    }
+  }
+
   test("bm25RankQueries Q-routing (fused <= 32 < join) never changes " +
       "results: routed, fused and join outputs are row-identical past " +
       "the threshold") {
