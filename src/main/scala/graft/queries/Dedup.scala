@@ -417,8 +417,9 @@ object Dedup extends QuerySet {
     // regenerated multi-file fixture invalidates the store too
     def fp(p: java.nio.file.Path): String =
       if (Files.isDirectory(p)) {
-        val kids = Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
-          .sortBy(_.getFileName.toString)
+        val st = Files.list(p)
+        val kids = try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .sortBy(_.getFileName.toString) finally st.close()
         kids.map(fp).mkString(";")
       } else s"${p.getFileName}:${Files.size(p)}:" +
         s"${Files.getLastModifiedTime(p).toMillis}"
