@@ -426,11 +426,14 @@ object Retrieval {
     require(ks.nonEmpty && ks.forall(_ >= 1) && ks == ks.sorted,
       s"ks must be non-empty ascending positive cutoffs, got $ks")
     require(rrScale >= 1, s"rrScale must be >= 1, got $rrScale")
-    val nrel = relevant.groupBy(col("query_id"))
+    // dedup the label set ONCE and use it for both the spine and the
+    // hit join — a dirty label set with repeated (query, doc) pairs must
+    // not inflate n_rel while the hit side deduplicates
+    val rel = relevant.select("query_id", "doc_id").distinct()
+    val nrel = rel.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_rel"))
     val hits = ranked.select("query_id", "doc_id", "rank")
-      .join(relevant.select("query_id", "doc_id").distinct(),
-        Seq("query_id", "doc_id"))
+      .join(rel, Seq("query_id", "doc_id"))
     val perQ = hits.groupBy(col("query_id"))
       .agg(min(col("rank")).as("first_rank"),
         ks.map(k => sum(when(col("rank") <= k, 1L).otherwise(0L))

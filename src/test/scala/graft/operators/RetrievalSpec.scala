@@ -101,7 +101,9 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       (1L, 1, 10L), (1L, 2, 99L), (1L, 7, 11L),
       (2L, 1, 98L), (2L, 2, 97L), (2L, 3, 20L),
       (3L, 1, 96L)).toDF("query_id", "rank", "doc_id")
-    val relevant = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+    // the q2 label repeats — a dirty label set must not inflate n_rel
+    val relevant = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 20L),
+        (3L, 30L))
       .toDF("query_id", "doc_id")
     val out = Retrieval.retrievalEval(ranked, relevant)
       .collect().map(r => r.getLong(0) ->
