@@ -144,7 +144,11 @@ object BenchHeavy {
     // materialization stays OUT: the q64/q62 census engine-constant
     // class — its f10 TimeQueries floor is recorded in BASELINE)
     "q66_epoch_stream",
-    "q67_curriculum_order")
+    "q67_curriculum_order",
+    // r14 late: the retrieval eval — 16 fused corpus passes (the routed
+    // default at Q=16), corpus-proportional; the eval joins themselves
+    // are top-k-sized
+    "td60_retrieval_eval")
   // lineitem is replicated into the heavy dir (v4) for the Decimal-sum
   // class evidence recorded in BASELINE.md (q01 cents-long vs Decimal at
   // 6M rows, 2 MB grain: 0.78-0.80 s vs 1.07-1.20 s) and for scaling-curve
