@@ -577,10 +577,17 @@ object Sampling {
       .select(col(sourceCol), col("n_tok"),
         expr("target_tokens DIV n_tok").as("__whole"),
         expr("target_tokens % n_tok").as("__rem"))
-    val maxTok = alloc.agg(max(col("n_tok"))).head.getLong(0)
+    val g = alloc.agg(max(col("n_tok")), max(col("__whole"))).head
+    val maxTok = g.getLong(0)
     require(BigInt(maxTok) * 65536 <= Long.MaxValue,
       s"epochMaterialize: source token count ($maxTok) x 2^16 overflows " +
         "Int64 — shard the source")
+    // no real recipe repeats a document a million times — a whole-epoch
+    // count past this marks a mis-set budget, and downstream instance
+    // materialization (explode over repeats) would be arbitrarily wide
+    require(g.getLong(1) <= 1000000L,
+      s"epochMaterialize: a source would repeat ${g.getLong(1)} whole " +
+        "epochs — budget and corpus are mismatched by >1e6x")
     docs.join(broadcast(alloc), Seq(sourceCol))
       .withColumn("repeats",
         col("__whole") +

@@ -262,6 +262,13 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
         budgetTokens = 50000L) // n_tok=125k, target=50k: whole 0, rem 50k
       .agg(sum(col("repeats"))).head.getLong(0)
     assert(extras > 0 && extras < 200, s"extras=$extras")
+    // a mis-set budget (>1e6 whole epochs for a source) fails loud
+    // before a downstream explode can go arbitrarily wide
+    val exBudget = intercept[IllegalArgumentException] {
+      Sampling.epochMaterialize(docs, "src", "id", "n",
+        budgetTokens = 10000000000L) // source a: 1.25e7 whole epochs
+    }
+    assert(exBudget.getMessage.contains("whole"), exBudget.getMessage)
     // collision guards (r13 advice): output/internal names fail loud in
     // epochMaterialize, epochShuffle AND epochAllocation
     intercept[IllegalArgumentException] {
