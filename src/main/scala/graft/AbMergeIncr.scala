@@ -27,6 +27,12 @@ object AbMergeIncr {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sfheavy_v1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_AB_RUNS", "3").toInt
     val dup = sys.env.getOrElse("SPARK_GRAFT_AB_DUP", "fixture")
+    // fail loud on typos (r14 advice): any unknown value used to fall
+    // back silently to the fixture corpus while the artifact recorded
+    // the raw string in its dup field — the GRAFT_BM25_MULTI_FUSED
+    // env discipline applies here too
+    require(dup == "fixture" || dup == "low",
+      s"SPARK_GRAFT_AB_DUP must be 'fixture' or 'low', got '$dup'")
     val spark = AbBm25Bigram.abSession()
     import graft.operators.TextDedup
     graft.functions.GraftFunctions.register(spark)

@@ -448,6 +448,39 @@ object Retrieval {
           .as(s"hits_at_$k")): _*)
   }
 
+  /** Corpus-level retrieval-eval gate row (r15, the r14 verdict's "an
+    * eval regression is ONE oracled number"): [[retrievalEval]]'s
+    * per-query frame reduced to a single row — query/label counts and
+    * the integer metric sums, with MRR and recall@k each ONE double
+    * division of two exact longs (the q62 no-float-summation
+    * discipline: `mrr = Σrr_q / (n_queries · rrScale)`, `recall@k =
+    * Σhits_at_k / Σn_rel` — engine-exact, never an order-dependent
+    * float mean). Input is Q-sized, so this is driver-trivial at any
+    * corpus scale.
+    */
+  def retrievalEvalSummary(evalDf: DataFrame,
+      ks: Seq[Int] = Seq(1, 5, 10), rrScale: Long = 65536L): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks == ks.sorted,
+      s"ks must be non-empty ascending positive cutoffs, got $ks")
+    require(rrScale >= 1, s"rrScale must be >= 1, got $rrScale")
+    for (c <- Seq("n_rel", "rr_q") ++ ks.map(k => s"hits_at_$k"))
+      require(evalDf.columns.contains(c),
+        s"retrievalEvalSummary: input must be a retrievalEval frame — " +
+          s"missing column '$c'")
+    val aggs = Seq(sum(col("n_rel")).as("n_rel_total"),
+      sum(col("rr_q")).as("sum_rr_q")) ++
+      ks.map(k => sum(col(s"hits_at_$k")).as(s"sum_hits_at_$k"))
+    evalDf
+      .agg(count(lit(1)).as("n_queries"), aggs: _*)
+      .withColumn("mrr", col("sum_rr_q").cast("double")
+        / (col("n_queries") * lit(rrScale)).cast("double"))
+      .select(col("n_queries") +: col("n_rel_total") +: col("sum_rr_q") +:
+        col("mrr") +:
+        ks.flatMap(k => Seq(col(s"sum_hits_at_$k"),
+          (col(s"sum_hits_at_$k").cast("double")
+            / col("n_rel_total").cast("double")).as(s"recall_at_$k"))): _*)
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (Cormack 2009):
     * `score(id) = Σ_lists 1/(rrfK + rank)`, absent-from-a-list
     * contributing 0. Inputs are (id, rank) frames — k-sized by

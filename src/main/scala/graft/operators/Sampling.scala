@@ -366,6 +366,80 @@ object Sampling {
         col("first_seq"), col("last_seq"), col("n_seqs"))): _*)
   }
 
+  /** Per-shard sequence packing over an ORDERED manifest (r15, the q68
+    * trainer-path closer): [[packSequences]] packs the raw corpus in the
+    * hash order it invents; the production consumer instead packs the
+    * epoch-stream manifest ([[epochShuffle]] output) — per shard, in the
+    * EXISTING (shard, pos) order, concatenating instance token counts
+    * into fixed `seqLen`-token training sequences. Each instance learns
+    * its within-shard token `start_offset` and the shard-local
+    * `first_seq`/`last_seq`/`n_seqs` sequence indices it lands in.
+    *
+    * Scale shape: the per-shard running token offset is the same
+    * two-pass bucketed prefix sum as [[packSequences]], with the bucket
+    * the RANGE block `(pos - 1) DIV blockRows` — order-aligned with pos
+    * by construction, so no per-shard single-task sort and no task ever
+    * sums more than `blockRows` rows even though the offset is
+    * shard-global. The per-(shard, block) frame is materialized and
+    * fail-loud bounded before broadcast.
+    *
+    * `orderCol` must be a positive integral total order within each key
+    * (the [[epochShuffle]] `pos` contract — 1-based dense ranks satisfy
+    * it); duplicates would make the running sum nondeterministic and
+    * values < 1 would alias block 0, so both fail loud — validated from
+    * the tiny offsets frame, riding the count pass (no dedicated scan).
+    */
+  def packStream(df: DataFrame, keyCol: String, orderCol: String,
+      tokenCountCol: String, seqLen: Long, blockRows: Long = 65536L,
+      bucketRowCap: Long = 2000000L): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(blockRows >= 1, s"blockRows must be >= 1, got $blockRows")
+    for (c <- Seq("start_offset", "first_seq", "last_seq", "n_seqs", "__b"))
+      require(!df.columns.contains(c),
+        s"packStream: column '$c' is an output/internal name — rename " +
+          "it before calling")
+    val withKey = df
+      .withColumn("__b", expr(s"(`$orderCol` - 1L) DIV ${blockRows}L"))
+      .localCheckpoint(false)
+    val offsets = BucketedOffsets.frame(withKey,
+      keyCol = col(keyCol), bucketCol = col("__b"),
+      cAgg = sum(col(tokenCountCol).cast("long")),
+      extras = Seq(count(lit(1)).as("__pc"),
+        countDistinct(col(orderCol)).as("__pd"),
+        min(col(orderCol).cast("long")).as("__pmin")),
+      withTotal = false, materialize = true, maxRows = bucketRowCap,
+      op = "packStream", hint = "raise blockRows")
+    val v = offsets.agg(sum(when(col("__pc") =!= col("__pd"), 1L)
+        .otherwise(0L)), min(col("__pmin"))).head
+    require(v.getLong(0) == 0L,
+      s"packStream: order '$orderCol' has duplicate values within a key " +
+        "block — the running offset would be nondeterministic")
+    require(!v.isNullAt(1) && v.getLong(1) >= 1L,
+      s"packStream: order '$orderCol' must be >= 1 (1-based positions), " +
+        s"got min ${v.get(1)}")
+    val wLocal = Window.partitionBy(col(keyCol), col("__b"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withKey
+      .join(broadcast(offsets.drop("__pc", "__pd", "__pmin")),
+        col(keyCol) <=> col("__okey") && col("__b") <=> col("__ocb"))
+      .withColumn("start_offset",
+        col("__off") + coalesce(
+          sum(col(tokenCountCol).cast("long")).over(wLocal), lit(0L)))
+      // floor over an explicit double division: exact for token offsets
+      // up to 2^53 (100 T tokens per shard is ~2^47), and the same
+      // arithmetic the SQL oracle runs
+      .withColumn("first_seq",
+        floor(col("start_offset") / lit(seqLen.toDouble)))
+      .withColumn("last_seq",
+        floor((col("start_offset")
+          + greatest(col(tokenCountCol).cast("long"), lit(1L)) - 1)
+          / lit(seqLen.toDouble)))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .select((df.columns.map(col) ++ Seq(col("start_offset"),
+        col("first_seq"), col("last_seq"), col("n_seqs"))): _*)
+  }
+
   /** Deterministic epoch shuffle (r13): the training-ORDER step a shard
     * writer runs after curation — every document gets a shard and a
     * 1-based position within that shard under the seed's pseudo-random
@@ -405,21 +479,19 @@ object Sampling {
     * bucketed two-pass prefix idiom with the bucket string
     * `zero-padded tier ++ hash prefix`, which is order-aligned with
     * (tier ASC, hash ASC) by construction; no per-shard single-task
-    * sort at any corpus size. Tier values must be integral and in
-    * [0, 9999] (the zero-pad width that keeps string order = numeric
-    * order) — checked with one partial-aggregated min/max pass, fail
-    * loud.
+    * sort at any corpus size. Tier values must be non-null, integral
+    * (a fractional tier would silently truncate in the bucket while the
+    * output keeps the original value — r14 advice) and in [0, 9999]
+    * (the zero-pad width that keeps string order = numeric order).
+    * The validation rides the offsets count pass as `extras` (r14
+    * verdict #1: a dedicated full-corpus min/max scan just to check the
+    * dial was a third corpus read at the 100 TB point) and fails loud
+    * from the tiny materialized frame before the window runs.
     */
   def curriculumShuffle(df: DataFrame, idCol: String, tierCol: String,
-      seed: Long, nShards: Int, bucketChars: Int = 3): DataFrame = {
-    val r = df.agg(min(col(tierCol).cast("long")),
-      max(col(tierCol).cast("long"))).head
-    require(!r.isNullAt(0) && r.getLong(0) >= 0 && r.getLong(1) <= 9999L,
-      s"curriculumShuffle: tier '$tierCol' must be non-null integral in " +
-        s"[0, 9999], got [${r.get(0)}, ${r.get(1)}]")
+      seed: Long, nShards: Int, bucketChars: Int = 3): DataFrame =
     shuffleRank(df, idCol, s"curr$seed", nShards, bucketChars,
       tier = Some(tierCol), op = "curriculumShuffle")
-  }
 
   /** Shared (shard, pos) builder for [[epochShuffle]] /
     * [[curriculumShuffle]] — see epochShuffle's scaladoc for the
@@ -453,15 +525,39 @@ object Sampling {
         case None => prefix
       })
       .localCheckpoint(false)
+    // tier-dial validation rides the count pass as extras (no dedicated
+    // corpus scan — r14 verdict #1) and the frame is materialized and
+    // fail-loud bounded BEFORE it is broadcast to every executor (r14
+    // advice: the tier prefix multiplies bucket cardinality by up to
+    // 10^4 tiers on top of nShards x 16^bucketChars; 2M rows x ~60 B is
+    // the ~100 MB broadcast ceiling)
+    val tierExtras = tier.toSeq.flatMap { t => Seq(
+      min(col(t).cast("long")).as("__tmin"),
+      max(col(t).cast("long")).as("__tmax"),
+      // a fractional tier passes the min/max range check after the long
+      // cast but silently truncates in the bucket; a null tier routes to
+      // a null bucket — both must fail loud (r14 advice)
+      sum(when(col(t).isNull || col(t) =!= col(t).cast("long"), 1L)
+        .otherwise(0L)).as("__tbad")) }
     val offsets = BucketedOffsets.frame(withKey,
       keyCol = col("shard"), bucketCol = col("__b"),
-      cAgg = count(lit(1)), extras = Seq.empty,
-      withTotal = false, materialize = false, maxRows = -1L,
-      op = op, hint = "")
+      cAgg = count(lit(1)), extras = tierExtras,
+      withTotal = false, materialize = true, maxRows = 2000000L,
+      op = op, hint = "reduce bucketChars, nShards, or tier cardinality")
+    for (t <- tier) {
+      val r = offsets.agg(sum(col("__tbad")), min(col("__tmin")),
+        max(col("__tmax"))).head
+      require(r.getLong(0) == 0L,
+        s"$op: tier '$t' has ${r.getLong(0)} null or non-integral " +
+          "values — the bucket would truncate or null-route them")
+      require(r.getLong(1) >= 0L && r.getLong(2) <= 9999L,
+        s"$op: tier '$t' must be in [0, 9999] (the zero-pad width), " +
+          s"got [${r.getLong(1)}, ${r.getLong(2)}]")
+    }
     val wLocal = Window.partitionBy(col("shard"), col("__b"))
       .orderBy(col("__h"), col(idCol))
     withKey
-      .join(broadcast(offsets),
+      .join(broadcast(offsets.drop("__tmin", "__tmax", "__tbad")),
         col("shard") <=> col("__okey") && col("__b") <=> col("__ocb"))
       .withColumn("pos",
         col("__off") + row_number().over(wLocal).cast("long"))

@@ -400,6 +400,26 @@ object Dedup extends QuerySet {
     * verdict #4). First call per dir pays the build; the result on disk
     * is byte-stable, so correctness is unchanged either way.
     */
+  /** Recursive source fingerprint for the dd56 store stamp. A Spark-
+    * written fixture is a DIRECTORY of part files whose own size/mtime
+    * does not track content (r13 advice) — fingerprint the children
+    * recursively (sorted name+size+mtime per regular file), and fold the
+    * directory's OWN name into the directory branch (r14 verdict #2: a
+    * renamed partition subdirectory, e.g. key=a -> key=b, with
+    * byte-identical children used to yield an identical stamp, so the
+    * store served clusters computed under the old layout).
+    */
+  private[graft] def storeFingerprint(p: java.nio.file.Path): String = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      val kids = try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .sortBy(_.getFileName.toString) finally st.close()
+      s"${p.getFileName}/[" + kids.map(storeFingerprint).mkString(";") + "]"
+    } else s"${p.getFileName}:${Files.size(p)}:" +
+      s"${Files.getLastModifiedTime(p).toMillis}"
+  }
+
   private def prebuiltClusters(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -411,20 +431,8 @@ object Dedup extends QuerySet {
     // persisted clusters, or the entry would serve stale ones and the
     // oracle (which always recomputes from the live table) would diverge
     val src = Paths.get(s"$dir/documents.parquet")
-    // a Spark-written fixture is a DIRECTORY of part files whose own
-    // size/mtime does not track content (r13 advice) — fingerprint the
-    // children recursively (sorted name+size+mtime per regular file) so a
-    // regenerated multi-file fixture invalidates the store too
-    def fp(p: java.nio.file.Path): String =
-      if (Files.isDirectory(p)) {
-        val st = Files.list(p)
-        val kids = try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
-          .sortBy(_.getFileName.toString) finally st.close()
-        kids.map(fp).mkString(";")
-      } else s"${p.getFileName}:${Files.size(p)}:" +
-        s"${Files.getLastModifiedTime(p).toMillis}"
-    val stamp = s"src=$dir v=2 " +
-      s"h=${java.util.UUID.nameUUIDFromBytes(fp(src).getBytes("UTF-8"))}"
+    val stamp = s"src=$dir v=3 " +
+      s"h=${java.util.UUID.nameUUIDFromBytes(storeFingerprint(src).getBytes("UTF-8"))}"
     if (!Files.exists(marker) || Files.readString(marker) != stamp) {
       dd36(s, dir).write.mode("overwrite").parquet(loc.toString)
       Files.writeString(marker, stamp)

@@ -247,6 +247,37 @@ object Extended extends QuerySet {
         expr("least(size(split(text, ' ')) DIV 128, 9L)").as("tier")),
       "doc_id", "tier", seed = 5L, nShards = 8)
 
+  /** Epoch-stream sequence packing (q68, r15): the last step of the
+    * trainer path — q66's shard-writer manifest packed into fixed
+    * 512-token training sequences, per shard, in the manifest's own
+    * (shard, pos) order (see [[graft.operators.Sampling.packStream]] —
+    * the range-block bucketed prefix sum, never a per-shard single-task
+    * sort). Each (document, repeat) instance learns its within-shard
+    * token offset, the shard-local sequence ids it spans, and the
+    * intra-sequence offset its tokens begin at (`seq_off`). Composes
+    * allocation (q64) → materialization (q65) → layout (q63 idiom) →
+    * packing; the oracle replays q66's CTE with n_tokens carried and a
+    * plain partitioned window sum.
+    */
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    val inst = q65(s, dir)
+      .filter(col("repeats") >= 1)
+      .withColumn("rep", explode(sequence(lit(1L), col("repeats"))))
+      .withColumn("iid", concat(col("doc_id").cast("string"), lit("#"),
+        col("rep").cast("string")))
+      .select(col("doc_id"), col("rep"), col("iid"), col("n_tokens"))
+    val manifest = graft.operators.Sampling.epochShuffle(inst, "iid",
+        seed = 11L, nShards = 8)
+      .select(col("doc_id"), col("rep"), col("n_tokens"), col("shard"),
+        col("pos"))
+    graft.operators.Sampling.packStream(manifest, "shard", "pos",
+        "n_tokens", seqLen = 512L)
+      .withColumn("seq_off", expr("start_offset % 512L"))
+      .select(col("doc_id"), col("rep"), col("shard"), col("pos"),
+        col("n_tokens"), col("start_offset"), col("first_seq"),
+        col("last_seq"), col("n_seqs"), col("seq_off"))
+  }
+
   /** Sequence packing (concatenate-and-chunk): where each document's
     * tokens land in the fixed-512-token training-sequence layout (see
     * [[graft.operators.Sampling.packSequences]]).
@@ -651,6 +682,7 @@ object Extended extends QuerySet {
     "q65_epoch_materialize" -> (q65 _),
     "q66_epoch_stream" -> (q66 _),
     "q67_curriculum_order" -> (q67 _),
+    "q68_epoch_pack" -> (q68 _),
     "q37_salted_join" -> (q37 _),
     "q38_cube_rollup" -> (q38 _),
     "q44_funnel_steps" -> (q44 _),
@@ -874,6 +906,59 @@ object Extended extends QuerySet {
         |   PARTITION BY CAST('0x' || substr(hk, 1, 4) AS INTEGER) % 8
         |   ORDER BY hk, iid) AS BIGINT) AS pos
         |FROM h""".stripMargin,
+    // q68: q66's CTE with per-doc n_tokens carried through the instance
+    // explode, then a plain per-shard windowed prefix sum in pos order +
+    // the q36 packing arithmetic (the oracle can afford the per-shard
+    // sort; the Spark side rides the range-block bucketed prefix)
+    "q68_epoch_pack" ->
+      """WITH per AS (SELECT source,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        | FROM documents GROUP BY source HAVING n_tok > 0),
+        |w AS (SELECT source, n_tok,
+        |  CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1048576.0) AS BIGINT)
+        |   AS wq FROM per),
+        |t AS (SELECT *, (SELECT SUM(wq) FROM w) AS wsum FROM w),
+        |a AS (SELECT source, n_tok,
+        |  CAST((1000000 * wq) // wsum AS BIGINT) AS target_tokens FROM t),
+        |r AS (SELECT source, n_tok, target_tokens // n_tok AS whole,
+        |  target_tokens % n_tok AS rem FROM a),
+        |mat AS (SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+        |  r.whole + CASE WHEN
+        |    CAST('0x' || substr(md5('mat7|' || CAST(d.doc_id AS VARCHAR)),
+        |      1, 4) AS BIGINT) * r.n_tok < r.rem * 65536
+        |   THEN 1 ELSE 0 END AS repeats
+        | FROM documents d JOIN r USING (source)),
+        |inst AS (SELECT doc_id, n_tokens,
+        |  unnest(generate_series(1, repeats)) AS rep
+        | FROM mat WHERE repeats >= 1),
+        |h AS (SELECT doc_id, n_tokens, CAST(rep AS BIGINT) AS rep,
+        |  md5('epoch11|' || CAST(doc_id AS VARCHAR) || '#' ||
+        |    CAST(rep AS VARCHAR)) AS hk,
+        |  CAST(doc_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR) AS iid
+        | FROM inst),
+        |m AS (SELECT doc_id, rep, n_tokens,
+        |  CAST(CAST('0x' || substr(hk, 1, 4) AS INTEGER) % 8 AS BIGINT)
+        |   AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY CAST('0x' || substr(hk, 1, 4) AS INTEGER) % 8
+        |    ORDER BY hk, iid) AS BIGINT) AS pos
+        | FROM h),
+        |c AS (SELECT doc_id, rep, shard, pos, n_tokens,
+        |  CAST(coalesce(SUM(CAST(n_tokens AS BIGINT)) OVER (
+        |    PARTITION BY shard ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS start_offset
+        | FROM m)
+        |SELECT doc_id, rep, shard, pos, n_tokens, start_offset,
+        | CAST(floor(start_offset / 512.0) AS BIGINT) AS first_seq,
+        | CAST(floor((start_offset + greatest(CAST(n_tokens AS BIGINT), 1) - 1)
+        |   / 512.0) AS BIGINT) AS last_seq,
+        | CAST(floor((start_offset + greatest(CAST(n_tokens AS BIGINT), 1) - 1)
+        |   / 512.0) AS BIGINT)
+        |  - CAST(floor(start_offset / 512.0) AS BIGINT) + 1 AS n_seqs,
+        | start_offset % 512 AS seq_off
+        |FROM c""".stripMargin,
     // q67: the q63 shard idiom under a TIER-MAJOR within-shard order —
     // the oracle ranks with a plain partitioned (tier, hash) sort
     "q67_curriculum_order" ->

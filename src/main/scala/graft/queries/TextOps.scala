@@ -493,6 +493,35 @@ object TextOps extends QuerySet {
     graft.operators.Retrieval.retrievalEval(ranked, relevant)
   }
 
+  /** Corpus-level retrieval-eval gate (td61, r15): td60's per-query
+    * frame reduced to ONE row via
+    * [[graft.operators.Retrieval.retrievalEvalSummary]] — integer
+    * metric sums with MRR and recall@k each a single division of two
+    * exact longs, so an eval regression is one oracled number instead
+    * of Q rows a reader has to eyeball.
+    */
+  def retrievalEvalAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.retrievalEvalSummary(retrievalEvalSelf(s, dir))
+
+  /** Model-scored curriculum (td62, r15): q67 tiers by LENGTH; the
+    * production curriculum tiers by model-scored difficulty. This is
+    * the composition proof the r14 verdict asked for — zero new
+    * operator code: td51's quantized LM score (exact longs) becomes the
+    * tier (mean negative quantized log₂-prob in whole bits,
+    * `((-sum_lpq) DIV n_bigrams) DIV 1024`, capped at 9 — all
+    * non-negative integer division, engine-exact), and
+    * [[graft.operators.Sampling.curriculumShuffle]] lays every shard
+    * out easiest-first under the seed's permutation. Only documents
+    * td51 scores (≥ 2 tokens) participate — same frame on both sides.
+    */
+  def qualityCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val tiers = lmQuality(s, dir).select(col("doc_id"),
+      least(expr("((-sum_lpq) DIV greatest(n_bigrams, 1L)) DIV 1024L"),
+        lit(9L)).as("tier"))
+    graft.operators.Sampling.curriculumShuffle(tiers, "doc_id", "tier",
+      seed = 9L, nShards = 8)
+  }
+
   /** Model-gated curation (td54): the parts-to-pipeline entry for the
     * round's model operators — a document is ADMITTED to the training
     * mix iff it passes the td40 rule screen (Gopher keep), the td51 LM
@@ -757,6 +786,8 @@ object TextOps extends QuerySet {
     "td58_gate_threshold_sweep" -> (lmGateSweep _),
     "td59_vocab_coverage" -> (vocabCoverageCurve _),
     "td60_retrieval_eval" -> (retrievalEvalSelf _),
+    "td61_retrieval_eval_agg" -> (retrievalEvalAgg _),
+    "td62_quality_curriculum" -> (qualityCurriculum _),
     "q60_curated_mix" -> (curatedMix _),
     "q61_curation_funnel" -> (curationFunnel _))
 
@@ -1402,6 +1433,42 @@ object TextOps extends QuerySet {
 
   val oracles: Map[String, String] = baseOracles ++ Map(
     "td54_model_gated_curation" -> td54Oracle,
+    // td61: the td60 text verbatim, reduced to the one-row gate — MRR
+    // and recall@k each ONE division of two exact integer sums (the q62
+    // discipline; a float mean would be summation-order-dependent)
+    "td61_retrieval_eval_agg" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         | CAST(SUM(n_rel) AS BIGINT) AS n_rel_total,
+         | CAST(SUM(rr_q) AS BIGINT) AS sum_rr_q,
+         | CAST(SUM(rr_q) AS DOUBLE)
+         |   / CAST(count(*) * 65536 AS DOUBLE) AS mrr,
+         | CAST(SUM(hits_at_1) AS BIGINT) AS sum_hits_at_1,
+         | CAST(SUM(hits_at_1) AS DOUBLE)
+         |   / CAST(SUM(n_rel) AS DOUBLE) AS recall_at_1,
+         | CAST(SUM(hits_at_5) AS BIGINT) AS sum_hits_at_5,
+         | CAST(SUM(hits_at_5) AS DOUBLE)
+         |   / CAST(SUM(n_rel) AS DOUBLE) AS recall_at_5,
+         | CAST(SUM(hits_at_10) AS BIGINT) AS sum_hits_at_10,
+         | CAST(SUM(hits_at_10) AS DOUBLE)
+         |   / CAST(SUM(n_rel) AS DOUBLE) AS recall_at_10
+         |FROM (${baseOracles("td60_retrieval_eval")})""".stripMargin,
+    // td62: the td51 text verbatim as the tier source, then the q67
+    // curriculum rank idiom (the oracle pays the plain per-shard
+    // (tier, hash) sort; the Spark side must not)
+    "td62_quality_curriculum" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  least(((-sum_lpq) // greatest(n_bigrams, 1)) // 1024, 9)
+         |   AS tier
+         | FROM (${baseOracles("td51_lm_quality")})),
+         |h AS (SELECT doc_id, tier,
+         |  md5('curr9|' || CAST(doc_id AS VARCHAR)) AS hk FROM d),
+         |s AS (SELECT doc_id, tier, hk,
+         |  CAST('0x' || substr(hk, 1, 4) AS INTEGER) % 8 AS shard FROM h)
+         |SELECT doc_id, CAST(tier AS BIGINT) AS tier,
+         | CAST(shard AS BIGINT) AS shard,
+         | CAST(row_number() OVER (PARTITION BY shard
+         |   ORDER BY tier, hk, doc_id) AS BIGINT) AS pos
+         |FROM s""".stripMargin,
     // td55/q60 compose their component oracle texts VERBATIM (the td54
     // idiom): classifier or gate drift breaks these entries too
     "td55_nb_confusion" ->

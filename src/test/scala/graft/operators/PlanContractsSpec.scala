@@ -135,6 +135,34 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("packStream: the prefix-sum window partitions by (key, block), " +
+      "never the key alone — packing stays shard-local and block-bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val manifest = (0L until 300L)
+      .map(i => (i % 4, i / 4 + 1, (i % 7 + 1).toInt))
+      .toDF("shard", "pos", "n_tok")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // a (shard)-only partition spec would run each shard's FULL
+      // manifest prefix sum on one task — the q68 trainer path at 100 TB
+      // has ~100 GB per shard; the range block must stay in the spec
+      val df = Sampling.packStream(manifest, "shard", "pos", "n_tok",
+        seqLen = 16L, blockRows = 8L)
+      val ws = df.queryExecution.executedPlan.collect {
+        case w: WindowExec
+            if w.find(_.isInstanceOf[BroadcastHashJoinExec]).isDefined => w
+      }
+      assert(ws.nonEmpty, "expected a window over the joined manifest")
+      ws.foreach(w => assert(w.partitionSpec.size == 2,
+        s"packStream window must partition by (key, block):\n" +
+          df.queryExecution.executedPlan))
+      assert(df.count() == 300)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("checkpoint preserves the edge frame's partitioning: per-round join exchanges only the label side") {
     import spark.implicits._
     // the dupClusters per-round contract: the edge frame is repartitioned +

@@ -121,6 +121,33 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("retrievalEvalSummary: one-row gate — integer sums, MRR and " +
+      "recall@k each one division of exact longs") {
+    import spark.implicits._
+    val ranked = Seq(
+      (1L, 1, 10L), (1L, 2, 99L), (1L, 7, 11L),
+      (2L, 1, 98L), (2L, 2, 97L), (2L, 3, 20L),
+      (3L, 1, 96L)).toDF("query_id", "rank", "doc_id")
+    val relevant = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "doc_id")
+    val r = Retrieval.retrievalEvalSummary(
+      Retrieval.retrievalEval(ranked, relevant)).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    // n_queries 3, n_rel 4, Σrr_q = 65536 + 21845 + 0
+    assert(row.getLong(0) == 3L && row.getLong(1) == 4L &&
+      row.getLong(2) == 87381L, row)
+    assert(row.getDouble(3) == 87381.0 / (3.0 * 65536.0), row)
+    // hits: @1 = 1, @5 = 2, @10 = 3 (q1's second relevant at rank 7)
+    assert(row.getLong(4) == 1L && row.getDouble(5) == 1.0 / 4.0, row)
+    assert(row.getLong(6) == 2L && row.getDouble(7) == 2.0 / 4.0, row)
+    assert(row.getLong(8) == 3L && row.getDouble(9) == 3.0 / 4.0, row)
+    // a non-eval frame fails loud instead of summing garbage
+    intercept[IllegalArgumentException] {
+      Retrieval.retrievalEvalSummary(ranked)
+    }
+  }
+
   test("bm25RankQueries Q-routing (fused <= 32 < join) never changes " +
       "results: routed, fused and join outputs are row-identical past " +
       "the threshold") {
