@@ -427,10 +427,50 @@ object GraftFunctions {
       longLit(children(5), "graft_bm25q", "quantScale"))
   }
 
+  /** graft_bm25q_multi(tokens, qIdxMap, dfArray, querySlots, nDocs,
+    * totTok, quantScale): the batch form of graft_bm25q — everything but
+    * the tokens is query-sized/scalar and foldable. querySlots is an
+    * array<array<int>> literal: per query index, the union slots of that
+    * query's tokens.
+    */
+  private[functions] val buildBm25QMulti: Seq[Expression] => Expression = children => {
+    if (children.length != 7)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_bm25q_multi: " +
+          s"expected 7, got ${children.length}")
+    val qIdx = toQueryIdx(children(1), "graft_bm25q_multi")
+    if (!children(2).foldable)
+      throw new IllegalArgumentException(
+        "graft_bm25q_multi df must be foldable (an array literal)")
+    val df = children(2).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    require(qIdx.values().stream().allMatch(v => v >= 0 && v < df.length),
+      s"graft_bm25q_multi: query slot out of df range ${df.length}")
+    if (!children(3).foldable)
+      throw new IllegalArgumentException(
+        "graft_bm25q_multi querySlots must be foldable (an array literal)")
+    val qsData = children(3).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val querySlots = (0 until qsData.numElements()).map { i =>
+      val a = qsData.getArray(i).toIntArray()
+      require(a.forall(s => s >= 0 && s < df.length),
+        s"graft_bm25q_multi: querySlots[$i] out of df range ${df.length}")
+      a
+    }.toArray
+    Bm25QMulti(children(0), qIdx, df, querySlots,
+      longLit(children(4), "graft_bm25q_multi", "nDocs"),
+      longLit(children(5), "graft_bm25q_multi", "totTok"),
+      longLit(children(6), "graft_bm25q_multi", "quantScale"))
+  }
+
   private val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_query_hits"),
       new ExpressionInfo(classOf[QueryHits].getName, "graft_query_hits"),
       buildQueryHits),
+    (FunctionIdentifier("graft_bm25q_multi"),
+      new ExpressionInfo(classOf[Bm25QMulti].getName, "graft_bm25q_multi"),
+      buildBm25QMulti),
     (FunctionIdentifier("graft_bm25q"),
       new ExpressionInfo(classOf[Bm25Q].getName, "graft_bm25q"),
       buildBm25Q),
@@ -576,6 +616,22 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("graft_bm25q", tokens,
       org.apache.spark.sql.functions.typedlit(qIdx),
       org.apache.spark.sql.functions.typedlit(df),
+      org.apache.spark.sql.functions.lit(nDocs),
+      org.apache.spark.sql.functions.lit(totTok),
+      org.apache.spark.sql.functions.lit(quantScale))
+
+  /** Batch form of [[bm25q]] (see [[Bm25QMulti]]): every query's score in
+    * ONE corpus pass — array<struct<q, bm25q>> of the queries the document
+    * matches, null when it matches none. `querySlots(i)` lists query i's
+    * union slots; `df` is indexed by `qIdx` slots.
+    */
+  def bm25qMulti(tokens: Column, qIdx: Map[String, Int], df: Seq[Long],
+      querySlots: Seq[Seq[Int]], nDocs: Long, totTok: Long,
+      quantScale: Long): Column =
+    org.apache.spark.sql.functions.call_function("graft_bm25q_multi", tokens,
+      org.apache.spark.sql.functions.typedlit(qIdx),
+      org.apache.spark.sql.functions.typedlit(df),
+      org.apache.spark.sql.functions.typedlit(querySlots),
       org.apache.spark.sql.functions.lit(nDocs),
       org.apache.spark.sql.functions.lit(totTok),
       org.apache.spark.sql.functions.lit(quantScale))

@@ -101,6 +101,66 @@ case class Bm25Q(child: Expression,
     copy(child = newChild)
 }
 
+/** Single-pass fused quantized BM25 scoring for a BATCH of queries (r15):
+  * array<string> tokens → array<struct<q, bm25q>> holding, for every query
+  * with at least one matched term, that query's exact [[Bm25Q]] score.
+  * One local tally over the UNION token slot space, one per-slot
+  * contribution table, then per query a sum over its own slot list —
+  * O(dl + Σ_q |q|) per document instead of the Q-pass form's Q full
+  * tokenizations. Score arithmetic is the verbatim [[Bm25FusedUtil.score]]
+  * integer form over the same per-slot df values, and a query's
+  * contribution set is exactly the slots its own tokens hit, so every
+  * (query, doc, score) triple is byte-identical to running [[Bm25Q]] once
+  * per query (integer sums are order-insensitive). Documents matching no
+  * query at all yield null, so the downstream explode is candidate-sized.
+  */
+case class Bm25QMulti(child: Expression,
+    qIdx: java.util.HashMap[UTF8String, Integer],
+    df: Array[Long], querySlots: Array[Array[Int]],
+    nDocs: Long, totTok: Long, quantScale: Long)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.simpleString(8)}")
+    }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q", IntegerType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("bm25q", LongType,
+        nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "graft_bm25q_multi"
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    Bm25FusedUtil.scoreMulti(input.asInstanceOf[ArrayData], qIdx, df,
+      querySlots, nDocs, totTok, quantScale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("qIdx", qIdx, "java.util.HashMap")
+    val d = ctx.addReferenceObj("qDf", df, "long[]")
+    val qs = ctx.addReferenceObj("querySlots", querySlots, "int[][]")
+    val r = ctx.freshName("graftBm25m")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.Bm25FusedUtil.scoreMulti(
+         |    $arr, $m, $d, $qs, ${nDocs}L, ${totTok}L, ${quantScale}L);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Bm25QMulti =
+    copy(child = newChild)
+}
+
 object Bm25FusedUtil {
 
   /** Distinct matched query slots, ascending; null-element-skipping.
@@ -167,5 +227,104 @@ object Bm25FusedUtil {
       j += 1
     }
     java.lang.Long.valueOf(sum)
+  }
+
+  // Reusable per-thread scratch for [[scoreMulti]]: the tf/contrib tallies
+  // are slot-space-sized (the UNION vocabulary of all queries — thousands
+  // of slots at wide-vocab Q=64), so allocating them per ROW costs tens of
+  // KB of garbage per document (see BASELINE.md r15 for the measured
+  // A/B). Task threads never share an eval, and the touched-slot list
+  // zeroes ONLY the entries a row wrote (try/finally, so a failed row
+  // cannot leak garbage into a retry).
+  private final class MultiScratch {
+    var tf: Array[Long] = new Array[Long](0)
+    var touched: Array[Int] = new Array[Int](0)
+    var contrib: Array[Long] = new Array[Long](0)
+    def ensure(n: Int): Unit = if (tf.length < n) {
+      tf = new Array[Long](n)
+      touched = new Array[Int](n)
+      contrib = new Array[Long](n)
+    }
+  }
+  private val multiScratch = new ThreadLocal[MultiScratch] {
+    override def initialValue(): MultiScratch = new MultiScratch
+  }
+
+  /** All queries' scores in one pass (see [[Bm25QMulti]]): null when the
+    * document matches no query term anywhere; otherwise one (q, bm25q)
+    * struct per query with ≥ 1 matched slot. Per-slot contributions
+    * tfq·idfq are computed once and shared across queries — the integer
+    * sum per query is order-insensitive, so sharing cannot change any
+    * score vs the per-query [[score]] call.
+    */
+  def scoreMulti(arr: ArrayData,
+      qIdx: java.util.HashMap[UTF8String, Integer], df: Array[Long],
+      querySlots: Array[Array[Int]], nDocs: Long, totTok: Long,
+      quantScale: Long): ArrayData = {
+    val n = arr.numElements()
+    val scratch = multiScratch.get()
+    scratch.ensure(df.length)
+    val tf = scratch.tf
+    val touched = scratch.touched
+    val contrib = scratch.contrib
+    var nTouched = 0
+    try {
+      var dl = 0L
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          dl += 1
+          val v = qIdx.get(arr.getUTF8String(i))
+          if (v != null) {
+            val s = v.intValue()
+            if (tf(s) == 0L) { touched(nTouched) = s; nTouched += 1 }
+            tf(s) += 1
+          }
+        }
+        i += 1
+      }
+      if (nTouched == 0) return null
+      // per-slot contribution, computed once for all queries sharing a
+      // slot — only the touched slots are written (and only they are read:
+      // the per-query loop gates on tf(s) > 0)
+      var j = 0
+      while (j < nTouched) {
+        val s = touched(j)
+        val t = tf(s)
+        val tfq = (22L * totTok * t * quantScale) /
+          (10L * totTok * t + 3L * totTok + 9L * nDocs * dl)
+        val idfq = ((2L * nDocs - 2L * df(s) + 1L) * quantScale) /
+          (2L * df(s) + 1L)
+        contrib(s) = tfq * idfq
+        j += 1
+      }
+      val hits = new Array[Any](querySlots.length)
+      var found = 0
+      var q = 0
+      while (q < querySlots.length) {
+        val slots = querySlots(q)
+        var sum = 0L
+        var any = false
+        var k = 0
+        while (k < slots.length) {
+          val s = slots(k)
+          if (tf(s) > 0) { sum += contrib(s); any = true }
+          k += 1
+        }
+        if (any) {
+          hits(found) = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](q, sum))
+            : org.apache.spark.sql.catalyst.InternalRow
+          found += 1
+        }
+        q += 1
+      }
+      if (found == 0) return null
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        if (found == hits.length) hits else hits.take(found))
+    } finally {
+      var z = 0
+      while (z < nTouched) { tf(touched(z)) = 0L; z += 1 }
+    }
   }
 }

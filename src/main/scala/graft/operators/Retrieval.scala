@@ -44,13 +44,17 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** Largest distinct-query count [[bm25RankQueries]] routes to the FUSED
-    * kernel by default. Measured crossover (AbBm25Multi, bigram
-    * 931-token vocabulary, factor 30, best-of-5 alternating warm draws):
-    * fused wins every Q ≤ 32 by 1.2-1.4×, Q=64 is a wash with medians
-    * reversed — above this the join form's amortized single corpus pass
-    * beats Q fused passes. Callers pin a shape with the `fused` param.
+    * (Q-pass) kernel by default; above it the r15 single-pass MULTI
+    * kernel takes over (the join form is never routed — it is dominated
+    * at every measured Q — and stays available as a pinned A/B shape).
+    * Measured crossover (AbBm25Multi, bigram 931-token vocabulary,
+    * factor 30, best-of-5, r15): Q=2 fused 2.57 s vs multi 2.90; Q=4
+    * 2.92 vs 2.96 (wash); Q=8 multi ahead 3.13 vs 3.36 and the lead
+    * grows with Q (Q=64: 7.41 vs 11.15). Was 32 in r13/r14 when the
+    * choice was fused-vs-join. Callers pin a shape with the `fused`
+    * param or the GRAFT_BM25_MULTI_FUSED env.
     */
-  val FusedQueryRouteMax: Long = 32L
+  val FusedQueryRouteMax: Long = 4L
 
   /** The quantized BM25 factors are Int64 arithmetic in non-ANSI Spark, so
     * an out-of-range corpus would WRAP silently and mis-rank instead of
@@ -208,6 +212,26 @@ object Retrieval {
       .select(col("rank"), col("doc_id"), col("bm25q"))
   }
 
+  /** Empty (query_id, rank, doc_id, bm25q) frame typed from the caller's
+    * inputs — the empty-query-set result of every [[bm25RankQueries]]
+    * shape (r13 advice).
+    */
+  private def emptyRanked(docs: DataFrame, idCol: String,
+      qTerms: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          qTerms.schema("query_id").dataType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          docs.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("bm25q",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   /** The BM25 inverted-index postings of a document frame: one row per
     * (document, distinct token) carrying its term frequency and the
     * document length — the structure a search index MAINTAINS as
@@ -288,88 +312,52 @@ object Retrieval {
     val qTerms = queries.select(col("query_id"), col("token")).distinct()
     Ann.requireSmallQuerySet(qTerms, "bm25RankQueries query set",
       Ann.DefaultMaxQueryRows)
-    // two plan shapes with byte-identical output (the bm25Rank A/B
+    // three plan shapes with byte-identical output (the bm25Rank A/B
     // discipline, extended to the multi-query kernel — r12 verdict #6;
-    // dial GRAFT_BM25_MULTI_FUSED=0/1, measured by graft.AbBm25Multi):
-    //  - FUSED — THE DEFAULT since r13: ONE graft_query_hits census pass
-    //    over the UNION token set (df is per-token, query-independent,
-    //    so every query shares it), then per query one graft_bm25q
-    //    projection + its own TakeOrderedAndProject — Q corpus map
-    //    passes, zero joins, no partitionBy window.
+    // dial GRAFT_BM25_MULTI_FUSED=0/1/2, measured by graft.AbBm25Multi):
+    //  - MULTI — the r15 kernel and the default past Q = 4: ONE
+    //    graft_query_hits census pass over the UNION token set, then ONE
+    //    graft_bm25q_multi projection scoring EVERY query in the same
+    //    pass (per-slot contributions computed once and shared across
+    //    queries, thread-local slot tallies — see Bm25FusedUtil), explode
+    //    of the candidate-sized (query, score) hits, and the
+    //    query-partitioned top-k window (WindowGroupLimit keeps
+    //    per-partition heaps, so the exchange carries ~topK rows per
+    //    query per partition). Two corpus passes at ANY Q.
+    //  - FUSED (the r13/r14 default): the census pass, then per query
+    //    one graft_bm25q projection + its own TakeOrderedAndProject —
+    //    Q corpus map passes, zero joins, no partitionBy window.
     //  - JOIN: one termFreq explode cut to the union token set feeding
     //    a shared census, then the per-(query, doc) aggregate and a
     //    query-partitioned rank window — one corpus pass regardless of
     //    Q, at the cost of explode volume and two shuffles.
-    // The fused cost is LINEAR in Q (Q corpus passes) while the join
-    // form amortizes its one explode across all queries, so a crossover
-    // must exist; the default routes on the measured points (AbBm25Multi,
-    // bigram 931-token vocab, factor 30, best-of-5, r13+r14): fused wins
-    // Q=2 (2.59 vs 3.39 s), Q=8 (4.03 vs 5.49), Q=32 (6.62 vs 8.16) and
-    // is a wash inside run noise at Q=64 (best 10.64 vs 11.14, medians
-    // REVERSED 13.1 vs 11.6 — the fused variance grows with its pass
-    // count). Queries route FUSED up to Q = FusedQueryRouteMax and JOIN
-    // above; both shapes are byte-identical (A/B parity-asserted), so
-    // routing never changes results. Decisions recorded in BASELINE.md
-    // r13/r14; override per-call via `fused` or process-wide via the env.
-    val useFused = fused.getOrElse(
-      sys.env.get("GRAFT_BM25_MULTI_FUSED") match {
-        case Some("1") => true
-        case Some("0") => false
-        case None =>
-          // one tiny distinct-count job over the already-bounded query
-          // frame — model-sized by the requireSmallQuerySet above
-          qTerms.select("query_id").distinct().count() <= FusedQueryRouteMax
+    // Routing (r15, AbBm25Multi bigram 931-token vocab, factor 30,
+    // best-of-5): fused still wins the tiny-Q end — Q=2 fused 2.57 s vs
+    // multi 2.90 vs join 3.59; Q=4 fused 2.92 vs multi 2.96 — while the
+    // multi kernel wins everywhere past it and grows its lead with Q:
+    // Q=8 multi 3.13 vs fused 3.36, Q=16 multi 3.69 vs fused 4.39 vs
+    // join 5.60, Q=64 multi 7.41 vs fused 11.15 vs join 10.43 (the old
+    // fused≤32<join routing is strictly dominated at both of its ends).
+    // So: fused at Q ≤ FusedQueryRouteMax (= 4), multi above, join only
+    // when pinned. Q comes from the collected query rows — the r13/r14
+    // routing's extra distinct-count job is gone. All three shapes are
+    // byte-identical (A/B parity-asserted + the routing spec), so
+    // routing never changes results; decisions in BASELINE.md
+    // r13/r14/r15; override per-call via `fused` or process-wide via
+    // the env (0=join, 1=fused, 2=multi).
+    val pinned: Option[String] = fused match {
+      case Some(true) => Some("fused")
+      case Some(false) => Some("join")
+      case None => sys.env.get("GRAFT_BM25_MULTI_FUSED") match {
+        case Some("1") => Some("fused")
+        case Some("0") => Some("join")
+        case Some("2") => Some("multi")
+        case None => None
         case Some(other) => throw new IllegalArgumentException(
-          s"GRAFT_BM25_MULTI_FUSED must be 0 or 1, got '$other'")
-      })
-    if (useFused) {
-      // the query table collects ONCE — query-sized, already inside the
-      // broadcast bound checked above
-      val qRows = qTerms.collect()
-        .map(r => (r.get(0), r.getString(1)))
-      // empty query set → empty typed frame, matching the join form's
-      // behavior (r13 advice: the r13 require() here was a silent API
-      // behavior change for library callers, and the suggested env-var
-      // workaround was process-global, not per-call)
-      if (qRows.isEmpty) {
-        val s = docs.sparkSession
-        return s.createDataFrame(
-          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("query_id",
-              qTerms.schema("query_id").dataType),
-            org.apache.spark.sql.types.StructField("rank",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("doc_id",
-              docs.schema(idCol).dataType),
-            org.apache.spark.sql.types.StructField("bm25q",
-              org.apache.spark.sql.types.LongType))))
+          s"GRAFT_BM25_MULTI_FUSED must be 0, 1 or 2, got '$other'")
       }
-      val unionTokens = qRows.map(_._2).distinct.sorted
-      val qIdx = unionTokens.zipWithIndex.toMap
-      val dfRows = docs.select(F.queryHits(toks, qIdx).as("__h"))
-        .filter(col("__h").isNotNull)
-        .select(explode(col("__h")).as("__i"))
-        .groupBy("__i").agg(count(lit(1)).as("df"))
-        .collect()
-      val dfArr = new Array[Long](unionTokens.length)
-      dfRows.foreach(r => dfArr(r.getInt(0)) = r.getLong(1))
-      qRows.groupBy(_._1).toSeq.sortBy(_._1.toString)
-        .map { case (qid, rows) =>
-          val qTok = rows.map(_._2).distinct.sorted
-          val qIdxQ = qTok.zipWithIndex.toMap
-          val dfQ = qTok.map(t => dfArr(qIdx(t))).toSeq
-          val scored = docs.select(col(idCol).as("doc_id"),
-              F.bm25q(toks, qIdxQ, dfQ, nDocs, totTok, quantScale)
-                .as("bm25q"))
-            .filter(col("bm25q").isNotNull)
-          rankTail(scored, topK)
-            .withColumn("query_id", lit(qid))
-            .select(col("query_id"), col("rank"), col("doc_id"),
-              col("bm25q"))
-        }
-        .reduce(_ unionByName _)
-    } else {
+    }
+    if (pinned.contains("join")) {
       // the bm25Rank candidate-cut shape (see its comment): the broadcast
       // token-set cut rides the explode into both consumers, and the
       // census carries df for every term ANY query uses before fanning
@@ -396,6 +384,67 @@ object Retrieval {
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= topK)
         .select(col("query_id"), col("rank"), col("doc_id"), col("bm25q"))
+    } else {
+      // the query table collects ONCE — query-sized, already inside the
+      // broadcast bound checked above; the distinct query count routes
+      // (no extra job)
+      val qRows = qTerms.collect()
+        .map(r => (r.get(0), r.getString(1)))
+      // empty query set → empty typed frame, matching the join form's
+      // behavior (r13 advice: the r13 require() here was a silent API
+      // behavior change for library callers, and the suggested env-var
+      // workaround was process-global, not per-call)
+      if (qRows.isEmpty) return emptyRanked(docs, idCol, qTerms)
+      val qGroups = qRows.groupBy(_._1).toSeq.sortBy(_._1.toString)
+      val mode = pinned.getOrElse(
+        if (qGroups.length <= FusedQueryRouteMax) "fused" else "multi")
+      // shared census: one graft_query_hits pass over the union token set
+      // serves every query in either kernel
+      val unionTokens = qRows.map(_._2).distinct.sorted
+      val qIdx = unionTokens.zipWithIndex.toMap
+      val dfRows = docs.select(F.queryHits(toks, qIdx).as("__h"))
+        .filter(col("__h").isNotNull)
+        .select(explode(col("__h")).as("__i"))
+        .groupBy("__i").agg(count(lit(1)).as("df"))
+        .collect()
+      val dfArr = new Array[Long](unionTokens.length)
+      dfRows.foreach(r => dfArr(r.getInt(0)) = r.getLong(1))
+      if (mode == "multi") {
+        val querySlots: Seq[Seq[Int]] = qGroups
+          .map { case (_, rows) => rows.map(r => qIdx(r._2)).distinct.sorted }
+        val qids = qGroups.map(_._1)
+        val scored = docs.select(col(idCol).as("doc_id"),
+            F.bm25qMulti(toks, qIdx, dfArr.toSeq, querySlots, nDocs, totTok,
+              quantScale).as("__qs"))
+          .filter(col("__qs").isNotNull)
+          .select(col("doc_id"), explode(col("__qs")).as("__e"))
+          .select(col("__e.q").as("__qi"), col("doc_id"),
+            col("__e.bm25q").as("bm25q"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__qi")
+          .orderBy(col("bm25q").desc, col("doc_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= topK)
+          .withColumn("query_id",
+            element_at(array(qids.map(lit(_)): _*), col("__qi") + 1))
+          .select(col("query_id"), col("rank"), col("doc_id"), col("bm25q"))
+      } else {
+        qGroups
+          .map { case (qid, rows) =>
+            val qTok = rows.map(_._2).distinct.sorted
+            val qIdxQ = qTok.zipWithIndex.toMap
+            val dfQ = qTok.map(t => dfArr(qIdx(t))).toSeq
+            val scored = docs.select(col(idCol).as("doc_id"),
+                F.bm25q(toks, qIdxQ, dfQ, nDocs, totTok, quantScale)
+                  .as("bm25q"))
+              .filter(col("bm25q").isNotNull)
+            rankTail(scored, topK)
+              .withColumn("query_id", lit(qid))
+              .select(col("query_id"), col("rank"), col("doc_id"),
+                col("bm25q"))
+          }
+          .reduce(_ unionByName _)
+      }
     }
   }
 

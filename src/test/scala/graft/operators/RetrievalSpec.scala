@@ -148,18 +148,18 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("bm25RankQueries Q-routing (fused <= 32 < join) never changes " +
+  test("bm25RankQueries Q-routing (fused <= 4 < multi) never changes " +
       "results: routed, fused and join outputs are row-identical past " +
       "the threshold") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
-    // 33 distinct query ids — one past FusedQueryRouteMax, so the
-    // default routes JOIN while both pinned shapes must agree with it
+    // 33 distinct query ids — past FusedQueryRouteMax, so the default
+    // routes the MULTI kernel while both pinned shapes must agree with it
     val qs = docs.filter(col("doc_id") < 33)
       .select(col("doc_id").as("query_id"),
         explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0).distinct()
-    assert(Retrieval.FusedQueryRouteMax == 32L)
+    assert(Retrieval.FusedQueryRouteMax == 4L)
     val routed = Retrieval.bm25RankQueries(docs, "doc_id", "text", qs,
       topK = 3)
     val fusedR = Retrieval.bm25RankQueries(docs, "doc_id", "text", qs,
@@ -170,6 +170,59 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       joinR.except(routed).count() == 0)
     assert(fusedR.except(joinR).count() == 0 &&
       joinR.except(fusedR).count() == 0)
+  }
+
+  test("single-pass multi kernel (r15 default) is row-identical to the " +
+      "fused and join shapes — shared-token queries, a no-match query, " +
+      "and per-query tie-breaks") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the zebra runs fast"),
+      (1L, "the the cat naps"),
+      (2L, "zebra zebra stripes"),
+      (3L, "dog sits by the door"),
+      (4L, "fox jumps over the dog"),
+      (5L, "quiet quiet quiet")).toDF("doc_id", "text")
+    // q10/q11 share tokens ("the", "dog"); q12 matches nothing; q13-q15
+    // are single-token — six queries, past FusedQueryRouteMax (4), so the
+    // default routes the MULTI kernel
+    val qs = Seq(
+      (10L, "the"), (10L, "zebra"),
+      (11L, "dog"), (11L, "the"),
+      (12L, "unicorn"),
+      (13L, "quiet"),
+      (14L, "fox"),
+      (15L, "stripes")).toDF("query_id", "token")
+    val multi = Retrieval.bm25RankQueries(docs, "doc_id", "text", qs,
+      topK = 3) // default = the multi kernel
+    val fusedR = Retrieval.bm25RankQueries(docs, "doc_id", "text", qs,
+      topK = 3, fused = Some(true))
+    val joinR = Retrieval.bm25RankQueries(docs, "doc_id", "text", qs,
+      topK = 3, fused = Some(false))
+    assert(multi.except(fusedR).count() == 0 &&
+      fusedR.except(multi).count() == 0)
+    assert(multi.except(joinR).count() == 0 &&
+      joinR.except(multi).count() == 0)
+    // the default plans the single-pass kernel over a real scan: one
+    // graft_bm25q_multi projection, no per-query graft_bm25q passes, no
+    // termFreq explode, and the per-query top-k gets map-side
+    // WindowGroupLimit (a LocalRelation input constant-folds the
+    // projection away, hence the parquet frame here)
+    val pdocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pqs = pdocs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("token")).distinct()
+    val plan = Retrieval.bm25RankQueries(pdocs, "doc_id", "text", pqs,
+      topK = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bm25q_multi"), plan)
+    assert(!plan.contains("graft_tf"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the no-match query contributes no rows; matched queries keep dense
+    // ranks from 1
+    val byQ = multi.collect().groupBy(_.getLong(0))
+    assert(!byQ.contains(12L))
+    assert(byQ(13L).map(_.getInt(1)).sorted.toSeq == Seq(1))
+    assert(byQ(10L).map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
   }
 
   test("bm25RankQueries(fused) on an EMPTY query set returns an empty " +
