@@ -485,15 +485,26 @@ object TextDedup {
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
       reliable: Boolean = false): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    // r15: the loop interior runs on pre-partitioned RDDs whenever the id
+    // type allows it (long ids, the whole registry) — see
+    // [[dupClustersRdd]] for why (per-round Catalyst planning measured as
+    // 80-90% of the DataFrame loop's wall time). The DataFrame loop below
+    // remains the reliable-checkpoint path (RDD reliable checkpoints need
+    // a checkpoint dir and re-materialize differently) and the fallback
+    // for non-long id types; GRAFT_CC_DF=1 pins it for A/B.
+    val longIds = pairs.schema("doc_a").dataType ==
+      org.apache.spark.sql.types.LongType &&
+      pairs.schema("doc_b").dataType ==
+        org.apache.spark.sql.types.LongType
+    if (!reliable && longIds && !sys.env.contains("GRAFT_CC_DF"))
+      return dupClustersRdd(pairs, maxIter)
     // progress logging for long-running converge loops (off by default):
     // an iterative graph stage with no per-round signal is undebuggable on
     // a cluster — set GRAFT_CC_LOG=1 to see round/changed/seconds on stderr
     val ccLog = sys.env.contains("GRAFT_CC_LOG")
     def logRound(tag: String, t0: Long, extra: => String): Unit = if (ccLog)
       System.err.println(f"[dupClusters] $tag ${(System.nanoTime - t0) / 1e9}%.2fs $extra")
-    def materialize(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    // per-round variant: LAZY local checkpoint, so the round's convergence
+    // Round labels get a LAZY local checkpoint, so the round's convergence
     // count is the one job that both materializes the labels and counts the
     // changes — half the jobs of an eager checkpoint + count. (Reliable
     // checkpoints stay eager: a lazy reliable checkpoint recomputes its RDD
@@ -522,13 +533,25 @@ object TextDedup {
     val edges = if (reliable) edges0.checkpoint(true) else edges0.persist()
     logRound("edges", tE, s"n=${edges.count()}")
     val tL = System.nanoTime
-    // edges are already partitioned by src, so the distinct is exchange-free
-    // and labels inherit HashPartitioning(id, n) for the per-round merges
-    var labels = materialize(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
-    logRound("labels", tL, s"n=${labels.count()}")
+    // ROUND 1 IS FUSED INTO INITIALIZATION (r15): with identity labels the
+    // first round's neighbor-min is a plain min-by-src aggregate over the
+    // edge frame (a neighbor's label IS its id) and the pointer-jump is
+    // the identity — so instead of materializing an identity label frame
+    // and paying round 1's two merge joins, the init computes round 1's
+    // exact output, `least(id, min(neighbor))`, in ONE exchange-free
+    // aggregate on the pre-partitioned edges (every node appears as src —
+    // the frame is symmetric). Labels inherit HashPartitioning(id, n) for
+    // the per-round merges as before, updates stay monotone, and the
+    // convergence counter starts at 1 — the generic loop below is
+    // unchanged and the fixed point is identical (spec: DedupSpec's
+    // cluster tests + the dd36/dd58 oracle hashes).
+    var labels = materializeRound(edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__nbr"))
+      .select(col("src").as("id"),
+        least(col("src"), col("__nbr")).as("label")))
+    logRound("labels+round1", tL, "fused")
     var converged = false
-    var i = 0
+    var i = 1
     while (!converged && i < maxIter) {
       val tR = System.nanoTime
       // the round's single pass over the edge frame: only the label frame
@@ -564,6 +587,7 @@ object TextDedup {
             coalesce(col("__ll"), col("label")),
             coalesce(col("nbr_label"), col("label"))).as("label")))
       i += 1
+      logRound(s"round $i build", tR, "")
       // convergence is checked every SECOND round: the count is the round's
       // only job (it is what materializes the lazy checkpoint), so skipping
       // it on odd rounds folds two rounds of pointer-jumping into one job
@@ -586,6 +610,103 @@ object TextDedup {
     // loop's working set can go; async to not block the caller
     if (!reliable) edges.unpersist(false)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** [[dupClusters]]'s loop on raw RDDs (r15). Same algorithm — min-label
+    * propagation with one pointer-jump per round, convergence counted
+    * every second round — and the identical fixed point (the label
+    * algebra is `min` over longs in both forms; spec-pinned against the
+    * DataFrame loop and the union-find property test, oracle-pinned by
+    * dd36/dd58).
+    *
+    * Why it exists: the DataFrame loop's per-round cost was MEASURED
+    * (GRAFT_CC_LOG build/count split, sf0.1, r15) as 0.6-1.3 s of DRIVER
+    * plan building per round — every round's `localCheckpoint(lazy)`
+    * re-runs analysis/optimization/physical planning over an identical
+    * three-join tree while the round's actual count job takes 0.15-0.25 s
+    * — the guide §7.3 "driver is planning" signature, paid ~10× per
+    * operator call and impossible to amortize from the DataFrame API
+    * (Catalyst has no "same plan, new leaf" shortcut). RDD rounds build
+    * their DAG in microseconds; the distributed work per round is the
+    * same three node-sized exchanges (neighbor-min with map-side combine,
+    * the jump re-key, the merge), and the edge side still never moves:
+    * edges are `partitionBy(HashPartitioner(n))`-ed once and every
+    * round's `edges.join(labels)` is partitioner-aligned (narrow, zero
+    * shuffle — the same contract the DataFrame loop pinned via preserved
+    * HashPartitioning, re-pinned for this form in PlanContractsSpec by
+    * dependency type). Storage is serialized (MEMORY_AND_DISK_SER) so the
+    * resident edge set keeps a columnar-cache-like footprint (the 30×
+    * OOM note on the DataFrame loop's persist choice).
+    */
+  private def dupClustersRdd(pairs: DataFrame, maxIter: Int): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val ccLog = sys.env.contains("GRAFT_CC_LOG")
+    def logRound(tag: String, t0: Long, extra: => String): Unit = if (ccLog)
+      System.err.println(
+        f"[dupClusters/rdd] $tag ${(System.nanoTime - t0) / 1e9}%.2fs $extra")
+    val n = spark.sessionState.conf.numShufflePartitions
+    val part = new HashPartitioner(n)
+    val tE = System.nanoTime
+    val edges: RDD[(Long, Long)] = pairs
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // fused round 1 (identity labels ⇒ neighbor-min is min(dst) by src,
+    // pointer-jump is the identity): one combine-shuffle, and labels come
+    // out partitioned by id for every later partitioner-aligned join
+    var withOld = edges.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      .mapPartitions(_.map { case (id, m) =>
+        (id, (id, math.min(id, m))) }, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    logRound("edges+round1", tE, "fused")
+    var labels: RDD[(Long, Long)] =
+      withOld.mapValues(_._2)
+    val superseded = scala.collection.mutable.Buffer[RDD[_]]()
+    var converged = false
+    var i = 1
+    while (!converged && i < maxIter) {
+      val tR = System.nanoTime
+      val prev = labels
+      // neighbor-min: edges never move (partitioner-aligned join); the
+      // re-key by dst shuffles node-sized rows after map-side combine
+      val nbrMin = edges.join(prev)
+        .map { case (_, (dst, lab)) => (dst, lab) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      // pointer jump: label's label — only the re-keyed side shuffles
+      val jump = prev.map { case (id, lab) => (lab, id) }
+        .join(prev)
+        .map { case (_, (id, ll)) => (id, ll) }
+      // merge: incoming candidates fold into the previous labels through
+      // one combine-shuffle + a partitioner-aligned left join; carrying
+      // (old, new) per node makes the convergence count a narrow filter
+      val incoming = jump.union(nbrMin).reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val updated = prev.leftOuterJoin(incoming)
+        .mapValues { case (o, inc) =>
+          (o, math.min(o, inc.getOrElse(Long.MaxValue))) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      i += 1
+      logRound(s"round $i build", tR, "")
+      if (i % 2 == 0 || i >= maxIter) {
+        val changed = updated.filter { case (_, (o, nw)) => nw < o }.count()
+        converged = changed == 0
+        // the count materialized `updated`, so everything older is dead —
+        // unpersist the superseded rounds (async) to keep the loop's
+        // working set at one label generation
+        superseded.foreach(_.unpersist(false))
+        superseded.clear()
+        logRound(s"round $i", tR, s"changed=$changed")
+      } else logRound(s"round $i", tR, "deferred")
+      superseded += withOld
+      withOld = updated
+      labels = updated.mapValues(_._2)
+    }
+    edges.unpersist(false)
+    spark.createDataset(labels).toDF("doc_id", "cluster_id")
   }
 
   /** Apply the dedup decision: drop every cluster member except its

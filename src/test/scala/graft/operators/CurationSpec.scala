@@ -515,6 +515,18 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(labels.forall(_._2 == 1L), "every chain member labels to the min id")
   }
 
+  test("dupClusters fused round 1: maxIter=1 equals exactly one " +
+      "neighbor-min propagation (the r15 init-fused round)") {
+    import spark.implicits._
+    // on a path 1-2-3-4, one round of least(id, min(neighbor)) gives
+    // 1→1, 2→1, 3→2, 4→3 — pinning that the fused initialization IS
+    // round 1, not zero rounds (labels = ids) and not two
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val one = TextDedup.dupClusters(chain, maxIter = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L), one)
+  }
+
   test("property: dupClusters matches an in-memory union-find on random graphs") {
     import spark.implicits._
     // reference implementation: classic union-find with path compression

@@ -203,6 +203,40 @@ class PlanContractsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("rdd cluster loop: the partitioner-aligned edge join is narrow — " +
+      "no shuffle dependency between the persisted edges and a round's " +
+      "neighbor join (the r15 dupClustersRdd contract)") {
+    // the RDD loop's analogue of the two DataFrame-loop contracts below:
+    // edges partitionBy(part) once, labels come out of reduceByKey(part),
+    // so every round's edges.join(labels) must be a narrow cogroup — the
+    // multi-billion-row edge side never reshuffles. Pinned by dependency
+    // TYPE: walking the join's DAG down to the persisted parents must
+    // cross zero ShuffleDependency edges.
+    val sc = spark.sparkContext
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sessionState.conf.numShufflePartitions)
+    val edges = sc.parallelize((1L to 2000L).flatMap(i =>
+        Seq((i, i + 1), (i + 1, i))))
+      .partitionBy(part).persist()
+    val labels = edges
+      .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      .mapPartitions(_.map { case (id, m) => (id, math.min(id, m)) },
+        preservesPartitioning = true)
+    val joined = edges.join(labels)
+    def shuffles(r: org.apache.spark.rdd.RDD[_],
+        stopAt: Set[Int]): Seq[org.apache.spark.Dependency[_]] =
+      if (stopAt.contains(r.id)) Nil
+      else r.dependencies.flatMap {
+        case s: org.apache.spark.ShuffleDependency[_, _, _] => Seq(s)
+        case d => shuffles(d.rdd, stopAt)
+      }
+    val stop = Set(edges.id, labels.id)
+    assert(shuffles(joined, stop).isEmpty,
+      "edges.join(labels) must be partitioner-aligned (narrow)")
+    assert(joined.count() == 4000L)
+    edges.unpersist(false)
+  }
+
   test("persist-cached edge frame keeps its partitioning: merge-hinted round join exchanges only the label side") {
     import spark.implicits._
     // dupClusters no longer localCheckpoints its edge frame — it
