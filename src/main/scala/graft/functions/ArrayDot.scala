@@ -464,6 +464,40 @@ object GraftFunctions {
       longLit(children(6), "graft_bm25q_multi", "quantScale"))
   }
 
+  /** Shared extractor for the 3-nested codebook literal of the PQ
+    * kernels: array<array<array<double>>> → double[][][].
+    */
+  private def toBook(e: Expression, fn: String): Array[Array[Array[Double]]] = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn book must be foldable (a nested array literal)")
+    val outer = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until outer.numElements()).map { s =>
+      val mid = outer.getArray(s)
+      (0 until mid.numElements()).map(c =>
+        mid.getArray(c).toDoubleArray()).toArray
+    }.toArray
+  }
+
+  /** graft_pq_codes(emb, book): the codebook is model-sized and foldable. */
+  private[functions] val buildPqCodes: Seq[Expression] => Expression = children => {
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_pq_codes: " +
+          s"expected 2, got ${children.length}")
+    PqCodes(children(0), toBook(children(1), "graft_pq_codes"))
+  }
+
+  /** graft_pq_adc(emb, codes, book). */
+  private[functions] val buildPqAdc: Seq[Expression] => Expression = children => {
+    if (children.length != 3)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function graft_pq_adc: " +
+          s"expected 3, got ${children.length}")
+    PqAdc(children(0), children(1), toBook(children(2), "graft_pq_adc"))
+  }
+
   private val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_query_hits"),
       new ExpressionInfo(classOf[QueryHits].getName, "graft_query_hits"),
@@ -471,6 +505,12 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bm25q_multi"),
       new ExpressionInfo(classOf[Bm25QMulti].getName, "graft_bm25q_multi"),
       buildBm25QMulti),
+    (FunctionIdentifier("graft_pq_codes"),
+      new ExpressionInfo(classOf[PqCodes].getName, "graft_pq_codes"),
+      buildPqCodes),
+    (FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      buildPqAdc),
     (FunctionIdentifier("graft_bm25q"),
       new ExpressionInfo(classOf[Bm25Q].getName, "graft_bm25q"),
       buildBm25Q),
@@ -635,6 +675,22 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(nDocs),
       org.apache.spark.sql.functions.lit(totTok),
       org.apache.spark.sql.functions.lit(quantScale))
+
+  /** All PQ subspace codes of an embedding in one pass (see [[PqCodes]]);
+    * `book(s)(c)` is centroid c of subspace s. Null codes where the
+    * subspace slice is null/short.
+    */
+  def pqCodes(emb: Column, book: Seq[Seq[Seq[Double]]]): Column =
+    org.apache.spark.sql.functions.call_function("graft_pq_codes", emb,
+      org.apache.spark.sql.functions.typedlit(book))
+
+  /** Asymmetric-distance sum of a query/residual embedding against a PQ
+    * code array (see [[PqAdc]]); bit-identical to the expanded
+    * per-centroid LUT form.
+    */
+  def pqAdc(emb: Column, codes: Column, book: Seq[Seq[Seq[Double]]]): Column =
+    org.apache.spark.sql.functions.call_function("graft_pq_adc", emb, codes,
+      org.apache.spark.sql.functions.typedlit(book))
 
   /** Per-doc Naive-Bayes seen-sums against an inlined vocabulary table
     * (see [[NbSeen]]); `lut` maps token → per-label quantized log-probs

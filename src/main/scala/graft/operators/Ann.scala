@@ -457,49 +457,47 @@ object Ann {
     * arithmetic expression (left-associated sum, the same evaluation order
     * the SQL oracle uses, so distances are bit-identical across engines).
     */
-  /** Per-subspace PQ code columns (`c0..c{subspaces-1}`) for an embedding
-    * column — shared by [[pqEncode]], [[pqTopK]] and [[ivfPqTopK]].
-    */
-  private def pqCodeCols(embCol: String, subspaces: Int,
-      centroidsPerSub: Int, dim: Int): Seq[Column] = {
+  /** The PQ codebook as the nested literal the fused kernels inline. */
+  private def bookSeq(subspaces: Int, centroidsPerSub: Int,
+      dim: Int): Seq[Seq[Seq[Double]]] = {
     require(dim % subspaces == 0,
       s"dim $dim must divide evenly into $subspaces subspaces")
-    val subDim = dim / subspaces
-    val book = pqCodebook(subspaces, centroidsPerSub, subDim)
-    (0 until subspaces).map { s =>
-      val ds = array((0 until centroidsPerSub).map { c =>
-        (0 until subDim).map { i =>
-          val x = element_at(col(embCol), s * subDim + i + 1) - lit(book(s)(c)(i))
-          x * x
-        }.reduce(_ + _)
-      }: _*)
-      (array_position(ds, array_min(ds)) - 1).cast("int").as(s"c$s")
-    }
+    pqCodebook(subspaces, centroidsPerSub, dim / subspaces)
+      .map(_.map(_.toSeq).toSeq).toSeq
   }
 
-  /** Per-query ADC sum: each subspace's exact distance LUT to the codebook
-    * centroids, indexed by the corpus row's code column — shared by
-    * [[pqTopK]] and [[ivfPqTopK]].
+  /** All-subspace PQ code array for an embedding column — shared by
+    * [[pqEncode]], [[pqTopK]] and [[ivfPqTopK]]. One `graft_pq_codes`
+    * node (r15): the former per-column expansion built subspaces ×
+    * centroids × subDim squared-difference Catalyst nodes per call — the
+    * expression SIZE, not the arithmetic, was the measured cost (~2 s of
+    * driver planning + codegen compile per sim4x/sim5x run against a
+    * 0.9 s execution stage). Values are bit-identical (left-associated
+    * sums, first-index argmin — the parity contract in
+    * [[graft.functions.PqOpsUtil]], spec-pinned against the expanded
+    * form in AnnSpec).
     */
-  private def pqAdcExpr(qEmbCol: String, subspaces: Int,
-      centroidsPerSub: Int, dim: Int): Column = {
-    val subDim = dim / subspaces
-    val book = pqCodebook(subspaces, centroidsPerSub, subDim)
-    (0 until subspaces).map { s =>
-      val lut = array((0 until centroidsPerSub).map { c =>
-        (0 until subDim).map { i =>
-          val x = element_at(col(qEmbCol), s * subDim + i + 1) - lit(book(s)(c)(i))
-          x * x
-        }.reduce(_ + _)
-      }: _*)
-      element_at(lut, col(s"c$s") + 1)
-    }.reduce(_ + _)
-  }
+  private def pqCodesArr(embCol: String, subspaces: Int,
+      centroidsPerSub: Int, dim: Int): Column =
+    graft.functions.GraftFunctions.pqCodes(col(embCol),
+      bookSeq(subspaces, centroidsPerSub, dim))
+
+  /** Per-query ADC sum against the code array — one `graft_pq_adc` node
+    * (see [[pqCodesArr]] for why).
+    */
+  private def pqAdcExpr(qEmbCol: String, codesCol: String, subspaces: Int,
+      centroidsPerSub: Int, dim: Int): Column =
+    graft.functions.GraftFunctions.pqAdc(col(qEmbCol), col(codesCol),
+      bookSeq(subspaces, centroidsPerSub, dim))
 
   def pqEncode(emb: DataFrame, idCol: String, embCol: String,
-      subspaces: Int, centroidsPerSub: Int, dim: Int): DataFrame =
-    emb.select(col(idCol) +:
-      pqCodeCols(embCol, subspaces, centroidsPerSub, dim): _*)
+      subspaces: Int, centroidsPerSub: Int, dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    emb.select(col(idCol),
+        pqCodesArr(embCol, subspaces, centroidsPerSub, dim).as("__codes"))
+      .select(col(idCol) +: (0 until subspaces).map(s =>
+        element_at(col("__codes"), s + 1).as(s"c$s")): _*)
+  }
 
   /** PQ asymmetric-distance (ADC) top-k search — the companion of
     * [[pqEncode]] and the way a PQ index is actually queried: the corpus
@@ -522,17 +520,19 @@ object Ann {
   def pqTopK(emb: DataFrame, idCol: String, embCol: String,
       queryPred: Column, k: Int, subspaces: Int, centroidsPerSub: Int,
       dim: Int, maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
-    val codes = pqEncode(emb, idCol, embCol, subspaces, centroidsPerSub, dim)
-      .withColumnRenamed(idCol, "vec_id")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val codes = emb.select(col(idCol).as("vec_id"),
+      pqCodesArr(embCol, subspaces, centroidsPerSub, dim).as("__codes"))
     val q = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
     requireSmallQuerySet(q, "pqTopK", maxQueryRows)
     // per subspace: the query's exact distance to each of the centroids,
-    // as an array the code column indexes into
+    // looked up by the corpus row's code
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("vec_id").asc)
     codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("adc", pqAdcExpr("q_emb", subspaces, centroidsPerSub, dim))
+      .withColumn("adc",
+        pqAdcExpr("q_emb", "__codes", subspaces, centroidsPerSub, dim))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -560,11 +560,12 @@ object Ann {
       subspaces: Int, centroidsPerSub: Int, dim: Int,
       maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val assigned = ivfAssign(emb, idCol, embCol, centroids)
     // corpus index: cell + codes ONLY — raw embeddings never leave the
     // projection that encodes them
-    val codes = assigned.select(col("vec_id") +: col("centroid_id") +:
-      pqCodeCols("emb", subspaces, centroidsPerSub, dim): _*)
+    val codes = assigned.select(col("vec_id"), col("centroid_id"),
+      pqCodesArr("emb", subspaces, centroidsPerSub, dim).as("__codes"))
     val q = assigned.filter(queryPred).select(col("vec_id").as("query_id"),
       col("emb").as("q_emb"), col("norm").as("q_norm"))
     // the broadcast frame is queries × nprobe probe rows — bound the product
@@ -581,7 +582,8 @@ object Ann {
       .orderBy(col("adc").asc, col("vec_id").asc)
     codes.join(broadcast(probeCells),
         col("centroid_id") === col("q_cell") && col("vec_id") =!= col("query_id"))
-      .withColumn("adc", pqAdcExpr("q_emb", subspaces, centroidsPerSub, dim))
+      .withColumn("adc",
+        pqAdcExpr("q_emb", "__codes", subspaces, centroidsPerSub, dim))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -796,14 +798,15 @@ object Ann {
       subspaces: Int, centroidsPerSub: Int, dim: Int,
       maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val assigned = ivfAssign(emb, idCol, embCol, centroids)
     val cSlim = centroids.select(col("centroid_id"), col("c_emb"))
     // corpus index: cell + residual codes only; the residual is computed
     // once in the same projection that encodes it
     val withRes = assigned.join(broadcast(cSlim), Seq("centroid_id"))
       .withColumn("__res", zip_with(col("emb"), col("c_emb"), (x, c) => x - c))
-    val codes = withRes.select(col("vec_id") +: col("centroid_id") +:
-      pqCodeCols("__res", subspaces, centroidsPerSub, dim): _*)
+    val codes = withRes.select(col("vec_id"), col("centroid_id"),
+      pqCodesArr("__res", subspaces, centroidsPerSub, dim).as("__codes"))
     val q = assigned.filter(queryPred).select(col("vec_id").as("query_id"),
       col("emb").as("q_emb"), col("norm").as("q_norm"))
     requireSmallQuerySet(q, "ivfPqResidualTopK",
@@ -824,7 +827,8 @@ object Ann {
       .orderBy(col("adc").asc, col("vec_id").asc)
     codes.join(broadcast(probeCells),
         col("centroid_id") === col("q_cell") && col("vec_id") =!= col("query_id"))
-      .withColumn("adc", pqAdcExpr("__q_res", subspaces, centroidsPerSub, dim))
+      .withColumn("adc",
+        pqAdcExpr("__q_res", "__codes", subspaces, centroidsPerSub, dim))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),

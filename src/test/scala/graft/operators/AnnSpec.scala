@@ -99,6 +99,49 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("fused graft_pq_codes / graft_pq_adc are bit-identical to the " +
+      "expanded Catalyst form (the r15 plan-size fix's parity contract)") {
+    // the pre-r15 construction, verbatim: per subspace an array of
+    // expanded left-associated squared-difference sums, argmin via
+    // array_position(array_min), ADC via per-subspace LUT element_at
+    val (subspaces, centroidsPerSub, dim) = (4, 8, 64)
+    val subDim = dim / subspaces
+    val book = Ann.pqCodebook(subspaces, centroidsPerSub, subDim)
+    def expandedCode(embCol: String, s: Int) = {
+      val ds = array((0 until centroidsPerSub).map { c =>
+        (0 until subDim).map { i =>
+          val x = element_at(col(embCol), s * subDim + i + 1) - lit(book(s)(c)(i))
+          x * x
+        }.reduce(_ + _)
+      }: _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+    def expandedAdc(qEmbCol: String) =
+      (0 until subspaces).map { s =>
+        val lut = array((0 until centroidsPerSub).map { c =>
+          (0 until subDim).map { i =>
+            val x = element_at(col(qEmbCol), s * subDim + i + 1) - lit(book(s)(c)(i))
+            x * x
+          }.reduce(_ + _)
+        }: _*)
+        element_at(lut, col(s"c$s") + 1)
+      }.reduce(_ + _)
+    val bookSeq: Seq[Seq[Seq[Double]]] = book.map(_.map(_.toSeq).toSeq).toSeq
+    val F = graft.functions.GraftFunctions
+    val both = emb
+      .withColumn("__codes", F.pqCodes(col("emb"), bookSeq))
+      .select(col("vec_id") +: col("emb") +: col("__codes") +:
+        (0 until subspaces).map(s => expandedCode("emb", s).as(s"c$s")): _*)
+      .withColumn("adc_old", expandedAdc("emb"))
+      .withColumn("adc_new", F.pqAdc(col("emb"), col("__codes"), bookSeq))
+    val bad = both.filter(
+      (0 until subspaces).map(s =>
+        element_at(col("__codes"), s + 1) =!= col(s"c$s")).reduce(_ || _)
+        || col("adc_old") =!= col("adc_new")).count()
+    assert(bad == 0, "fused PQ kernels diverged from the expanded form")
+    assert(both.count() > 0)
+  }
+
   test("pqTopK matches a brute-force ADC ranking and honors the query guard") {
     val book = Ann.pqCodebook(4, 8, 16)
     val got = Ann.pqTopK(emb, "vec_id", "emb", col("vec_id") < 2, k = 5,
