@@ -44,6 +44,12 @@ object Bench {
     // timing them would inflate spark_total against an unchanged duck_total
     // and skew the aggregate ratio round-over-round
     val oracleSql = SparkEntry.oracleSql
+    // storage-hygiene snapshot (r15 verdict #2): everything persisted so
+    // far (the x12 silver cache) is sweep-shared and stays; anything an
+    // entry leaves behind (iterative operators' final label generations)
+    // is unpersisted between entries so no timing competes with another
+    // entry's leftovers. Runs strictly outside the timed region.
+    val keepIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val results = SparkEntry.queries
       .filter { case (name, _) => oracleSql.contains(name) }
       .map { case (name, fn) =>
@@ -57,6 +63,7 @@ object Bench {
         if (best2 < 0.75) math.min(best2, once()) else best2
       } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+      BenchHarness.unpersistLeaked(spark, keepIds)
       name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -23,6 +23,24 @@ object BenchHarness {
   def executeFully(df: org.apache.spark.sql.DataFrame): Long =
     df.queryExecution.toRdd.count()
 
+  /** Storage hygiene between benched entries (r15 verdict #2): iterative
+    * operators (dupClusters' RDD loop) leave their FINAL persisted label
+    * generation behind for the caller to consume — correct per entry, but
+    * across a 176-entry sweep the leftovers accumulate as resident storage
+    * that later entries' timings then compete with (the BenchHeavy
+    * txParse lesson at BenchHeavy.scala's clearCache note). Called AFTER a
+    * query's timed runs, never inside them: unpersists every RDD whose id
+    * is not in `keepIds` — the snapshot taken after the x12 silver
+    * pre-fill, so the sweep-shared silver cache (measured separately as
+    * x12_parse_tx_per_sec) survives. Blocking unpersist: the blocks must
+    * actually be gone before the next entry's timing starts.
+    */
+  def unpersistLeaked(spark: SparkSession, keepIds: Set[Int]): Unit =
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!keepIds.contains(id))
+        try rdd.unpersist(true) catch { case _: Throwable => }
+    }
+
   /** Pinned canary query — ONE fixed cheap scan+agg over documents, timed
     * warm at sweep start AND end (r13 verdict finding #2): the r13 session
     * showed per-job constants drifting monotonically 1.5-3× within a single

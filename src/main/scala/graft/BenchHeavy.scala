@@ -237,6 +237,10 @@ object BenchHeavy {
     val canaryStart = try BenchHarness.canaryWarm(spark, dir)
       catch { case _: Throwable => -1.0 }
 
+    // per-entry storage hygiene, same as graft.Bench (r15 verdict #2):
+    // nothing is persisted sweep-shared at this point, so the snapshot is
+    // whatever the warmup left (normally empty)
+    val keepIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val results = heavySpark.map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -246,6 +250,7 @@ object BenchHeavy {
       val t = try math.min(once(), once())
         catch { case e: Throwable =>
           System.err.println(s"[bench-heavy] $name FAILED: ${e.getMessage}"); -1.0 }
+      BenchHarness.unpersistLeaked(spark, keepIds)
       name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -627,16 +627,18 @@ object TextDedup {
     * — the guide §7.3 "driver is planning" signature, paid ~10× per
     * operator call and impossible to amortize from the DataFrame API
     * (Catalyst has no "same plan, new leaf" shortcut). RDD rounds build
-    * their DAG in microseconds; the distributed work per round is the
-    * same three node-sized exchanges (neighbor-min with map-side combine,
-    * the jump re-key, the merge), and the edge side still never moves:
-    * edges are `partitionBy(HashPartitioner(n))`-ed once and every
-    * round's `edges.join(labels)` is partitioner-aligned (narrow, zero
-    * shuffle — the same contract the DataFrame loop pinned via preserved
-    * HashPartitioning, re-pinned for this form in PlanContractsSpec by
-    * dependency type). Storage is serialized (MEMORY_AND_DISK_SER) so the
-    * resident edge set keeps a columnar-cache-like footprint (the 30×
-    * OOM note on the DataFrame loop's persist choice).
+    * their DAG in microseconds; the distributed work per round is three
+    * node-sized exchanges (neighbor-min with map-side combine, the jump
+    * request re-key, the jump reply re-key home), and the edge side never
+    * moves: edges are `partitionBy(HashPartitioner(n))`-ed once, packed
+    * into primitive long[] pairs per partition (16 bytes/edge resident —
+    * below even the serialized-tuple footprint the r15 form chose, with
+    * zero per-round deserialization), and every round resolves labels
+    * against them via positional zipPartitions (narrow by construction —
+    * re-pinned for this form in PlanContractsSpec by dependency type).
+    * The loop grain is scale-adaptive: partition count derives from the
+    * measured edge count (graft.cc.rowsPerPartition, default 2M edges —
+    * ~32 MB packed — per task), capped at spark.sql.shuffle.partitions.
     */
   private def dupClustersRdd(pairs: DataFrame, maxIter: Int): DataFrame = {
     import org.apache.spark.HashPartitioner
@@ -648,22 +650,82 @@ object TextDedup {
     def logRound(tag: String, t0: Long, extra: => String): Unit = if (ccLog)
       System.err.println(
         f"[dupClusters/rdd] $tag ${(System.nanoTime - t0) / 1e9}%.2fs $extra")
-    val n = spark.sessionState.conf.numShufflePartitions
-    val part = new HashPartitioner(n)
     val tE = System.nanoTime
-    val edges: RDD[(Long, Long)] = pairs
+    // SCALE-ADAPTIVE loop grain (r16; guide §2.2 "fewer, larger reduce
+    // partitions"): the loop's stage count is fixed (~3 exchanges × rounds)
+    // but every stage pays a per-task scheduling floor, so running a
+    // few-thousand-edge graph at `spark.sql.shuffle.partitions` tasks is
+    // pure overhead — measured at sf0.1/32 partitions as ~0.5 s per
+    // convergence-check job against ~3k live label rows (GRAFT_CC_LOG).
+    // The partition count therefore derives from the MEASURED edge count
+    // (graft.cc.rowsPerPartition edges per task, default 2M ≈ 32 MB of
+    // serialized long pairs), capped at the session's shuffle partitions —
+    // a big graph on a real cluster still gets the full configured
+    // parallelism, a small one stops paying 32× floors. The count job
+    // materializes the raw edge RDD (the upstream candidate pipeline runs
+    // exactly once, same as before — it previously ran inside round 1's
+    // first stage), and the partitioned copy replaces it immediately.
+    val raw: RDD[(Long, Long)] = pairs
       .select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    // fused round 1 (identity labels ⇒ neighbor-min is min(dst) by src,
-    // pointer-jump is the identity): one combine-shuffle, and labels come
-    // out partitioned by id for every later partitioner-aligned join
-    var withOld = edges.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-      .mapPartitions(_.map { case (id, m) =>
-        (id, (id, math.min(id, m))) }, preservesPartitioning = true)
+    val edgeCnt = raw.count()
+    val rowsPerPart = spark.conf.getOption("graft.cc.rowsPerPartition")
+      .map(_.toLong).filter(_ >= 1).getOrElse(2000000L)
+    val confN = spark.sessionState.conf.numShufflePartitions
+    val n = math.max(1L, math.min(confN.toLong,
+      (edgeCnt + rowsPerPart - 1) / rowsPerPart)).toInt
+    val part = new HashPartitioner(n)
+    // PACKED edge storage (r16; guide §1.2 per-task work): every round
+    // re-reads the whole edge set, and the r15 form paid ~150 ms/round at
+    // sf0.1 re-deserializing the MEMORY_AND_DISK_SER boxed (Long, Long)
+    // tuples through the join's cogroup (ProfileOne stage table — the
+    // `map at TextDedup` stages reading input=50k). The edges now persist
+    // DESERIALIZED but packed as two primitive long[] per partition:
+    // 16 bytes/edge — SMALLER than the serialized-tuple form (which the
+    // r15 loop chose for footprint) — with ZERO per-round deserialization
+    // and no cogroup on the edge side. Rounds align to the labels
+    // positionally via zipPartitions: partition i of every label
+    // generation holds exactly the ids with hash(id) % n == i (round 1
+    // emits them from the src-partitioned edges; each merge re-emits its
+    // input partition's keys), so no partitioner object is needed and no
+    // round moves an edge.
+    val edges: RDD[(Array[Long], Array[Long])] = raw
+      .partitionBy(part)
+      .mapPartitions({ it =>
+        var srcs = new Array[Long](1024)
+        var dsts = new Array[Long](1024)
+        var m = 0
+        while (it.hasNext) {
+          val e = it.next()
+          if (m == srcs.length) {
+            srcs = java.util.Arrays.copyOf(srcs, m * 2)
+            dsts = java.util.Arrays.copyOf(dsts, m * 2)
+          }
+          srcs(m) = e._1; dsts(m) = e._2; m += 1
+        }
+        Iterator.single((java.util.Arrays.copyOf(srcs, m),
+          java.util.Arrays.copyOf(dsts, m)))
+      }, preservesPartitioning = false)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    logRound("edges+round1", tE, "fused")
+    // materialize the packed copy, then drop the raw one — the loop
+    // never holds two edge generations past this point
+    edges.foreachPartition(_ => ())
+    raw.unpersist(false)
+    // fused round 1 (identity labels ⇒ neighbor-min is min(dst) by src,
+    // pointer-jump is the identity): src-partitioned edges make it a
+    // LOCAL min-by-src — no shuffle at all, and labels come out
+    // co-located with the edge partitions for every later zipPartitions
+    var withOld: RDD[(Long, (Long, Long))] = edges.mapPartitions({ it =>
+      val acc = new LongLongMap()
+      it.foreach { case (srcs, dsts) =>
+        var j = 0
+        while (j < srcs.length) { acc.mergeMin(srcs(j), dsts(j)); j += 1 }
+      }
+      acc.iterator.map { case (id, m) => (id, (id, math.min(id, m))) }
+    }, preservesPartitioning = false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    logRound("edges+round1", tE, s"fused edges=$edgeCnt parts=$n")
     var labels: RDD[(Long, Long)] =
       withOld.mapValues(_._2)
     val superseded = scala.collection.mutable.Buffer[RDD[_]]()
@@ -672,23 +734,45 @@ object TextDedup {
     while (!converged && i < maxIter) {
       val tR = System.nanoTime
       val prev = labels
-      // neighbor-min: edges never move (partitioner-aligned join); the
-      // re-key by dst shuffles node-sized rows after map-side combine
-      val nbrMin = edges.join(prev)
-        .map { case (_, (dst, lab)) => (dst, lab) }
-        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-      // pointer jump: label's label — only the re-keyed side shuffles
-      val jump = prev.map { case (id, lab) => (lab, id) }
-        .join(prev)
-        .map { case (_, (id, ll)) => (id, ll) }
-      // merge: incoming candidates fold into the previous labels through
-      // one combine-shuffle + a partitioner-aligned left join; carrying
-      // (old, new) per node makes the convergence count a narrow filter
-      val incoming = jump.union(nbrMin).reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-      val updated = prev.leftOuterJoin(incoming)
-        .mapValues { case (o, inc) =>
-          (o, math.min(o, inc.getOrElse(Long.MaxValue))) }
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // neighbor-min: label(src) resolves LOCALLY against the co-located
+      // label partition (zipPartitions + primitive map — no cogroup, no
+      // edge movement), then ONE combine-shuffle keyed by dst
+      val nbrMin = edges.zipPartitions(prev) { (eIt, lIt) =>
+        val lab = new LongLongMap()
+        lIt.foreach(kv => lab.put(kv._1, kv._2))
+        eIt.flatMap { case (srcs, dsts) =>
+          new Iterator[(Long, Long)] {
+            private var j = 0
+            def hasNext: Boolean = j < srcs.length
+            def next(): (Long, Long) = {
+              val r = (dsts(j), lab.getOrError(srcs(j))); j += 1; r
+            }
+          }
+        }
+      }.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      // pointer jump: label's label — requests re-key by label value
+      // (one shuffle), resolve locally against the label partition that
+      // OWNS that id, and the replies re-key home by id (one shuffle; at
+      // most one reply per id, so plain partitionBy — no combine needed)
+      val jump = prev.map { case (id, lbl) => (lbl, id) }
+        .partitionBy(part)
+        .zipPartitions(prev) { (rIt, lIt) =>
+          val lab = new LongLongMap()
+          lIt.foreach(kv => lab.put(kv._1, kv._2))
+          rIt.map { case (lbl, id) => (id, lab.getOrError(lbl)) }
+        }
+        .partitionBy(part)
+      // merge: both candidate streams are home-partitioned, so the
+      // three-way min is one positional pass re-emitting prev's keys;
+      // carrying (old, new) per node keeps the convergence count a
+      // narrow filter
+      val updated = prev.zipPartitions(nbrMin, jump) { (pIt, nIt, rIt) =>
+        val inc = new LongLongMap()
+        nIt.foreach(kv => inc.mergeMin(kv._1, kv._2))
+        rIt.foreach(kv => inc.mergeMin(kv._1, kv._2))
+        pIt.map { case (id, o) =>
+          (id, (o, math.min(o, inc.get(id, Long.MaxValue)))) }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
       i += 1
       logRound(s"round $i build", tR, "")
       if (i % 2 == 0 || i >= maxIter) {
@@ -706,6 +790,15 @@ object TextDedup {
       labels = updated.mapValues(_._2)
     }
     edges.unpersist(false)
+    // persist hygiene (r15 verdict #2): at exit the buffer still holds the
+    // penultimate label generation — the final labels read from the FINAL
+    // generation's materialized cache, so the older one is dead weight and
+    // unpersists here. The final generation itself stays persisted for the
+    // caller's consumption (a recompute after block loss falls back to
+    // lineage, standard semantics); the bench frees it between entries via
+    // BenchHarness.unpersistLeaked.
+    superseded.foreach(_.unpersist(false))
+    superseded.clear()
     spark.createDataset(labels).toDF("doc_id", "cluster_id")
   }
 
@@ -1384,5 +1477,78 @@ object TextDedup {
     val dupFps = refDigests.filter(mightContain)
       .join(bDig, Seq("__fp"), "left_semi")
     b.join(dupFps, Seq("__fp"), "left_anti").drop("__fp")
+  }
+}
+
+/** Minimal open-addressing long→long hash map for the cluster loop's
+  * per-partition label lookups (r16) — the hot path touches every edge
+  * every round, and a java.util.HashMap would box two Longs per access.
+  * Linear probing, power-of-two capacity, grows at 50% load. Instances
+  * are created inside task closures (never serialized).
+  */
+private[operators] final class LongLongMap(initialCapacity: Int = 1 << 10) {
+  private var cap = Integer.highestOneBit(math.max(16, initialCapacity))
+  if (cap < initialCapacity) cap <<= 1
+  private var keys = new Array[Long](cap)
+  private var vals = new Array[Long](cap)
+  private var used = new Array[Boolean](cap)
+  private var n = 0
+
+  private def slot(k: Long): Int = {
+    var h = (k ^ (k >>> 32)).toInt * 0x9E3779B9
+    h ^= (h >>> 16)
+    var i = h & (cap - 1)
+    while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+    i
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals; val ou = used; val oc = cap
+    cap <<= 1
+    keys = new Array[Long](cap); vals = new Array[Long](cap)
+    used = new Array[Boolean](cap)
+    var i = 0
+    while (i < oc) {
+      if (ou(i)) { val s = slot(ok(i)); keys(s) = ok(i); vals(s) = ov(i); used(s) = true }
+      i += 1
+    }
+  }
+
+  private def insert(i: Int, k: Long, v: Long): Unit = {
+    keys(i) = k; vals(i) = v; used(i) = true; n += 1
+    if (n * 2 > cap) grow()
+  }
+
+  def put(k: Long, v: Long): Unit = {
+    val i = slot(k)
+    if (used(i)) vals(i) = v else insert(i, k, v)
+  }
+
+  /** vals(k) = min(vals(k), v), inserting v when absent. */
+  def mergeMin(k: Long, v: Long): Unit = {
+    val i = slot(k)
+    if (used(i)) { if (v < vals(i)) vals(i) = v } else insert(i, k, v)
+  }
+
+  def get(k: Long, dflt: Long): Long = {
+    val i = slot(k)
+    if (used(i)) vals(i) else dflt
+  }
+
+  /** Fail-loud lookup for keys the loop's alignment invariant guarantees
+    * to exist — a miss means partition misalignment, never valid data. */
+  def getOrError(k: Long): Long = {
+    val i = slot(k)
+    if (!used(i)) throw new IllegalStateException(
+      s"dupClusters loop: label for id $k not in its home partition")
+    vals(i)
+  }
+
+  def iterator: Iterator[(Long, Long)] = new Iterator[(Long, Long)] {
+    private var i = 0
+    private def advance(): Unit = { while (i < cap && !used(i)) i += 1 }
+    advance()
+    def hasNext: Boolean = i < cap
+    def next(): (Long, Long) = { val r = (keys(i), vals(i)); i += 1; advance(); r }
   }
 }

@@ -515,6 +515,80 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(labels.forall(_._2 == 1L), "every chain member labels to the min id")
   }
 
+  test("dupClusters storage hygiene: the loop leaves at most one persisted " +
+      "generation and the bench's between-entry sweep frees it (r16)") {
+    import spark.implicits._
+    // drain any leftovers from earlier tests so the baseline is this test's
+    val keep = Set.empty[Int]
+    graft.BenchHarness.unpersistLeaked(spark, keep)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(before == 0, s"expected a clean slate, found $before persisted RDDs")
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // two back-to-back operator calls, each fully consumed (the bench shape)
+    (1 to 2).foreach { _ =>
+      assert(TextDedup.dupClusters(chain).count() == 300)
+      // the operator itself frees everything but the final label
+      // generation, which the caller is still reading from
+      val left = spark.sparkContext.getPersistentRDDs.size
+      assert(left <= 1,
+        s"dupClusters leaked $left persisted RDDs (expected <= 1)")
+      graft.BenchHarness.unpersistLeaked(spark, keep)
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "unpersistLeaked must return storage to the baseline")
+    }
+  }
+
+  test("dupClusters scale-adaptive loop grain: a small graph runs the loop " +
+      "at few partitions with the fixed point unchanged (r16)") {
+    import spark.implicits._
+    // two components + a chain; the adaptive grain (derived from the edge
+    // count) must not change the result vs the DataFrame loop pinned above
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = TextDedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L), got)
+    // and an explicit grain override is honored end-to-end
+    val prev = spark.conf.getOption("graft.cc.rowsPerPartition")
+    try {
+      spark.conf.set("graft.cc.rowsPerPartition", "2")
+      val again = TextDedup.dupClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(again == got, "partition grain must not change the fixed point")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("graft.cc.rowsPerPartition", v)
+        case None => spark.conf.unset("graft.cc.rowsPerPartition")
+      }
+    }
+    graft.BenchHarness.unpersistLeaked(spark, Set.empty)
+  }
+
+  test("LongLongMap (the r16 packed-loop lookup): growth, collisions, " +
+      "mergeMin and fail-loud lookup against a reference map") {
+    val rnd = new scala.util.Random(7)
+    val ref = scala.collection.mutable.Map[Long, Long]()
+    val m = new LongLongMap(4) // tiny start forces many growth rounds
+    (1 to 20000).foreach { _ =>
+      val k = rnd.nextLong() % 5000 // dense keyspace forces collisions
+      val v = rnd.nextLong()
+      if (rnd.nextBoolean()) {
+        m.put(k, v); ref(k) = v
+      } else {
+        m.mergeMin(k, v); ref(k) = math.min(ref.getOrElse(k, Long.MaxValue), v)
+      }
+    }
+    ref.foreach { case (k, v) =>
+      assert(m.get(k, Long.MinValue) == v, s"key $k")
+      assert(m.getOrError(k) == v)
+    }
+    assert(m.iterator.toMap == ref.toMap)
+    assert(m.get(999999999L, -7L) == -7L)
+    intercept[IllegalStateException](m.getOrError(999999999L))
+  }
+
   test("dupClusters fused round 1: maxIter=1 equals exactly one " +
       "neighbor-min propagation (the r15 init-fused round)") {
     import spark.implicits._
