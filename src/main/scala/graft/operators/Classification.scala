@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** In-engine text classification — the fastText-style document classifier
@@ -94,62 +94,62 @@ object Classification {
       maxFusedVocabRows: Long = 1000000L): DataFrame = {
     graft.functions.GraftFunctions.register(test.sparkSession)
     val F = graft.functions.GraftFunctions
-    val q = quantScale
-    def log2q(x: org.apache.spark.sql.Column) =
-      floor(log2(x) * q).cast("long")
-    val vocab = counts.select("token").distinct().count()
-    // THE MODEL IS LABEL-SIZED: collect (label, prior_q, rate_q) to the
-    // driver (the BPE-rules precedent — L rows, not data) so the whole
-    // scoring side becomes one vocab-pivoted lookup instead of an
-    // L-way row expansion through a (doc, label) exchange
-    val labelRows = labelStats.select(col("label"),
-        log2q(col("docs_l").cast("double") / lit(nTrain.toDouble))
-          .as("prior_q"),
-        log2q((col("tok_l") + lit(vocab)).cast("double")).as("rate_q"))
+    val spark = test.sparkSession
+    // raw label stats collect FIRST (label-sized longs; the quantized
+    // priors/rates finish driver-side once vocab is known — r16, one
+    // round-trip instead of the r15 form's frame-side quantization)
+    val lsRows = labelStats.select(col("label"), col("docs_l"), col("tok_l"))
       .orderBy("label").collect()
-    require(labelRows.nonEmpty, "nbClassify: empty training corpus")
-    val labels = labelRows.map(_.getString(0)).toSeq
-    // pivot the census into one finished lpq column per label — one row
-    // per token (vocabulary-sized), indexed columns so label VALUES
-    // never become identifier text
-    val liCol = labels.zipWithIndex.tail.foldLeft(
-      when(col("label") === labels.head, 0)) { case (acc, (l, i)) =>
-        acc.when(col("label") === l, i) }
-    val pivoted = counts
-      .withColumn("li", liCol)
-      .withColumn("lpq_c", log2q((col("c") + 1).cast("double")))
-      .groupBy("token")
-      .pivot("li", labels.indices)
-      .agg(first(col("lpq_c")))
-      .select(col("token") +: labels.indices.map(i =>
-        coalesce(col(s"`$i`"), lit(0L)).as(s"lpq_$i")): _*)
-      .localCheckpoint(false)
+    require(lsRows.nonEmpty, "nbClassify: empty training corpus")
+    val nLabels = lsRows.length
+    val cCounts = counts.localCheckpoint(false)
+    val cnt = cCounts.count()
     // test side, two plan shapes with IDENTICAL integer output
     // (spec-pinned; the oracled td52/td55 hashes hold on either):
     //  - FUSED (r10 verdict #5, the graft_gopher_stats precedent): the
-    //    pivoted census collects to the driver (vocabulary-bounded — it
-    //    IS the model) and inlines into one graft_nb_seen codegen loop,
-    //    so scoring is a pure projection: no per-token rows, no lookup
-    //    join, no per-doc re-aggregate;
+    //    census collects to the driver (vocabulary-bounded — it IS the
+    //    model; r16: ONE collect of the raw census replaces the distinct
+    //    count + frame pivot + pivoted collect, with the quantized logs
+    //    finished through log2qLocal — same Catalyst bits) and inlines
+    //    into one graft_nb_seen codegen loop, so scoring is a pure
+    //    projection: no per-token rows, no lookup join, no per-doc
+    //    re-aggregate;
     //  - JOIN (the 100 TB-vocabulary path, and the A/B baseline —
     //    GRAFT_NB_FUSED=0 forces it): per-doc tf frame (shuffle-free off
     //    the scan), ONE token-keyed lookup join (broadcast under the
     //    bound, else key-bounded shuffle-hash), ONE per-doc aggregate
     //    (partial aggregation collapses per doc map-side).
-    val useFused = fused.getOrElse(
-      sys.env.get("GRAFT_NB_FUSED").forall(_ != "0") &&
-        vocab <= maxFusedVocabRows)
+    // cnt ≤ vocab × nLabels bounds the collect decision exactly:
+    // cnt > maxFusedVocabRows × nLabels ⇒ vocab > maxFusedVocabRows.
+    val wantFused = fused.getOrElse(
+      sys.env.get("GRAFT_NB_FUSED").forall(_ != "0"))
+    val collected =
+      if ((wantFused || fused.contains(true)) &&
+          cnt <= maxFusedVocabRows * nLabels) Some(cCounts.collect())
+      else None
+    val vocab: Long = collected match {
+      case Some(rows) =>
+        val seen = new java.util.HashSet[String]()
+        rows.foreach(r => seen.add(r.getString(1)))
+        seen.size.toLong
+      case None => cCounts.select("token").distinct().count()
+    }
+    val useFused = fused match {
+      case Some(true) =>
+        // fail-loud, not OOM, when the fused path is FORCED past the
+        // bound (the requireSmallQuerySet convention)
+        require(vocab <= maxFusedVocabRows,
+          s"nbClassifyFromModel: fused scoring collects the $vocab-token " +
+            s"vocabulary to the driver, above maxFusedVocabRows " +
+            s"($maxFusedVocabRows) — use the join form or raise the bound")
+        true
+      case Some(false) => false
+      case None => wantFused && vocab <= maxFusedVocabRows
+    }
+    val labelRows = nbLabelRows(spark, lsRows, nTrain, vocab, quantScale)
+    val labels = labelRows.map(_._1)
     val perDoc = if (useFused) {
-      // fail-loud, not OOM, when the fused path is FORCED past the bound
-      // (the requireSmallQuerySet convention): the driver collect below
-      // is vocabulary-sized
-      require(vocab <= maxFusedVocabRows,
-        s"nbClassifyFromModel: fused scoring collects the $vocab-token " +
-          s"vocabulary to the driver, above maxFusedVocabRows " +
-          s"($maxFusedVocabRows) — use the join form or raise the bound")
-      val lut: Map[String, Seq[Long]] = pivoted.collect().map { r =>
-        r.getString(0) -> labels.indices.map(i => r.getLong(i + 1))
-      }.toMap
+      val lut = nbLut(spark, collected.get, labels, quantScale)
       val sc = F.nbSeen(split(col(textCol), " "), lut, labels.size)
       test.select(col(idCol).as("doc_id"), sc.as("__sc"))
         // the join form drops docs whose token array explodes to nothing
@@ -158,6 +158,22 @@ object Classification {
         .select(col("doc_id") +: col("__sc.n_d").as("n_d") +:
           labels.indices.map(i => col("__sc.seen")(i).as(s"seen_$i")): _*)
     } else {
+      // pivot the census into one finished lpq column per label — one
+      // row per token (vocabulary-sized), indexed columns so label
+      // VALUES never become identifier text
+      def log2q(x: Column) = floor(log2(x) * quantScale).cast("long")
+      val liCol = labels.zipWithIndex.tail.foldLeft(
+        when(col("label") === labels.head, 0)) { case (acc, (l, i)) =>
+          acc.when(col("label") === l, i) }
+      val pivoted = cCounts
+        .withColumn("li", liCol)
+        .withColumn("lpq_c", log2q((col("c") + 1).cast("double")))
+        .groupBy("token")
+        .pivot("li", labels.indices)
+        .agg(first(col("lpq_c")))
+        .select(col("token") +: labels.indices.map(i =>
+          coalesce(col(s"`$i`"), lit(0L)).as(s"lpq_$i")): _*)
+        .localCheckpoint(false)
       val tf = test.select(col(idCol).as("doc_id"),
           explode(F.termFreq(split(col(textCol), " "))).as("t"))
         .select(col("doc_id"), col("t.token").as("token"),
@@ -171,20 +187,102 @@ object Classification {
         .groupBy("doc_id")
         .agg(max(col("n_d")).as("n_d"), seenCols: _*)
     }
-    // exact integer argmax as a struct max: (score, -index) compares
-    // score first, then index ASCENDING = label ascending (the label
-    // list is sorted) — deterministic in any engine
-    val scoreStructs = labelRows.toSeq.zipWithIndex.map { case (r, i) =>
-      struct(
-        (lit(r.getLong(1)) - col("n_d") * lit(r.getLong(2))
-          + col(s"seen_$i")).as("s"),
-        lit(-i).as("ni"), lit(labels(i)).as("l"))
-    }
-    val best =
-      if (scoreStructs.size == 1) scoreStructs.head
-      else greatest(scoreStructs: _*)
+    val best = nbArgmax(labelRows, col("n_d"), i => col(s"seen_$i"))
     perDoc.withColumn("best", best)
       .select(col("doc_id"), col("best.l").as("pred_label"),
         col("best.s").as("score_q"))
+  }
+
+  /** Exact integer argmax as a struct max: (score, -index) compares
+    * score first, then index ASCENDING = label ascending (the label
+    * list is sorted) — deterministic in any engine. Shared by
+    * [[nbClassifyFromModel]] and [[TextAnalysis.modelGate]]'s fused
+    * scoring, so both build the SAME comparison structs.
+    */
+  private[operators] def nbArgmax(labelRows: Seq[(String, Long, Long)],
+      nD: Column, seen: Int => Column): Column = {
+    val scoreStructs = labelRows.zipWithIndex.map { case ((l, prior, rate), i) =>
+      struct(
+        (lit(prior) - nD * lit(rate) + seen(i)).as("s"),
+        lit(-i).as("ni"), lit(l).as("l"))
+    }
+    if (scoreStructs.size == 1) scoreStructs.head
+    else greatest(scoreStructs: _*)
+  }
+
+  /** (label, prior_q, rate_q) rows from RAW collected label stats — the
+    * quantized logs finish through [[TextAnalysis.log2qLocal]] (same
+    * Catalyst Log2/Floor bits as the r15 frame-side construction: the
+    * double inputs are the identical long→double casts and one IEEE
+    * division). THE MODEL IS LABEL-SIZED: L rows on the driver, the
+    * BPE-rules precedent.
+    */
+  private def nbLabelRows(spark: org.apache.spark.sql.SparkSession,
+      lsRows: Array[org.apache.spark.sql.Row], nTrain: Long, vocab: Long,
+      quantScale: Long): Seq[(String, Long, Long)] = {
+    val priorVals = lsRows.map(_.getLong(1).toDouble / nTrain.toDouble)
+    val rateVals = lsRows.map(r => (r.getLong(2) + vocab).toDouble)
+    val qs = TextAnalysis.log2qLocal(spark,
+      (priorVals ++ rateVals).toIndexedSeq, quantScale)
+    lsRows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+      (r.getString(0), qs(i), qs(lsRows.length + i)) }
+  }
+
+  /** The vocabulary lpq LUT from the collected raw census — one finished
+    * `log2q(c + 1)` per (token, label), absent pairs 0L, exactly the
+    * r15 pivoted frame's coalesce semantics; the quantization routes the
+    * DISTINCT counts through [[TextAnalysis.log2qLocal]] once.
+    */
+  private def nbLut(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row], labels: Seq[String],
+      quantScale: Long): Map[String, Seq[Long]] = {
+    val li = labels.zipWithIndex.toMap
+    val distinctC = rows.map(_.getLong(2)).distinct
+    val qs = TextAnalysis.log2qLocal(spark,
+      distinctC.map(c => (c + 1).toDouble).toIndexedSeq, quantScale)
+    val cMap = distinctC.zip(qs).toMap
+    val lut = new java.util.HashMap[String, Array[Long]]()
+    rows.foreach { r =>
+      val arr = lut.computeIfAbsent(r.getString(1),
+        _ => new Array[Long](labels.size))
+      arr(li(r.getString(0))) = cMap(r.getLong(2))
+    }
+    import scala.jdk.CollectionConverters._
+    lut.asScala.view.mapValues(_.toIndexedSeq).toMap
+  }
+
+  /** The inline NB model of [[nbClassifyFromModel]]'s fused path —
+    * (label rows (label, prior_q, rate_q), vocabulary lpq LUT) from ONE
+    * label-stats collect + ONE census collect, or None when the
+    * vocabulary exceeds the fused bound (the caller then composes
+    * [[nbClassify]] itself). nTrain is the label stats' own docs_l mass
+    * (= train.count(): every train row lands in exactly one label
+    * group). Consumed by [[TextAnalysis.modelGate]]'s single-pass
+    * scoring, which therefore inlines the SAME constants as td52's
+    * fused classifier.
+    */
+  def nbInlineModel(train: DataFrame, textCol: String, labelCol: String,
+      quantScale: Long = 1024L, maxFusedVocabRows: Long = 1000000L)
+    : Option[(Seq[(String, Long, Long)], Map[String, Seq[Long]])] = {
+    val spark = train.sparkSession
+    val lsRows = nbLabelStats(train, textCol, labelCol)
+      .select(col("label"), col("docs_l"), col("tok_l"))
+      .orderBy("label").collect()
+    require(lsRows.nonEmpty, "nbClassify: empty training corpus")
+    val nTrain = lsRows.map(_.getLong(1)).sum
+    val cCounts = nbCensus(train, textCol, labelCol).localCheckpoint(false)
+    val cnt = cCounts.count()
+    // cnt ≤ vocab × L: past this bound the vocabulary provably exceeds
+    // the fused bound — never collect it
+    if (cnt > maxFusedVocabRows * lsRows.length) return None
+    val rows = cCounts.collect()
+    val seen = new java.util.HashSet[String]()
+    rows.foreach(r => seen.add(r.getString(1)))
+    val vocab = seen.size.toLong
+    if (vocab > maxFusedVocabRows) None
+    else {
+      val labelRows = nbLabelRows(spark, lsRows, nTrain, vocab, quantScale)
+      Some((labelRows, nbLut(spark, rows, labelRows.map(_._1), quantScale)))
+    }
   }
 }

@@ -418,12 +418,39 @@ object TextAnalysis {
     * before or after — those are the shuffling stages and compose at the
     * frame level.
     */
+  /** Canonical normalization column (NFC + lower + whitespace collapse) —
+    * the same form [[normalize]] emits; shared by [[curationPipeline]]
+    * and [[modelGate]].
+    */
+  private def normCol(text: Column): Column = trim(regexp_replace(
+    lower(graft.functions.GraftFunctions.nfc(text)), "\\s+", " "))
+
+  /** The rule screen's `keep` boolean in its FAST (fused-stats) form,
+    * over pre-bound `__norm` / `__g` projection columns — extracted so
+    * [[curationPipeline]] and [[modelGate]] build the IDENTICAL
+    * expression. Callers must project `__norm` (the normalized text) and
+    * `__g` (`graft_gopher_stats` over it) as their own columns first so
+    * the stats struct evaluates once (the q60 barrier discipline).
+    */
+  private def gopherKeepColFast(minWords: Int, maxTopTokenShare: Double,
+      minDistinctRatio: Double): Column = {
+    val (_, gopherKeep) = gopherExprs("__norm", minWords, 100000,
+      3.0, 10.0, 0.1, 0.9, 0.3, 0.8, GopherStopwords, 2, Some("__g"))
+    val t = toks(col("__norm"))
+    val nTok = size(t)
+    val distinctRatio =
+      round(size(array_distinct(t)).cast("double") / nTok, 6)
+    val topTokenShare =
+      round(graft.functions.GraftFunctions.topFreq(t).cast("double") / nTok, 6)
+    gopherKeep && topTokenShare <= maxTopTokenShare &&
+      distinctRatio >= minDistinctRatio
+  }
+
   def curationPipeline(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 10, maxTopTokenShare: Double = 0.2,
       minDistinctRatio: Double = 0.3, fast: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val normExpr = trim(regexp_replace(
-      lower(graft.functions.GraftFunctions.nfc(col(textCol))), "\\s+", " "))
+    val normExpr = normCol(col(textCol))
     val n0 = docs.select(col(idCol), normExpr.as("__norm"))
     // `fast` fuses the seven Gopher counters into one pass over the
     // normalized text (graft_gopher_stats, its own projection so it
@@ -450,14 +477,90 @@ object TextAnalysis {
     val nRedactions = (regexp_count(tn, lit(emailRe))
       + regexp_count(tn, lit(ipv4Re))
       + regexp_count(tn, lit(phoneRe))).cast("long")
+    val keepCol =
+      if (fast) gopherKeepColFast(minWords, maxTopTokenShare, minDistinctRatio)
+      else gopherKeep && topTokenShare <= maxTopTokenShare &&
+        distinctRatio >= minDistinctRatio
     n.select(col(idCol),
       signals.head, // n_words
       distinctRatio.as("distinct_token_ratio"),
       topTokenShare.as("top_token_share"),
-      (gopherKeep && topTokenShare <= maxTopTokenShare
-        && distinctRatio >= minDistinctRatio).as("keep"),
+      keepCol.as("keep"),
       clean.as("clean_text"),
       nRedactions.as("n_redactions"))
+  }
+
+  /** The composed model gate (rule screen ∧ LM quality ∧ classifier
+    * agreement) of td54/td58/q60/q61 in ONE corpus pass (r16, guide
+    * §1.2 "the distributed algorithm"): all three signals are pure
+    * projections once their models inline (`graft_gopher_stats` /
+    * `graft_lm_score` / `graft_nb_seen`), so the gate needs NO join at
+    * all — the r15 form's three scoring scans + 4-way doc_id join
+    * collapse into one scan projecting every signal side by side, with
+    * the same kernels and the same model constants the component
+    * operators collect. Row set: documents with ≥ 2 whitespace tokens —
+    * exactly the old inner-join intersection (the LM side's own domain;
+    * the NB side's null/empty-text drop is implied by it, and the rule
+    * screen and label frames cover all documents).
+    *
+    * `ruleText` is the column the RULE screen reads (td54's injected
+    * text), independent of `textCol` that the models score. `extra`
+    * passthrough columns are evaluated against `docs` in the same scan
+    * (q60 rides `source` and its token count here instead of re-joining
+    * documents).
+    *
+    * Falls back to the r15 join composition — component operators,
+    * verbatim — when either model exceeds its inline bound at 100 TB
+    * vocabularies (`fused = Some(false)` or GRAFT_GATE_FUSED=0 pins the
+    * fallback for A/B; parity is spec-pinned and the td54/td58/q60/q61
+    * oracles ride both shapes).
+    */
+  def modelGate(train: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, ruleText: Column, labelCol: String,
+      extra: Seq[(String, Column)] = Nil,
+      fused: Option[Boolean] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val F = graft.functions.GraftFunctions
+    val useFused = fused.getOrElse(
+      sys.env.get("GRAFT_GATE_FUSED").forall(_ != "0"))
+    val lmM = if (useFused) lmInlineModel(train, textCol) else None
+    val nbM =
+      if (useFused) Classification.nbInlineModel(train, textCol, labelCol)
+      else None
+    (lmM, nbM) match {
+      case (Some((biM, wM, lpq0V)), Some((labelRows, lut))) =>
+        docs
+          .filter(size(toks(col(textCol))) >= 2)
+          .select(col(idCol) +: col(labelCol) +: col(textCol) +:
+            normCol(ruleText).as("__norm") +:
+            extra.map { case (nm, c) => c.as(nm) }: _*)
+          .withColumn("__g", F.gopherStats(col("__norm"), GopherStopwords))
+          .withColumn("__s", F.lmScore(toks(col(textCol)), biM, wM, lpq0V))
+          .withColumn("__sc", F.nbSeen(toks(col(textCol)), lut, labelRows.size))
+          .select(col(idCol) +:
+            gopherKeepColFast(10, 0.2, 0.3).as("keep") +:
+            col("__s.n_bigrams").as("n_bigrams") +:
+            col("__s.sum_lpq").as("sum_lpq") +:
+            Classification.nbArgmax(labelRows, col("__sc.n_d"),
+              i => col("__sc.seen")(i)).getField("l").as("pred_label") +:
+            col(labelCol) +: extra.map { case (nm, _) => col(nm) }: _*)
+      case _ =>
+        val cur = curationPipeline(
+            docs.select(col(idCol), ruleText.as("__rt")), idCol, "__rt",
+            fast = true)
+          .select(col(idCol), col("keep"))
+        val lm = lmDocScore(train, docs, idCol, textCol)
+          .select(col("doc_id").as(idCol), col("n_bigrams"), col("sum_lpq"))
+        val nb = Classification.nbClassify(train, docs, idCol, textCol,
+            labelCol)
+          .select(col("doc_id").as(idCol), col("pred_label"))
+        val lbl = docs.select(col(idCol) +: col(labelCol) +:
+          extra.map { case (nm, c) => c.as(nm) }: _*)
+        cur.join(lm, Seq(idCol)).join(nb, Seq(idCol)).join(lbl, Seq(idCol))
+          .select(col(idCol) +: col("keep") +: col("n_bigrams") +:
+            col("sum_lpq") +: col("pred_label") +: col(labelCol) +:
+            extra.map { case (nm, _) => col(nm) }: _*)
+    }
   }
 
   /** Corpus vocabulary census — the precursor to tokenizer training and
@@ -923,54 +1026,17 @@ object TextAnalysis {
       maxBroadcastModelRows: Long = 4000000L): DataFrame = {
     graft.functions.GraftFunctions.register(train.sparkSession)
     val F = graft.functions.GraftFunctions
-    def log2q(c: Column): Column =
-      floor(log2(c) * quantScale).cast("long")
-    // BOTH train censuses ride ONE corpus scan and ONE vocabulary-sized
-    // shuffle: unigrams and bigrams census together (a unigram token can
-    // never contain a space, a bigram always does — collision-free
-    // split), checkpointed once for the three consumers (uni cut, biL
-    // enrichment, size probe); totTok is the unigram census's own mass,
-    // not another corpus pass
-    val census = train
-      .select(explode(F.termFreq(
-        concat(toks(col(textCol)), F.bigrams(col(textCol))))).as("t"))
-      .groupBy(col("t.token").as("token"))
-      .agg(sum(col("t.tf")).as("cnt"))
-      .localCheckpoint(false)
-    val uni = census.filter(!col("token").contains(" "))
-      .select(col("token"), col("cnt").as("ucnt"))
-    val totTok = uni.agg(sum(col("ucnt"))).head.getLong(0)
-    // vocabulary-sized model frames carrying FINISHED quantized logs:
-    // seen-bigram lpq (needs prev's unigram count — a census-census
-    // join) and the per-word backoff lpq; the unseen-word fallback
-    // constant-folds through the same Log2 expression
-    val biL = census.filter(col("token").contains(" "))
-      .select(col("token").as("bg"), col("cnt").as("bcnt"))
-      .withColumn("prev", substring_index(col("bg"), " ", 1))
-      .join(uni.select(col("token").as("prev"), col("ucnt").as("pcnt"))
-        .hint("shuffle_hash"), Seq("prev"))
-      .select(col("bg"),
-        log2q(col("bcnt").cast("double") / col("pcnt").cast("double"))
-          .as("lpq_bg"))
-    val wL = uni.select(col("token").as("w"),
-      log2q((col("ucnt") * 2).cast("double")
-        / lit(5L * totTok).cast("double")).as("lpq_w"))
-    val lpq0 = log2q(lit(1L).cast("double") / lit(5L * totTok).cast("double"))
-    // model size decides the scoring strategy; ONE cheap count on the
-    // checkpointed census bounds both cuts
-    val modelEntries = census.count()
+    val m = new LmModel(train, textCol, quantScale)
+    val (biL, wL, lpq0) = (m.biL, m.wL, m.lpq0)
+    val modelEntries = m.entries
     val scored =
       if (modelEntries <= maxInlineModelEntries) {
         // FAST PATH — the model inlines (the bpeEncode-rules idiom) and
         // scoring becomes `graft_lm_score`: a PURE PROJECTION over the
         // test scan — two hash probes and a long add per position, no
         // joins, no aggregate, no per-position float work
-        val biM = biL.collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val wM = wL.collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val lpq0V = train.sparkSession.range(1)
-          .select(lpq0.as("v")).head.getLong(0)
+        val (biM, wM, lpq0V) = lmCollectInline(train.sparkSession, m,
+          quantScale)
         // the no-bigram drop (n_bigrams > 0 ⇔ >= 2 tokens, LmScoreUtil's
         // own definition) is expressed on the CHEAP token count: a filter
         // on s.n_bigrams pushes below the projection and inlines the whole
@@ -1002,5 +1068,123 @@ object TextAnalysis {
       }
     scored.withColumn("avg_lp",
       round(col("sum_lpq") / lit(quantScale.toDouble) / col("n_bigrams"), 4))
+  }
+
+  /** [[lmDocScore]]'s train-side model, shared with [[lmInlineModel]]:
+    * BOTH train censuses ride ONE corpus scan and ONE vocabulary-sized
+    * shuffle — unigrams and bigrams census together (a unigram token can
+    * never contain a space, a bigram always does — collision-free
+    * split), checkpointed once; `entries` (the one cheap count on the
+    * checkpointed census) bounds the strategy cuts. The general-path
+    * frames (biL/wL/lpq0 — FINISHED quantized logs: seen-bigram lpq
+    * needs prev's unigram count, a census-census join; the per-word
+    * backoff lpq; the unseen-word fallback constant-folds through the
+    * same Log2 expression) are LAZY: the inline path never pays their
+    * totTok probe job.
+    */
+  private final class LmModel(train: DataFrame, textCol: String,
+      quantScale: Long) {
+    private def log2q(c: Column): Column =
+      floor(log2(c) * quantScale).cast("long")
+    val census: DataFrame = train
+      .select(explode(graft.functions.GraftFunctions.termFreq(
+        concat(toks(col(textCol)),
+          graft.functions.GraftFunctions.bigrams(col(textCol))))).as("t"))
+      .groupBy(col("t.token").as("token"))
+      .agg(sum(col("t.tf")).as("cnt"))
+      .localCheckpoint(false)
+    val entries: Long = census.count()
+    lazy val totTok: Long = {
+      val r = census.filter(!col("token").contains(" "))
+        .agg(sum(col("cnt"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    private lazy val uni = census.filter(!col("token").contains(" "))
+      .select(col("token"), col("cnt").as("ucnt"))
+    lazy val biL: DataFrame = census.filter(col("token").contains(" "))
+      .select(col("token").as("bg"), col("cnt").as("bcnt"))
+      .withColumn("prev", substring_index(col("bg"), " ", 1))
+      .join(uni.select(col("token").as("prev"), col("ucnt").as("pcnt"))
+        .hint("shuffle_hash"), Seq("prev"))
+      .select(col("bg"),
+        log2q(col("bcnt").cast("double") / col("pcnt").cast("double"))
+          .as("lpq_bg"))
+    lazy val wL: DataFrame = uni.select(col("token").as("w"),
+      log2q((col("ucnt") * 2).cast("double")
+        / lit(5L * totTok).cast("double")).as("lpq_w"))
+    lazy val lpq0: Column =
+      log2q(lit(1L).cast("double") / lit(5L * totTok).cast("double"))
+  }
+
+  /** Quantized log₂ of each value through ONE LocalRelation projection:
+    * Catalyst folds the deterministic Project driver-side
+    * (ConvertToLocalRelation), so the bits are the SAME Log2/Multiply/
+    * Floor/Cast evaluation the frame-side model expressions produce — at
+    * zero cluster jobs. Inputs must be positive (model counts/ratios are
+    * by construction); fail-loud otherwise.
+    */
+  private[operators] def log2qLocal(spark: org.apache.spark.sql.SparkSession,
+      values: Seq[Double], quantScale: Long): Array[Long] = {
+    if (values.isEmpty) return Array.empty
+    import spark.implicits._
+    values.toDF("v")
+      .select(floor(log2(col("v")) * quantScale).cast("long").as("q"))
+      .collect().map { r =>
+        require(!r.isNullAt(0), "log2qLocal: non-positive model value")
+        r.getLong(0)
+      }
+  }
+
+  /** Collect the inline form of an [[LmModel]] — the quantized-log maps
+    * `graft_lm_score` takes as plan constants — from ONE census collect
+    * (r16; the r15 form paid ~5 driver round-trips per model: the totTok
+    * probe, the biL census-census join collect, the wL collect and the
+    * lpq0 literal job). The census splits driver-side (a unigram token
+    * never contains a space), every bigram's `prev` unigram is present
+    * by construction, and the double ratios match the frame expressions
+    * bit-for-bit (long→double casts of counts, one IEEE division); the
+    * log₂ quantization routes through [[log2qLocal]].
+    */
+  private def lmCollectInline(spark: org.apache.spark.sql.SparkSession,
+      m: LmModel, quantScale: Long)
+    : (Map[String, Long], Map[String, Long], Long) = {
+    val rows = m.census.collect()
+    val uni = new java.util.HashMap[String, Long](rows.length * 2)
+    var totTok = 0L
+    rows.foreach { r =>
+      val t = r.getString(0)
+      if (t.indexOf(' ') < 0) { uni.put(t, r.getLong(1)); totTok += r.getLong(1) }
+    }
+    val den = (5L * totTok).toDouble
+    val bi = rows.filter(_.getString(0).indexOf(' ') >= 0)
+    val biVals = bi.map { r =>
+      val bg = r.getString(0)
+      val pcnt = uni.get(bg.substring(0, bg.indexOf(' ')))
+      r.getLong(1).toDouble / pcnt.toDouble
+    }
+    val uniRows = rows.filter(_.getString(0).indexOf(' ') < 0)
+    val wVals = uniRows.map(r => (r.getLong(1) * 2).toDouble / den)
+    val qs = log2qLocal(spark,
+      (biVals ++ wVals).toIndexedSeq :+ (1L.toDouble / den), quantScale)
+    val biM = bi.iterator.zipWithIndex
+      .map { case (r, i) => r.getString(0) -> qs(i) }.toMap
+    val wM = uniRows.iterator.zipWithIndex
+      .map { case (r, i) => r.getString(0) -> qs(bi.length + i) }.toMap
+    (biM, wM, qs.last)
+  }
+
+  /** The inline bigram-LM model of [[lmDocScore]]'s fast path — (bigram
+    * lpq map, word-backoff lpq map, unseen lpq) — or None when the
+    * census exceeds the inline bound (the caller then composes the
+    * general path). Consumed by [[lmDocScore]] and [[modelGate]]'s
+    * single-pass scoring, so both inline the SAME constants.
+    */
+  def lmInlineModel(train: DataFrame, textCol: String,
+      quantScale: Long = 1024L, maxInlineModelEntries: Long = 131072L)
+    : Option[(Map[String, Long], Map[String, Long], Long)] = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val m = new LmModel(train, textCol, quantScale)
+    if (m.entries > maxInlineModelEntries) None
+    else Some(lmCollectInline(train.sparkSession, m, quantScale))
   }
 }

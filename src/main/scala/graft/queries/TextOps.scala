@@ -248,12 +248,17 @@ object TextOps extends QuerySet {
     * engines. Shared with mm51's caption cut so the two sides can never
     * drift.
     */
-  private[queries] def q40Injected(docs: DataFrame): DataFrame = docs.select(
-    col("doc_id"),
+  /** The q40 injection as a bare column — shared by [[q40Injected]] and
+    * the composed gate's single-pass rule screen (r16).
+    */
+  private[queries] def q40InjectedText: Column =
     concat(col("text"),
       when(col("doc_id") % 2 === 0,
         lit(" and so that was the end of it all"))
-        .otherwise(lit(""))).as("text"))
+        .otherwise(lit("")))
+
+  private[queries] def q40Injected(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"), q40InjectedText.as("text"))
 
   def q40(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -540,20 +545,27 @@ object TextOps extends QuerySet {
     * per comparison (`graft_gopher_stats` ~14× per row — measured 2.4 s
     * → 13 s on the heavy tier before q60's barrier).
     */
-  def modelGatedCuration(s: SparkSession, dir: String): DataFrame = {
-    val cur = q40(s, dir).select(col("doc_id"), col("keep"))
-    val lm = lmQuality(s, dir)
-      .select(col("doc_id"), col("n_bigrams"), col("sum_lpq"))
-    val nb = nbLangClassify(s, dir).select(col("doc_id"), col("pred_label"))
-    val docs = Q.t(s, dir, "documents").select(col("doc_id"), col("lang"))
-    cur.join(lm, Seq("doc_id")).join(nb, Seq("doc_id"))
-      .join(docs, Seq("doc_id"))
+  /** The composed gate frame every chain entry consumes — ONE
+    * [[graft.operators.TextAnalysis.modelGate]] pass per entry (r16):
+    * the r15 form built the rule/LM/NB frames separately and 4-way
+    * joined them on doc_id, re-scanning documents three times per entry.
+    */
+  private def curationGate(s: SparkSession, dir: String,
+      extra: Seq[(String, Column)] = Nil): DataFrame = {
+    val docs = Q.t(s, dir, "documents")
+    graft.operators.TextAnalysis.modelGate(
+      train = docs.filter(col("doc_id") % 2 === 0), docs = docs,
+      idCol = "doc_id", textCol = "text", ruleText = q40InjectedText,
+      labelCol = "lang", extra = extra)
+  }
+
+  def modelGatedCuration(s: SparkSession, dir: String): DataFrame =
+    curationGate(s, dir)
       .withColumn("lm_ok", col("sum_lpq") >= lit(-5632L) * col("n_bigrams"))
       .withColumn("lang_match", col("pred_label") === col("lang"))
       .withColumn("admitted",
         col("keep") && col("lm_ok") && col("lang_match"))
       .select("doc_id", "keep", "lm_ok", "lang_match", "admitted")
-  }
 
   /** NB-gate confusion matrix (td55): the model-EVALUATION step a
     * curation pipeline runs before trusting its classifier gate —
@@ -595,13 +607,7 @@ object TextOps extends QuerySet {
   def lmGateSweep(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val thresholds = Seq(-7168L, -6144L, -5632L, -5120L, -4096L)
-    val cur = q40(s, dir).select(col("doc_id"), col("keep"))
-    val lm = lmQuality(s, dir)
-      .select(col("doc_id"), col("n_bigrams"), col("sum_lpq"))
-    val nb = nbLangClassify(s, dir).select(col("doc_id"), col("pred_label"))
-    val docs = Q.t(s, dir, "documents").select(col("doc_id"), col("lang"))
-    val gate = cur.join(lm, Seq("doc_id")).join(nb, Seq("doc_id"))
-      .join(docs, Seq("doc_id"))
+    val gate = curationGate(s, dir)
       .withColumn("lang_match", col("pred_label") === col("lang"))
       .select("keep", "n_bigrams", "sum_lpq", "lang_match")
       .localCheckpoint(false)
@@ -639,13 +645,21 @@ object TextOps extends QuerySet {
     * oracle verbatim under the q33 window.
     */
   def curatedMix(s: SparkSession, dir: String): DataFrame = {
-    val admitted = modelGatedCuration(s, dir).localCheckpoint(false)
-      .filter(col("admitted")).select("doc_id")
-    val docs = Q.t(s, dir, "documents").select(
-      col("doc_id"), col("source"),
-      size(split(col("text"), " ")).as("n_tokens"))
+    // source and the token count ride the gate's single scan (r16) — the
+    // r15 form re-joined documents to recover them; the lazy
+    // localCheckpoint barrier BEFORE the admission filter is unchanged
+    // (see modelGatedCuration's downstream-consumer contract)
+    val admitted = curationGate(s, dir, extra = Seq(
+        "source" -> col("source"),
+        "n_tokens" -> size(split(col("text"), " "))))
+      .withColumn("admitted",
+        col("keep") && (col("sum_lpq") >= lit(-5632L) * col("n_bigrams"))
+          && (col("pred_label") === col("lang")))
+      .localCheckpoint(false)
+      .filter(col("admitted"))
+      .select("doc_id", "source", "n_tokens")
     graft.operators.Sampling.tokenBudget(
-      docs.join(admitted, Seq("doc_id")), "source", "doc_id", "n_tokens",
+      admitted, "source", "doc_id", "n_tokens",
       budgets = Map("src0" -> 800L, "src1" -> 400L), defaultBudget = 500L)
   }
 

@@ -898,6 +898,36 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("modelGate fused single-pass gate is row-identical to the join " +
+      "composition and evaluates each scoring kernel once (r16)") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val ruleText = concat(col("text"),
+      when(col("doc_id") % 2 === 0, lit(" and so that was the end of it all"))
+        .otherwise(lit("")))
+    val extra = Seq("source" -> col("source"),
+      "n_tokens" -> size(split(col("text"), " ")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).sortBy(_.head.toString).toList
+    val fusedG = TextAnalysis.modelGate(train, docs, "doc_id", "text",
+      ruleText, "lang", extra, fused = Some(true))
+    val joinG = TextAnalysis.modelGate(train, docs, "doc_id", "text",
+      ruleText, "lang", extra, fused = Some(false))
+    assert(rows(fusedG) == rows(joinG),
+      "fused gate must be byte-identical to the r15 join composition")
+    // the fused gate is ONE pass: no join, no exchange, and each scoring
+    // kernel appears exactly once in the plan
+    val plan = fusedG.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    for (k <- Seq("graft_gopher_stats", "graft_lm_score", "graft_nb_seen"))
+      assert(plan.sliding(k.length).count(_ == k) == 1,
+        s"$k must evaluate exactly once:\n${plan.take(3000)}")
+    graft.BenchHarness.unpersistLeaked(spark, Set.empty)
+  }
+
   test("gopherScreen/curationPipeline fast path (graft_gopher_stats) is output-identical to the composable form") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
