@@ -419,14 +419,26 @@ object Ann {
     require(dim % subspaces == 0,
       s"dim $dim must divide evenly into $subspaces subspaces")
     val subDim = dim / subspaces
-    (0 until subspaces).map { s =>
+    // the per-subspace fits are INDEPENDENT chains whose round frames
+    // lazily checkpoint — under AQE each checkpoint compiles its plan and
+    // materializes its exchanges eagerly, so a sequential map serializes
+    // subspaces × iters rounds of driver planning + round jobs. Build
+    // them from a thread pool instead (guide §2.6 "overlap independent
+    // jobs"): per-subspace planning and round jobs overlap, the result
+    // union is assembled in subspace order so output order (and every
+    // fit's arithmetic — the subspaces never interact) is unchanged.
+    import scala.collection.parallel.CollectionConverters._
+    val par = (0 until subspaces).par
+    par.tasksupport = new scala.collection.parallel.ExecutionContextTaskSupport(
+      scala.concurrent.ExecutionContext.global)
+    par.map { s =>
       val sub = emb.select(col(idCol),
         slice(col(embCol), s * subDim + 1, subDim).as("__sub"))
       kmeansFit(sub, idCol, "__sub", centroidsPerSub, iters, subDim,
         samplePred)
         .select(lit(s).as("subspace"), col("centroid_id"), col("n"),
           col("c_emb"))
-    }.reduce(_ unionByName _)
+    }.seq.reduce(_ unionByName _)
   }
 
   /** Deterministic PQ codebook: centroid value for (subspace, centroid,
