@@ -156,19 +156,29 @@ object TextAnalysis {
       fast: Boolean = false): DataFrame = {
     // fast = the native graft_shingles loop (identical output, parity
     // spec-pinned at TextDedupSpec; requires GraftFunctions.register) —
-    // the shingle computation dominates this scan-shaped screen
-    val docSh = docs.select(col(idCol).as("doc_id"),
-      explode(TextDedup.bigramShingles(col(textCol), fast)).as("shingle"))
+    // the shingle computation dominates this scan-shaped screen.
+    // ONE corpus pass (r16, guide §1.2): the r15 form computed each
+    // document's shingles TWICE over two scans (one exploded branch for
+    // the shared-count join, one size() branch re-joined by doc_id).
+    // Now the shingle array projects once, n_shingles rides the explode
+    // (explode_outer keeps zero-shingle documents in the row set), the
+    // broadcast join turns LEFT so unmatched rows count as zero in the
+    // same per-doc aggregate — values and row set identical to the
+    // two-scan form (spec + oracle pinned), at one scan, one shingle
+    // evaluation and one join fewer.
     val benchSh = benchmark
       .select(explode(TextDedup.bigramShingles(col(benchTextCol), fast))
         .as("shingle"))
       .distinct()
-    val shared = docSh.join(broadcast(benchSh), "shingle")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     docs.select(col(idCol).as("doc_id"),
-        size(TextDedup.bigramShingles(col(textCol), fast)).as("n_shingles"))
-      .join(shared, Seq("doc_id"), "left")
-      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        TextDedup.bigramShingles(col(textCol), fast).as("__sh"))
+      .select(col("doc_id"), size(col("__sh")).as("n_shingles"),
+        explode_outer(col("__sh")).as("shingle"))
+      .join(broadcast(benchSh.withColumn("__hit", lit(1))),
+        Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_shared"))
       .withColumn("contamination_ratio",
         round(col("n_shared").cast("double") / col("n_shingles"), 6))
   }
