@@ -48,6 +48,20 @@ object Ann {
     * Long.MaxValue must mean "effectively unbounded", not an overflow
     * that wraps to limit(0) and silently disables the guard.
     */
+  /** Build two independent (typically checkpoint-materializing) frames
+    * overlapped — under AQE a lazy localCheckpoint runs its non-final
+    * stages at construction time, so sequential construction serializes
+    * driver planning + stage jobs that share no dependency (guide §2.6).
+    */
+  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fa = Future(a)
+    val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
   private[operators] def requireSmallQuerySet(q: DataFrame, what: String,
       maxRows: Long): Unit = {
     require(maxRows >= 1, s"maxQueryRows must be >= 1, got $maxRows")
@@ -737,10 +751,13 @@ object Ann {
       centroids: DataFrame, queryPred: Column, k: Int,
       maxNprobe: Int): DataFrame = {
     require(maxNprobe >= 1, s"maxNprobe must be >= 1, got $maxNprobe")
-    val assigned = ivfAssign(emb, idCol, embCol, centroids)
-      .localCheckpoint(false)
-    val exact = cosineTopK(emb, idCol, embCol, queryPred, k)
-      .localCheckpoint(false)
+    // the two checkpointed corpus passes are independent; under AQE a
+    // lazy localCheckpoint still materializes its non-final stages at
+    // construction, so build them overlapped (guide §2.6 — the pqFit
+    // thread-pool discipline)
+    val (assigned, exact) = inParallel(
+      ivfAssign(emb, idCol, embCol, centroids).localCheckpoint(false),
+      cosineTopK(emb, idCol, embCol, queryPred, k).localCheckpoint(false))
     val per = (1 to maxNprobe).map { np =>
       recallAtK(ivfProbe(assigned, centroids, queryPred, k, np), exact,
         "query_id", "neighbor_id")
@@ -775,10 +792,11 @@ object Ann {
       queryPred: Column, k: Int, dim: Int, outDims: Seq[Int]): DataFrame = {
     require(outDims.nonEmpty && outDims.forall(d => d >= 1 && d <= dim),
       s"outDims must be non-empty within [1, $dim], got $outDims")
-    val proj = randomProject(emb, idCol, embCol, dim, outDims.max)
-      .localCheckpoint(false)
-    val exact = cosineTopK(emb, idCol, embCol, queryPred, k)
-      .localCheckpoint(false)
+    // independent corpus passes, built overlapped (the nprobeSweep note)
+    val (proj, exact) = inParallel(
+      randomProject(emb, idCol, embCol, dim, outDims.max)
+        .localCheckpoint(false),
+      cosineTopK(emb, idCol, embCol, queryPred, k).localCheckpoint(false))
     outDims.sorted.map { od =>
       val sliced = proj.select(col("vec_id"),
         slice(col("proj"), 1, od).as("proj"))
